@@ -112,7 +112,15 @@ class GGUFWriter:
 
     def add_tensor(self, name: str, array: np.ndarray,
                    ggml_type: GGMLType = GGMLType.F32) -> None:
-        """array is in numpy row-major logical shape; quantized along last axis."""
+        """array is in numpy row-major logical shape; quantized along last axis.
+
+        Falls back to a finer format when the row length is not a multiple of
+        the block size (mirroring llama.cpp's quantization fallback)."""
+        from .constants import GGML_BLOCK_SIZES
+        row = array.shape[-1] if array.ndim else 1
+        blk = GGML_BLOCK_SIZES[ggml_type][0]
+        if row % blk != 0:
+            ggml_type = GGMLType.Q8_0 if row % 32 == 0 else GGMLType.F16
         data = quantize(ggml_type, np.ascontiguousarray(array, dtype=np.float32))
         offset = self._data_size
         self.tensor_meta.append((name, tuple(array.shape), ggml_type, offset))

@@ -1,0 +1,99 @@
+"""Model hyperparameter config extracted from GGUF metadata.
+
+Mirrors the capability/arch probes the reference performs at load
+(httpserver.hpp:2686-3164: arch detect, rope params, SWA/causal probes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+# architectures using neox-style (half-split) rope rotation; llama-family
+# GGUFs are converted with permuted q/k for 'norm' (adjacent-pair) rotation.
+_NEOX_ROPE_ARCHS = {
+    "qwen2", "qwen2moe", "qwen3", "qwen3moe", "falcon", "gemma", "gemma2",
+    "gemma3", "phi2", "phi3", "stablelm", "gptneox", "starcoder2", "olmo2",
+    "internlm2", "deepseek2", "minicpm3", "smollm3",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    arch: str = "llama"
+    name: str = ""
+    n_layers: int = 0
+    n_embd: int = 0
+    n_heads: int = 0
+    n_kv_heads: int = 0
+    head_dim: int = 0
+    n_ff: int = 0
+    vocab_size: int = 0
+    n_ctx_train: int = 2048
+    rms_eps: float = 1e-5
+    rope_freq_base: float = 10000.0
+    rope_freq_scale: float = 1.0
+    rope_scaling_type: str = "none"
+    rope_orig_ctx: int = 0
+    rope_dim: int = 0
+    rope_mode: str = "norm"
+    yarn_ext_factor: float = -1.0
+    yarn_attn_factor: float = 1.0
+    yarn_beta_fast: float = 32.0
+    yarn_beta_slow: float = 1.0
+    causal: bool = True
+    pooling: str = "none"  # none | mean | cls | last | rank
+    tie_word_embeddings: bool = False
+    logit_softcap: float = 0.0
+    attn_softcap: float = 0.0
+    expert_count: int = 0
+    expert_used_count: int = 0
+    swa_window: int = 0  # sliding-window attention width; 0 = full
+    extra: dict = dataclasses.field(default_factory=dict, compare=False, hash=False)
+
+    @property
+    def n_gqa_groups(self) -> int:
+        return self.n_heads // max(1, self.n_kv_heads)
+
+    @classmethod
+    def from_gguf(cls, g) -> "ModelConfig":
+        arch = g.architecture or "llama"
+
+        def kv(suffix: str, default: Any = None):
+            return g.metadata.get(f"{arch}.{suffix}", default)
+
+        n_heads = int(kv("attention.head_count", 32))
+        n_embd = int(kv("embedding_length", 4096))
+        head_dim = int(kv("attention.key_length", 0)) or n_embd // max(1, n_heads)
+        scaling = str(kv("rope.scaling.type", "none") or "none")
+        vocab_size = int(kv("vocab_size", 0))
+        if not vocab_size:
+            toks = g.metadata.get("tokenizer.ggml.tokens")
+            vocab_size = len(toks) if toks is not None else 32000
+        return cls(
+            arch=arch,
+            name=str(g.metadata.get("general.name", "")),
+            n_layers=int(kv("block_count", 0)),
+            n_embd=n_embd,
+            n_heads=n_heads,
+            n_kv_heads=int(kv("attention.head_count_kv", n_heads)),
+            head_dim=head_dim,
+            n_ff=int(kv("feed_forward_length", 4 * n_embd)),
+            vocab_size=vocab_size,
+            n_ctx_train=int(kv("context_length", 2048)),
+            rms_eps=float(kv("attention.layer_norm_rms_epsilon",
+                             kv("attention.layer_norm_epsilon", 1e-5))),
+            rope_freq_base=float(kv("rope.freq_base", 10000.0)),
+            rope_freq_scale=1.0 / float(kv("rope.scaling.factor", 1.0))
+            if scaling in ("linear", "yarn") else 1.0,
+            rope_scaling_type=scaling,
+            rope_orig_ctx=int(kv("rope.scaling.original_context_length", 0)),
+            rope_dim=int(kv("rope.dimension_count", 0)) or head_dim,
+            rope_mode="neox" if arch in _NEOX_ROPE_ARCHS else "norm",
+            causal=bool(g.metadata.get(f"{arch}.attention.causal", True)),
+            expert_count=int(kv("expert_count", 0) or 0),
+            expert_used_count=int(kv("expert_used_count", 0) or 0),
+            swa_window=int(kv("attention.sliding_window", 0) or 0),
+            logit_softcap=float(kv("final_logit_softcapping", 0.0) or 0.0),
+            attn_softcap=float(kv("attn_logit_softcapping", 0.0) or 0.0),
+        )

@@ -1,0 +1,104 @@
+"""Rotary position embeddings with linear/YaRN scaling.
+
+Supports the two GGML rotation layouts:
+- 'norm'  : adjacent-pair rotation (dims 2i, 2i+1) — llama-family GGUFs
+- 'neox'  : half-split rotation (dims i, i+D/2) — qwen/falcon/gemma families
+
+and the RoPE scaling modes the reference exposes via --rope-scaling
+(engine_param.hpp:377-385): none / linear / yarn.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class RopeParams:
+    head_dim: int
+    n_rot: int = 0  # rotated dims; 0 => head_dim
+    freq_base: float = 10000.0
+    freq_scale: float = 1.0  # linear scaling: positions * freq_scale
+    scaling_type: str = "none"  # none | linear | yarn
+    yarn_orig_ctx: int = 0
+    yarn_ext_factor: float = -1.0
+    yarn_attn_factor: float = 1.0
+    yarn_beta_fast: float = 32.0
+    yarn_beta_slow: float = 1.0
+    mode: str = "norm"  # norm | neox
+
+    @property
+    def rot_dim(self) -> int:
+        return self.n_rot or self.head_dim
+
+
+def _yarn_find_correction_dim(n_rot: int, base: float, n_orig: int, rot: float) -> float:
+    return n_rot * math.log(n_orig / (rot * 2 * math.pi)) / (2 * math.log(base))
+
+
+def _yarn_ramp(lo: float, hi: float, dims: np.ndarray) -> np.ndarray:
+    y = (dims - lo) / max(hi - lo, 1e-3)
+    return 1.0 - np.clip(y, 0.0, 1.0)
+
+
+def compute_rope_cache(params: RopeParams, max_pos: int):
+    """Returns (cos, sin) of shape [max_pos, rot_dim//2] (f32) and mscale."""
+    half = params.rot_dim // 2
+    dims = np.arange(half, dtype=np.float64)
+    inv_freq = params.freq_base ** (-2.0 * dims / params.rot_dim)
+
+    mscale = 1.0
+    freq_scale = params.freq_scale
+    if params.scaling_type == "yarn" and params.yarn_orig_ctx > 0 and freq_scale != 1.0:
+        # YaRN: interpolate between scaled (low-freq) and original (high-freq)
+        lo = _yarn_find_correction_dim(params.rot_dim, params.freq_base,
+                                       params.yarn_orig_ctx, params.yarn_beta_fast)
+        hi = _yarn_find_correction_dim(params.rot_dim, params.freq_base,
+                                       params.yarn_orig_ctx, params.yarn_beta_slow)
+        lo, hi = max(0.0, math.floor(lo)), min(half - 1.0, math.ceil(hi))
+        ramp = _yarn_ramp(lo, hi, dims)  # 1 for high-freq dims, 0 for low
+        ext = params.yarn_ext_factor if params.yarn_ext_factor >= 0 else 1.0
+        ramp = ramp * ext
+        inv_freq = inv_freq * (ramp + freq_scale * (1.0 - ramp))
+        mscale = params.yarn_attn_factor * (1.0 + 0.1 * math.log(1.0 / freq_scale))
+    else:
+        inv_freq = inv_freq * freq_scale
+
+    t = np.arange(max_pos, dtype=np.float64)
+    freqs = np.outer(t, inv_freq)
+    cos = np.cos(freqs).astype(np.float32) * mscale
+    sin = np.sin(freqs).astype(np.float32) * mscale
+    return jnp.asarray(cos), jnp.asarray(sin)
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, cos: jnp.ndarray,
+               sin: jnp.ndarray, mode: str = "norm") -> jnp.ndarray:
+    """x: [..., T, H, D]; positions: broadcastable to [..., T] int32."""
+    rot_dim = cos.shape[-1] * 2
+    d = x.shape[-1]
+    c = jnp.take(cos, positions, axis=0)[..., None, :]  # [..., T, 1, half]
+    s = jnp.take(sin, positions, axis=0)[..., None, :]
+    xr = x[..., :rot_dim].astype(jnp.float32)
+    if mode == "norm":
+        x0 = xr[..., 0::2]
+        x1 = xr[..., 1::2]
+        o0 = x0 * c - x1 * s
+        o1 = x0 * s + x1 * c
+        rotated = jnp.stack([o0, o1], axis=-1).reshape(xr.shape)
+    elif mode == "neox":
+        half = rot_dim // 2
+        x0 = xr[..., :half]
+        x1 = xr[..., half:]
+        o0 = x0 * c - x1 * s
+        o1 = x0 * s + x1 * c
+        rotated = jnp.concatenate([o0, o1], axis=-1)
+    else:
+        raise ValueError(f"unknown rope mode {mode!r}")
+    rotated = rotated.astype(x.dtype)
+    if rot_dim < d:
+        rotated = jnp.concatenate([rotated, x[..., rot_dim:]], axis=-1)
+    return rotated
