@@ -1,0 +1,336 @@
+"""On-device batched sampling pipeline (TPU-first).
+
+Reproduces the reference's per-request sampler chain semantics
+(penalties -> top-k -> top-p -> min-p -> xtc -> temperature -> dist, the
+default chain at engine_param.hpp:131-136, applied via common_sampler_sample2
+at httpserver.hpp:4284) plus typical-p, greedy (temp<=0), logit bias and
+ignore-eos (llama-box implements ignore_eos as -inf logit bias on EOG
+tokens, httpserver.hpp:158-226).
+
+Design: the whole chain runs as ONE jitted program over the decode batch
+[B, V] with per-slot parameter vectors — no host round-trip of logits.
+Penalty state (token counts over a sliding window) lives on device:
+  counts [B, V]   int32 — occurrences inside the penalty window
+  ring   [B, R]   int32 — the window itself (R static cap, clamps last_n)
+The chain operates on a static top-N_CAND candidate set (lax.top_k gives a
+descending sort for free); tail mass beyond N_CAND candidates is dropped,
+which is the standard TPU trade (exact for any top_k <= N_CAND; error
+O(1e-4) when top_k is disabled).
+
+Differences vs reference, by design:
+- RNG is JAX threefry keyed by the request seed, not Xoshiro256
+  (seed.patch): same-seed reproducibility holds, exact streams differ.
+- mirostat/dry are not yet implemented (rarely used; planned).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e30
+N_CAND = 512     # static candidate-set width for the filtering chain
+N_PROBS = 16     # top-probs returned for logprobs rendering
+RING_CAP = 256   # static penalty-window cap (penalty_last_n clamps to this)
+BIAS_CAP = 64    # static per-request logit-bias slots
+
+
+@dataclasses.dataclass
+class SamplerParams:
+    """Per-request sampling knobs (defaults mirror engine_param.hpp:131-136)."""
+    seed: int = 0xFFFFFFFF  # LLAMA_DEFAULT_SEED semantics: -1/absent -> random
+    temp: float = 0.8
+    top_k: int = 40
+    top_p: float = 0.95
+    min_p: float = 0.05
+    typ_p: float = 1.0
+    xtc_probability: float = 0.0
+    xtc_threshold: float = 0.10
+    penalty_last_n: int = 64
+    penalty_repeat: float = 1.0
+    penalty_freq: float = 0.0
+    penalty_present: float = 0.0
+    logit_bias: dict[int, float] = dataclasses.field(default_factory=dict)
+    ignore_eos: bool = False
+    n_probs: int = 0
+    grammar: object = None  # host-side constraint engine (grammar.py)
+
+    @property
+    def is_greedy(self) -> bool:
+        return self.temp <= 0.0
+
+
+class SamplerState(NamedTuple):
+    counts: jnp.ndarray    # [B, V] int32
+    ring: jnp.ndarray      # [B, RING_CAP] int32
+    ring_len: jnp.ndarray  # [B] int32
+    step: jnp.ndarray      # [B] int32 (samples drawn; folds into the key)
+    keys: jnp.ndarray      # [B] uint32 seed per slot
+
+
+def init_sampler_state(n_slots: int, n_vocab: int) -> SamplerState:
+    return SamplerState(
+        counts=jnp.zeros((n_slots, n_vocab), jnp.int32),
+        ring=jnp.full((n_slots, RING_CAP), -1, jnp.int32),
+        ring_len=jnp.zeros((n_slots,), jnp.int32),
+        step=jnp.zeros((n_slots,), jnp.int32),
+        keys=jnp.zeros((n_slots,), jnp.uint32),
+    )
+
+
+class SamplerArrays(NamedTuple):
+    """Per-slot parameter vectors uploaded once per batch composition."""
+    temp: jnp.ndarray        # [B] f32
+    top_k: jnp.ndarray       # [B] i32 (0 => disabled => N_CAND)
+    top_p: jnp.ndarray       # [B] f32
+    min_p: jnp.ndarray       # [B] f32
+    typ_p: jnp.ndarray       # [B] f32
+    xtc_p: jnp.ndarray       # [B] f32
+    xtc_t: jnp.ndarray       # [B] f32
+    pen_last_n: jnp.ndarray  # [B] i32
+    pen_repeat: jnp.ndarray  # [B] f32
+    pen_freq: jnp.ndarray    # [B] f32
+    pen_present: jnp.ndarray # [B] f32
+    bias_idx: jnp.ndarray    # [B, BIAS_CAP] i32, -1 = unused
+    bias_val: jnp.ndarray    # [B, BIAS_CAP] f32
+
+
+def make_sampler_arrays(params: Sequence[SamplerParams],
+                        eog_ids: Sequence[int] = ()) -> SamplerArrays:
+    B = len(params)
+    bias_idx = np.full((B, BIAS_CAP), -1, np.int32)
+    bias_val = np.zeros((B, BIAS_CAP), np.float32)
+    for b, p in enumerate(params):
+        entries = list(p.logit_bias.items())
+        if p.ignore_eos:
+            entries += [(t, NEG_INF) for t in eog_ids]
+        for j, (tid, val) in enumerate(entries[:BIAS_CAP]):
+            bias_idx[b, j] = tid
+            bias_val[b, j] = val
+
+    def vec(fn, dtype):
+        return jnp.asarray([fn(p) for p in params], dtype)
+
+    return SamplerArrays(
+        temp=vec(lambda p: p.temp, jnp.float32),
+        top_k=vec(lambda p: p.top_k, jnp.int32),
+        top_p=vec(lambda p: p.top_p, jnp.float32),
+        min_p=vec(lambda p: p.min_p, jnp.float32),
+        typ_p=vec(lambda p: p.typ_p, jnp.float32),
+        xtc_p=vec(lambda p: p.xtc_probability, jnp.float32),
+        xtc_t=vec(lambda p: p.xtc_threshold, jnp.float32),
+        pen_last_n=vec(lambda p: min(p.penalty_last_n if p.penalty_last_n >= 0
+                                     else RING_CAP, RING_CAP), jnp.int32),
+        pen_repeat=vec(lambda p: p.penalty_repeat, jnp.float32),
+        pen_freq=vec(lambda p: p.penalty_freq, jnp.float32),
+        pen_present=vec(lambda p: p.penalty_present, jnp.float32),
+        bias_idx=jnp.asarray(bias_idx),
+        bias_val=jnp.asarray(bias_val),
+    )
+
+
+# ---------------------------------------------------------------------------
+# state maintenance
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def reset_slot(state: SamplerState, slot: jnp.ndarray, seed: jnp.ndarray
+               ) -> SamplerState:
+    """Clear penalty window + reseed one slot (new task admitted)."""
+    counts = state.counts.at[slot].set(0)
+    ring = state.ring.at[slot].set(-1)
+    return SamplerState(
+        counts=counts,
+        ring=ring,
+        ring_len=state.ring_len.at[slot].set(0),
+        step=state.step.at[slot].set(0),
+        keys=state.keys.at[slot].set(seed.astype(jnp.uint32)),
+    )
+
+
+def _push_one(counts_b, ring_b, len_b, tok, last_n):
+    """Push one token into slot-local window; returns updated (counts, ring, len)."""
+    last_n = jnp.maximum(last_n, 1)
+    pos = len_b % last_n
+    old = ring_b[pos]
+    full = len_b >= last_n
+    evict = full & (old >= 0)
+    counts_b = jax.lax.cond(
+        evict, lambda c: c.at[old].add(-1), lambda c: c, counts_b)
+    counts_b = counts_b.at[tok].add(1)
+    ring_b = ring_b.at[pos].set(tok)
+    return counts_b, ring_b, len_b + 1
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def push_tokens(state: SamplerState, slot, tokens, n_valid, last_n
+                ) -> SamplerState:
+    """Bulk-push prompt tokens of one slot into its penalty window
+    (prompt participates in penalties, as in common_sampler_accept)."""
+    counts_b = state.counts[slot]
+    ring_b = state.ring[slot]
+    len_b = state.ring_len[slot]
+
+    def body(i, carry):
+        c, r, l = carry
+        return jax.lax.cond(
+            i < n_valid,
+            lambda _: _push_one(c, r, l, tokens[i], last_n),
+            lambda _: (c, r, l),
+            None)
+
+    counts_b, ring_b, len_b = jax.lax.fori_loop(
+        0, tokens.shape[0], body, (counts_b, ring_b, len_b))
+    return state._replace(
+        counts=state.counts.at[slot].set(counts_b),
+        ring=state.ring.at[slot].set(ring_b),
+        ring_len=state.ring_len.at[slot].set(len_b),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the chain
+
+
+def _apply_bias(logits, arrs: SamplerArrays):
+    B, V = logits.shape
+    idx = jnp.clip(arrs.bias_idx, 0, V - 1)
+    val = jnp.where(arrs.bias_idx >= 0, arrs.bias_val, 0.0)
+    return jax.vmap(lambda l, i, v: l.at[i].add(v))(logits, idx, val)
+
+
+def _apply_penalties(logits, counts, arrs: SamplerArrays):
+    c = counts.astype(jnp.float32)
+    hit = c > 0
+    rep = arrs.pen_repeat[:, None]
+    scaled = jnp.where(logits > 0, logits / rep, logits * rep)
+    logits = jnp.where(hit & (rep != 1.0), scaled, logits)
+    logits = logits - (c * arrs.pen_freq[:, None]
+                       + hit.astype(jnp.float32) * arrs.pen_present[:, None])
+    return logits
+
+
+def _chain_mask(cvals, arrs: SamplerArrays, xtc_draw):
+    """Given descending candidate logits [B, N_CAND], return the surviving
+    mask after top-k/top-p/min-p/typical/xtc. Mirrors llama.cpp sampler
+    formulas (each filter keeps >= 1 candidate)."""
+    B, K = cvals.shape
+    col = jnp.arange(K)[None, :]
+
+    # top-k (0/negative => disabled)
+    k = jnp.where(arrs.top_k <= 0, K, jnp.minimum(arrs.top_k, K))[:, None]
+    mask = col < k
+
+    # softmax over current survivors
+    def probs_of(mask):
+        z = jnp.where(mask, cvals, NEG_INF)
+        z = z - z.max(-1, keepdims=True)
+        e = jnp.exp(z) * mask
+        return e / (e.sum(-1, keepdims=True) + 1e-30)
+
+    p = probs_of(mask)
+
+    # top-p: keep the minimal prefix with cumsum >= top_p (candidates are
+    # sorted desc, so survivors form a prefix of the masked sequence)
+    cum = jnp.cumsum(p, axis=-1)
+    keep_top_p = (cum - p) < arrs.top_p[:, None]
+    mask = mask & (keep_top_p | (col == 0))
+
+    # min-p: p_i >= min_p * p_max
+    pmax = p.max(-1, keepdims=True)
+    mask = mask & ((p >= arrs.min_p[:, None] * pmax) | (col == 0))
+
+    # typical-p: keep tokens with smallest |−log p − H| until mass >= typ_p
+    p2 = probs_of(mask)
+    neglogp = -jnp.log(p2 + 1e-30)
+    H = jnp.sum(p2 * neglogp, axis=-1, keepdims=True)
+    shift = jnp.where(mask, jnp.abs(neglogp - H), jnp.inf)
+    order = jnp.argsort(shift, axis=-1)              # ascending
+    p_sorted = jnp.take_along_axis(p2, order, -1)
+    cum_t = jnp.cumsum(p_sorted, -1)
+    keep_sorted = (cum_t - p_sorted) < arrs.typ_p[:, None]
+    keep_sorted = keep_sorted | (jnp.arange(K)[None, :] == 0)
+    keep_typ = jnp.zeros_like(mask).at[
+        jnp.arange(B)[:, None], order].max(keep_sorted)
+    typ_on = (arrs.typ_p < 1.0)[:, None]
+    mask = jnp.where(typ_on, mask & keep_typ, mask)
+
+    # xtc: with prob xtc_p drop every candidate with p > threshold except the
+    # last (least probable) such candidate
+    p3 = probs_of(mask)
+    above = p3 > arrs.xtc_t[:, None]
+    n_above = above.sum(-1, keepdims=True)
+    # candidates are desc => "last above" = highest col index among above
+    last_above = jnp.where(above, col, -1).max(-1, keepdims=True)
+    drop = above & (col != last_above) & (n_above >= 2)
+    xtc_on = (xtc_draw < arrs.xtc_p)[:, None]
+    mask = jnp.where(xtc_on, mask & ~drop, mask)
+    return mask
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def sample(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
+           active: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray,
+                                         jnp.ndarray, SamplerState]:
+    """Sample one token per slot from [B, V] logits.
+
+    active: [B] bool — slots actually decoding (state only advances there).
+    Returns (tokens [B] i32, top_ids [B, N_PROBS] i32, top_probs [B, N_PROBS]
+    f32 — post-filter distribution for logprobs rendering, new state).
+    """
+    B, V = logits.shape
+    logits = logits.astype(jnp.float32)
+    logits = _apply_bias(logits, arrs)
+    logits = _apply_penalties(logits, state.counts, arrs)
+
+    kcap = min(N_CAND, V)
+    cvals, cidx = jax.lax.top_k(logits, kcap)        # descending
+
+    keys = jax.vmap(lambda s, st: jax.random.fold_in(jax.random.PRNGKey(s), st)
+                    )(state.keys.astype(jnp.uint32), state.step)
+    kx, kg = jax.vmap(jax.random.split, out_axes=1)(keys)
+    xtc_draw = jax.vmap(jax.random.uniform)(kx)
+
+    mask = _chain_mask(cvals, arrs, xtc_draw)
+
+    # temperature + final softmax over survivors
+    temp = jnp.maximum(arrs.temp, 1e-4)[:, None]
+    z = jnp.where(mask, cvals / temp, NEG_INF)
+    z = z - z.max(-1, keepdims=True)
+    ez = jnp.exp(z) * mask
+    probs = ez / (ez.sum(-1, keepdims=True) + 1e-30)
+
+    gumbel = jax.vmap(lambda k: jax.random.gumbel(k, (kcap,)))(kg)
+    noisy = jnp.where(mask, z + gumbel, NEG_INF)
+    pick_dist = jnp.argmax(noisy, axis=-1)
+    pick_greedy = jnp.zeros((B,), jnp.int32)          # col 0 = argmax
+    pick = jnp.where(arrs.temp <= 0.0, pick_greedy, pick_dist)
+    tokens = jnp.take_along_axis(cidx, pick[:, None], -1)[:, 0]
+
+    # logprobs view: top N_PROBS of the post-filter distribution (greedy rows
+    # report softmax of the unfiltered candidates like the reference)
+    report = jnp.where((arrs.temp <= 0.0)[:, None],
+                       jax.nn.softmax(cvals, axis=-1), probs)
+    top_probs = report[:, :N_PROBS]
+    top_ids = cidx[:, :N_PROBS]
+
+    # advance penalty window + step on active slots
+    def upd(c, r, l, tok, last_n, act):
+        c2, r2, l2 = _push_one(c, r, l, tok, last_n)
+        return (jnp.where(act, c2, c), jnp.where(act, r2, r),
+                jnp.where(act, l2, l))
+
+    counts, ring, ring_len = jax.vmap(upd)(
+        state.counts, state.ring, state.ring_len, tokens,
+        arrs.pen_last_n, active)
+    new_state = SamplerState(
+        counts=counts, ring=ring, ring_len=ring_len,
+        step=state.step + active.astype(jnp.int32),
+        keys=state.keys,
+    )
+    return tokens, top_ids, top_probs, new_state

@@ -1,0 +1,181 @@
+"""Device sampling chain vs numpy reference of the llama.cpp sampler formulas
+(penalties/top-k/top-p/min-p/typical/xtc/temp; SURVEY.md §2.1 #14)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llama_box_tpu.sampling import (
+    SamplerParams, init_sampler_state, make_sampler_arrays, push_tokens,
+    reset_slot, sample, N_CAND,
+)
+
+V = 97  # < N_CAND so the candidate set is exact
+
+
+def np_chain_mask(logits, p: SamplerParams):
+    """Allowed-token set after the filter chain, computed the llama.cpp way."""
+    order = np.argsort(-logits, kind="stable")
+    svals = logits[order]
+    K = len(svals)
+    keep = np.ones(K, bool)
+    if p.top_k > 0:
+        keep[p.top_k:] = False
+
+    def probs(keep):
+        z = np.where(keep, svals, -np.inf)
+        z = z - z.max()
+        e = np.exp(z) * keep
+        return e / e.sum()
+
+    pr = probs(keep)
+    cum = np.cumsum(pr)
+    keep &= (cum - pr) < p.top_p
+    keep[0] = True
+    pr = probs(np.ones(K, bool) * keep)
+    keep &= (pr >= p.min_p * pr.max()) | (np.arange(K) == 0)
+    if p.typ_p < 1.0:
+        pr = probs(keep)
+        nlp = -np.log(pr + 1e-30)
+        H = np.sum(pr * nlp)
+        shift = np.where(keep, np.abs(nlp - H), np.inf)
+        t_order = np.argsort(shift, kind="stable")
+        csum = np.cumsum(pr[t_order])
+        k2 = (csum - pr[t_order]) < p.typ_p
+        k2[0] = True
+        keep_t = np.zeros(K, bool)
+        keep_t[t_order[k2]] = True
+        keep &= keep_t
+    allowed = set(order[np.nonzero(keep)[0]].tolist())
+    return allowed
+
+
+def run_sample(logits_rows, params, prev_tokens=None, steps=1):
+    B = len(params)
+    state = init_sampler_state(B, V)
+    for b, p in enumerate(params):
+        state = reset_slot(state, jnp.int32(b), jnp.uint32(p.seed))
+        if prev_tokens and prev_tokens[b]:
+            toks = jnp.asarray(prev_tokens[b], jnp.int32)
+            state = push_tokens(state, jnp.int32(b), toks,
+                                jnp.int32(len(prev_tokens[b])),
+                                jnp.int32(min(p.penalty_last_n, 256)))
+    arrs = make_sampler_arrays(params)
+    active = jnp.ones((B,), bool)
+    outs = []
+    for _ in range(steps):
+        tok, ids, probs, state = sample(
+            jnp.asarray(logits_rows, jnp.float32), state, arrs, active)
+        outs.append(np.asarray(tok))
+    return outs, np.asarray(ids), np.asarray(probs)
+
+
+def test_greedy_is_argmax():
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(3, V)).astype(np.float32)
+    params = [SamplerParams(temp=0.0, seed=1)] * 3
+    (tok,), _, _ = run_sample(logits, params)
+    np.testing.assert_array_equal(tok, logits.argmax(-1))
+
+
+def test_same_seed_reproducible_and_diff_seed_diverges():
+    rng = np.random.default_rng(1)
+    logits = np.tile(rng.normal(size=(1, V)), (2, 1)).astype(np.float32)
+    p = SamplerParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.0)
+    params = [
+        SamplerParams(**{**p.__dict__, "seed": 42}),
+        SamplerParams(**{**p.__dict__, "seed": 42}),
+    ]
+    out1, _, _ = run_sample(logits, params, steps=5)
+    seq_a = [o[0] for o in out1]
+    seq_b = [o[1] for o in out1]
+    assert seq_a == seq_b  # identical seeds, identical rows -> identical draws
+    params[1] = SamplerParams(**{**p.__dict__, "seed": 7})
+    out2, _, _ = run_sample(logits, params, steps=16)
+    assert any(o[0] != o[1] for o in out2)
+
+
+def test_filters_restrict_support():
+    """Sampled tokens always come from the numpy-reference allowed set."""
+    rng = np.random.default_rng(2)
+    logits = rng.normal(scale=3.0, size=(4, V)).astype(np.float32)
+    params = [
+        SamplerParams(temp=1.5, top_k=5, top_p=1.0, min_p=0.0, seed=3),
+        SamplerParams(temp=1.0, top_k=0, top_p=0.4, min_p=0.0, seed=4),
+        SamplerParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.3, seed=5),
+        SamplerParams(temp=0.7, top_k=0, top_p=1.0, min_p=0.0, typ_p=0.5, seed=6),
+    ]
+    allowed = [np_chain_mask(logits[b], params[b]) for b in range(4)]
+    for trial in range(20):
+        outs, _, _ = run_sample(logits, [
+            SamplerParams(**{**params[b].__dict__, "seed": 100 + trial * 4 + b})
+            for b in range(4)], steps=1)
+        for b in range(4):
+            assert int(outs[0][b]) in allowed[b], (b, int(outs[0][b]))
+
+
+def test_repeat_penalty_discourages_repeats():
+    logits = np.zeros((1, V), np.float32)
+    logits[0, 10] = 5.0
+    logits[0, 11] = 4.9
+    # token 10 heavily repeated in the window; strong penalty should flip argmax
+    params = [SamplerParams(temp=0.0, penalty_repeat=1.5, penalty_last_n=64)]
+    (tok,), _, _ = run_sample(logits, params, prev_tokens=[[10, 10, 10]])
+    assert tok[0] == 11
+
+
+def test_penalty_window_eviction():
+    logits = np.zeros((1, V), np.float32)
+    logits[0, 10] = 5.0
+    logits[0, 11] = 4.9
+    # last_n=2: the early 10s fall out of the window; only {3,4} are counted
+    params = [SamplerParams(temp=0.0, penalty_repeat=1.5, penalty_last_n=2)]
+    (tok,), _, _ = run_sample(logits, params, prev_tokens=[[10, 10, 3, 4]])
+    assert tok[0] == 10
+
+
+def test_frequency_and_presence_penalties():
+    logits = np.zeros((1, V), np.float32)
+    logits[0, 5] = 1.0
+    logits[0, 6] = 0.9
+    params = [SamplerParams(temp=0.0, penalty_freq=0.2, penalty_present=0.0,
+                            penalty_last_n=64)]
+    (tok,), _, _ = run_sample(logits, params, prev_tokens=[[5]])
+    assert tok[0] == 6  # 1.0 - 0.2 < 0.9
+
+
+def test_logit_bias_and_ignore_eos():
+    logits = np.zeros((2, V), np.float32)
+    logits[:, 0] = 3.0
+    params = [
+        SamplerParams(temp=0.0, logit_bias={0: -100.0, 7: 10.0}),
+        SamplerParams(temp=0.0),
+    ]
+    (tok,), _, _ = run_sample(logits, params)
+    assert tok[0] == 7 and tok[1] == 0
+
+
+def test_xtc_drops_high_prob_tokens():
+    logits = np.zeros((1, V), np.float32)
+    logits[0, 1] = 6.0
+    logits[0, 2] = 5.8   # both well above xtc threshold
+    params = [SamplerParams(temp=1.0, top_k=0, top_p=1.0, min_p=0.0,
+                            xtc_probability=1.0, xtc_threshold=0.10, seed=9)]
+    for trial in range(10):
+        outs, _, _ = run_sample(
+            logits, [SamplerParams(**{**params[0].__dict__, "seed": trial})])
+        assert int(outs[0][0]) != 1  # the higher-prob above-threshold token dies
+
+
+def test_top_probs_output():
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(1, V)).astype(np.float32)
+    params = [SamplerParams(temp=0.0, n_probs=5)]
+    _, ids, probs = run_sample(logits, params)
+    order = np.argsort(-logits[0])
+    np.testing.assert_array_equal(ids[0][:5], order[:5])
+    assert probs[0][0] >= probs[0][1] >= probs[0][2]
+    np_sm = np.exp(logits[0] - logits[0].max())
+    np_sm /= np_sm.sum()
+    np.testing.assert_allclose(probs[0][:5], np_sm[order[:5]], rtol=2e-3)
