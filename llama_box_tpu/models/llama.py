@@ -1,10 +1,18 @@
 """Functional Llama-family decoder (TPU-first: static shapes, lax.scan over
 stacked layers, bf16 compute with f32 accumulation).
 
-One forward program serves both prefill and batched decode: the serving
-engine (SURVEY.md §2.1 #7) calls it with bucketed [B, T] token blocks and a
-per-slot contiguous KV cache, mirroring the reference's single fused
-llama_decode per reconcile pass (httpserver.hpp:4192).
+Three compiled programs serve the engine (SURVEY.md §2.1 #7), mirroring the
+reference's single fused llama_decode per reconcile pass (httpserver.hpp:4192):
+- forward:  [B, T] batched step over all slots (decode T=1, or verify T=k+1)
+- prefill:  [1, T] bucketed prompt chunk into ONE slot's KV slice (no wasted
+            batch FLOPs during prefill)
+- shift_kv: context-shift one slot (drop n_discard after n_keep, compact, and
+            re-rotate moved keys by -n_discard) — llama-box's KV squash
+            semantics (httpserver.hpp:3453-3537) as a device gather.
+
+Inactive rows / padding use position C (the slot capacity) as a sentinel:
+XLA scatter drops out-of-bounds KV writes and `jnp.take` clips reads, so no
+masking state is needed beyond the attention mask.
 """
 
 from __future__ import annotations
@@ -36,8 +44,8 @@ def init_kv_cache(cfg: ModelConfig, n_slots: int, capacity: int,
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
-def make_rope(cfg: ModelConfig, max_pos: int):
-    rp = RopeParams(
+def _rope_params(cfg: ModelConfig) -> RopeParams:
+    return RopeParams(
         head_dim=cfg.head_dim,
         n_rot=cfg.rope_dim,
         freq_base=cfg.rope_freq_base,
@@ -50,7 +58,27 @@ def make_rope(cfg: ModelConfig, max_pos: int):
         yarn_beta_slow=cfg.yarn_beta_slow,
         mode=cfg.rope_mode,
     )
-    return compute_rope_cache(rp, max_pos)
+
+
+def make_rope(cfg: ModelConfig, max_pos: int):
+    return compute_rope_cache(_rope_params(cfg), max_pos)
+
+
+def make_delta_rope(cfg: ModelConfig, max_pos: int):
+    """Pure-rotation cache for KV shifting: same interpolated frequencies but
+    WITHOUT the YaRN mscale amplitude (a shift by -d must be a pure rotation;
+    the stored keys already carry mscale once)."""
+    rp = _rope_params(cfg)
+    cos, sin = compute_rope_cache(
+        RopeParams(**{**rp.__dict__, "yarn_attn_factor": 1.0}), max_pos)
+    if rp.scaling_type == "yarn" and rp.freq_scale != 1.0:
+        # compute_rope_cache folds mscale into cos/sin; with attn_factor=1 the
+        # residual mscale is 1 + 0.1*log(1/freq_scale) — divide it back out
+        import math
+        mscale = 1.0 + 0.1 * math.log(1.0 / rp.freq_scale)
+        cos = cos / mscale
+        sin = sin / mscale
+    return cos, sin
 
 
 def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
@@ -67,10 +95,13 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     q = apply_rope(q, positions, cos, sin, cfg.rope_mode)
     k = apply_rope(k, positions, cos, sin, cfg.rope_mode)
 
-    # scatter current K/V into the cache at the absolute positions
+    # scatter current K/V into the cache at the absolute positions (position
+    # >= C is a sentinel: the write is dropped)
     bidx = jnp.arange(B)[:, None].repeat(T, 1)
-    k_cache = k_cache.at[bidx, positions].set(k.astype(k_cache.dtype))
-    v_cache = v_cache.at[bidx, positions].set(v.astype(v_cache.dtype))
+    k_cache = k_cache.at[bidx, positions].set(
+        k.astype(k_cache.dtype), mode="drop")
+    v_cache = v_cache.at[bidx, positions].set(
+        v.astype(v_cache.dtype), mode="drop")
 
     G = H // Hkv
     qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
@@ -95,38 +126,21 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     return x, k_cache, v_cache
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
-def forward(params, cfg: ModelConfig, tokens, positions, kv: KVCache,
-            seq_lens, rope_cos, rope_sin):
-    """One forward step (prefill chunk or batched decode).
-
-    tokens:    [B, T] int32
-    positions: [B, T] int32 absolute positions (also the KV write indices)
-    kv:        KVCache [L, B, C, ...] (donated; updated in place)
-    seq_lens:  [B] int32 — valid tokens in this step (<=T); padding beyond
-    returns (logits [B, T, V] f32, new KVCache)
-    """
-    B, T = tokens.shape
-    C = kv.capacity
-
-    x = jnp.take(params["tok_embd"], tokens, axis=0)
-
-    # attend to cache index c iff c <= q position (writes at absolute pos) and
-    # the query slot itself is a real token
-    qvalid = (jnp.arange(T)[None, :] < seq_lens[:, None])  # [B,T]
-    kpos = jnp.arange(C)[None, None, :]
-    mask = (kpos <= positions[:, :, None]) & qvalid[:, :, None]  # [B,T,C]
-    if cfg.swa_window > 0:
-        mask = mask & (kpos > positions[:, :, None] - cfg.swa_window)
+def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
+               cos, sin):
+    """Scan the layer stack; returns (hidden pre-out-norm, k_new, v_new)."""
 
     def body(x, layer):
         lp, k_c, v_c = layer
         x, k_c, v_c = _attn_layer(x, lp, positions, k_c, v_c, mask, cfg,
-                                  rope_cos, rope_sin)
+                                  cos, sin)
         return x, (k_c, v_c)
 
-    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], kv.k, kv.v))
+    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], kv_k, kv_v))
+    return x, k_new, v_new
 
+
+def _output_logits(params, cfg: ModelConfig, x):
     x = rms_norm(x, params["output_norm"], cfg.rms_eps)
     out_w = params.get("output")
     if out_w is None:  # tied word embeddings
@@ -135,7 +149,109 @@ def forward(params, cfg: ModelConfig, tokens, positions, kv: KVCache,
         logits = x @ out_w
     if cfg.logit_softcap > 0.0:
         logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
-    return logits.astype(jnp.float32), KVCache(k=k_new, v=v_new)
+    return logits.astype(jnp.float32)
+
+
+def _causal_mask(positions, seq_lens, T, C, swa_window):
+    """[B,T,C]: attend cache index c iff c <= q position and query is valid."""
+    qvalid = (jnp.arange(T)[None, :] < seq_lens[:, None])  # [B,T]
+    kpos = jnp.arange(C)[None, None, :]
+    mask = (kpos <= positions[:, :, None]) & qvalid[:, :, None]
+    if swa_window > 0:
+        mask = mask & (kpos > positions[:, :, None] - swa_window)
+    return mask
+
+
+def forward_impl(params, cfg: ModelConfig, tokens, positions, kv: KVCache,
+                 seq_lens, rope_cos, rope_sin):
+    """One forward step (prefill chunk or batched decode).
+
+    tokens:    [B, T] int32
+    positions: [B, T] int32 absolute positions (also the KV write indices;
+               position >= C marks padding/inactive rows)
+    kv:        KVCache [L, B, C, ...]
+    seq_lens:  [B] int32 — valid tokens in this step (<=T)
+    returns (logits [B, T, V] f32, new KVCache)
+    """
+    B, T = tokens.shape
+    C = kv.capacity
+    x = jnp.take(params["tok_embd"], tokens, axis=0)
+    mask = _causal_mask(positions, seq_lens, T, C, cfg.swa_window)
+    x, k_new, v_new = _run_stack(params, cfg, x, positions, kv.k, kv.v, mask,
+                                 rope_cos, rope_sin)
+    return _output_logits(params, cfg, x), KVCache(k=k_new, v=v_new)
+
+
+forward = partial(jax.jit, static_argnames=("cfg",),
+                  donate_argnames=("kv",))(forward_impl)
+
+
+def prefill_impl(params, cfg: ModelConfig, tokens, kv: KVCache, slot,
+                 pos_base, n_valid, rope_cos, rope_sin):
+    """Prefill one bucketed prompt chunk into a single slot's KV slice.
+
+    tokens: [T] int32 chunk (padded to a bucket size)
+    slot:   scalar int32 slot index
+    pos_base: scalar int32 absolute position of tokens[0]
+    n_valid: scalar int32 valid tokens in the chunk
+    returns (logits of the last valid token [V] f32, new KVCache)
+    """
+    T = tokens.shape[0]
+    C = kv.capacity
+    k_slot = jax.lax.dynamic_slice_in_dim(kv.k, slot, 1, axis=1)
+    v_slot = jax.lax.dynamic_slice_in_dim(kv.v, slot, 1, axis=1)
+
+    offs = jnp.arange(T, dtype=jnp.int32)
+    positions = jnp.where(offs < n_valid, pos_base + offs, C)[None, :]
+    seq_lens = jnp.full((1,), n_valid, jnp.int32)
+
+    x = jnp.take(params["tok_embd"], tokens[None, :], axis=0)
+    mask = _causal_mask(positions, seq_lens, T, C, cfg.swa_window)
+    x, k_new, v_new = _run_stack(params, cfg, x, positions,
+                                 k_slot, v_slot, mask, rope_cos, rope_sin)
+    last = jnp.maximum(n_valid - 1, 0)
+    logits = _output_logits(params, cfg,
+                            jax.lax.dynamic_slice_in_dim(x[0], last, 1, 0))[0]
+    kv = KVCache(
+        k=jax.lax.dynamic_update_slice_in_dim(kv.k, k_new, slot, axis=1),
+        v=jax.lax.dynamic_update_slice_in_dim(kv.v, v_new, slot, axis=1),
+    )
+    return logits, kv
+
+
+prefill = partial(jax.jit, static_argnames=("cfg",),
+                  donate_argnames=("kv",))(prefill_impl)
+
+
+def shift_kv_impl(kv: KVCache, slot, n_keep, n_discard, delta_cos, delta_sin,
+                  rope_mode: str):
+    """Context shift one slot: entries [n_keep+n_discard, C) move down by
+    n_discard and their keys are rotated by -n_discard positions (RoPE is
+    additive in position at fixed frequency). Mirrors llama_memory_seq_rm +
+    seq_add (httpserver.hpp:3453-3537)."""
+    C = kv.capacity
+    idx = jnp.arange(C, dtype=jnp.int32)
+    src = jnp.where(idx < n_keep, idx, jnp.minimum(idx + n_discard, C - 1))
+    moved = idx >= n_keep
+
+    k_slot = jax.lax.dynamic_slice_in_dim(kv.k, slot, 1, axis=1)[:, 0]
+    v_slot = jax.lax.dynamic_slice_in_dim(kv.v, slot, 1, axis=1)[:, 0]
+    k_g = jnp.take(k_slot, src, axis=1)   # [L, C, H, D]
+    v_g = jnp.take(v_slot, src, axis=1)
+
+    # inverse rotation by n_discard: cos(dθ), -sin(dθ)
+    d = jnp.full((C,), n_discard, jnp.int32)
+    k_rot = apply_rope(k_g.astype(jnp.float32), d, delta_cos, -delta_sin,
+                       rope_mode)
+    k_new = jnp.where(moved[None, :, None, None], k_rot.astype(k_g.dtype), k_g)
+    return KVCache(
+        k=jax.lax.dynamic_update_slice_in_dim(kv.k, k_new[:, None], slot, axis=1),
+        v=jax.lax.dynamic_update_slice_in_dim(kv.v, v_g[:, None], slot, axis=1),
+    )
+
+
+shift_kv = partial(jax.jit, static_argnames=("rope_mode",),
+                   donate_argnames=("kv",))(shift_kv_impl)
 
 
 def forward_embeddings(params, cfg: ModelConfig, tokens, seq_lens,
@@ -152,14 +268,8 @@ def forward_embeddings(params, cfg: ModelConfig, tokens, seq_lens,
 
     kv_k = jnp.zeros((cfg.n_layers, B, T, cfg.n_kv_heads, cfg.head_dim), x.dtype)
     kv_v = jnp.zeros_like(kv_k)
-
-    def body(x, layer):
-        lp, k_c, v_c = layer
-        x, _, _ = _attn_layer(x, lp, positions, k_c, v_c, mask, cfg,
-                              rope_cos, rope_sin)
-        return x, None
-
-    x, _ = jax.lax.scan(body, x, (params["layers"], kv_k, kv_v))
+    x, _, _ = _run_stack(params, cfg, x, positions, kv_k, kv_v, mask,
+                         rope_cos, rope_sin)
     x = rms_norm(x, params["output_norm"], cfg.rms_eps).astype(jnp.float32)
 
     if pooling == "mean":

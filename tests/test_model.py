@@ -100,3 +100,74 @@ def test_quantized_model_loads_and_runs(tmp_path):
                         kv, np.array([3], np.int32), cos, sin)
     assert np.isfinite(np.asarray(logits)).all()
     assert logits.shape == (1, 3, cfg.vocab_size)
+
+
+def test_prefill_slot_matches_forward(tiny_model):
+    """Bucketed single-slot prefill must produce the same KV + last logits as
+    the batched forward program."""
+    from llama_box_tpu.models.llama import prefill
+    cfg, params, weights, tok = tiny_model
+    rng = np.random.default_rng(7)
+    toks = rng.integers(3, 50, size=9).astype(np.int32)
+    cos, sin = make_rope(cfg, 64)
+
+    kv_a = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    ref_logits, kv_a = forward(
+        params, cfg, toks[None, :], np.arange(9, dtype=np.int32)[None, :],
+        kv_a, np.array([9], np.int32), cos, sin)
+
+    kv_b = init_kv_cache(cfg, 3, 16, dtype=jnp.float32)
+    # pad chunk to bucket 16, prefill into slot 1
+    padded = np.zeros(16, np.int32)
+    padded[:9] = toks
+    last, kv_b = prefill(params, cfg, jnp.asarray(padded), kv_b,
+                         jnp.int32(1), jnp.int32(0), jnp.int32(9), cos, sin)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(ref_logits[0, -1]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(kv_b.k[:, 1, :9]),
+                               np.asarray(kv_a.k[:, 0, :9]), rtol=1e-5, atol=1e-5)
+    # other slots untouched
+    assert np.abs(np.asarray(kv_b.k[:, 0])).max() == 0
+
+
+def test_shift_kv_matches_reprefill(tiny_model):
+    """Context shift (drop+compact+re-rotate) must equal prefilling the
+    truncated token sequence from scratch."""
+    from llama_box_tpu.models.llama import make_delta_rope, prefill, shift_kv
+    cfg, params, weights, tok = tiny_model
+    rng = np.random.default_rng(8)
+    toks = rng.integers(3, 50, size=12).astype(np.int32)
+    cos, sin = make_rope(cfg, 64)
+    dcos, dsin = make_delta_rope(cfg, 64)
+
+    n_keep, n_discard = 2, 4
+    kept = np.concatenate([toks[:n_keep], toks[n_keep + n_discard:]])
+
+    kv = init_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+    pad = np.zeros(16, np.int32)
+    pad[:12] = toks
+    _, kv = prefill(params, cfg, jnp.asarray(pad), kv, jnp.int32(0),
+                    jnp.int32(0), jnp.int32(12), cos, sin)
+    kv = shift_kv(kv, jnp.int32(0), jnp.int32(n_keep), jnp.int32(n_discard),
+                  dcos, dsin, cfg.rope_mode)
+
+    kv_ref = init_kv_cache(cfg, 2, 16, dtype=jnp.float32)
+    pad2 = np.zeros(16, np.int32)
+    pad2[:len(kept)] = kept
+    _, kv_ref = prefill(params, cfg, jnp.asarray(pad2), kv_ref, jnp.int32(0),
+                        jnp.int32(0), jnp.int32(len(kept)), cos, sin)
+
+    n = len(kept)
+    # keys for the kept prefix are exact; shifted ones only differ in that the
+    # hidden states came from the full (unshifted) context — compare K rotation
+    np.testing.assert_allclose(np.asarray(kv.k[:, 0, :n_keep]),
+                               np.asarray(kv_ref.k[:, 0, :n_keep]),
+                               rtol=1e-5, atol=1e-5)
+    # the first layer's K depends only on token embeddings + position, so the
+    # re-rotated keys must match the re-prefilled ones exactly there
+    np.testing.assert_allclose(np.asarray(kv.k[0, 0, :n]),
+                               np.asarray(kv_ref.k[0, 0, :n]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(kv.v[0, 0, :n]),
+                               np.asarray(kv_ref.v[0, 0, :n]),
+                               rtol=1e-5, atol=1e-5)
