@@ -273,10 +273,9 @@ def _chain_mask(cvals, arrs: SamplerArrays, xtc_draw):
     return mask
 
 
-@partial(jax.jit, donate_argnames=("state",))
-def sample(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
-           active: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray,
-                                         jnp.ndarray, SamplerState]:
+def sample_impl(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
+                active: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray,
+                                              jnp.ndarray, SamplerState]:
     """Sample one token per slot from [B, V] logits.
 
     active: [B] bool — slots actually decoding (state only advances there).
@@ -334,3 +333,17 @@ def sample(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
         keys=state.keys,
     )
     return tokens, top_ids, top_probs, new_state
+
+
+sample = partial(jax.jit, donate_argnames=("state",))(sample_impl)
+
+
+@partial(jax.jit, donate_argnames=("state",))
+def sample_one(logits: jnp.ndarray, slot, state: SamplerState,
+               arrs: SamplerArrays):
+    """Sample for a single slot from [V] logits (prefill's first token).
+    Other rows see the same logits but neither sample nor advance state."""
+    B = state.counts.shape[0]
+    lb = jnp.broadcast_to(logits[None, :], (B, logits.shape[0]))
+    active = jnp.arange(B) == slot
+    return sample_impl(lb, state, arrs, active)

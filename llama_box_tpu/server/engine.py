@@ -1,0 +1,468 @@
+"""Continuous-batching inference engine — the reconcile loop.
+
+TPU-native re-design of the reference's single scheduler thread
+(httpserver.hpp:3640-5017):
+- N slots = N rows of one batched KV cache; one fused decode program per
+  pass covers every decoding slot (the reference's single llama_decode).
+- Prefill runs per-slot as a bucketed [1, T] program (PREFILL and DECODE
+  never mix in a batch, matching the reference's admission rule).
+- Prefix cache: per-slot token history, slot picked by longest common
+  prefix, partial KV reuse (httpserver.hpp:3760-3862).
+- Context shift: on KV-full, drop n_discard after n_keep and compact the
+  slot's KV on device (httpserver.hpp:3453-3537) — observable behavior is
+  unbounded generation, never a context overflow error.
+- Sampling runs fused with decode on device; only sampled ids (and optional
+  top-probs) cross to the host each step.
+
+All XLA programs have static shapes: prompt chunks pad to power-of-two
+buckets, the decode batch is always the full slot width.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.config import ModelConfig
+from ..models.llama import (
+    KVCache, forward_embeddings, forward_impl, init_kv_cache, make_delta_rope,
+    make_rope, prefill, shift_kv,
+)
+from ..sampling import (
+    RING_CAP, SamplerParams, init_sampler_state, make_sampler_arrays,
+    push_tokens, reset_slot, sample_impl, sample_one,
+)
+from ..utils.logging import SRV_DBG, SRV_ERR, SRV_INF
+from ..utils.text import longest_common_prefix
+from .metrics import Metrics
+from .task import BaseTask, CompletionsTask, EmbeddingsTask, RerankTask
+
+DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv", "sstate"))
+def _decode_and_sample(params, cfg: ModelConfig, tokens, positions, kv,
+                       active, sstate, arrs, cos, sin):
+    """Fused decode-forward + sampling over the full slot batch; one token
+    per active slot. Only ids/probs leave the device."""
+    seq_lens = active.astype(jnp.int32)
+    logits, kv = forward_impl(params, cfg, tokens, positions, kv, seq_lens,
+                              cos, sin)
+    tok, ids, probs, sstate = sample_impl(logits[:, -1, :], sstate, arrs,
+                                          active)
+    return tok, ids, probs, kv, sstate
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    n_slots: int = 4
+    n_ctx: int = 4096             # total; per-slot = n_ctx // n_slots
+    n_ubatch: int = 512           # max prefill chunk
+    kv_dtype: str = "bfloat16"
+    n_keep_default: int = 0
+    defrag_headroom: int = 4      # free positions to leave after prompt squeeze
+    max_embed_batch: int = 8
+
+
+class Slot:
+    __slots__ = ("idx", "capacity", "task", "cache_tokens", "pos", "state",
+                 "cursor", "next_token", "last_used")
+
+    def __init__(self, idx: int, capacity: int):
+        self.idx = idx
+        self.capacity = capacity
+        self.task: CompletionsTask | None = None
+        self.cache_tokens: list[int] = []   # tokens whose KV is valid
+        self.pos = 0                        # next KV write position
+        self.state = "idle"                 # idle | prefill | decode
+        self.cursor = 0                     # prefill progress into the prompt
+        self.next_token = -1                # sampled, not yet in KV
+        self.last_used = 0.0
+
+
+class Engine:
+    def __init__(self, cfg: ModelConfig, params, tokenizer,
+                 ecfg: EngineConfig | None = None):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.ecfg = ecfg or EngineConfig()
+
+        S = self.ecfg.n_slots
+        self.slot_ctx = max(16, self.ecfg.n_ctx // S)
+        kv_dtype = jnp.dtype(self.ecfg.kv_dtype)
+        self.kv = init_kv_cache(cfg, S, self.slot_ctx, kv_dtype)
+        self.rope_cos, self.rope_sin = make_rope(cfg, self.slot_ctx)
+        self.delta_cos, self.delta_sin = make_delta_rope(cfg, self.slot_ctx)
+        self.sstate = init_sampler_state(S, cfg.vocab_size)
+        self.eog_ids = sorted(tokenizer.eog_ids) if tokenizer else []
+        self._default_sp = SamplerParams()
+        self.arrs = make_sampler_arrays([self._default_sp] * S, self.eog_ids)
+        self._arrs_dirty = False
+
+        self.buckets = tuple(b for b in DEFAULT_BUCKETS
+                             if b <= max(self.ecfg.n_ubatch, 16))
+        self.slots = [Slot(i, self.slot_ctx) for i in range(S)]
+        self.queue: queue.Queue[BaseTask] = queue.Queue()
+        self.metrics = Metrics()
+        self._stop = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> None:
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="reconcile")
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=30)
+
+    def submit(self, task: BaseTask) -> None:
+        self.metrics.n_requests += 1
+        self.queue.put(task)
+
+    # -- reconcile loop ------------------------------------------------------
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                self._reconcile()
+            except Exception as exc:  # noqa: BLE001 — keep serving
+                SRV_ERR("reconcile", "pass failed: %r", exc)
+                self._fail_all(exc)
+
+    def _fail_all(self, exc: Exception) -> None:
+        for s in self.slots:
+            if s.task is not None:
+                s.task.fail(exc)
+                self._release(s)
+
+    def _reconcile(self) -> None:
+        self._admit()
+        pre = [s for s in self.slots if s.state == "prefill"]
+        if pre:
+            for s in pre:
+                self._prefill_chunk(s)
+            return
+        dec = [s for s in self.slots if s.state == "decode"]
+        if dec:
+            self._decode_pass(dec)
+            return
+        # nothing active: block briefly for work
+        try:
+            task = self.queue.get(timeout=0.2)
+        except queue.Empty:
+            return
+        self._dispatch(task)
+
+    # -- admission -----------------------------------------------------------
+
+    def _admit(self) -> None:
+        while any(s.state == "idle" for s in self.slots):
+            try:
+                task = self.queue.get_nowait()
+            except queue.Empty:
+                return
+            self._dispatch(task)
+
+    def _dispatch(self, task: BaseTask) -> None:
+        if task.cancelled:
+            return
+        try:
+            if isinstance(task, CompletionsTask):
+                self._admit_completion(task)
+            elif isinstance(task, EmbeddingsTask):
+                self._run_embeddings(task)
+            elif isinstance(task, RerankTask):
+                self._run_rerank(task)
+            else:
+                raise ValueError(f"unknown task kind {task.kind}")
+        except Exception as exc:  # noqa: BLE001
+            SRV_ERR("dispatch", "task %s failed: %r", task.rid, exc)
+            task.fail(exc)
+
+    def _admit_completion(self, task: CompletionsTask) -> None:
+        idle = [s for s in self.slots if s.state == "idle"]
+        if not idle:
+            self.queue.put(task)  # shouldn't happen (guarded by _admit)
+            return
+
+        # resolve n_keep; squeeze over-long prompts (httpserver.hpp:5714-5738)
+        n_keep = task.n_keep if task.n_keep >= 0 else len(task.prompt_tokens)
+        n_keep = min(n_keep, self.slot_ctx // 2)
+        max_len = self.slot_ctx - self.ecfg.defrag_headroom
+        if len(task.prompt_tokens) > max_len:
+            drop = len(task.prompt_tokens) - max_len
+            task.prompt_tokens = (task.prompt_tokens[:n_keep]
+                                  + task.prompt_tokens[n_keep + drop:])
+            task.truncated = True
+        task.n_keep = n_keep
+
+        # prefix-cache slot selection by longest common prefix
+        best = max(idle, key=lambda s: (
+            longest_common_prefix(s.cache_tokens, task.prompt_tokens),
+            -s.last_used))
+        lcp = longest_common_prefix(best.cache_tokens, task.prompt_tokens)
+        reuse = min(lcp, len(task.prompt_tokens) - 1)
+        if self.cfg.swa_window > 0 and reuse < len(task.prompt_tokens) - 1:
+            reuse = 0  # partial reuse would dip below the SWA window
+
+        s = best
+        s.task = task
+        s.state = "prefill"
+        s.cache_tokens = task.prompt_tokens[:reuse]
+        s.pos = reuse
+        s.cursor = reuse
+        s.next_token = -1
+        s.last_used = time.monotonic()
+        task.n_cached = reuse
+        task.t_start_prefill = time.monotonic()
+
+        # reset + seed the sampler slot; prompt participates in penalties
+        sp = task.sparams
+        self.sstate = reset_slot(self.sstate, jnp.int32(s.idx),
+                                 jnp.uint32(sp.seed & 0xFFFFFFFF))
+        last_n = min(sp.penalty_last_n if sp.penalty_last_n >= 0 else RING_CAP,
+                     RING_CAP)
+        if last_n > 0 and task.prompt_tokens:
+            window = task.prompt_tokens[-last_n:]
+            buf = np.full(RING_CAP, -1, np.int32)
+            buf[:len(window)] = window
+            self.sstate = push_tokens(
+                self.sstate, jnp.int32(s.idx), jnp.asarray(buf),
+                jnp.int32(len(window)), jnp.int32(last_n))
+        self._arrs_dirty = True
+        SRV_DBG("admit", "task %s -> slot %d reuse=%d prompt=%d",
+                task.rid, s.idx, reuse, len(task.prompt_tokens))
+
+    def _refresh_arrs(self) -> None:
+        if not self._arrs_dirty:
+            return
+        plist = [s.task.sparams if s.task is not None else self._default_sp
+                 for s in self.slots]
+        self.arrs = make_sampler_arrays(plist, self.eog_ids)
+        self._arrs_dirty = False
+
+    # -- prefill -------------------------------------------------------------
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _prefill_chunk(self, s: Slot) -> None:
+        task = s.task
+        if task.cancelled:
+            self._release(s)
+            return
+        t0 = time.monotonic()
+        rem = len(task.prompt_tokens) - s.cursor
+        chunk = min(rem, self.ecfg.n_ubatch)
+        bucket = self._bucket(chunk)
+        buf = np.zeros(bucket, np.int32)
+        buf[:chunk] = task.prompt_tokens[s.cursor:s.cursor + chunk]
+
+        logits, self.kv = prefill(
+            self.params, self.cfg, jnp.asarray(buf), self.kv,
+            jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
+            self.rope_cos, self.rope_sin)
+        s.cache_tokens.extend(buf[:chunk].tolist())
+        s.cursor += chunk
+        s.pos += chunk
+
+        if s.cursor < len(task.prompt_tokens):
+            self.metrics.on_prefill(chunk, (time.monotonic() - t0) * 1e3)
+            return
+
+        # prompt complete: sample the first token from the prefill logits
+        self._refresh_arrs()
+        tok, ids, probs, self.sstate = sample_one(
+            logits, jnp.int32(s.idx), self.sstate, self.arrs)
+        first = int(tok[s.idx])
+        task.t_prefilled = time.monotonic()
+        self.metrics.on_prefill(chunk, (task.t_prefilled - t0) * 1e3)
+        s.state = "decode"
+        self._accept_token(s, first, ids, probs)
+
+    # -- decode --------------------------------------------------------------
+
+    def _decode_pass(self, dec: list) -> None:
+        # context shift any slot at capacity (infinite-generation semantics)
+        for s in dec:
+            if s.pos >= s.capacity:
+                self._context_shift(s)
+        dec = [s for s in dec if s.state == "decode"]
+        if not dec:
+            return
+        self._refresh_arrs()
+        t0 = time.monotonic()
+        S = len(self.slots)
+        tokens = np.zeros((S, 1), np.int32)
+        positions = np.full((S, 1), self.slot_ctx, np.int32)  # sentinel
+        active = np.zeros((S,), bool)
+        for s in dec:
+            tokens[s.idx, 0] = s.next_token
+            positions[s.idx, 0] = s.pos
+            active[s.idx] = True
+
+        tok, ids, probs, self.kv, self.sstate = _decode_and_sample(
+            self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(positions),
+            self.kv, jnp.asarray(active), self.sstate, self.arrs,
+            self.rope_cos, self.rope_sin)
+        tok_h = np.asarray(tok)
+        self.metrics.on_decode(len(dec), (time.monotonic() - t0) * 1e3)
+
+        for s in dec:
+            s.cache_tokens.append(s.next_token)
+            s.pos += 1
+            self._accept_token(s, int(tok_h[s.idx]), ids, probs)
+
+    def _accept_token(self, s: Slot, token: int, ids, probs) -> None:
+        """Post-process one generated token on the host: budgets, EOG, stop
+        words, stream emission (reference :4347-4684)."""
+        task = s.task
+        if task.cancelled:
+            self._release(s)
+            return
+        task.generated.append(token)
+        s.next_token = token
+
+        text = task.scanner.push(token)
+        if task.n_probs > 0:
+            ids_h = np.asarray(ids)[s.idx]
+            probs_h = np.asarray(probs)[s.idx]
+            from .task import TokenProbs
+            task.probs.append(TokenProbs(
+                token=token,
+                text=self.tokenizer.decode([token], skip_leading_space=False)
+                if self.tokenizer else "",
+                top_ids=ids_h[:max(task.n_probs, 1)].tolist(),
+                top_probs=probs_h[:max(task.n_probs, 1)].tolist()))
+
+        finish = None
+        if self.tokenizer is not None and self.tokenizer.is_eog(token):
+            finish = "stop"
+        elif task.scanner.stopped:
+            finish = "stop"
+        elif task.budget_left() <= 0:
+            finish = "length"
+
+        if finish == "stop" and not task.scanner.stopped:
+            # EOG token: drop it from rendered text, flush holdback
+            text += task.scanner.flush()
+        if finish == "length":
+            text += task.scanner.flush()
+
+        if text:
+            task.text += text
+        if task.stream and (text or finish):
+            task.emit("delta", {"text": text, "token": token,
+                                "finish_reason": finish})
+        if finish:
+            task.finish_reason = finish
+            task.t_decoded = time.monotonic()
+            task.emit("final", task)
+            self._release(s, keep_cache=True)
+
+    def _context_shift(self, s: Slot) -> None:
+        task = s.task
+        n_keep = min(task.n_keep, s.pos - 2) if task else 0
+        n_keep = max(n_keep, 0)
+        n_left = s.pos - n_keep
+        n_discard = max(1, n_left // 2)
+        self.kv = shift_kv(self.kv, jnp.int32(s.idx), jnp.int32(n_keep),
+                           jnp.int32(n_discard), self.delta_cos,
+                           self.delta_sin, self.cfg.rope_mode)
+        del s.cache_tokens[n_keep:n_keep + n_discard]
+        s.pos -= n_discard
+        if task:
+            task.n_shifted += 1
+        SRV_DBG("shift", "slot %d keep=%d discard=%d pos=%d",
+                s.idx, n_keep, n_discard, s.pos)
+
+    def _release(self, s: Slot, keep_cache: bool = False) -> None:
+        """Free the slot; optionally keep its KV token history for the prefix
+        cache (the reference's cache handoff, httpserver.hpp:4812-4824)."""
+        s.task = None
+        s.state = "idle"
+        s.cursor = 0
+        s.next_token = -1
+        s.last_used = time.monotonic()
+        if not keep_cache:
+            s.cache_tokens = []
+            s.pos = 0
+        self._arrs_dirty = True
+
+    # -- embeddings / rerank -------------------------------------------------
+
+    def _embed_batch(self, token_lists: list[list[int]], pooling: str):
+        """Pack token lists into bucketed batches and run the non-causal
+        embedding forward; returns [N, E] float32 numpy."""
+        out = [None] * len(token_lists)
+        order = sorted(range(len(token_lists)), key=lambda i: len(token_lists[i]))
+        i = 0
+        while i < len(order):
+            group = order[i:i + self.ecfg.max_embed_batch]
+            T = self._bucket(max(len(token_lists[j]) for j in group))
+            B = len(group)
+            toks = np.zeros((B, T), np.int32)
+            lens = np.zeros((B,), np.int32)
+            for b, j in enumerate(group):
+                seq = token_lists[j][:T]
+                toks[b, :len(seq)] = seq
+                lens[b] = len(seq)
+            emb = forward_embeddings(self.params, self.cfg,
+                                     jnp.asarray(toks), jnp.asarray(lens),
+                                     self.rope_cos, self.rope_sin,
+                                     pooling=pooling)
+            emb_h = np.asarray(emb)
+            for b, j in enumerate(group):
+                out[j] = emb_h[b]
+            i += B
+        return out
+
+    def _run_embeddings(self, task: EmbeddingsTask) -> None:
+        t0 = time.monotonic()
+        pooling = self.cfg.pooling if self.cfg.pooling not in ("none", "rank") \
+            else "mean"
+        embs = self._embed_batch(task.inputs, pooling)
+        for e in embs:
+            v = e.astype(np.float64)
+            if task.normalize:
+                n = np.linalg.norm(v)
+                v = v / n if n > 0 else v
+            task.embeddings.append(v.tolist())
+        self.metrics.on_prefill(task.n_prompt, (time.monotonic() - t0) * 1e3)
+        task.emit("final", task)
+
+    def _run_rerank(self, task: RerankTask) -> None:
+        t0 = time.monotonic()
+        embs = self._embed_batch(task.pairs, "rank")
+        scores = [float(np.asarray(e).reshape(-1)[0]) for e in embs]
+        if task.normalize and len(scores) >= task.n_documents + 2:
+            doc_scores = scores[:task.n_documents]
+            s_self, s_unk = scores[-2], scores[-1]
+            lo, hi = min(s_unk, min(doc_scores)), max(s_self, max(doc_scores))
+            rng = max(hi - lo, 1e-6)
+            task.scores = [(x - lo) / rng for x in doc_scores]
+        else:
+            task.scores = scores[:task.n_documents]
+        self.metrics.on_prefill(task.n_prompt, (time.monotonic() - t0) * 1e3)
+        task.emit("final", task)
+
+    # -- introspection -------------------------------------------------------
+
+    def kv_cache_usage(self) -> tuple[int, int]:
+        used = sum(s.pos for s in self.slots)
+        return used, self.slot_ctx * len(self.slots)
