@@ -1,0 +1,121 @@
+"""Decode-throughput benchmark (driver-run, one JSON line).
+
+Measures the serving hot path — the fused decode+sample program over the
+continuous-batching slot width (the reference's fused llama_decode,
+httpserver.hpp:4192) — on a TinyLlama-1.1B-shaped bf16 model, batch 4.
+
+vs_baseline = measured / speed-of-light, where speed-of-light is the HBM
+roofline: every decode step must stream all weights + the active KV once;
+v5e HBM ≈ 819 GB/s. (The reference publishes no numbers — BASELINE.md.)
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from llama_box_tpu.models.config import ModelConfig
+    from llama_box_tpu.models.llama import forward_impl, init_kv_cache, make_rope
+    from llama_box_tpu.sampling import (SamplerParams, init_sampler_state,
+                                        make_sampler_arrays, sample_impl)
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu" or "axon" in backend.lower()
+    if on_tpu:
+        # TinyLlama-1.1B shape
+        L, H, HKV, D, FF, V = 22, 32, 4, 64, 5632, 32000
+        S, C = 4, 1024
+        warmup, iters = 10, 100
+        hbm_bw = 819e9  # v5e
+    else:
+        L, H, HKV, D, FF, V = 4, 8, 4, 64, 1024, 4096
+        S, C = 4, 256
+        warmup, iters = 3, 20
+        hbm_bw = 50e9
+
+    E = H * D
+    cfg = ModelConfig(arch="llama", n_layers=L, n_embd=E, n_heads=H,
+                      n_kv_heads=HKV, head_dim=D, n_ff=FF, vocab_size=V,
+                      rope_dim=D)
+    rng = np.random.default_rng(0)
+    dtype = jnp.bfloat16
+
+    def r(*shape, scale=0.02):
+        return jnp.asarray(rng.normal(size=shape, scale=scale).astype(np.float32),
+                           dtype)
+
+    params = {
+        "tok_embd": r(V, E),
+        "output_norm": jnp.ones((E,), dtype),
+        "output": r(E, V),
+        "layers": {
+            "attn_norm": jnp.ones((L, E), dtype),
+            "wq": r(L, E, H * D),
+            "wk": r(L, E, HKV * D),
+            "wv": r(L, E, HKV * D),
+            "wo": r(L, H * D, E),
+            "ffn_norm": jnp.ones((L, E), dtype),
+            "w_gate": r(L, E, FF),
+            "w_up": r(L, E, FF),
+            "w_down": r(L, FF, E),
+        },
+    }
+    kv = init_kv_cache(cfg, S, C, dtype)
+    cos, sin = make_rope(cfg, C)
+    sstate = init_sampler_state(S, V)
+    arrs = make_sampler_arrays([SamplerParams(seed=1, temp=0.8)] * S)
+
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(2, 4))
+    def step(params, tokens, kv, positions, sstate, arrs, active, cos, sin):
+        seq_lens = active.astype(jnp.int32)
+        logits, kv = forward_impl(params, cfg, tokens, positions, kv,
+                                  seq_lens, cos, sin)
+        tok, ids, probs, sstate = sample_impl(logits[:, -1, :], sstate, arrs,
+                                              active)
+        return tok, kv, sstate
+
+    active = jnp.ones((S,), bool)
+    tokens = jnp.asarray(rng.integers(0, V, (S, 1)), jnp.int32)
+    pos = C // 2  # half-full KV, representative decode state
+
+    for i in range(warmup):
+        positions = jnp.full((S, 1), pos + i, jnp.int32)
+        tok, kv, sstate = step(params, tokens, kv, positions, sstate, arrs,
+                               active, cos, sin)
+        tokens = tok[:, None]
+    tok.block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        positions = jnp.full((S, 1), pos + warmup + i, jnp.int32)
+        tok, kv, sstate = step(params, tokens, kv, positions, sstate, arrs,
+                               active, cos, sin)
+        tokens = tok[:, None]
+    tok.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    tok_s = S * iters / dt
+
+    # HBM roofline: weights + full KV streamed once per step
+    pbytes = sum(x.size * x.dtype.itemsize
+                 for x in jax.tree.leaves(params))
+    kv_bytes = kv.k.size * kv.k.dtype.itemsize * 2
+    sol_steps = hbm_bw / (pbytes + kv_bytes)
+    sol_tok_s = sol_steps * S
+
+    print(json.dumps({
+        "metric": "decode_tok_s_tinyllama1.1b_bf16_b4",
+        "value": round(tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / sol_tok_s, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

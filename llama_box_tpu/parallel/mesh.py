@@ -1,0 +1,117 @@
+"""Device mesh + sharding policy (TPU-native replacement for the reference's
+--tensor-split/--split-mode/RPC device model, SURVEY.md §2.3).
+
+One mesh with axes (dp, tp):
+- tp: tensor parallelism over ICI — attention heads and FFN columns are
+  sharded; XLA GSPMD inserts the per-layer all-reduces (psum over tp) that
+  ggml's --split-mode row does by hand with NCCL/RPC.
+- dp: slot parallelism — KV-cache slots (continuous-batching sequences) are
+  sharded so each dp group decodes its own slice of the batch.
+
+Multi-host: the same mesh spans hosts via jax.distributed; ICI carries tp,
+DCN carries dp (the reference's multi-host RPC placement becomes "more hosts
+join the mesh", SURVEY.md §2.3 TPU-native equivalents).
+
+Weight layout reminder (models/loader.py): 2D weights are (in, out);
+stacked per-layer weights are [L, in, out].
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    dp: int = 1
+    tp: int = 1
+
+
+def parse_mesh_spec(spec: str | None, n_devices: int | None = None
+                    ) -> MeshConfig:
+    """Parse 'tp=4' / 'dp=2,tp=4'; default: all devices on tp."""
+    n = n_devices if n_devices is not None else len(jax.devices())
+    if not spec:
+        return MeshConfig(dp=1, tp=n)
+    kv = {}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        kv[k.strip()] = int(v)
+    dp = kv.get("dp", 1)
+    tp = kv.get("tp", max(1, n // dp))
+    if dp * tp > n:
+        raise ValueError(f"mesh {spec} needs {dp * tp} devices, have {n}")
+    return MeshConfig(dp=dp, tp=tp)
+
+
+def make_mesh(mc: MeshConfig, devices=None) -> Mesh:
+    import numpy as np
+    devices = devices if devices is not None else jax.devices()
+    grid = np.asarray(devices[:mc.dp * mc.tp]).reshape(mc.dp, mc.tp)
+    return Mesh(grid, axis_names=("dp", "tp"))
+
+
+# -- sharding policy ---------------------------------------------------------
+
+# stacked layer weights [L, in, out]
+_LAYER_SPECS = {
+    "wq": P(None, None, "tp"),       # column-parallel (heads)
+    "wk": P(None, None, "tp"),
+    "wv": P(None, None, "tp"),
+    "wo": P(None, "tp", None),       # row-parallel (psum after)
+    "w_gate": P(None, None, "tp"),
+    "w_up": P(None, None, "tp"),
+    "w_down": P(None, "tp", None),
+    "attn_norm": P(None, None),
+    "ffn_norm": P(None, None),
+}
+
+_TOP_SPECS = {
+    "tok_embd": P(None, None),       # replicated (gather-heavy)
+    "output": P(None, "tp"),         # vocab-parallel logits
+    "output_norm": P(None),
+}
+
+
+def param_pspec(name: str) -> P:
+    """PartitionSpec for a parameter by its tree path name."""
+    if name.startswith("layers."):
+        return _LAYER_SPECS.get(name.split(".", 1)[1], P())
+    return _TOP_SPECS.get(name, P())
+
+
+def shard_params(mesh: Mesh, params: dict) -> dict:
+    """device_put the param tree with the tensor-parallel policy."""
+    def put(name, x):
+        return jax.device_put(x, NamedSharding(mesh, param_pspec(name)))
+
+    out = {k: put(k, v) for k, v in params.items() if k != "layers"}
+    out["layers"] = {k: put(f"layers.{k}", v)
+                     for k, v in params["layers"].items()}
+    return out
+
+
+def kv_pspec() -> P:
+    # [L, slots, C, Hkv, D]: slots over dp, kv heads over tp
+    return P(None, "dp", None, "tp", None)
+
+
+def shard_kv(mesh: Mesh, kv):
+    sh = NamedSharding(mesh, kv_pspec())
+    return type(kv)(k=jax.device_put(kv.k, sh), v=jax.device_put(kv.v, sh))
+
+
+def shard_sampler_state(mesh: Mesh, state):
+    """Sampler state is small: shard rows over dp, replicate over tp."""
+    row = NamedSharding(mesh, P("dp"))
+    row2 = NamedSharding(mesh, P("dp", None))
+    return type(state)(
+        counts=jax.device_put(state.counts, row2),
+        ring=jax.device_put(state.ring, row2),
+        ring_len=jax.device_put(state.ring_len, row),
+        step=jax.device_put(state.step, row),
+        keys=jax.device_put(state.keys, row),
+    )
