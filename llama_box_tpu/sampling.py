@@ -338,6 +338,52 @@ def sample_impl(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
 sample = partial(jax.jit, donate_argnames=("state",))(sample_impl)
 
 
+def verify_impl(logits: jnp.ndarray, draft: jnp.ndarray, n_draft: jnp.ndarray,
+                state: SamplerState, arrs: SamplerArrays, active: jnp.ndarray):
+    """Speculative verify+sample over T drafted positions (reference verify
+    loop httpserver.hpp:4300-4334: run the MAIN sampler chain at each drafted
+    position, accept while it reproduces the draft, emit one replacement/bonus
+    token at the first mismatch).
+
+    logits: [B, T, V] from the verify forward (draft row j produced logits j)
+    draft:  [B, T] the input tokens (draft[:, 0] is the already-accepted
+            token; draft[:, 1:] are drafted continuations)
+    n_draft: [B] number of drafted tokens per row (0 => plain decode)
+    Returns (tokens [B, T], n_emitted [B], top_ids [B, T, N_PROBS],
+             top_probs [B, T, N_PROBS], new state). Row b emits
+    tokens[b, :n_emitted[b]]; n_emitted = accepted + 1.
+    """
+    B, T, V = logits.shape
+
+    def body(carry, j):
+        state, alive = carry
+        act_j = active & alive & (j <= n_draft)
+        tok, ids, probs, state = sample_impl(logits[:, j], state, arrs, act_j)
+        nxt = draft[:, jnp.minimum(j + 1, T - 1)]
+        match = act_j & (j + 1 <= n_draft) & (tok == nxt)
+        return (state, alive & match), (tok, ids, probs)
+
+    (state, _), (toks, ids, probs) = jax.lax.scan(
+        body, (state, jnp.ones_like(active)), jnp.arange(T))
+    toks = toks.T                      # [B, T]
+    ids = jnp.moveaxis(ids, 0, 1)      # [B, T, N_PROBS]
+    probs = jnp.moveaxis(probs, 0, 1)
+    # position j emitted iff every earlier position matched its draft; the
+    # cumulative product is monotone, so later accidental equalities of
+    # dead-position samples cannot resurrect a row
+    match = jnp.concatenate(
+        [jnp.ones((B, 1), bool),
+         (toks[:, :-1] == draft[:, 1:])
+         & (jnp.arange(1, T)[None, :] <= n_draft[:, None])], axis=1)
+    alive = jnp.cumprod(match.astype(jnp.int32), axis=1)
+    n_emitted = jnp.where(active, alive.sum(axis=1), 0)
+    n_emitted = jnp.minimum(n_emitted, n_draft + 1)
+    return toks, n_emitted, ids, probs, state
+
+
+verify = partial(jax.jit, donate_argnames=("state",))(verify_impl)
+
+
 @partial(jax.jit, donate_argnames=("state",))
 def sample_one(logits: jnp.ndarray, slot, state: SamplerState,
                arrs: SamplerArrays):

@@ -37,7 +37,7 @@ from ..models.llama import (
 )
 from ..sampling import (
     RING_CAP, SamplerParams, init_sampler_state, make_sampler_arrays,
-    push_tokens, reset_slot, sample_impl, sample_one,
+    push_tokens, reset_slot, sample_impl, sample_one, verify_impl,
 )
 from ..utils.logging import SRV_DBG, SRV_ERR, SRV_INF
 from ..utils.text import longest_common_prefix
@@ -48,16 +48,17 @@ DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv", "sstate"))
-def _decode_and_sample(params, cfg: ModelConfig, tokens, positions, kv,
-                       active, sstate, arrs, cos, sin):
-    """Fused decode-forward + sampling over the full slot batch; one token
-    per active slot. Only ids/probs leave the device."""
-    seq_lens = active.astype(jnp.int32)
+def _decode_verify_sample(params, cfg: ModelConfig, tokens, positions,
+                          n_draft, kv, active, sstate, arrs, cos, sin):
+    """Fused decode-forward + speculative verify + sampling over the full
+    slot batch. T=1 is plain decode (one token per slot); T=K+1 verifies K
+    drafted tokens and emits up to K+1. Only ids/probs leave the device."""
+    seq_lens = jnp.where(active, n_draft + 1, 0)
     logits, kv = forward_impl(params, cfg, tokens, positions, kv, seq_lens,
                               cos, sin)
-    tok, ids, probs, sstate = sample_impl(logits[:, -1, :], sstate, arrs,
-                                          active)
-    return tok, ids, probs, kv, sstate
+    toks, n_emitted, ids, probs, sstate = verify_impl(
+        logits, tokens, n_draft, sstate, arrs, active)
+    return toks, n_emitted, ids, probs, kv, sstate
 
 
 @dataclasses.dataclass
@@ -69,11 +70,14 @@ class EngineConfig:
     n_keep_default: int = 0
     defrag_headroom: int = 4      # free positions to leave after prompt squeeze
     max_embed_batch: int = 8
+    # speculative decoding (reference §2.1 #10)
+    draft_max: int = 8            # max drafted tokens per step (T = this + 1)
+    lookup_ngram_min: int = 0     # n-gram prompt-lookup drafting; 0 = off
 
 
 class Slot:
     __slots__ = ("idx", "capacity", "task", "cache_tokens", "pos", "state",
-                 "cursor", "next_token", "last_used")
+                 "cursor", "next_token", "last_used", "drafts")
 
     def __init__(self, idx: int, capacity: int):
         self.idx = idx
@@ -85,6 +89,7 @@ class Slot:
         self.cursor = 0                     # prefill progress into the prompt
         self.next_token = -1                # sampled, not yet in KV
         self.last_used = 0.0
+        self.drafts: list[int] = []         # drafted tokens for next verify
 
 
 class Engine:
@@ -242,6 +247,13 @@ class Engine:
                 self.sstate, jnp.int32(s.idx), jnp.asarray(buf),
                 jnp.int32(len(window)), jnp.int32(last_n))
         self._arrs_dirty = True
+
+        # n-gram prompt-lookup drafting cache (httpserver.hpp:4752-4767)
+        if self.ecfg.lookup_ngram_min > 0 and not hasattr(task, "ngram"):
+            from .ngram import NgramCache
+            task.ngram = NgramCache(n_min=self.ecfg.lookup_ngram_min)
+            task.ngram.update(task.prompt_tokens)
+        s.drafts = []
         SRV_DBG("admit", "task %s -> slot %d reuse=%d prompt=%d",
                 task.rid, s.idx, reuse, len(task.prompt_tokens))
 
@@ -297,10 +309,24 @@ class Engine:
 
     # -- decode --------------------------------------------------------------
 
+    def _make_drafts(self, s: Slot) -> list[int]:
+        """Draft continuation tokens for one slot (n-gram lookup; a draft
+        model plugs in here too)."""
+        task = s.task
+        k = min(self.ecfg.draft_max, max(task.budget_left() - 1, 0))
+        if k <= 0:
+            return []
+        ngram = getattr(task, "ngram", None)
+        if ngram is not None:
+            history = task.prompt_tokens + task.generated
+            return ngram.draft(history, k)
+        return []
+
     def _decode_pass(self, dec: list) -> None:
-        # context shift any slot at capacity (infinite-generation semantics)
+        # room check: each slot needs space for 1 + its drafts; shift first
         for s in dec:
-            if s.pos >= s.capacity:
+            s.drafts = self._make_drafts(s)
+            if s.pos + 1 + len(s.drafts) > s.capacity:
                 self._context_shift(s)
         dec = [s for s in dec if s.state == "decode"]
         if not dec:
@@ -308,27 +334,57 @@ class Engine:
         self._refresh_arrs()
         t0 = time.monotonic()
         S = len(self.slots)
-        tokens = np.zeros((S, 1), np.int32)
-        positions = np.full((S, 1), self.slot_ctx, np.int32)  # sentinel
+        T = 1 + (self.ecfg.draft_max if any(s.drafts for s in dec) else 0)
+        tokens = np.zeros((S, T), np.int32)
+        positions = np.full((S, T), self.slot_ctx, np.int32)  # sentinel
+        n_draft = np.zeros((S,), np.int32)
         active = np.zeros((S,), bool)
         for s in dec:
-            tokens[s.idx, 0] = s.next_token
-            positions[s.idx, 0] = s.pos
+            row = [s.next_token] + s.drafts[:T - 1]
+            tokens[s.idx, :len(row)] = row
+            positions[s.idx, :len(row)] = np.arange(s.pos, s.pos + len(row))
+            n_draft[s.idx] = len(row) - 1
             active[s.idx] = True
 
-        tok, ids, probs, self.kv, self.sstate = _decode_and_sample(
-            self.params, self.cfg, jnp.asarray(tokens), jnp.asarray(positions),
-            self.kv, jnp.asarray(active), self.sstate, self.arrs,
-            self.rope_cos, self.rope_sin)
-        tok_h = np.asarray(tok)
-        self.metrics.on_decode(len(dec), (time.monotonic() - t0) * 1e3)
+        toks, n_emitted, ids, probs, self.kv, self.sstate = \
+            _decode_verify_sample(
+                self.params, self.cfg, jnp.asarray(tokens),
+                jnp.asarray(positions), jnp.asarray(n_draft), self.kv,
+                jnp.asarray(active), self.sstate, self.arrs,
+                self.rope_cos, self.rope_sin)
+        toks_h = np.asarray(toks)
+        n_emitted_h = np.asarray(n_emitted)
+        ids_h = probs_h = None
+        if any(s.task.n_probs > 0 for s in dec):
+            ids_h = np.asarray(ids)
+            probs_h = np.asarray(probs)
+        n_tok = int(n_emitted_h.sum())
+        self.metrics.on_decode(n_tok, (time.monotonic() - t0) * 1e3)
 
         for s in dec:
-            s.cache_tokens.append(s.next_token)
-            s.pos += 1
-            self._accept_token(s, int(tok_h[s.idx]), ids, probs)
+            task = s.task
+            n_em = int(n_emitted_h[s.idx])
+            acc = n_em - 1
+            if s.drafts:
+                task.n_drafted += len(s.drafts)
+                task.n_draft_accepted += acc
+                self.metrics.on_draft(len(s.drafts), acc)
+            # KV now holds next_token + the accepted draft prefix
+            kept = [s.next_token] + s.drafts[:acc]
+            s.cache_tokens.extend(kept)
+            s.pos += len(kept)
+            ngram = getattr(task, "ngram", None)
+            for j in range(n_em):
+                token = int(toks_h[s.idx, j])
+                row_ids = ids_h[s.idx, j] if ids_h is not None else None
+                row_probs = probs_h[s.idx, j] if probs_h is not None else None
+                self._accept_token(s, token, row_ids, row_probs)
+                if ngram is not None:
+                    ngram.push(task.prompt_tokens + task.generated)
+                if s.task is None:  # finished/cancelled mid-emission
+                    break
 
-    def _accept_token(self, s: Slot, token: int, ids, probs) -> None:
+    def _accept_token(self, s: Slot, token: int, ids_row, probs_row) -> None:
         """Post-process one generated token on the host: budgets, EOG, stop
         words, stream emission (reference :4347-4684)."""
         task = s.task
@@ -339,16 +395,14 @@ class Engine:
         s.next_token = token
 
         text = task.scanner.push(token)
-        if task.n_probs > 0:
-            ids_h = np.asarray(ids)[s.idx]
-            probs_h = np.asarray(probs)[s.idx]
+        if task.n_probs > 0 and ids_row is not None:
             from .task import TokenProbs
             task.probs.append(TokenProbs(
                 token=token,
                 text=self.tokenizer.decode([token], skip_leading_space=False)
                 if self.tokenizer else "",
-                top_ids=ids_h[:max(task.n_probs, 1)].tolist(),
-                top_probs=probs_h[:max(task.n_probs, 1)].tolist()))
+                top_ids=ids_row[:max(task.n_probs, 1)].tolist(),
+                top_probs=probs_row[:max(task.n_probs, 1)].tolist()))
 
         finish = None
         if self.tokenizer is not None and self.tokenizer.is_eog(token):

@@ -1,0 +1,124 @@
+"""Speculative decoding tests: device verify semantics + engine-level n-gram
+lookup drafting (SURVEY.md §2.1 #10). The key invariant: greedy output with
+drafting enabled is IDENTICAL to plain greedy decode."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_box_tpu.gguf import GGUFFile
+from llama_box_tpu.models import load_model
+from llama_box_tpu.sampling import (
+    SamplerParams, init_sampler_state, make_sampler_arrays, reset_slot,
+    verify_impl,
+)
+from llama_box_tpu.server import CompletionsTask, Engine, EngineConfig
+from llama_box_tpu.server.ngram import NgramCache
+from llama_box_tpu.tokenizer import Tokenizer
+
+from .fixtures.make_tiny_model import write_tiny_model
+
+V = 64
+
+
+def test_verify_accepts_matching_drafts():
+    """Greedy rows accept drafts exactly while they equal the argmax chain."""
+    B, T = 2, 4
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=(B, T, V)).astype(np.float32)
+    argmax = logits.argmax(-1)  # [B, T]
+
+    # row 0: drafts match argmax chain fully; row 1: mismatch at position 1
+    draft = np.zeros((B, T), np.int32)
+    draft[0, 1:] = argmax[0, :-1]
+    draft[1, 1] = argmax[1, 0]
+    draft[1, 2] = (argmax[1, 1] + 7) % V  # wrong
+    draft[1, 3] = 1
+    n_draft = np.array([3, 3], np.int32)
+
+    state = init_sampler_state(B, V)
+    for b in range(2):
+        state = reset_slot(state, jnp.int32(b), jnp.uint32(b + 1))
+    arrs = make_sampler_arrays([SamplerParams(temp=0.0)] * B)
+    toks, n_em, ids, probs, state = verify_impl(
+        jnp.asarray(logits), jnp.asarray(draft), jnp.asarray(n_draft),
+        state, arrs, jnp.ones((B,), bool))
+    toks = np.asarray(toks)
+    n_em = np.asarray(n_em)
+    # row 0: all 3 drafts accepted + bonus = 4 emitted, equal to argmax chain
+    assert n_em[0] == 4
+    np.testing.assert_array_equal(toks[0], argmax[0])
+    # row 1: accepted 1 draft (position 1 matched), then emitted correction
+    assert n_em[1] == 2
+    assert toks[1, 0] == argmax[1, 0]
+    assert toks[1, 1] == argmax[1, 1]  # the correction replaces the bad draft
+
+
+def test_verify_plain_decode_t1():
+    rng = np.random.default_rng(1)
+    logits = rng.normal(size=(2, 1, V)).astype(np.float32)
+    state = init_sampler_state(2, V)
+    for b in range(2):
+        state = reset_slot(state, jnp.int32(b), jnp.uint32(5))
+    arrs = make_sampler_arrays([SamplerParams(temp=0.0)] * 2)
+    toks, n_em, _, _, state = verify_impl(
+        jnp.asarray(logits), jnp.zeros((2, 1), jnp.int32),
+        jnp.zeros((2,), jnp.int32), state, arrs, jnp.ones((2,), bool))
+    assert np.asarray(n_em).tolist() == [1, 1]
+    np.testing.assert_array_equal(np.asarray(toks)[:, 0],
+                                  logits[:, 0].argmax(-1))
+
+
+def test_ngram_cache():
+    c = NgramCache(n_min=2, n_max=3)
+    seq = [1, 2, 3, 4, 1, 2, 3, 4, 1, 2, 3, 4]
+    c.update(seq)
+    assert c.draft(seq, 3) == [1, 2, 3]
+    # unknown context drafts nothing
+    assert c.draft([9, 9, 9], 3) == []
+
+
+@pytest.fixture(scope="module")
+def spec_setup(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    write_tiny_model(path)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    return cfg, params, tok
+
+
+def _run(engine, toks, n, seed=0):
+    t = CompletionsTask(toks, SamplerParams(temp=0.0, seed=seed),
+                        tokenizer=engine.tokenizer, max_tokens=n, stream=False)
+    engine.submit(t)
+    while True:
+        kind, payload = t.result_q.get(timeout=120)
+        if kind == "final":
+            return payload
+        if kind == "error":
+            raise payload
+
+
+def test_engine_ngram_speculative_matches_plain(spec_setup):
+    cfg, params, tok = spec_setup
+    plain = Engine(cfg, params, tok,
+                   EngineConfig(n_slots=2, n_ctx=256, n_ubatch=32))
+    spec = Engine(cfg, params, tok,
+                  EngineConfig(n_slots=2, n_ctx=256, n_ubatch=32,
+                               lookup_ngram_min=2, draft_max=4))
+    plain.start()
+    spec.start()
+    try:
+        # a repetitive prompt gives the n-gram cache something to hit
+        toks = tok.encode("a b c d a b c d a b c d")
+        f_plain = _run(plain, toks, 24)
+        f_spec = _run(spec, toks, 24)
+        assert f_spec.generated == f_plain.generated
+        # with a repetitive context, at least some drafts must be accepted
+        assert f_spec.n_drafted > 0
+        t = f_spec.timings()
+        assert t["draft_tokens"] == f_spec.n_drafted
+    finally:
+        plain.stop()
+        spec.stop()
