@@ -305,7 +305,9 @@ class Engine:
         task.t_prefilled = time.monotonic()
         self.metrics.on_prefill(chunk, (task.t_prefilled - t0) * 1e3)
         s.state = "decode"
-        self._accept_token(s, first, ids, probs)
+        ids_row = np.asarray(ids)[s.idx] if task.n_probs > 0 else None
+        probs_row = np.asarray(probs)[s.idx] if task.n_probs > 0 else None
+        self._accept_token(s, first, ids_row, probs_row)
 
     # -- decode --------------------------------------------------------------
 
