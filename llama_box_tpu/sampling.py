@@ -384,6 +384,179 @@ def verify_impl(logits: jnp.ndarray, draft: jnp.ndarray, n_draft: jnp.ndarray,
 verify = partial(jax.jit, donate_argnames=("state",))(verify_impl)
 
 
+class HostSampler:
+    """Host-side sampler for grammar-constrained slots.
+
+    Mirrors the device chain (penalties -> top-k -> top-p -> min-p ->
+    typical -> xtc -> temp) in numpy, with the reference's lazy-grammar
+    strategy (sampling.patch / common_sampler_sample2): sample WITHOUT the
+    grammar first; only if the pick violates the grammar, mask the
+    candidates and re-sample. Grammar-advancing and the penalty window live
+    here, so the device sampler state for this slot stays untouched.
+    """
+
+    def __init__(self, sp: SamplerParams, grammar, tokenizer):
+        self.sp = sp
+        self.grammar = grammar
+        self.tok = tokenizer
+        self.rng = np.random.default_rng(sp.seed & 0xFFFFFFFF)
+        self._window: list[int] = []
+        self._counts: dict[int, int] = {}
+        self._last_n = min(sp.penalty_last_n if sp.penalty_last_n >= 0
+                           else RING_CAP, RING_CAP)
+        self._mask_cache: dict = {}
+
+    # -- state ---------------------------------------------------------------
+
+    def accept(self, token: int) -> None:
+        if self._last_n > 0:
+            self._window.append(token)
+            self._counts[token] = self._counts.get(token, 0) + 1
+            if len(self._window) > self._last_n:
+                old = self._window.pop(0)
+                self._counts[old] -= 1
+                if not self._counts[old]:
+                    del self._counts[old]
+        if self.grammar is not None and not self.tok.is_eog(token):
+            self.grammar.accept_bytes(
+                self.tok.token_bytes(token, render_special=True))
+            self._mask_cache.clear()
+
+    def push_prompt(self, tokens: list[int]) -> None:
+        for t in tokens[-self._last_n:] if self._last_n > 0 else []:
+            self._window.append(t)
+            self._counts[t] = self._counts.get(t, 0) + 1
+        while len(self._window) > self._last_n:
+            old = self._window.pop(0)
+            self._counts[old] -= 1
+            if not self._counts[old]:
+                del self._counts[old]
+
+    @property
+    def must_stop(self) -> bool:
+        return self.grammar is not None and self.grammar.must_stop
+
+    def _token_allowed(self, tid: int) -> bool:
+        g = self.grammar
+        cached = self._mask_cache.get(tid)
+        if cached is not None:
+            return cached
+        if self.tok.is_eog(tid):
+            ok = g.completed
+        elif self.tok.is_control(tid):
+            ok = False
+        else:
+            piece = self.tok.token_bytes(tid, render_special=True)
+            ok = bool(piece) and g.accepts_token(piece)
+        self._mask_cache[tid] = ok
+        return ok
+
+    # -- the chain -----------------------------------------------------------
+
+    def sample(self, logits: np.ndarray
+               ) -> tuple[int, np.ndarray, np.ndarray]:
+        """Returns (token, top_ids [N_PROBS], top_probs [N_PROBS])."""
+        sp = self.sp
+        logits = logits.astype(np.float64).copy()
+        for tid, v in sp.logit_bias.items():
+            if 0 <= tid < logits.shape[0]:
+                logits[tid] += v
+        if sp.ignore_eos:
+            for tid in self.tok.eog_ids:
+                logits[tid] = NEG_INF
+        # penalties
+        if self._counts and (sp.penalty_repeat != 1.0 or sp.penalty_freq
+                             or sp.penalty_present):
+            for tid, c in self._counts.items():
+                l = logits[tid]
+                if sp.penalty_repeat != 1.0:
+                    l = l / sp.penalty_repeat if l > 0 else l * sp.penalty_repeat
+                logits[tid] = (l - c * sp.penalty_freq
+                               - (c > 0) * sp.penalty_present)
+
+        kcap = min(N_CAND, logits.shape[0])
+        cand = np.argpartition(-logits, kcap - 1)[:kcap]
+        cand = cand[np.argsort(-logits[cand], kind="stable")]
+        cvals = logits[cand]
+
+        token = self._pick(cand, cvals, grammar_mask=None)
+        if self.grammar is not None and not self._token_allowed(int(token)):
+            mask = np.fromiter((self._token_allowed(int(t)) for t in cand),
+                               bool, len(cand))
+            if not mask.any():
+                # no candidate fits: fall back to scanning the full vocab
+                order = np.argsort(-logits, kind="stable")
+                for t in order:
+                    if self._token_allowed(int(t)):
+                        token = int(t)
+                        break
+                else:
+                    token = self.tok.eos_id or 0
+            else:
+                token = self._pick(cand, cvals, grammar_mask=mask)
+
+        # logprobs view
+        keep = np.ones(len(cand), bool)
+        z = cvals - cvals.max()
+        p = np.exp(z)
+        p /= p.sum()
+        return int(token), cand[:N_PROBS].astype(np.int64), p[:N_PROBS]
+
+    def _pick(self, cand, cvals, grammar_mask) -> int:
+        sp = self.sp
+        K = len(cand)
+        keep = np.ones(K, bool)
+        if grammar_mask is not None:
+            keep &= grammar_mask
+        if sp.top_k > 0:
+            kk = np.zeros(K, bool)
+            kk[np.nonzero(keep)[0][:sp.top_k]] = True
+            keep &= kk
+
+        def probs_of(keep):
+            z = np.where(keep, cvals, NEG_INF)
+            z = z - z.max()
+            e = np.exp(z) * keep
+            return e / max(e.sum(), 1e-30)
+
+        p = probs_of(keep)
+        if sp.top_p < 1.0:
+            cum = np.cumsum(p)
+            keep &= (cum - p) < sp.top_p
+            keep[np.nonzero(p)[0][:1]] = True
+        if sp.min_p > 0.0:
+            p = probs_of(keep)
+            keep &= (p >= sp.min_p * p.max()) | (np.arange(K) == p.argmax())
+        if sp.typ_p < 1.0:
+            p = probs_of(keep)
+            nlp = -np.log(p + 1e-30)
+            H = float((p * nlp).sum())
+            shift = np.where(keep, np.abs(nlp - H), np.inf)
+            order = np.argsort(shift, kind="stable")
+            ps = p[order]
+            cs = np.cumsum(ps)
+            k2 = (cs - ps) < sp.typ_p
+            k2[0] = True
+            kt = np.zeros(K, bool)
+            kt[order[k2]] = True
+            keep &= kt
+        if sp.xtc_probability > 0.0 and self.rng.random() < sp.xtc_probability:
+            p = probs_of(keep)
+            above = p > sp.xtc_threshold
+            if above.sum() >= 2:
+                last = np.nonzero(above)[0][-1]
+                drop = above.copy()
+                drop[last] = False
+                keep &= ~drop
+        if sp.temp <= 0.0:
+            return int(cand[np.nonzero(keep)[0][0]])
+        z = np.where(keep, cvals / max(sp.temp, 1e-4), NEG_INF)
+        z = z - z.max()
+        e = np.exp(z) * keep
+        p = e / e.sum()
+        return int(self.rng.choice(cand, p=p))
+
+
 @partial(jax.jit, donate_argnames=("state",))
 def sample_one(logits: jnp.ndarray, slot, state: SamplerState,
                arrs: SamplerArrays):

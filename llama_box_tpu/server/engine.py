@@ -49,16 +49,21 @@ DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv", "sstate"))
 def _decode_verify_sample(params, cfg: ModelConfig, tokens, positions,
-                          n_draft, kv, active, sstate, arrs, cos, sin):
+                          n_draft, kv, fwd_active, samp_active, sstate, arrs,
+                          cos, sin):
     """Fused decode-forward + speculative verify + sampling over the full
     slot batch. T=1 is plain decode (one token per slot); T=K+1 verifies K
-    drafted tokens and emits up to K+1. Only ids/probs leave the device."""
-    seq_lens = jnp.where(active, n_draft + 1, 0)
+    drafted tokens and emits up to K+1. Only ids/probs leave the device.
+
+    fwd_active covers every decoding slot; samp_active excludes
+    grammar-constrained slots, which are sampled host-side from the returned
+    first-position logits (their device sampler state must not advance)."""
+    seq_lens = jnp.where(fwd_active, n_draft + 1, 0)
     logits, kv = forward_impl(params, cfg, tokens, positions, kv, seq_lens,
                               cos, sin)
     toks, n_emitted, ids, probs, sstate = verify_impl(
-        logits, tokens, n_draft, sstate, arrs, active)
-    return toks, n_emitted, ids, probs, kv, sstate
+        logits, tokens, n_draft, sstate, arrs, samp_active)
+    return toks, n_emitted, ids, probs, logits[:, 0], kv, sstate
 
 
 @dataclasses.dataclass
@@ -248,6 +253,13 @@ class Engine:
                 jnp.int32(len(window)), jnp.int32(last_n))
         self._arrs_dirty = True
 
+        # grammar-constrained requests sample host-side (lazy-grammar
+        # semantics of sampling.patch; SURVEY.md §7 hard part (e))
+        if sp.grammar is not None and not hasattr(task, "host_sampler"):
+            from ..sampling import HostSampler
+            task.host_sampler = HostSampler(sp, sp.grammar, self.tokenizer)
+            task.host_sampler.push_prompt(task.prompt_tokens)
+
         # n-gram prompt-lookup drafting cache (httpserver.hpp:4752-4767)
         if self.ecfg.lookup_ngram_min > 0 and not hasattr(task, "ngram"):
             from .ngram import NgramCache
@@ -298,15 +310,19 @@ class Engine:
             return
 
         # prompt complete: sample the first token from the prefill logits
-        self._refresh_arrs()
-        tok, ids, probs, self.sstate = sample_one(
-            logits, jnp.int32(s.idx), self.sstate, self.arrs)
-        first = int(tok[s.idx])
+        hs = getattr(task, "host_sampler", None)
+        if hs is not None:
+            first, ids_row, probs_row = hs.sample(np.asarray(logits))
+        else:
+            self._refresh_arrs()
+            tok, ids, probs, self.sstate = sample_one(
+                logits, jnp.int32(s.idx), self.sstate, self.arrs)
+            first = int(tok[s.idx])
+            ids_row = np.asarray(ids)[s.idx] if task.n_probs > 0 else None
+            probs_row = np.asarray(probs)[s.idx] if task.n_probs > 0 else None
         task.t_prefilled = time.monotonic()
         self.metrics.on_prefill(chunk, (task.t_prefilled - t0) * 1e3)
         s.state = "decode"
-        ids_row = np.asarray(ids)[s.idx] if task.n_probs > 0 else None
-        probs_row = np.asarray(probs)[s.idx] if task.n_probs > 0 else None
         self._accept_token(s, first, ids_row, probs_row)
 
     # -- decode --------------------------------------------------------------
@@ -315,6 +331,8 @@ class Engine:
         """Draft continuation tokens for one slot (n-gram lookup; a draft
         model plugs in here too)."""
         task = s.task
+        if getattr(task, "host_sampler", None) is not None:
+            return []  # grammar slots are sampled host-side, no drafting
         k = min(self.ecfg.draft_max, max(task.budget_left() - 1, 0))
         if k <= 0:
             return []
@@ -341,19 +359,22 @@ class Engine:
         positions = np.full((S, T), self.slot_ctx, np.int32)  # sentinel
         n_draft = np.zeros((S,), np.int32)
         active = np.zeros((S,), bool)
+        samp_active = np.zeros((S,), bool)
         for s in dec:
             row = [s.next_token] + s.drafts[:T - 1]
             tokens[s.idx, :len(row)] = row
             positions[s.idx, :len(row)] = np.arange(s.pos, s.pos + len(row))
             n_draft[s.idx] = len(row) - 1
             active[s.idx] = True
+            samp_active[s.idx] = \
+                getattr(s.task, "host_sampler", None) is None
 
-        toks, n_emitted, ids, probs, self.kv, self.sstate = \
+        toks, n_emitted, ids, probs, logits0, self.kv, self.sstate = \
             _decode_verify_sample(
                 self.params, self.cfg, jnp.asarray(tokens),
                 jnp.asarray(positions), jnp.asarray(n_draft), self.kv,
-                jnp.asarray(active), self.sstate, self.arrs,
-                self.rope_cos, self.rope_sin)
+                jnp.asarray(active), jnp.asarray(samp_active), self.sstate,
+                self.arrs, self.rope_cos, self.rope_sin)
         toks_h = np.asarray(toks)
         n_emitted_h = np.asarray(n_emitted)
         ids_h = probs_h = None
@@ -365,6 +386,14 @@ class Engine:
 
         for s in dec:
             task = s.task
+            hs = getattr(task, "host_sampler", None)
+            if hs is not None:
+                s.cache_tokens.append(s.next_token)
+                s.pos += 1
+                row = np.asarray(logits0[s.idx])
+                token, top_ids, top_probs = hs.sample(row)
+                self._accept_token(s, token, top_ids, top_probs)
+                continue
             n_em = int(n_emitted_h[s.idx])
             acc = n_em - 1
             if s.drafts:
@@ -395,6 +424,9 @@ class Engine:
             return
         task.generated.append(token)
         s.next_token = token
+        hs = getattr(task, "host_sampler", None)
+        if hs is not None:
+            hs.accept(token)
 
         text = task.scanner.push(token)
         if task.n_probs > 0 and ids_row is not None:
@@ -408,6 +440,8 @@ class Engine:
 
         finish = None
         if self.tokenizer is not None and self.tokenizer.is_eog(token):
+            finish = "stop"
+        elif hs is not None and hs.must_stop:
             finish = "stop"
         elif task.scanner.stopped:
             finish = "stop"

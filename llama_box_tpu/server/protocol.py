@@ -12,6 +12,8 @@ import time
 import uuid
 from typing import Any
 
+from ..grammar import (Grammar, GrammarError, JSON_OBJECT_GRAMMAR,
+                       json_schema_to_grammar)
 from ..sampling import SamplerParams
 from .task import CompletionsTask
 
@@ -108,8 +110,11 @@ def parse_sampling(body: dict, defaults: SamplerParams | None = None,
         else:
             n_probs = get_ranged(body, "logprobs", 0, 0, 20, int)
 
+    grammar = parse_grammar(body)
+
     return SamplerParams(
         seed=seed,
+        grammar=grammar,
         temp=get_ranged(body, "temperature", d.temp, 0.0, None),
         top_k=get_ranged(body, "top_k", d.top_k, 0, None, int),
         top_p=get_ranged(body, "top_p", d.top_p, 0.0, 1.0),
@@ -131,6 +136,52 @@ def parse_sampling(body: dict, defaults: SamplerParams | None = None,
         ignore_eos=bool(body.get("ignore_eos", False)),
         n_probs=n_probs,
     )
+
+
+def parse_grammar(body: dict) -> Grammar | None:
+    """\"grammar\" (GBNF) / \"json_schema\" / \"response_format\"
+    (json_object | json_schema) -> compiled grammar (reference parsers,
+    httpserver.hpp:486-2041; json_schema -> GBNF like the reference)."""
+    gbnf = None
+    if body.get("grammar") is not None:
+        if not isinstance(body["grammar"], str):
+            raise bad_request("\"grammar\" must be a GBNF string", "grammar")
+        gbnf = body["grammar"]
+    elif body.get("json_schema") is not None:
+        try:
+            gbnf = json_schema_to_grammar(body["json_schema"])
+        except (GrammarError, ValueError, TypeError) as exc:
+            raise bad_request(f"\"json_schema\" is invalid: {exc}",
+                              "json_schema")
+    elif body.get("response_format") is not None:
+        rf = body["response_format"]
+        if not isinstance(rf, dict) or "type" not in rf:
+            raise bad_request("\"response_format\" must be an object with a "
+                              "\"type\"", "response_format")
+        rtype = rf["type"]
+        if rtype == "json_object":
+            schema = rf.get("schema")
+            gbnf = (json_schema_to_grammar(schema) if schema
+                    else JSON_OBJECT_GRAMMAR)
+        elif rtype == "json_schema":
+            js = rf.get("json_schema", {})
+            schema = js.get("schema") if isinstance(js, dict) else None
+            try:
+                gbnf = json_schema_to_grammar(schema)
+            except (GrammarError, ValueError, TypeError) as exc:
+                raise bad_request(f"\"response_format.json_schema\" is "
+                                  f"invalid: {exc}", "response_format")
+        elif rtype == "text":
+            return None
+        else:
+            raise bad_request(f"\"response_format.type\" \"{rtype}\" is not "
+                              "supported", "response_format")
+    if gbnf is None:
+        return None
+    try:
+        return Grammar(gbnf)
+    except GrammarError as exc:
+        raise bad_request(f"\"grammar\" is invalid: {exc}", "grammar")
 
 
 def parse_stop(body: dict) -> list[str]:
