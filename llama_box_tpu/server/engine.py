@@ -454,10 +454,15 @@ class Engine:
         if finish == "length":
             text += task.scanner.flush()
 
+        text, r_delta, calls = task.postprocess(text, final=bool(finish))
+        if finish == "stop" and task.tool_calls:
+            finish = "tool_calls"
         if text:
             task.text += text
-        if task.stream and (text or finish):
+        if task.stream and (text or r_delta or calls or finish):
             task.emit("delta", {"text": text, "token": token,
+                                "reasoning_content": r_delta,
+                                "tool_calls": calls,
                                 "finish_reason": finish})
         if finish:
             task.finish_reason = finish

@@ -17,6 +17,8 @@ from ..sampling import SamplerParams
 from ..utils.logging import SRV_ERR, SRV_INF
 from .chat import ChatTemplates
 from .engine import Engine
+from .reasoning import ReasoningSplitter, detect_reasoning_markers
+from .toolcall import ToolCallScanner, migrate_functions
 from .protocol import (
     RequestError, bad_request, chat_chunk_json, chat_completion_json,
     completion_chunk_json, completion_json, new_request_id, parse_max_tokens,
@@ -41,11 +43,12 @@ class HTTPServer:
         self.model_name = model_name
         self.defaults = defaults or SamplerParams()
         self.chat = chat_templates or ChatTemplates(engine.tokenizer)
+        self.reasoning_markers = detect_reasoning_markers(self.chat.source)
         self.caps = {
             "completion": True, "embedding": True, "reranking": False,
             "image": False, "vision": False, "audio": False,
             "speculative": False, "tool_calls": self.chat.source is not None,
-            "reasoning": False,
+            "reasoning": self.reasoning_markers is not None,
         }
         if capabilities:
             self.caps.update(capabilities)
@@ -271,11 +274,21 @@ class HTTPServer:
             raise bad_request("\"messages\" must be a non-empty array",
                               "messages")
         msgs = self._normalize_messages(messages)
-        prompt = self.chat.apply(msgs, add_generation_prompt=True)
+        tools, tool_choice = migrate_functions(body)
+        if tools is not None and not isinstance(tools, list):
+            raise bad_request("\"tools\" must be an array", "tools")
+        use_tools = bool(tools) and tool_choice != "none"
+        prompt = self.chat.apply(msgs, tools=tools if use_tools else None,
+                                 add_generation_prompt=True)
         prompt_tokens = tok.encode(prompt, add_special=True,
                                    parse_special=True)
         sparams = parse_sampling(body, self.defaults, tok.n_vocab)
         so = parse_stream_options(body)
+        reasoning = None
+        if self.reasoning_markers is not None:
+            reasoning = ReasoningSplitter(*self.reasoning_markers,
+                                          force_open=prompt.rstrip().endswith(
+                                              self.reasoning_markers[0]))
         task = CompletionsTask(
             prompt_tokens, sparams, tokenizer=tok,
             max_tokens=parse_max_tokens(body),
@@ -283,22 +296,45 @@ class HTTPServer:
             stream=so["stream"],
             n_probs=sparams.n_probs,
             rid=request["rid"],
+            reasoning=reasoning,
+            toolscan=ToolCallScanner(self.chat.alias) if use_tools else None,
         )
         self.engine.submit(task)
         if not so["stream"]:
-            return await self._blocking_response(
-                task, lambda t: chat_completion_json(t, self.model_name, tok))
+            def render(t):
+                extra = {}
+                if t.tool_calls:
+                    extra["tool_calls"] = [
+                        {"id": c.id, "type": "function",
+                         "function": {"name": c.name,
+                                      "arguments": c.arguments}}
+                        for c in t.tool_calls]
+                if t.reasoning_text:
+                    extra["reasoning_content"] = t.reasoning_text
+                return chat_completion_json(t, self.model_name, tok, extra)
+            return await self._blocking_response(task, render)
 
         first = {"role": "assistant", "content": ""}
+        n_calls = 0
 
         def chunk_fn(t, d, fr):
-            nonlocal first
+            nonlocal first, n_calls
             delta: dict[str, Any] = {}
             if first is not None:
                 delta.update(first)
                 first = None
             if d.get("text"):
                 delta["content"] = delta.get("content", "") + d["text"]
+            if d.get("reasoning_content"):
+                delta["reasoning_content"] = d["reasoning_content"]
+            if d.get("tool_calls"):
+                delta["tool_calls"] = []
+                for c in d["tool_calls"]:
+                    delta["tool_calls"].append(
+                        {"index": n_calls, "id": c.id, "type": "function",
+                         "function": {"name": c.name,
+                                      "arguments": c.arguments}})
+                    n_calls += 1
             return chat_chunk_json(t, self.model_name, delta, fr)
 
         return await self._stream_response(request, task, so, chunk_fn)

@@ -110,6 +110,8 @@ class CompletionsTask(BaseTask):
         n_probs: int = 0,
         rid: str = "",
         lora: tuple = (),
+        reasoning=None,     # ReasoningSplitter | None
+        toolscan=None,      # ToolCallScanner | None
     ):
         super().__init__(rid)
         self.prompt_tokens = list(prompt_tokens)
@@ -120,6 +122,10 @@ class CompletionsTask(BaseTask):
         self.n_probs = n_probs
         self.lora = lora
         self.scanner = TokenStreamScanner(tokenizer, stop_words or [])
+        self.reasoning = reasoning
+        self.toolscan = toolscan
+        self.tool_calls = []        # extracted ToolCall objects
+        self.reasoning_text = ""
 
         # mutable generation state
         self.generated: list[int] = []
@@ -136,6 +142,28 @@ class CompletionsTask(BaseTask):
         # speculative decoding stats
         self.n_drafted = 0
         self.n_draft_accepted = 0
+
+    def postprocess(self, text: str, final: bool = False
+                    ) -> tuple[str, str, list]:
+        """Run raw generated text through the reasoning splitter and the
+        tool-call scanner (reference stream-time state machines,
+        httpserver.hpp:4360-4663). Returns (content_delta,
+        reasoning_delta, new_tool_calls)."""
+        r_delta = ""
+        if self.reasoning is not None:
+            text, r_delta = self.reasoning.feed(text)
+            if final:
+                fc, fr = self.reasoning.flush()
+                text += fc
+                r_delta += fr
+            self.reasoning_text += r_delta
+        calls: list = []
+        if self.toolscan is not None:
+            text, calls = self.toolscan.feed(text)
+            if final:
+                text += self.toolscan.flush()
+            self.tool_calls.extend(calls)
+        return text, r_delta, calls
 
     @property
     def n_prompt(self) -> int:
