@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import NEG_INF
 from ..ops.norm import rms_norm
+from ..ops.qmatmul import mm
 from ..ops.rope import RopeParams, apply_rope, compute_rope_cache
 from .config import ModelConfig
 
@@ -88,9 +89,19 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-    q = (h @ lp["wq"]).reshape(B, T, H, D)
-    k = (h @ lp["wk"]).reshape(B, T, Hkv, D)
-    v = (h @ lp["wv"]).reshape(B, T, Hkv, D)
+    q = mm(h, lp["wq"])
+    k = mm(h, lp["wk"])
+    v = mm(h, lp["wv"])
+    if "bq" in lp:  # qwen2-style attention biases
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.reshape(B, T, H, D)
+    k = k.reshape(B, T, Hkv, D)
+    v = v.reshape(B, T, Hkv, D)
+    if "q_norm" in lp:  # qwen3/gemma3-style per-head QK norm
+        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
 
     q = apply_rope(q, positions, cos, sin, cfg.rope_mode)
     k = apply_rope(k, positions, cos, sin, cfg.rope_mode)
@@ -116,13 +127,13 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-30)
     attn = jnp.einsum("bhgtc,bchd->bthgd", probs, vf).reshape(B, T, H * D)
 
-    x = x + (attn.astype(x.dtype) @ lp["wo"])
+    x = x + mm(attn.astype(x.dtype), lp["wo"]).astype(x.dtype)
 
     h = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
-    gate = h @ lp["w_gate"]
-    up = h @ lp["w_up"]
+    gate = mm(h, lp["w_gate"])
+    up = mm(h, lp["w_up"])
     act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
-    x = x + act @ lp["w_down"]
+    x = x + mm(act, lp["w_down"]).astype(x.dtype)
     return x, k_cache, v_cache
 
 
@@ -146,7 +157,7 @@ def _output_logits(params, cfg: ModelConfig, x):
     if out_w is None:  # tied word embeddings
         logits = x @ params["tok_embd"].T.astype(x.dtype)
     else:
-        logits = x @ out_w
+        logits = mm(x, out_w)
     if cfg.logit_softcap > 0.0:
         logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
     return logits.astype(jnp.float32)

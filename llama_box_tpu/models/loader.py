@@ -5,8 +5,12 @@ reader reverses ggml dim order); JAX matmuls want (in, out), so weights are
 transposed here once at load. Layer weights are stacked along a leading L
 axis for lax.scan.
 
-Round-1 path dequantizes to bf16 in HBM; the quantized-resident path (packed
-blocks + Pallas fused dequant-matmul) plugs in behind the same param tree.
+Two weight formats:
+- dense (default): dequantize to bf16/f32 in HBM.
+- quantized=True: keep supported block-quant formats packed in HBM as
+  QTensor (int4/int8 + group scales) and fuse dequant into the matmul
+  (ops/qmatmul.py) — the TPU equivalent of ggml executing quantized weights
+  directly. Unsupported formats and 1D tensors fall back to dense.
 """
 
 from __future__ import annotations
@@ -18,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..gguf.reader import GGUFFile
+from ..gguf.repack import REPACKERS, repack
+from ..ops.qmatmul import QTensor, pack_repacked
 from ..utils.logging import SRV_INF, SRV_WRN
 from .config import ModelConfig
 
@@ -33,6 +39,15 @@ _LAYER_WEIGHTS = {
     "w_down": ("blk.{i}.ffn_down.weight", True),
 }
 
+# optional per-layer tensors (qwen2 attention biases etc.)
+_LAYER_OPTIONAL = {
+    "bq": ("blk.{i}.attn_q.bias", False),
+    "bk": ("blk.{i}.attn_k.bias", False),
+    "bv": ("blk.{i}.attn_v.bias", False),
+    "q_norm": ("blk.{i}.attn_q_norm.weight", False),
+    "k_norm": ("blk.{i}.attn_k_norm.weight", False),
+}
+
 
 def _to_device(x: np.ndarray, dtype, sharding=None):
     arr = jnp.asarray(x, dtype=dtype)
@@ -41,27 +56,62 @@ def _to_device(x: np.ndarray, dtype, sharding=None):
     return arr
 
 
+def _quantizable(info, shape) -> bool:
+    if info.ggml_type not in REPACKERS or len(shape) != 2:
+        return False
+    out_dim, in_dim = shape
+    return in_dim % 64 == 0 and out_dim % 64 == 0
+
+
+def _stack_qtensors(qts: list[QTensor]) -> QTensor:
+    return QTensor(
+        qs=jnp.stack([q.qs for q in qts]),
+        scales=jnp.stack([q.scales for q in qts]),
+        mins=(jnp.stack([q.mins for q in qts])
+              if qts[0].mins is not None else None),
+        in_dim=qts[0].in_dim, group=qts[0].group, packed4=qts[0].packed4)
+
+
 def load_model(
     path: str,
     dtype=jnp.bfloat16,
     shard_fn: Callable[[str, tuple], object] | None = None,
+    quantized: bool = False,
 ) -> tuple[ModelConfig, dict]:
     """Load a GGUF model into a stacked-layer param tree.
 
     shard_fn(name, shape) -> optional jax Sharding for multi-chip placement
-    (parallel/mesh.py provides the tensor-parallel policy).
+    (parallel/mesh.py provides the tensor-parallel policy). Quantized
+    residency currently requires shard_fn=None (single-chip); multi-chip
+    uses dense weights.
     """
+    if quantized and shard_fn is not None:
+        SRV_WRN("load_model", "quantized residency is single-chip for now; "
+                "falling back to dense for sharded load")
+        quantized = False
     g = GGUFFile(path)
     cfg = ModelConfig.from_gguf(g)
-    SRV_INF("load_model", "arch=%s layers=%d embd=%d heads=%d/%d ff=%d vocab=%d",
-            cfg.arch, cfg.n_layers, cfg.n_embd, cfg.n_heads, cfg.n_kv_heads,
-            cfg.n_ff, cfg.vocab_size)
+    SRV_INF("load_model", "arch=%s layers=%d embd=%d heads=%d/%d ff=%d "
+            "vocab=%d quantized=%s", cfg.arch, cfg.n_layers, cfg.n_embd,
+            cfg.n_heads, cfg.n_kv_heads, cfg.n_ff, cfg.vocab_size, quantized)
 
     def fetch(name: str, transpose: bool) -> np.ndarray:
         x = g.tensor_f32(name)
         return x.T if (transpose and x.ndim == 2) else x
 
-    def put(name: str, x: np.ndarray):
+    def fetch_maybe_q(name: str, transpose: bool):
+        """Return QTensor (packed) or dense numpy array."""
+        info = g.tensors[name]
+        if quantized and transpose and _quantizable(info, info.shape):
+            raw = g.tensor_raw(name)
+            rt = repack(info.ggml_type, raw, info.n_elements)
+            out_dim, in_dim = info.shape
+            return pack_repacked(rt, (in_dim, out_dim))
+        return fetch(name, transpose)
+
+    def put(name: str, x):
+        if isinstance(x, QTensor):
+            return x  # already device arrays
         sh = shard_fn(name, x.shape) if shard_fn else None
         return _to_device(x, dtype, sh)
 
@@ -69,11 +119,11 @@ def load_model(
     params["tok_embd"] = put("tok_embd", fetch("token_embd.weight", False))
     params["output_norm"] = put("output_norm", fetch("output_norm.weight", False))
     if "output.weight" in g.tensors:
-        params["output"] = put("output", fetch("output.weight", True))
+        params["output"] = put("output", fetch_maybe_q("output.weight", True))
     else:
         SRV_INF("load_model", "output.weight absent -> tied embeddings")
 
-    layers: dict[str, list[np.ndarray]] = {k: [] for k in _LAYER_WEIGHTS}
+    layers: dict[str, list] = {k: [] for k in _LAYER_WEIGHTS}
     optional_missing = set()
     for i in range(cfg.n_layers):
         for key, (pattern, transpose) in _LAYER_WEIGHTS.items():
@@ -81,13 +131,22 @@ def load_model(
             if name not in g.tensors:
                 optional_missing.add(key)
                 continue
-            layers[key].append(fetch(name, transpose))
+            layers[key].append(fetch_maybe_q(name, transpose))
+        for key, (pattern, transpose) in _LAYER_OPTIONAL.items():
+            name = pattern.format(i=i)
+            if name in g.tensors:
+                layers.setdefault(key, []).append(fetch(name, transpose))
     for key in optional_missing:
         SRV_WRN("load_model", "missing layer tensor class %s", key)
         layers.pop(key, None)
 
-    params["layers"] = {
-        key: put(f"layers.{key}", np.stack(vals)) for key, vals in layers.items()
-    }
+    params["layers"] = {}
+    for key, vals in layers.items():
+        if not vals:
+            continue
+        if isinstance(vals[0], QTensor):
+            params["layers"][key] = _stack_qtensors(vals)
+        else:
+            params["layers"][key] = put(f"layers.{key}", np.stack(vals))
     g.close()
     return cfg, params

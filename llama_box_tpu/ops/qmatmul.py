@@ -1,0 +1,280 @@
+"""Quantized-resident weights: QTensor pytree + fused dequant-matmul.
+
+The TPU-native replacement for ggml's quantized mat-vec kernels: weights
+stay packed in HBM (int4 nibbles / int8 codes + per-group f32 scales) and
+dequantization happens in VMEM inside the matmul kernel, so each decode
+step streams ~0.6-1.1 bytes/weight instead of 2 (bf16).
+
+Layout ([in, out] matmul convention, loader transposes GGUF [out, in]):
+- 4-bit: qs int8 [in/2, out] — HALVES packing: byte row r holds global row
+  r in the low nibble and row r + in/2 in the high nibble, so unpacking is
+  two masks + two matmul accumulations with NO lane interleaving.
+- 8-bit: qs int8 [in, out].
+- scales f32 [in/group, out]; mins f32 [in/group, out] or None.
+  w[i, o] = scales[i // group, o] * q[i, o] - mins[i // group, o]
+
+The min term never materializes per-weight: sum_i x[b,i]*m[g(i),o] equals
+(group-summed x) @ mins, one extra skinny matmul (llama.cpp's Q8_1 sum
+trick, done the XLA way).
+
+Kernel grid: (out_tiles, in_tiles), f32 accumulator in VMEM scratch,
+revisiting the same out tile across the in dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@jax.tree_util.register_pytree_node_class
+class QTensor:
+    """Packed quantized 2D weight (or a [L, ...] stack of them)."""
+
+    def __init__(self, qs, scales, mins, in_dim: int, group: int,
+                 packed4: bool):
+        self.qs = qs
+        self.scales = scales
+        self.mins = mins
+        self.in_dim = in_dim
+        self.group = group
+        self.packed4 = packed4
+
+    @property
+    def out_dim(self) -> int:
+        return self.qs.shape[-1]
+
+    def tree_flatten(self):
+        return (self.qs, self.scales, self.mins), (self.in_dim, self.group,
+                                                   self.packed4)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        qs, scales, mins = children
+        return cls(qs, scales, mins, *aux)
+
+    def __repr__(self):
+        return (f"QTensor(in={self.in_dim}, out={self.qs.shape[-1]}, "
+                f"group={self.group}, packed4={self.packed4})")
+
+
+def pack_repacked(rt, shape_in_out: tuple[int, int]) -> QTensor:
+    """RepackedTensor (flat, GGUF [out, in] row-major order) -> QTensor
+    device arrays in [in, out] layout."""
+    from ..gguf.repack import RepackedTensor  # noqa: F401 (doc)
+    out_dim, in_dim = shape_in_out[1], shape_in_out[0]
+    # rt.q is flat in GGUF (out, in) order
+    q = rt.q.reshape(out_dim, in_dim).T                      # [in, out]
+    scales = rt.scales.reshape(out_dim, in_dim // rt.group).T
+    mins = (rt.mins.reshape(out_dim, in_dim // rt.group).T
+            if rt.mins is not None else None)
+    if rt.qbits == 4:
+        half = in_dim // 2
+        packed = (q[:half].astype(np.uint8)
+                  | (q[half:].astype(np.uint8) << 4)).astype(np.int8)
+        qs = jnp.asarray(packed)
+        packed4 = True
+    else:
+        qs = jnp.asarray(q.astype(np.int8))
+        packed4 = False
+    return QTensor(qs, jnp.asarray(scales.copy()),
+                   jnp.asarray(mins.copy()) if mins is not None else None,
+                   in_dim, rt.group, packed4)
+
+
+# -- reference implementation (XLA; used on CPU and for validation) ----------
+
+
+def q_matmul_ref(x: jnp.ndarray, w: QTensor) -> jnp.ndarray:
+    """Dequantize-then-matmul (materializes the bf16 weight — correctness
+    baseline and CPU path)."""
+    if w.packed4:
+        lo = (w.qs & 0x0F).astype(jnp.float32)
+        hi = ((w.qs >> 4) & 0x0F).astype(jnp.float32)
+        q = jnp.concatenate([lo, hi], axis=0)
+    else:
+        q = w.qs.astype(jnp.float32)
+    s = jnp.repeat(w.scales, w.group, axis=0)
+    wf = q * s
+    if w.mins is not None:
+        wf = wf - jnp.repeat(w.mins, w.group, axis=0)
+    return (x.astype(jnp.float32) @ wf).astype(jnp.float32)
+
+
+# -- pallas kernel -----------------------------------------------------------
+
+
+def _expand_groups(s: jnp.ndarray, group: int) -> jnp.ndarray:
+    """[G, O] per-group scales -> [G*group, O] per-row (element repeat;
+    pltpu.repeat has tile semantics, so build it from a broadcast)."""
+    gpb, ot = s.shape
+    return jnp.broadcast_to(s[:, None, :], (gpb, group, ot)).reshape(
+        gpb * group, ot)
+
+
+def _q4_kernel(x_ref, qs_ref, sc_ref, mn_ref, out_ref, acc_ref, *,
+               bt: int, group: int, in_dim: int, n_in_tiles: int,
+               has_min: bool):
+    """One (out_tile, in_tile) step. qs_ref: [bt, OT] byte rows; x_ref whole
+    [B, in]; sc_ref/mn_ref: [in/group, OT]."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    half = in_dim // 2
+    gpb = bt // group          # scale rows per tile (per half)
+    row0 = k * bt              # first global row of the lo half
+
+    qs = qs_ref[:]
+    lo = (qs & 0x0F).astype(jnp.float32)
+    hi = ((qs >> 4) & 0x0F).astype(jnp.float32)
+
+    def dequant(qv, srow0):
+        s = sc_ref[pl.ds(srow0, gpb), :]
+        return (qv * _expand_groups(s, group)).astype(jnp.bfloat16)
+
+    w_lo = dequant(lo, row0 // group)
+    w_hi = dequant(hi, (row0 + half) // group)
+
+    x_lo = x_ref[:, pl.ds(row0, bt)].astype(jnp.bfloat16)
+    x_hi = x_ref[:, pl.ds(row0 + half, bt)].astype(jnp.bfloat16)
+    acc = acc_ref[:]
+    acc += jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
+    acc += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+    if has_min:
+        B = x_ref.shape[0]
+        xg_lo = x_lo.astype(jnp.float32).reshape(B, gpb, group).sum(-1)
+        xg_hi = x_hi.astype(jnp.float32).reshape(B, gpb, group).sum(-1)
+        m_lo = mn_ref[pl.ds(row0 // group, gpb), :]
+        m_hi = mn_ref[pl.ds((row0 + half) // group, gpb), :]
+        acc -= jnp.dot(xg_lo, m_lo, preferred_element_type=jnp.float32)
+        acc -= jnp.dot(xg_hi, m_hi, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k == n_in_tiles - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _q8_kernel(x_ref, qs_ref, sc_ref, mn_ref, out_ref, acc_ref, *,
+               bt: int, group: int, n_in_tiles: int, has_min: bool):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    gpb = bt // group
+    row0 = k * bt
+    q = qs_ref[:].astype(jnp.float32)
+    s = sc_ref[pl.ds(row0 // group, gpb), :]
+    w = (q * _expand_groups(s, group)).astype(jnp.bfloat16)
+    x = x_ref[:, pl.ds(row0, bt)].astype(jnp.bfloat16)
+    acc = acc_ref[:]
+    acc += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    if has_min:
+        B = x_ref.shape[0]
+        xg = x.astype(jnp.float32).reshape(B, gpb, group).sum(-1)
+        m = mn_ref[pl.ds(row0 // group, gpb), :]
+        acc -= jnp.dot(xg, m, preferred_element_type=jnp.float32)
+    acc_ref[:] = acc
+
+    @pl.when(k == n_in_tiles - 1)
+    def _():
+        out_ref[:] = acc_ref[:]
+
+
+def _choose_tiles(byte_rows: int, out_dim: int, group: int
+                  ) -> tuple[int, int]:
+    """Largest in-tile <= 512 byte-rows that divides byte_rows and is a
+    multiple of `group`; out-tile 256/128 when the out dim allows."""
+    bt = min(byte_rows, 512)
+    while byte_rows % bt or bt % group:
+        bt //= 2
+        if bt < group:
+            bt = byte_rows  # tiny test shapes: single tile
+            break
+    if out_dim % 256 == 0:
+        ot = 256
+    elif out_dim % 128 == 0:
+        ot = 128
+    else:
+        ot = out_dim
+    return bt, ot
+
+
+def q_matmul_pallas(x: jnp.ndarray, w: QTensor,
+                    interpret: bool = False) -> jnp.ndarray:
+    """x: [B, in] -> [B, out] f32. B should be a multiple of 8 (pad)."""
+    B = x.shape[0]
+    in_dim, out_dim = w.in_dim, w.out_dim
+    byte_rows = w.qs.shape[0]
+    bt, ot = _choose_tiles(byte_rows, out_dim, w.group)
+    n_in = byte_rows // bt
+    n_out = out_dim // ot
+    has_min = w.mins is not None
+    mins = w.mins if has_min else w.scales  # placeholder ref (unused)
+
+    kern = functools.partial(
+        _q4_kernel if w.packed4 else _q8_kernel,
+        bt=bt, group=w.group, n_in_tiles=n_in, has_min=has_min,
+        **({"in_dim": in_dim} if w.packed4 else {}))
+
+    grid = (n_out, n_in)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((B, in_dim), lambda i, k: (0, 0),
+                         memory_space=pltpu.VMEM),          # x whole
+            pl.BlockSpec((bt, ot), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),          # qs tile
+            pl.BlockSpec((in_dim // w.group, ot), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),          # scales (all rows)
+            pl.BlockSpec((in_dim // w.group, ot), lambda i, k: (0, i),
+                         memory_space=pltpu.VMEM),          # mins
+        ],
+        out_specs=pl.BlockSpec((B, ot), lambda i, k: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, out_dim), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((B, ot), jnp.float32)],
+        interpret=interpret,
+    )(x, w.qs, w.scales, mins)
+    return out
+
+
+# -- dispatch ----------------------------------------------------------------
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def mm(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Matmul dispatch: dense jnp array or QTensor. x: [..., in]."""
+    if not isinstance(w, QTensor):
+        return x @ w
+    lead = x.shape[:-1]
+    xf = x.reshape(-1, x.shape[-1])
+    B = xf.shape[0]
+    pad = (-B) % 8
+    if _on_tpu():
+        if pad:
+            xf = jnp.pad(xf, ((0, pad), (0, 0)))
+        out = q_matmul_pallas(xf, w)
+        if pad:
+            out = out[:B]
+    else:
+        out = q_matmul_ref(xf, w)
+    return out.reshape(*lead, w.out_dim).astype(x.dtype)

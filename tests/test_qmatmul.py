@@ -1,0 +1,107 @@
+"""Fused dequant-matmul: Pallas kernel (interpret mode) vs XLA reference vs
+numpy golden dequantize (SURVEY.md §7 step 2)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_box_tpu.gguf.constants import GGMLType
+from llama_box_tpu.gguf.quants import dequantize, quantize
+from llama_box_tpu.gguf.repack import repack
+from llama_box_tpu.ops.qmatmul import (
+    QTensor, mm, pack_repacked, q_matmul_pallas, q_matmul_ref,
+)
+
+FORMATS = [GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+           GGMLType.Q8_0, GGMLType.Q2_K]
+
+
+def make_qtensor(fmt, in_dim, out_dim, rng):
+    """Quantize a random [out, in] GGUF-order tensor; return (QTensor,
+    dequantized f32 [in, out])."""
+    w = rng.normal(scale=0.1, size=(out_dim, in_dim)).astype(np.float32)
+    raw = quantize(fmt, w.reshape(-1))
+    golden = dequantize(fmt, raw, (out_dim, in_dim)).reshape(out_dim, in_dim)
+    rt = repack(fmt, raw, in_dim * out_dim)
+    qt = pack_repacked(rt, (in_dim, out_dim))
+    return qt, golden.T  # [in, out]
+
+
+@pytest.mark.parametrize("fmt", FORMATS, ids=lambda f: f.name)
+def test_ref_matches_golden(fmt, rng):
+    in_dim, out_dim, B = 128, 64, 4
+    qt, wf = make_qtensor(fmt, in_dim, out_dim, rng)
+    x = rng.normal(size=(B, in_dim)).astype(np.float32)
+    want = x @ wf
+    got = np.asarray(q_matmul_ref(jnp.asarray(x), qt))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("fmt", [GGMLType.Q4_K, GGMLType.Q6_K,
+                                 GGMLType.Q8_0, GGMLType.Q4_0],
+                         ids=lambda f: f.name)
+def test_pallas_matches_ref(fmt, rng):
+    in_dim, out_dim, B = 512, 256, 8
+    qt, wf = make_qtensor(fmt, in_dim, out_dim, rng)
+    x = rng.normal(size=(B, in_dim)).astype(np.float32)
+    want = x @ wf
+    got = np.asarray(q_matmul_pallas(jnp.asarray(x, jnp.bfloat16), qt,
+                                     interpret=True))
+    # kernel computes in bf16 weights/activations with f32 accumulation
+    rel = np.abs(got - want) / (np.abs(want) + 1e-2)
+    assert rel.mean() < 0.02, rel.mean()
+
+
+@pytest.mark.parametrize("fmt", [GGMLType.Q4_K],  ids=lambda f: f.name)
+def test_pallas_multi_tile(fmt, rng):
+    """Shapes spanning several in/out tiles exercise the accumulator."""
+    in_dim, out_dim, B = 2048, 512, 8
+    qt, wf = make_qtensor(fmt, in_dim, out_dim, rng)
+    x = rng.normal(size=(B, in_dim)).astype(np.float32)
+    want = x @ wf
+    got = np.asarray(q_matmul_pallas(jnp.asarray(x, jnp.bfloat16), qt,
+                                     interpret=True))
+    rel = np.abs(got - want) / (np.abs(want) + 1e-1)
+    assert rel.mean() < 0.02, rel.mean()
+
+
+def test_mm_dispatch_dense_and_quant(rng):
+    in_dim, out_dim = 128, 64
+    qt, wf = make_qtensor(GGMLType.Q8_0, in_dim, out_dim, rng)
+    x = rng.normal(size=(2, 3, in_dim)).astype(np.float32)
+    got = np.asarray(mm(jnp.asarray(x), qt))
+    want = x.reshape(-1, in_dim) @ wf
+    np.testing.assert_allclose(got.reshape(-1, out_dim), want, rtol=1e-4,
+                               atol=1e-4)
+    dense = jnp.asarray(wf)
+    np.testing.assert_allclose(np.asarray(mm(jnp.asarray(x), dense)),
+                               want.reshape(2, 3, out_dim), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_quantized_model_end_to_end(tmp_path):
+    """Load the tiny model with quantized-resident weights; forward must be
+    close to the dense dequantized load (identical math modulo f32 assoc)."""
+    import jax.numpy as jnp
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.models.llama import forward, init_kv_cache, make_rope
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    path = str(tmp_path / "tiny_q.gguf")
+    write_tiny_model(path, quant=GGMLType.Q4_K)
+    cfg, dense = load_model(path, dtype=jnp.float32)
+    cfg2, qparams = load_model(path, dtype=jnp.float32, quantized=True)
+    assert isinstance(qparams["layers"]["wq"], QTensor)
+
+    rng = np.random.default_rng(0)
+    toks = rng.integers(3, 200, size=(1, 7)).astype(np.int32)
+    pos = np.arange(7, dtype=np.int32)[None, :]
+    lens = np.array([7], np.int32)
+    cos, sin = make_rope(cfg, 16)
+
+    l1, _ = forward(dense, cfg, toks, pos,
+                    init_kv_cache(cfg, 1, 16, jnp.float32), lens, cos, sin)
+    l2, _ = forward(qparams, cfg2, toks, pos,
+                    init_kv_cache(cfg2, 1, 16, jnp.float32), lens, cos, sin)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=5e-3,
+                               atol=5e-3)
