@@ -118,45 +118,34 @@ def _expand_groups(s: jnp.ndarray, group: int) -> jnp.ndarray:
         gpb * group, ot)
 
 
-def _q4_kernel(x_ref, qs_ref, sc_ref, mn_ref, out_ref, acc_ref, *,
-               bt: int, group: int, in_dim: int, n_in_tiles: int,
-               has_min: bool):
-    """One (out_tile, in_tile) step. qs_ref: [bt, OT] byte rows; x_ref whole
-    [B, in]; sc_ref/mn_ref: [in/group, OT]."""
+def _q4_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref,
+               mn_lo_ref, mn_hi_ref, out_ref, acc_ref, *,
+               group: int, n_in_tiles: int, has_min: bool):
+    """One (out_tile, in_tile) step, all operands delivered as BlockSpec
+    tiles (no in-kernel dynamic slicing — Mosaic-friendly).
+    qs_ref [bt, OT]: byte row r = weight rows (lo: r, hi: r + in/2)."""
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    half = in_dim // 2
-    gpb = bt // group          # scale rows per tile (per half)
-    row0 = k * bt              # first global row of the lo half
-
     qs = qs_ref[:]
     lo = (qs & 0x0F).astype(jnp.float32)
     hi = ((qs >> 4) & 0x0F).astype(jnp.float32)
-
-    def dequant(qv, srow0):
-        s = sc_ref[pl.ds(srow0, gpb), :]
-        return (qv * _expand_groups(s, group)).astype(jnp.bfloat16)
-
-    w_lo = dequant(lo, row0 // group)
-    w_hi = dequant(hi, (row0 + half) // group)
-
-    x_lo = x_ref[:, pl.ds(row0, bt)].astype(jnp.bfloat16)
-    x_hi = x_ref[:, pl.ds(row0 + half, bt)].astype(jnp.bfloat16)
-    acc = acc_ref[:]
-    acc += jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32)
-    acc += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32)
+    w_lo = lo * _expand_groups(sc_lo_ref[:], group)
+    w_hi = hi * _expand_groups(sc_hi_ref[:], group)
     if has_min:
-        B = x_ref.shape[0]
-        xg_lo = x_lo.astype(jnp.float32).reshape(B, gpb, group).sum(-1)
-        xg_hi = x_hi.astype(jnp.float32).reshape(B, gpb, group).sum(-1)
-        m_lo = mn_ref[pl.ds(row0 // group, gpb), :]
-        m_hi = mn_ref[pl.ds((row0 + half) // group, gpb), :]
-        acc -= jnp.dot(xg_lo, m_lo, preferred_element_type=jnp.float32)
-        acc -= jnp.dot(xg_hi, m_hi, preferred_element_type=jnp.float32)
+        w_lo = w_lo - _expand_groups(mn_lo_ref[:], group)
+        w_hi = w_hi - _expand_groups(mn_hi_ref[:], group)
+
+    x_lo = x_lo_ref[:].astype(jnp.bfloat16)
+    x_hi = x_hi_ref[:].astype(jnp.bfloat16)
+    acc = acc_ref[:]
+    acc += jnp.dot(x_lo, w_lo.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+    acc += jnp.dot(x_hi, w_hi.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
     acc_ref[:] = acc
 
     @pl.when(k == n_in_tiles - 1)
@@ -165,26 +154,21 @@ def _q4_kernel(x_ref, qs_ref, sc_ref, mn_ref, out_ref, acc_ref, *,
 
 
 def _q8_kernel(x_ref, qs_ref, sc_ref, mn_ref, out_ref, acc_ref, *,
-               bt: int, group: int, n_in_tiles: int, has_min: bool):
+               group: int, n_in_tiles: int, has_min: bool):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    gpb = bt // group
-    row0 = k * bt
     q = qs_ref[:].astype(jnp.float32)
-    s = sc_ref[pl.ds(row0 // group, gpb), :]
-    w = (q * _expand_groups(s, group)).astype(jnp.bfloat16)
-    x = x_ref[:, pl.ds(row0, bt)].astype(jnp.bfloat16)
-    acc = acc_ref[:]
-    acc += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    w = q * _expand_groups(sc_ref[:], group)
     if has_min:
-        B = x_ref.shape[0]
-        xg = x.astype(jnp.float32).reshape(B, gpb, group).sum(-1)
-        m = mn_ref[pl.ds(row0 // group, gpb), :]
-        acc -= jnp.dot(xg, m, preferred_element_type=jnp.float32)
+        w = w - _expand_groups(mn_ref[:], group)
+    x = x_ref[:].astype(jnp.bfloat16)
+    acc = acc_ref[:]
+    acc += jnp.dot(x, w.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
     acc_ref[:] = acc
 
     @pl.when(k == n_in_tiles - 1)
@@ -220,35 +204,58 @@ def q_matmul_pallas(x: jnp.ndarray, w: QTensor,
     bt, ot = _choose_tiles(byte_rows, out_dim, w.group)
     n_in = byte_rows // bt
     n_out = out_dim // ot
+    gpb = bt // w.group
     has_min = w.mins is not None
     mins = w.mins if has_min else w.scales  # placeholder ref (unused)
-
-    kern = functools.partial(
-        _q4_kernel if w.packed4 else _q8_kernel,
-        bt=bt, group=w.group, n_in_tiles=n_in, has_min=has_min,
-        **({"in_dim": in_dim} if w.packed4 else {}))
-
     grid = (n_out, n_in)
-    out = pl.pallas_call(
-        kern,
-        grid=grid,
+    scratch = [pltpu.VMEM((B, ot), jnp.float32)]
+    out_spec = pl.BlockSpec((B, ot), lambda i, k: (0, i),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, out_dim), jnp.float32)
+
+    if w.packed4:
+        kern = functools.partial(_q4_kernel, group=w.group, n_in_tiles=n_in,
+                                 has_min=has_min)
+        # hi-half operands live n_in blocks after the lo half
+        return pl.pallas_call(
+            kern, grid=grid,
+            in_specs=[
+                pl.BlockSpec((B, bt), lambda i, k: (0, k),
+                             memory_space=pltpu.VMEM),           # x lo
+                pl.BlockSpec((B, bt), lambda i, k: (0, k + n_in),
+                             memory_space=pltpu.VMEM),           # x hi
+                pl.BlockSpec((bt, ot), lambda i, k: (k, i),
+                             memory_space=pltpu.VMEM),           # qs
+                pl.BlockSpec((gpb, ot), lambda i, k: (k, i),
+                             memory_space=pltpu.VMEM),           # sc lo
+                pl.BlockSpec((gpb, ot), lambda i, k: (k + n_in, i),
+                             memory_space=pltpu.VMEM),           # sc hi
+                pl.BlockSpec((gpb, ot), lambda i, k: (k, i),
+                             memory_space=pltpu.VMEM),           # mn lo
+                pl.BlockSpec((gpb, ot), lambda i, k: (k + n_in, i),
+                             memory_space=pltpu.VMEM),           # mn hi
+            ],
+            out_specs=out_spec, out_shape=out_shape,
+            scratch_shapes=scratch, interpret=interpret,
+        )(x, x, w.qs, w.scales, w.scales, mins, mins)
+
+    kern = functools.partial(_q8_kernel, group=w.group, n_in_tiles=n_in,
+                             has_min=has_min)
+    return pl.pallas_call(
+        kern, grid=grid,
         in_specs=[
-            pl.BlockSpec((B, in_dim), lambda i, k: (0, 0),
-                         memory_space=pltpu.VMEM),          # x whole
+            pl.BlockSpec((B, bt), lambda i, k: (0, k),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, ot), lambda i, k: (k, i),
-                         memory_space=pltpu.VMEM),          # qs tile
-            pl.BlockSpec((in_dim // w.group, ot), lambda i, k: (0, i),
-                         memory_space=pltpu.VMEM),          # scales (all rows)
-            pl.BlockSpec((in_dim // w.group, ot), lambda i, k: (0, i),
-                         memory_space=pltpu.VMEM),          # mins
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, ot), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gpb, ot), lambda i, k: (k, i),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((B, ot), lambda i, k: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, out_dim), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((B, ot), jnp.float32)],
-        interpret=interpret,
+        out_specs=out_spec, out_shape=out_shape,
+        scratch_shapes=scratch, interpret=interpret,
     )(x, w.qs, w.scales, mins)
-    return out
 
 
 # -- dispatch ----------------------------------------------------------------

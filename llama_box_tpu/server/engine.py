@@ -66,6 +66,24 @@ def _decode_verify_sample(params, cfg: ModelConfig, tokens, positions,
     return toks, n_emitted, ids, probs, logits[:, 0], kv, sstate
 
 
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
+def _draft_forward_greedy(params, cfg: ModelConfig, tokens, positions, kv,
+                          seq_lens, cos, sin):
+    """Draft-model step: forward + greedy argmax of the last valid position
+    per row + its probability (reference draft loop httpserver.hpp:4699-4751
+    drafts greedily while p >= p_min)."""
+    logits, kv = forward_impl(params, cfg, tokens, positions, kv, seq_lens,
+                              cos, sin)
+    B, T, V = logits.shape
+    last = jnp.maximum(seq_lens - 1, 0)
+    row = jnp.take_along_axis(
+        logits, last[:, None, None].repeat(V, 2), axis=1)[:, 0]  # [B, V]
+    tok = jnp.argmax(row, axis=-1).astype(jnp.int32)
+    p = jnp.take_along_axis(jax.nn.softmax(row, axis=-1), tok[:, None],
+                            axis=1)[:, 0]
+    return tok, p, kv
+
+
 @dataclasses.dataclass
 class EngineConfig:
     n_slots: int = 4
@@ -78,11 +96,13 @@ class EngineConfig:
     # speculative decoding (reference §2.1 #10)
     draft_max: int = 8            # max drafted tokens per step (T = this + 1)
     lookup_ngram_min: int = 0     # n-gram prompt-lookup drafting; 0 = off
+    draft_p_min: float = 0.75     # stop drafting below this draft prob
+    draft_min: int = 1            # discard draft runs shorter than this
 
 
 class Slot:
     __slots__ = ("idx", "capacity", "task", "cache_tokens", "pos", "state",
-                 "cursor", "next_token", "last_used", "drafts")
+                 "cursor", "next_token", "last_used", "drafts", "draft_pos")
 
     def __init__(self, idx: int, capacity: int):
         self.idx = idx
@@ -95,11 +115,15 @@ class Slot:
         self.next_token = -1                # sampled, not yet in KV
         self.last_used = 0.0
         self.drafts: list[int] = []         # drafted tokens for next verify
+        self.draft_pos = 0                  # draft-model KV progress
 
 
 class Engine:
     def __init__(self, cfg: ModelConfig, params, tokenizer,
-                 ecfg: EngineConfig | None = None):
+                 ecfg: EngineConfig | None = None,
+                 draft: tuple | None = None):
+        """draft: optional (ModelConfig, params) of a draft model for
+        speculative decoding (reference draft-model path, §2.1 #10)."""
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -116,6 +140,19 @@ class Engine:
         self._default_sp = SamplerParams()
         self.arrs = make_sampler_arrays([self._default_sp] * S, self.eog_ids)
         self._arrs_dirty = False
+
+        self.draft_cfg = self.draft_params = None
+        self.draft_kv = None
+        if draft is not None:
+            self.draft_cfg, self.draft_params = draft
+            if self.draft_cfg.vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    "draft model vocab differs from main model "
+                    f"({self.draft_cfg.vocab_size} vs {cfg.vocab_size})")
+            self.draft_kv = init_kv_cache(self.draft_cfg, S, self.slot_ctx,
+                                          kv_dtype)
+            self.draft_cos, self.draft_sin = make_rope(self.draft_cfg,
+                                                       self.slot_ctx)
 
         self.buckets = tuple(b for b in DEFAULT_BUCKETS
                              if b <= max(self.ecfg.n_ubatch, 16))
@@ -266,6 +303,7 @@ class Engine:
             task.ngram = NgramCache(n_min=self.ecfg.lookup_ngram_min)
             task.ngram.update(task.prompt_tokens)
         s.drafts = []
+        s.draft_pos = 0
         SRV_DBG("admit", "task %s -> slot %d reuse=%d prompt=%d",
                 task.rid, s.idx, reuse, len(task.prompt_tokens))
 
@@ -342,10 +380,96 @@ class Engine:
             return ngram.draft(history, k)
         return []
 
+    def _draft_model_pass(self, dec: list) -> None:
+        """Batched draft-model drafting for every decoding slot: catch the
+        draft KV up to the main sequence, then greedy-draft up to draft_max
+        tokens, stopping per-slot when the draft prob dips below p_min."""
+        K = self.ecfg.draft_max
+        S = len(self.slots)
+        eligible = [s for s in dec
+                    if getattr(s.task, "host_sampler", None) is None
+                    and s.task.budget_left() > 1
+                    and s.pos + 1 + K <= s.capacity]
+        for s in dec:
+            s.drafts = []
+        if not eligible:
+            return
+        # catch-up: feed tokens the draft KV hasn't seen, in ubatch-sized
+        # chunks (after a context shift this can be the whole history); the
+        # final pass feeds exactly [next_token] so its logits start drafting
+        missing = {s.idx: s.cache_tokens[s.draft_pos:] for s in eligible}
+        while any(missing.values()):
+            T = self._bucket(min(max(len(m) for m in missing.values()),
+                                 self.ecfg.n_ubatch))
+            tokens = np.zeros((S, T), np.int32)
+            positions = np.full((S, T), self.slot_ctx, np.int32)
+            seq_lens = np.zeros((S,), np.int32)
+            for s in eligible:
+                m = missing[s.idx][:T]
+                if not m:
+                    continue
+                start = s.pos - len(missing[s.idx])
+                tokens[s.idx, :len(m)] = m
+                positions[s.idx, :len(m)] = np.arange(start, start + len(m))
+                seq_lens[s.idx] = len(m)
+                missing[s.idx] = missing[s.idx][len(m):]
+            _, _, self.draft_kv = _draft_forward_greedy(
+                self.draft_params, self.draft_cfg, jnp.asarray(tokens),
+                jnp.asarray(positions), self.draft_kv, jnp.asarray(seq_lens),
+                self.draft_cos, self.draft_sin)
+        tokens = np.zeros((S, 1), np.int32)
+        positions = np.full((S, 1), self.slot_ctx, np.int32)
+        seq_lens = np.zeros((S,), np.int32)
+        for s in eligible:
+            tokens[s.idx, 0] = s.next_token
+            positions[s.idx, 0] = s.pos
+            seq_lens[s.idx] = 1
+        tok, p, self.draft_kv = _draft_forward_greedy(
+            self.draft_params, self.draft_cfg, jnp.asarray(tokens),
+            jnp.asarray(positions), self.draft_kv, jnp.asarray(seq_lens),
+            self.draft_cos, self.draft_sin)
+        drafts = {s.idx: [] for s in eligible}
+        alive = {s.idx: True for s in eligible}
+        for step in range(K):
+            tok_h = np.asarray(tok)
+            p_h = np.asarray(p)
+            tokens1 = np.zeros((S, 1), np.int32)
+            positions1 = np.full((S, 1), self.slot_ctx, np.int32)
+            seq1 = np.zeros((S,), np.int32)
+            any_alive = False
+            for s in eligible:
+                if not alive[s.idx]:
+                    continue
+                if p_h[s.idx] < self.ecfg.draft_p_min:
+                    alive[s.idx] = False
+                    continue
+                drafts[s.idx].append(int(tok_h[s.idx]))
+                if len(drafts[s.idx]) >= K:
+                    alive[s.idx] = False
+                    continue
+                tokens1[s.idx, 0] = tok_h[s.idx]
+                positions1[s.idx, 0] = s.pos + len(drafts[s.idx])
+                seq1[s.idx] = 1
+                any_alive = True
+            if not any_alive:
+                break
+            tok, p, self.draft_kv = _draft_forward_greedy(
+                self.draft_params, self.draft_cfg, jnp.asarray(tokens1),
+                jnp.asarray(positions1), self.draft_kv, jnp.asarray(seq1),
+                self.draft_cos, self.draft_sin)
+        for s in eligible:
+            d = drafts[s.idx]
+            s.drafts = d if len(d) >= self.ecfg.draft_min else []
+            s.draft_pos = s.pos + 1  # next_token now in the draft KV
+
     def _decode_pass(self, dec: list) -> None:
         # room check: each slot needs space for 1 + its drafts; shift first
+        if self.draft_params is not None:
+            self._draft_model_pass(dec)
+        else:
+            for s in dec:
+                s.drafts = self._make_drafts(s)
         for s in dec:
-            s.drafts = self._make_drafts(s)
             if s.pos + 1 + len(s.drafts) > s.capacity:
                 self._context_shift(s)
         dec = [s for s in dec if s.state == "decode"]
@@ -481,6 +605,8 @@ class Engine:
                            self.delta_sin, self.cfg.rope_mode)
         del s.cache_tokens[n_keep:n_keep + n_discard]
         s.pos -= n_discard
+        s.drafts = []
+        s.draft_pos = 0  # draft KV re-catches-up after a shift
         if task:
             task.n_shifted += 1
         SRV_DBG("shift", "slot %d keep=%d discard=%d pos=%d",

@@ -122,3 +122,37 @@ def test_engine_ngram_speculative_matches_plain(spec_setup):
     finally:
         plain.stop()
         spec.stop()
+
+
+def test_engine_draft_model_speculative_matches_plain(spec_setup):
+    """Tiny model drafting for itself: greedy output identical to plain
+    decode, with near-total draft acceptance (reference draft-model path)."""
+    cfg, params, tok = spec_setup
+    plain = Engine(cfg, params, tok,
+                   EngineConfig(n_slots=2, n_ctx=256, n_ubatch=32))
+    spec = Engine(cfg, params, tok,
+                  EngineConfig(n_slots=2, n_ctx=256, n_ubatch=32,
+                               draft_max=4, draft_p_min=0.0),
+                  draft=(cfg, params))
+    plain.start()
+    spec.start()
+    try:
+        toks = tok.encode("the quick brown fox jumps")
+        f_plain = _run(plain, toks, 20)
+        f_spec = _run(spec, toks, 20)
+        assert f_spec.generated == f_plain.generated
+        assert f_spec.n_drafted > 0
+        # the model drafts for itself greedily -> every draft accepted
+        assert f_spec.n_draft_accepted == f_spec.n_drafted
+    finally:
+        plain.stop()
+        spec.stop()
+
+
+def test_draft_vocab_mismatch_rejected(spec_setup):
+    cfg, params, tok = spec_setup
+    import dataclasses
+    bad_cfg = dataclasses.replace(cfg, vocab_size=cfg.vocab_size + 1)
+    with pytest.raises(ValueError):
+        Engine(cfg, params, tok, EngineConfig(n_slots=1, n_ctx=64),
+               draft=(bad_cfg, params))
