@@ -46,7 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--metrics", action="store_true", default=True)
     g.add_argument("--no-prompt-cache", dest="prompt_cache",
                    action="store_false", default=True)
-    g.add_argument("--tokens-per-second", type=float, default=-1.0)
+    g.add_argument("-tps", "--tokens-per-second", type=float, default=0.0,
+                   help="max decode rate per request; -1 probes at startup")
     g.add_argument("--alias", "--model-alias", dest="alias", default=None)
 
     g = p.add_argument_group("model")
@@ -150,9 +151,16 @@ def main(argv: list[str] | None = None) -> int:
     SRV_INF("main", "loading %s", args.model)
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
              "quantized": jnp.bfloat16}[args.weights_dtype]
-    cfg, params = load_model(args.model, dtype=dtype)
+    quantized = args.weights_dtype == "quantized"
+    cfg, params = load_model(args.model, dtype=dtype, quantized=quantized)
     with GGUFFile(args.model) as g:
         tokenizer = Tokenizer.from_gguf(g)
+
+    draft = None
+    if args.model_draft:
+        SRV_INF("main", "loading draft model %s", args.model_draft)
+        draft = load_model(args.model_draft, dtype=dtype,
+                           quantized=quantized)
 
     template_override = args.chat_template
     if args.chat_template_file:
@@ -166,8 +174,12 @@ def main(argv: list[str] | None = None) -> int:
         kv_dtype={"f32": "float32", "f16": "float16", "bf16": "bfloat16",
                   "q8_0": "bfloat16", "int8": "bfloat16"}[args.cache_type_k],
         n_keep_default=args.n_keep,
+        draft_max=args.draft_max,
+        draft_min=args.draft_min,
+        draft_p_min=args.draft_p_min,
+        lookup_ngram_min=args.lookup_ngram_min,
     )
-    engine = Engine(cfg, params, tokenizer, ecfg)
+    engine = Engine(cfg, params, tokenizer, ecfg, draft=draft)
     engine.start()
 
     defaults = SamplerParams(
@@ -176,12 +188,33 @@ def main(argv: list[str] | None = None) -> int:
         penalty_last_n=args.repeat_last_n, penalty_freq=args.frequency_penalty,
         penalty_present=args.presence_penalty)
 
+    multimodal = None
+    if args.mmproj:
+        from .models.clip import load_clip
+        from .server.multimodal import MultimodalProcessor
+        ccfg, cparams = load_clip(args.mmproj)
+        if ccfg.proj_dim != cfg.n_embd:
+            print(f"error: mmproj projection dim {ccfg.proj_dim} != model "
+                  f"embedding dim {cfg.n_embd}", file=sys.stderr)
+            return 1
+        multimodal = MultimodalProcessor(ccfg, cparams)
+
+    max_tps = args.tokens_per_second
+    if max_tps < 0:  # -1: auto-probe decode rate (reference -tps -1)
+        SRV_INF("main", "probing decode tokens/sec ...")
+        max_tps = engine.probe_decode_tps()
+        SRV_INF("main", "decode rate: %.1f tok/s", max_tps)
+
     server = HTTPServer(
         engine,
         model_name=args.alias or (args.model.rsplit("/", 1)[-1]),
         defaults=defaults,
         chat_templates=ChatTemplates(tokenizer, template_override, args.jinja),
-        capabilities={"reranking": args.rerank},
+        capabilities={"reranking": args.rerank,
+                      "speculative": draft is not None
+                      or args.lookup_ngram_min > 0},
+        max_tps=max_tps,
+        multimodal=multimodal,
     )
 
     async def serve():

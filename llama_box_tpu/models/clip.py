@@ -1,0 +1,222 @@
+"""CLIP/SigLIP vision tower + multimodal projector from mmproj GGUF.
+
+TPU-native replacement for the reference's clip.cpp path
+(z_multimodal.hpp:93-196 tokenize_image): a ViT encoder turns preprocessed
+pixels into patch embeddings, the projector maps them into the language
+model's embedding space; the engine splices them into the prompt as
+embedding chunks.
+
+Supported projector types (clip.projector_type): mlp (llava), mlp_norm,
+idefics3/"resampler-less" passthrough; qwen2vl merger (2x2 patch merge).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFFile
+from ..utils.logging import SRV_INF, SRV_WRN
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipConfig:
+    image_size: int = 336
+    patch_size: int = 14
+    n_embd: int = 1024
+    n_ff: int = 4096
+    n_layers: int = 24
+    n_heads: int = 16
+    proj_dim: int = 4096
+    eps: float = 1e-5
+    projector: str = "mlp"
+    use_silu: bool = False
+    use_gelu_quick: bool = False
+    has_class_embd: bool = True
+    image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
+    image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
+    merge_size: int = 1          # qwen2vl merger: 2
+
+    @property
+    def n_patches_side(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def n_patches(self) -> int:
+        return self.n_patches_side ** 2
+
+
+def load_clip(path: str, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
+    g = GGUFFile(path)
+    md = g.metadata
+
+    def kv(key, default=None):
+        return md.get(f"clip.vision.{key}", md.get(f"clip.{key}", default))
+
+    proj = str(md.get("clip.projector_type", "mlp"))
+    cfg = ClipConfig(
+        image_size=int(kv("image_size", 336)),
+        patch_size=int(kv("patch_size", 14)),
+        n_embd=int(kv("embedding_length", 1024)),
+        n_ff=int(kv("feed_forward_length", 4096)),
+        n_layers=int(kv("block_count", 24)),
+        n_heads=int(kv("attention.head_count", 16)),
+        proj_dim=int(kv("projection_dim", 4096)),
+        eps=float(kv("attention.layer_norm_epsilon", 1e-5)),
+        projector=proj,
+        use_silu=bool(md.get("clip.use_silu", False)),
+        use_gelu_quick=bool(md.get("clip.use_gelu", False)),
+        has_class_embd="v.class_embd" in g.tensors,
+        image_mean=tuple(np.asarray(kv("image_mean",
+                                       (0.48145466, 0.4578275, 0.40821073)))
+                         .tolist()),
+        image_std=tuple(np.asarray(kv("image_std",
+                                      (0.26862954, 0.26130258, 0.27577711)))
+                        .tolist()),
+        merge_size=2 if "qwen2vl" in proj else 1,
+    )
+
+    def t(name, transpose=False):
+        if name not in g.tensors:
+            return None
+        x = g.tensor_f32(name)
+        if transpose and x.ndim == 2:
+            x = x.T
+        return jnp.asarray(x, dtype)
+
+    params: dict = {
+        "patch_embd": t("v.patch_embd.weight"),       # [E, 3, P, P]
+        "patch_embd_b": t("v.patch_embd.bias"),
+        "class_embd": t("v.class_embd"),
+        "pos_embd": t("v.position_embd.weight"),      # [n_pos, E]
+        "pre_ln": t("v.pre_ln.weight"),
+        "pre_ln_b": t("v.pre_ln.bias"),
+        "post_ln": t("v.post_ln.weight"),
+        "post_ln_b": t("v.post_ln.bias"),
+    }
+    layers = []
+    for i in range(cfg.n_layers):
+        p = f"v.blk.{i}."
+        layers.append({
+            "ln1": t(p + "ln1.weight"), "ln1_b": t(p + "ln1.bias"),
+            "wq": t(p + "attn_q.weight", True), "bq": t(p + "attn_q.bias"),
+            "wk": t(p + "attn_k.weight", True), "bk": t(p + "attn_k.bias"),
+            "wv": t(p + "attn_v.weight", True), "bv": t(p + "attn_v.bias"),
+            "wo": t(p + "attn_out.weight", True), "bo": t(p + "attn_out.bias"),
+            "ln2": t(p + "ln2.weight"), "ln2_b": t(p + "ln2.bias"),
+            "w_up": t(p + "ffn_up.weight", True), "b_up": t(p + "ffn_up.bias"),
+            "w_down": t(p + "ffn_down.weight", True),
+            "b_down": t(p + "ffn_down.bias"),
+        })
+    # stack for lax.scan (all layers homogeneous)
+    params["layers"] = {
+        k: jnp.stack([l[k] for l in layers])
+        for k in layers[0] if layers[0][k] is not None
+    }
+    # projector
+    for name in list(g.tensors):
+        if name.startswith("mm."):
+            params[name.replace(".", "_")] = t(
+                name, transpose=name.endswith(".weight"))
+    g.close()
+    SRV_INF("load_clip", "clip: %d layers embd=%d patches=%d proj=%s",
+            cfg.n_layers, cfg.n_embd, cfg.n_patches, cfg.projector)
+    return cfg, params
+
+
+def _ln(x, w, b, eps):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return y * w + (b if b is not None else 0.0)
+
+
+def _gelu_quick(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def encode_image_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """pixels: [H, W, 3] normalized f32 -> projected embeddings [N, proj]."""
+    P = cfg.patch_size
+    S = cfg.n_patches_side
+    E = cfg.n_embd
+
+    # conv patch embed == unfold + matmul (MXU-friendly)
+    patches = pixels.reshape(S, P, S, P, 3).transpose(0, 2, 4, 1, 3)
+    patches = patches.reshape(S * S, 3 * P * P)
+    w = params["patch_embd"].reshape(E, 3 * P * P).T   # [3PP, E]
+    x = patches @ w
+    if params.get("patch_embd_b") is not None:
+        x = x + params["patch_embd_b"]
+
+    if cfg.has_class_embd and params.get("class_embd") is not None:
+        x = jnp.concatenate([params["class_embd"][None, :], x], axis=0)
+    n_pos = x.shape[0]
+    if params.get("pos_embd") is not None:
+        x = x + params["pos_embd"][:n_pos]
+    if params.get("pre_ln") is not None:
+        x = _ln(x, params["pre_ln"], params.get("pre_ln_b"), cfg.eps)
+
+    H = cfg.n_heads
+    D = E // H
+
+    def layer(x, lp):
+        h = _ln(x, lp["ln1"], lp.get("ln1_b"), cfg.eps)
+        q = (h @ lp["wq"] + lp.get("bq", 0.0)).reshape(-1, H, D)
+        k = (h @ lp["wk"] + lp.get("bk", 0.0)).reshape(-1, H, D)
+        v = (h @ lp["wv"] + lp.get("bv", 0.0)).reshape(-1, H, D)
+        scores = jnp.einsum("qhd,khd->hqk", q, k) * (D ** -0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("hqk,khd->qhd", probs, v).reshape(-1, E)
+        x = x + (attn @ lp["wo"] + lp.get("bo", 0.0))
+        h = _ln(x, lp["ln2"], lp.get("ln2_b"), cfg.eps)
+        h = h @ lp["w_up"] + lp.get("b_up", 0.0)
+        if cfg.use_silu:
+            h = jax.nn.silu(h)
+        elif cfg.use_gelu_quick:
+            h = _gelu_quick(h)
+        else:
+            h = jax.nn.gelu(h, approximate=False)
+        h = h @ lp["w_down"] + lp.get("b_down", 0.0)
+        return x + h, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+
+    if params.get("post_ln") is not None:
+        x = _ln(x, params["post_ln"], params.get("post_ln_b"), cfg.eps)
+
+    # drop CLS for the projector (llava semantics)
+    if cfg.has_class_embd:
+        x = x[1:]
+
+    if cfg.merge_size > 1:  # qwen2vl merger: 2x2 spatial merge before MLP
+        m = cfg.merge_size
+        x = x.reshape(S // m, m, S // m, m, E).transpose(0, 2, 1, 3, 4)
+        x = x.reshape((S // m) * (S // m), m * m * E)
+
+    # projector: mm.0 (+gelu) mm.2 for mlp; single mm.0 otherwise
+    if "mm_0_weight" in params:
+        x = x @ params["mm_0_weight"] + params.get("mm_0_bias", 0.0)
+        if "mm_2_weight" in params:
+            x = jax.nn.gelu(x, approximate=False)
+            x = x @ params["mm_2_weight"] + params.get("mm_2_bias", 0.0)
+    return x
+
+
+encode_image = jax.jit(encode_image_impl, static_argnames=("cfg",))
+
+
+def preprocess_image(img, cfg: ClipConfig) -> np.ndarray:
+    """PIL image -> normalized [H, W, 3] f32 (bicubic resize to the tower's
+    input size; reference uses its own bicubic at z_multimodal/clip)."""
+    from PIL import Image
+    img = img.convert("RGB").resize((cfg.image_size, cfg.image_size),
+                                    Image.BICUBIC)
+    x = np.asarray(img, np.float32) / 255.0
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    return (x - mean) / std

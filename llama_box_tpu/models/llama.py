@@ -197,17 +197,10 @@ forward = partial(jax.jit, static_argnames=("cfg",),
                   donate_argnames=("kv",))(forward_impl)
 
 
-def prefill_impl(params, cfg: ModelConfig, tokens, kv: KVCache, slot,
-                 pos_base, n_valid, rope_cos, rope_sin):
-    """Prefill one bucketed prompt chunk into a single slot's KV slice.
-
-    tokens: [T] int32 chunk (padded to a bucket size)
-    slot:   scalar int32 slot index
-    pos_base: scalar int32 absolute position of tokens[0]
-    n_valid: scalar int32 valid tokens in the chunk
-    returns (logits of the last valid token [V] f32, new KVCache)
-    """
-    T = tokens.shape[0]
+def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
+                  pos_base, n_valid, rope_cos, rope_sin):
+    """Shared prefill body: run a [1, T, E] chunk into one slot's KV slice."""
+    T = x.shape[1]
     C = kv.capacity
     k_slot = jax.lax.dynamic_slice_in_dim(kv.k, slot, 1, axis=1)
     v_slot = jax.lax.dynamic_slice_in_dim(kv.v, slot, 1, axis=1)
@@ -216,7 +209,6 @@ def prefill_impl(params, cfg: ModelConfig, tokens, kv: KVCache, slot,
     positions = jnp.where(offs < n_valid, pos_base + offs, C)[None, :]
     seq_lens = jnp.full((1,), n_valid, jnp.int32)
 
-    x = jnp.take(params["tok_embd"], tokens[None, :], axis=0)
     mask = _causal_mask(positions, seq_lens, T, C, cfg.swa_window)
     x, k_new, v_new = _run_stack(params, cfg, x, positions,
                                  k_slot, v_slot, mask, rope_cos, rope_sin)
@@ -230,8 +222,36 @@ def prefill_impl(params, cfg: ModelConfig, tokens, kv: KVCache, slot,
     return logits, kv
 
 
+def prefill_impl(params, cfg: ModelConfig, tokens, kv: KVCache, slot,
+                 pos_base, n_valid, rope_cos, rope_sin):
+    """Prefill one bucketed prompt chunk into a single slot's KV slice.
+
+    tokens: [T] int32 chunk (padded to a bucket size)
+    slot:   scalar int32 slot index
+    pos_base: scalar int32 absolute position of tokens[0]
+    n_valid: scalar int32 valid tokens in the chunk
+    returns (logits of the last valid token [V] f32, new KVCache)
+    """
+    x = jnp.take(params["tok_embd"], tokens[None, :], axis=0)
+    return _prefill_core(params, cfg, x, kv, slot, pos_base, n_valid,
+                         rope_cos, rope_sin)
+
+
 prefill = partial(jax.jit, static_argnames=("cfg",),
                   donate_argnames=("kv",))(prefill_impl)
+
+
+def prefill_embed_impl(params, cfg: ModelConfig, embeds, kv: KVCache, slot,
+                       pos_base, n_valid, rope_cos, rope_sin):
+    """Prefill a chunk of PRE-COMPUTED embeddings (vision/audio tokens from
+    the multimodal projector; reference multimodal prefill §2.1 #11)."""
+    x = embeds[None, :, :].astype(params["tok_embd"].dtype)
+    return _prefill_core(params, cfg, x, kv, slot, pos_base, n_valid,
+                         rope_cos, rope_sin)
+
+
+prefill_embed = partial(jax.jit, static_argnames=("cfg",),
+                        donate_argnames=("kv",))(prefill_embed_impl)
 
 
 def shift_kv_impl(kv: KVCache, slot, n_keep, n_discard, delta_cos, delta_sin,

@@ -130,7 +130,7 @@ def _q4_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_lo_ref, sc_hi_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    qs = qs_ref[:]
+    qs = qs_ref[:].astype(jnp.int32)  # int8 bit-ops don't legalize on VPU
     lo = (qs & 0x0F).astype(jnp.float32)
     hi = ((qs >> 4) & 0x0F).astype(jnp.float32)
     w_lo = lo * _expand_groups(sc_lo_ref[:], group)

@@ -33,7 +33,7 @@ import numpy as np
 from ..models.config import ModelConfig
 from ..models.llama import (
     KVCache, forward_embeddings, forward_impl, init_kv_cache, make_delta_rope,
-    make_rope, prefill, shift_kv,
+    make_rope, prefill, prefill_embed, shift_kv,
 )
 from ..sampling import (
     RING_CAP, SamplerParams, init_sampler_state, make_sampler_arrays,
@@ -249,6 +249,10 @@ class Engine:
         n_keep = min(n_keep, self.slot_ctx // 2)
         max_len = self.slot_ctx - self.ecfg.defrag_headroom
         if len(task.prompt_tokens) > max_len:
+            if task.chunks is not None:
+                raise ValueError(
+                    "multimodal prompt exceeds the per-slot context "
+                    f"({len(task.prompt_tokens)} > {max_len} tokens)")
             drop = len(task.prompt_tokens) - max_len
             task.prompt_tokens = (task.prompt_tokens[:n_keep]
                                   + task.prompt_tokens[n_keep + drop:])
@@ -282,7 +286,8 @@ class Engine:
         last_n = min(sp.penalty_last_n if sp.penalty_last_n >= 0 else RING_CAP,
                      RING_CAP)
         if last_n > 0 and task.prompt_tokens:
-            window = task.prompt_tokens[-last_n:]
+            # clamp image dummy ids (negative) out of the penalty window
+            window = [t if t >= 0 else 0 for t in task.prompt_tokens[-last_n:]]
             buf = np.full(RING_CAP, -1, np.int32)
             buf[:len(window)] = window
             self.sstate = push_tokens(
@@ -323,23 +328,46 @@ class Engine:
                 return b
         return self.buckets[-1]
 
+    def _chunk_at(self, task, cursor: int):
+        """Locate the prompt chunk containing flat position `cursor`;
+        returns (chunk_start, chunk_end, chunk)."""
+        if task.chunks is None:
+            return 0, len(task.prompt_tokens), ("tokens", task.prompt_tokens)
+        start = 0
+        for ch in task.chunks:
+            n = len(ch[1])
+            if cursor < start + n:
+                return start, start + n, ch
+            start += n
+        raise RuntimeError("prefill cursor out of range")
+
     def _prefill_chunk(self, s: Slot) -> None:
         task = s.task
         if task.cancelled:
             self._release(s)
             return
         t0 = time.monotonic()
-        rem = len(task.prompt_tokens) - s.cursor
-        chunk = min(rem, self.ecfg.n_ubatch)
+        cstart, cend, ch = self._chunk_at(task, s.cursor)
+        off = s.cursor - cstart
+        chunk = min(cend - s.cursor, self.ecfg.n_ubatch)
         bucket = self._bucket(chunk)
-        buf = np.zeros(bucket, np.int32)
-        buf[:chunk] = task.prompt_tokens[s.cursor:s.cursor + chunk]
-
-        logits, self.kv = prefill(
-            self.params, self.cfg, jnp.asarray(buf), self.kv,
-            jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
-            self.rope_cos, self.rope_sin)
-        s.cache_tokens.extend(buf[:chunk].tolist())
+        if ch[0] == "tokens":
+            buf = np.zeros(bucket, np.int32)
+            buf[:chunk] = ch[1][off:off + chunk]
+            logits, self.kv = prefill(
+                self.params, self.cfg, jnp.asarray(buf), self.kv,
+                jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
+                self.rope_cos, self.rope_sin)
+        else:  # embedding chunk (vision/audio); §2.1 #11
+            emb = ch[1][off:off + chunk]
+            buf = np.zeros((bucket, emb.shape[1]), np.float32)
+            buf[:chunk] = emb
+            logits, self.kv = prefill_embed(
+                self.params, self.cfg, jnp.asarray(buf), self.kv,
+                jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
+                self.rope_cos, self.rope_sin)
+        s.cache_tokens.extend(
+            task.prompt_tokens[s.cursor:s.cursor + chunk])
         s.cursor += chunk
         s.pos += chunk
 
@@ -473,7 +501,13 @@ class Engine:
             if s.pos + 1 + len(s.drafts) > s.capacity:
                 self._context_shift(s)
         dec = [s for s in dec if s.state == "decode"]
+        # per-request token-rate limiting: a slot whose bucket is empty sits
+        # out this pass (reference skips + re-enqueues, httpserver.hpp:4044)
+        dec = [s for s in dec
+               if s.task.rate_bucket is None
+               or s.task.rate_bucket.try_acquire(1 + len(s.drafts))]
         if not dec:
+            time.sleep(0.005)
             return
         self._refresh_arrs()
         t0 = time.monotonic()
@@ -681,6 +715,27 @@ class Engine:
             task.scores = scores[:task.n_documents]
         self.metrics.on_prefill(task.n_prompt, (time.monotonic() - t0) * 1e3)
         task.emit("final", task)
+
+    def probe_decode_tps(self, n_tokens: int = 32) -> float:
+        """Timed greedy decode to measure tokens/sec (the reference's
+        --tokens-per-second -1 startup probe, httpserver.hpp:3131-3161)."""
+        bos = self.tokenizer.bos_id if self.tokenizer else 1
+        task = CompletionsTask([bos or 1], SamplerParams(temp=0.0, seed=0),
+                               tokenizer=self.tokenizer, max_tokens=n_tokens,
+                               stream=False)
+        self.submit(task)
+        while True:
+            kind, payload = task.result_q.get(timeout=600)
+            if kind == "final":
+                tps = payload.timings()["tokens_per_second"]
+                # probe leaves its tokens in the prefix cache; clear it
+                for s in self.slots:
+                    if s.state == "idle":
+                        s.cache_tokens = []
+                        s.pos = 0
+                return tps
+            if kind == "error":
+                raise payload
 
     # -- introspection -------------------------------------------------------
 

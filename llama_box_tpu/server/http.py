@@ -15,6 +15,7 @@ from aiohttp import web
 
 from ..sampling import SamplerParams
 from ..utils.logging import SRV_ERR, SRV_INF
+from ..utils.tokenbucket import RatelimitTokenBucket
 from .chat import ChatTemplates
 from .engine import Engine
 from .reasoning import ReasoningSplitter, detect_reasoning_markers
@@ -38,11 +39,14 @@ class HTTPServer:
     def __init__(self, engine: Engine, model_name: str = "model",
                  defaults: SamplerParams | None = None,
                  chat_templates: ChatTemplates | None = None,
-                 capabilities: dict | None = None):
+                 capabilities: dict | None = None,
+                 max_tps: float = 0.0,
+                 multimodal=None):
         self.engine = engine
         self.model_name = model_name
         self.defaults = defaults or SamplerParams()
         self.chat = chat_templates or ChatTemplates(engine.tokenizer)
+        self.mp = multimodal  # MultimodalProcessor | None
         self.reasoning_markers = detect_reasoning_markers(self.chat.source)
         self.caps = {
             "completion": True, "embedding": True, "reranking": False,
@@ -50,9 +54,33 @@ class HTTPServer:
             "speculative": False, "tool_calls": self.chat.source is not None,
             "reasoning": self.reasoning_markers is not None,
         }
+        if multimodal is not None:
+            self.caps["vision"] = True
         if capabilities:
             self.caps.update(capabilities)
+        self.max_tps = max_tps  # server decode-rate cap (0 = unlimited)
         self.created = int(time.time())
+
+    def _request_rate_bucket(self, request: web.Request):
+        """X-Request-Tokens-Per-Second -> per-task token bucket; 410 when
+        the requested rate exceeds the server cap (httpserver.hpp:5682)."""
+        hdr = request.headers.get("X-Request-Tokens-Per-Second")
+        tps = self.max_tps
+        if hdr is not None:
+            try:
+                tps = float(hdr)
+            except ValueError:
+                raise bad_request(
+                    "\"X-Request-Tokens-Per-Second\" must be a number")
+            if tps <= 0:
+                tps = self.max_tps
+            elif self.max_tps > 0 and tps > self.max_tps:
+                raise RequestError(
+                    410, "requested tokens per second exceeds the server "
+                    f"limit ({self.max_tps:.0f})", code="rate_limit")
+        if tps and tps > 0:
+            return RatelimitTokenBucket(capacity=max(int(tps), 1), rate=tps)
+        return None
 
     # -- app construction ----------------------------------------------------
 
@@ -255,6 +283,7 @@ class HTTPServer:
             n_keep=int(body.get("n_keep", 0)),
             n_probs=sparams.n_probs,
             rid=request["rid"],
+            rate_bucket=self._request_rate_bucket(request),
         )
         self.engine.submit(task)
         if not so["stream"]:
@@ -273,15 +302,24 @@ class HTTPServer:
         if not isinstance(messages, list) or not messages:
             raise bad_request("\"messages\" must be a non-empty array",
                               "messages")
-        msgs = self._normalize_messages(messages)
+        msgs, images = self._normalize_messages(messages)
         tools, tool_choice = migrate_functions(body)
         if tools is not None and not isinstance(tools, list):
             raise bad_request("\"tools\" must be an array", "tools")
         use_tools = bool(tools) and tool_choice != "none"
         prompt = self.chat.apply(msgs, tools=tools if use_tools else None,
                                  add_generation_prompt=True)
-        prompt_tokens = tok.encode(prompt, add_special=True,
-                                   parse_special=True)
+        chunks = None
+        if images:
+            from .multimodal import build_chunks
+            try:
+                prompt_tokens, chunks = build_chunks(prompt, images, tok,
+                                                     self.mp)
+            except ValueError as exc:
+                raise bad_request(str(exc), "messages")
+        else:
+            prompt_tokens = tok.encode(prompt, add_special=True,
+                                       parse_special=True)
         sparams = parse_sampling(body, self.defaults, tok.n_vocab)
         so = parse_stream_options(body)
         reasoning = None
@@ -298,6 +336,8 @@ class HTTPServer:
             rid=request["rid"],
             reasoning=reasoning,
             toolscan=ToolCallScanner(self.chat.alias) if use_tools else None,
+            rate_bucket=self._request_rate_bucket(request),
+            chunks=chunks,
         )
         self.engine.submit(task)
         if not so["stream"]:
@@ -339,8 +379,11 @@ class HTTPServer:
 
         return await self._stream_response(request, task, so, chunk_fn)
 
-    def _normalize_messages(self, messages: list) -> list[dict]:
+    def _normalize_messages(self, messages: list
+                            ) -> tuple[list[dict], list[bytes]]:
+        from .multimodal import MTMD_MARKER, fetch_image_bytes
         out = []
+        images: list[bytes] = []
         for i, m in enumerate(messages):
             if not isinstance(m, dict):
                 raise bad_request(f"messages[{i}] must be an object",
@@ -360,6 +403,15 @@ class HTTPServer:
                     ptype = p.get("type")
                     if ptype == "text":
                         parts.append(p.get("text", ""))
+                    elif ptype == "image_url" and self.mp is not None:
+                        url = (p.get("image_url") or {}).get("url", "")
+                        try:
+                            images.append(fetch_image_bytes(url))
+                        except Exception as exc:  # noqa: BLE001
+                            raise bad_request(
+                                f"messages[{i}] image fetch failed: {exc}",
+                                "messages")
+                        parts.append(MTMD_MARKER)
                     else:
                         raise bad_request(
                             f"messages[{i}].content type \"{ptype}\" is not "
@@ -376,7 +428,7 @@ class HTTPServer:
                 if k in m:
                     nm[k] = m[k]
             out.append(nm)
-        return out
+        return out, images
 
     async def _blocking_response(self, task, render) -> web.Response:
         while True:

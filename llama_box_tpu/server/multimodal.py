@@ -1,0 +1,120 @@
+"""Multimodal input pipeline: image fetch/decode, CLIP encode with a
+projected-embedding LRU cache, and prompt-chunk construction.
+
+Mirrors the reference's pipeline (SURVEY.md §2.1 #5, #11, #12):
+- image_url parts: data-URI base64 or server-side HTTP fetch (15s timeout)
+- `<MTMD/>` placeholder insertion in the chat prompt, split + interleave
+- FNV-hash -> projected-embedding LRU cache (--max-projected-cache)
+- negative "dummy tokens" standing in for image positions so the prefix
+  cache can identify identical images (z_multimodal.hpp:90)
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import re
+import threading
+from collections import OrderedDict
+
+import numpy as np
+
+from ..utils.logging import SRV_INF
+from ..utils.text import fnv1a_64
+
+MTMD_MARKER = "<MTMD/>"
+
+_DATA_URI_RE = re.compile(r"^data:image/[a-zA-Z0-9.+-]+;base64,(.*)$", re.S)
+
+
+def fetch_image_bytes(url: str, timeout: float = 15.0) -> bytes:
+    """data-URI or remote HTTP fetch (the reference fetches server-side,
+    httpserver.hpp:1027-1064)."""
+    m = _DATA_URI_RE.match(url)
+    if m:
+        return base64.b64decode(m.group(1))
+    if url.startswith("http://") or url.startswith("https://"):
+        import requests
+        r = requests.get(url, timeout=timeout)
+        r.raise_for_status()
+        return r.content
+    # bare base64 (reference tolerates this)
+    return base64.b64decode(url)
+
+
+class MultimodalProcessor:
+    """Owns the vision tower; encodes images to LM-space embeddings with an
+    LRU cache keyed by image-content FNV hash."""
+
+    def __init__(self, clip_cfg, clip_params, max_cache: int = 8):
+        self.cfg = clip_cfg
+        self.params = clip_params
+        self.max_cache = max_cache
+        self._cache: OrderedDict[int, np.ndarray] = OrderedDict()
+        self._lock = threading.Lock()  # clip encode is mutex'd (ref :3385)
+
+    @property
+    def n_image_tokens(self) -> int:
+        side = self.cfg.n_patches_side // max(self.cfg.merge_size, 1)
+        return side * side
+
+    def encode(self, image_bytes: bytes) -> tuple[np.ndarray, int]:
+        """Returns (embeddings [N, proj_dim] f32, content hash)."""
+        from PIL import Image
+
+        from ..models.clip import encode_image, preprocess_image
+
+        h = fnv1a_64(image_bytes)
+        with self._lock:
+            if h in self._cache:
+                self._cache.move_to_end(h)
+                return self._cache[h], h
+        img = Image.open(io.BytesIO(image_bytes))
+        pixels = preprocess_image(img, self.cfg)
+        with self._lock:
+            if h not in self._cache:
+                emb = np.asarray(encode_image(self.params, self.cfg,
+                                              pixels))
+                self._cache[h] = emb
+                while len(self._cache) > self.max_cache:
+                    self._cache.popitem(last=False)
+                SRV_INF("multimodal", "encoded image hash=%x -> %d tokens",
+                        h, emb.shape[0])
+            return self._cache[h], h
+
+    def dummy_tokens(self, content_hash: int, n: int) -> list[int]:
+        """Negative pseudo-token ids identifying this image in the prefix
+        cache (z_multimodal.hpp:90)."""
+        base = -(content_hash % (1 << 30)) - 2
+        return [base - i for i in range(n)]
+
+
+def build_chunks(prompt: str, images: list[bytes], tokenizer, mp,
+                 add_special: bool = True):
+    """Split the templated prompt on MTMD markers and interleave image
+    embedding chunks. Returns (flat_ids, chunks) where chunks is a list of
+    ("tokens", ids) / ("embed", np.ndarray, dummy_ids)."""
+    parts = prompt.split(MTMD_MARKER)
+    if len(parts) != len(images) + 1:
+        raise ValueError(
+            f"prompt has {len(parts) - 1} media markers for "
+            f"{len(images)} images")
+    chunks = []
+    flat: list[int] = []
+    for i, part in enumerate(parts):
+        if part:
+            ids = tokenizer.encode(part, add_special=add_special and i == 0,
+                                   parse_special=True)
+            if ids:
+                chunks.append(("tokens", ids))
+                flat.extend(ids)
+        elif i == 0 and add_special and tokenizer.add_bos \
+                and tokenizer.bos_id is not None:
+            chunks.append(("tokens", [tokenizer.bos_id]))
+            flat.append(tokenizer.bos_id)
+        if i < len(images):
+            emb, h = mp.encode(images[i])
+            dummies = mp.dummy_tokens(h, emb.shape[0])
+            chunks.append(("embed", emb, dummies))
+            flat.extend(dummies)
+    return flat, chunks

@@ -112,6 +112,8 @@ class CompletionsTask(BaseTask):
         lora: tuple = (),
         reasoning=None,     # ReasoningSplitter | None
         toolscan=None,      # ToolCallScanner | None
+        rate_bucket=None,   # RatelimitTokenBucket | None (X-Request-TPS)
+        chunks=None,        # multimodal prompt chunks (server/multimodal.py)
     ):
         super().__init__(rid)
         self.prompt_tokens = list(prompt_tokens)
@@ -126,6 +128,8 @@ class CompletionsTask(BaseTask):
         self.toolscan = toolscan
         self.tool_calls = []        # extracted ToolCall objects
         self.reasoning_text = ""
+        self.rate_bucket = rate_bucket
+        self.chunks = chunks        # None => plain text prompt
 
         # mutable generation state
         self.generated: list[int] = []
