@@ -48,6 +48,7 @@ class ModelConfig:
     attn_softcap: float = 0.0
     expert_count: int = 0
     expert_used_count: int = 0
+    expert_weights_norm: bool = True  # renormalize top-k router probs
     swa_window: int = 0  # sliding-window attention width; 0 = full
     extra: dict = dataclasses.field(default_factory=dict, compare=False, hash=False)
 
@@ -93,6 +94,8 @@ class ModelConfig:
             causal=bool(g.metadata.get(f"{arch}.attention.causal", True)),
             expert_count=int(kv("expert_count", 0) or 0),
             expert_used_count=int(kv("expert_used_count", 0) or 0),
+            expert_weights_norm=bool(kv("expert_weights_norm",
+                                        arch in ("llama", "mixtral"))),
             swa_window=int(kv("attention.sliding_window", 0) or 0),
             logit_softcap=float(kv("final_logit_softcapping", 0.0) or 0.0),
             attn_softcap=float(kv("attn_logit_softcapping", 0.0) or 0.0),

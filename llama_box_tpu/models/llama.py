@@ -130,11 +130,56 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     x = x + mm(attn.astype(x.dtype), lp["wo"]).astype(x.dtype)
 
     h = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
-    gate = mm(h, lp["w_gate"])
-    up = mm(h, lp["w_up"])
-    act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32)).astype(x.dtype)
-    x = x + mm(act, lp["w_down"]).astype(x.dtype)
+    if "w_gate_inp" in lp:
+        x = x + _moe_ffn(h, lp, cfg).astype(x.dtype)
+    else:
+        gate = mm(h, lp["w_gate"])
+        up = mm(h, lp["w_up"])
+        act = (jax.nn.silu(gate.astype(jnp.float32))
+               * up.astype(jnp.float32)).astype(x.dtype)
+        x = x + mm(act, lp["w_down"]).astype(x.dtype)
     return x, k_cache, v_cache
+
+
+def _moe_ffn(h, lp, cfg: ModelConfig):
+    """Mixture-of-experts FFN (mixtral/qwen2moe/qwen3moe; reference MoE runs
+    via ggml's mul_mat_id). Decode batches are tiny, so experts are computed
+    densely with a top-k routing mask — bandwidth-equivalent to gathering
+    (all experts stream from HBM either way on TPU) and XLA-friendly.
+
+    h: [B, T, E]; expert stacks lp["w_*_exps"]: [X, E, FF] / [X, FF, E].
+    """
+    X, K = cfg.expert_count, max(cfg.expert_used_count, 1)
+    router = h @ lp["w_gate_inp"]                    # [B, T, X]
+    probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
+    topv, topi = jax.lax.top_k(probs, K)             # [B, T, K]
+    if cfg.expert_weights_norm:
+        topv = topv / (topv.sum(-1, keepdims=True) + 1e-9)
+    # dense mask of routing weights [B, T, X]
+    route = jnp.zeros_like(probs).at[
+        jnp.arange(probs.shape[0])[:, None, None],
+        jnp.arange(probs.shape[1])[None, :, None],
+        topi].add(topv)
+
+    hf = h.astype(jnp.float32)
+    gate = jnp.einsum("bte,xef->btxf", hf,
+                      lp["w_gate_exps"].astype(jnp.float32))
+    up = jnp.einsum("bte,xef->btxf", hf,
+                    lp["w_up_exps"].astype(jnp.float32))
+    act = jax.nn.silu(gate) * up                      # [B, T, X, F]
+    out = jnp.einsum("btxf,xfe->btxe", act,
+                     lp["w_down_exps"].astype(jnp.float32))
+    y = (out * route[..., None]).sum(axis=2)          # [B, T, E]
+
+    if "w_gate_shexp" in lp:  # always-on shared expert (qwen2moe)
+        sg = jax.nn.silu((hf @ lp["w_gate_shexp"].astype(jnp.float32)))
+        su = hf @ lp["w_up_shexp"].astype(jnp.float32)
+        sy = (sg * su) @ lp["w_down_shexp"].astype(jnp.float32)
+        if "w_gate_inp_shexp" in lp:
+            sy = sy * jax.nn.sigmoid(
+                hf @ lp["w_gate_inp_shexp"].astype(jnp.float32))
+        y = y + sy
+    return y
 
 
 def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,

@@ -46,6 +46,17 @@ _LAYER_OPTIONAL = {
     "bv": ("blk.{i}.attn_v.bias", False),
     "q_norm": ("blk.{i}.attn_q_norm.weight", False),
     "k_norm": ("blk.{i}.attn_k_norm.weight", False),
+    # mixture-of-experts (mixtral/qwen2moe/qwen3moe); 3D expert stacks are
+    # stored (n_expert, FF, E) by the reader -> transposed to (X, E, FF)
+    "w_gate_inp": ("blk.{i}.ffn_gate_inp.weight", True),
+    "w_gate_exps": ("blk.{i}.ffn_gate_exps.weight", "3d"),
+    "w_up_exps": ("blk.{i}.ffn_up_exps.weight", "3d"),
+    "w_down_exps": ("blk.{i}.ffn_down_exps.weight", "3d"),
+    # shared expert (qwen2moe/deepseek2)
+    "w_gate_shexp": ("blk.{i}.ffn_gate_shexp.weight", True),
+    "w_up_shexp": ("blk.{i}.ffn_up_shexp.weight", True),
+    "w_down_shexp": ("blk.{i}.ffn_down_shexp.weight", True),
+    "w_gate_inp_shexp": ("blk.{i}.ffn_gate_inp_shexp.weight", True),
 }
 
 
@@ -95,9 +106,11 @@ def load_model(
             "vocab=%d quantized=%s", cfg.arch, cfg.n_layers, cfg.n_embd,
             cfg.n_heads, cfg.n_kv_heads, cfg.n_ff, cfg.vocab_size, quantized)
 
-    def fetch(name: str, transpose: bool) -> np.ndarray:
+    def fetch(name: str, transpose) -> np.ndarray:
         x = g.tensor_f32(name)
-        return x.T if (transpose and x.ndim == 2) else x
+        if transpose == "3d" and x.ndim == 3:
+            return np.swapaxes(x, 1, 2)  # (X, FF, E) -> (X, E, FF)
+        return x.T if (transpose is True and x.ndim == 2) else x
 
     def fetch_maybe_q(name: str, transpose: bool):
         """Return QTensor (packed) or dense numpy array."""
