@@ -148,11 +148,31 @@ def main(argv: list[str] | None = None) -> int:
     from .server.http import HTTPServer, run_app
     from .tokenizer import Tokenizer
 
+    if args.coordinator:
+        import jax
+        jax.distributed.initialize(coordinator_address=args.coordinator,
+                                   num_processes=args.num_hosts,
+                                   process_id=args.host_id)
+
+    mesh = None
+    shard_fn = None
+    if args.mesh:
+        from .parallel import make_mesh, make_shard_fn, parse_mesh_spec
+        mc = parse_mesh_spec(args.mesh)
+        mesh = make_mesh(mc)
+        if mc.dp > 1:
+            SRV_WRN("main", "dp>1 serving shards slots over dp; prefill "
+                    "crosses shards — prefer tp-only meshes for now")
+        shard_fn = make_shard_fn(mesh)
+        SRV_INF("main", "mesh: dp=%d tp=%d over %d devices", mc.dp, mc.tp,
+                mc.dp * mc.tp)
+
     SRV_INF("main", "loading %s", args.model)
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
              "quantized": jnp.bfloat16}[args.weights_dtype]
     quantized = args.weights_dtype == "quantized"
-    cfg, params = load_model(args.model, dtype=dtype, quantized=quantized)
+    cfg, params = load_model(args.model, dtype=dtype, quantized=quantized,
+                             shard_fn=shard_fn)
     with GGUFFile(args.model) as g:
         tokenizer = Tokenizer.from_gguf(g)
 
@@ -179,7 +199,7 @@ def main(argv: list[str] | None = None) -> int:
         draft_p_min=args.draft_p_min,
         lookup_ngram_min=args.lookup_ngram_min,
     )
-    engine = Engine(cfg, params, tokenizer, ecfg, draft=draft)
+    engine = Engine(cfg, params, tokenizer, ecfg, draft=draft, mesh=mesh)
     engine.start()
 
     defaults = SamplerParams(

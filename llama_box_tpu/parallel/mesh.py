@@ -83,6 +83,26 @@ def param_pspec(name: str) -> P:
     return _TOP_SPECS.get(name, P())
 
 
+def fit_spec(mesh: Mesh, spec: P, shape: tuple) -> NamedSharding:
+    """Drop sharded axes whose dimension doesn't divide the mesh axis (e.g.
+    odd vocab sizes, fewer KV heads than tp) — replicate those instead."""
+    spec = list(spec)
+    spec += [None] * (len(shape) - len(spec))
+    fixed = []
+    for dim, ax in zip(shape, spec):
+        if ax is not None and dim % mesh.shape[ax] != 0:
+            ax = None
+        fixed.append(ax)
+    return NamedSharding(mesh, P(*fixed))
+
+
+def make_shard_fn(mesh: Mesh):
+    """shard_fn(name, shape) for models/loader.py."""
+    def fn(name: str, shape: tuple) -> NamedSharding:
+        return fit_spec(mesh, param_pspec(name), shape)
+    return fn
+
+
 def shard_params(mesh: Mesh, params: dict) -> dict:
     """device_put the param tree with the tensor-parallel policy."""
     def put(name, x):
@@ -100,18 +120,19 @@ def kv_pspec() -> P:
 
 
 def shard_kv(mesh: Mesh, kv):
-    sh = NamedSharding(mesh, kv_pspec())
+    sh = fit_spec(mesh, kv_pspec(), kv.k.shape)
     return type(kv)(k=jax.device_put(kv.k, sh), v=jax.device_put(kv.v, sh))
 
 
 def shard_sampler_state(mesh: Mesh, state):
     """Sampler state is small: shard rows over dp, replicate over tp."""
-    row = NamedSharding(mesh, P("dp"))
-    row2 = NamedSharding(mesh, P("dp", None))
+    def put(x, spec):
+        return jax.device_put(x, fit_spec(mesh, spec, x.shape))
+
     return type(state)(
-        counts=jax.device_put(state.counts, row2),
-        ring=jax.device_put(state.ring, row2),
-        ring_len=jax.device_put(state.ring_len, row),
-        step=jax.device_put(state.step, row),
-        keys=jax.device_put(state.keys, row),
+        counts=put(state.counts, P("dp", None)),
+        ring=put(state.ring, P("dp", None)),
+        ring_len=put(state.ring_len, P("dp")),
+        step=put(state.step, P("dp")),
+        keys=put(state.keys, P("dp")),
     )

@@ -121,13 +121,21 @@ class Slot:
 class Engine:
     def __init__(self, cfg: ModelConfig, params, tokenizer,
                  ecfg: EngineConfig | None = None,
-                 draft: tuple | None = None):
+                 draft: tuple | None = None,
+                 mesh=None):
         """draft: optional (ModelConfig, params) of a draft model for
-        speculative decoding (reference draft-model path, §2.1 #10)."""
+        speculative decoding (reference draft-model path, §2.1 #10).
+
+        mesh: optional jax.sharding.Mesh for multi-chip serving — params
+        should be loaded with the matching shard_fn (parallel/mesh.py); the
+        KV cache and sampler state are sharded here and XLA GSPMD inserts
+        the tp collectives inside the jitted step programs (the TPU-native
+        replacement for --tensor-split/RPC, SURVEY.md §2.3)."""
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.ecfg = ecfg or EngineConfig()
+        self.mesh = mesh
 
         S = self.ecfg.n_slots
         self.slot_ctx = max(16, self.ecfg.n_ctx // S)
@@ -141,6 +149,11 @@ class Engine:
         self.arrs = make_sampler_arrays([self._default_sp] * S, self.eog_ids)
         self._arrs_dirty = False
 
+        if mesh is not None:
+            from ..parallel import shard_kv, shard_sampler_state
+            self.kv = shard_kv(mesh, self.kv)
+            self.sstate = shard_sampler_state(mesh, self.sstate)
+
         self.draft_cfg = self.draft_params = None
         self.draft_kv = None
         if draft is not None:
@@ -151,6 +164,9 @@ class Engine:
                     f"({self.draft_cfg.vocab_size} vs {cfg.vocab_size})")
             self.draft_kv = init_kv_cache(self.draft_cfg, S, self.slot_ctx,
                                           kv_dtype)
+            if mesh is not None:
+                from ..parallel import shard_kv
+                self.draft_kv = shard_kv(mesh, self.draft_kv)
             self.draft_cos, self.draft_sin = make_rope(self.draft_cfg,
                                                        self.slot_ctx)
 

@@ -84,3 +84,48 @@ def test_parse_mesh_spec():
     assert parse_mesh_spec("dp=2", 8) == MeshConfig(dp=2, tp=4)
     with pytest.raises(ValueError):
         parse_mesh_spec("dp=4,tp=4", 8)
+
+
+def test_engine_on_mesh_matches_single(tmp_path):
+    """Full engine (reconcile loop) over a tp=4 mesh produces identical
+    greedy output to the single-device engine."""
+    import jax.numpy as jnp
+    from llama_box_tpu.gguf import GGUFFile
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.parallel import make_shard_fn
+    from llama_box_tpu.sampling import SamplerParams
+    from llama_box_tpu.server import CompletionsTask, Engine, EngineConfig
+    from llama_box_tpu.tokenizer import Tokenizer
+
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+
+    def run(mesh):
+        shard_fn = make_shard_fn(mesh) if mesh is not None else None
+        cfg, params = load_model(path, dtype=jnp.float32, shard_fn=shard_fn)
+        with GGUFFile(path) as g:
+            tok = Tokenizer.from_gguf(g)
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(n_slots=2, n_ctx=128, n_ubatch=32),
+                     mesh=mesh)
+        eng.start()
+        try:
+            t = CompletionsTask(tok.encode("a b c d"),
+                                SamplerParams(temp=0.0, seed=0),
+                                tokenizer=tok, max_tokens=8, stream=False)
+            eng.submit(t)
+            while True:
+                kind, payload = t.result_q.get(timeout=120)
+                if kind == "final":
+                    return payload.generated
+                if kind == "error":
+                    raise payload
+        finally:
+            eng.stop()
+
+    single = run(None)
+    mesh = make_mesh(MeshConfig(dp=1, tp=4))
+    sharded = run(mesh)
+    assert sharded == single
