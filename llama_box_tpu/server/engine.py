@@ -42,7 +42,8 @@ from ..sampling import (
 from ..utils.logging import SRV_DBG, SRV_ERR, SRV_INF
 from ..utils.text import longest_common_prefix
 from .metrics import Metrics
-from .task import BaseTask, CompletionsTask, EmbeddingsTask, RerankTask
+from .task import (BaseTask, CompletionsTask, EmbeddingsTask, ImagesTask,
+                   RerankTask)
 
 DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
@@ -122,7 +123,8 @@ class Engine:
     def __init__(self, cfg: ModelConfig, params, tokenizer,
                  ecfg: EngineConfig | None = None,
                  draft: tuple | None = None,
-                 mesh=None):
+                 mesh=None,
+                 images_pipeline=None):
         """draft: optional (ModelConfig, params) of a draft model for
         speculative decoding (reference draft-model path, §2.1 #10).
 
@@ -136,6 +138,8 @@ class Engine:
         self.tokenizer = tokenizer
         self.ecfg = ecfg or EngineConfig()
         self.mesh = mesh
+        self.images_pipeline = images_pipeline
+        self.image_tasks: list[ImagesTask] = []
 
         S = self.ecfg.n_slots
         self.slot_ctx = max(16, self.ecfg.n_ctx // S)
@@ -212,6 +216,7 @@ class Engine:
 
     def _reconcile(self) -> None:
         self._admit()
+        images_busy = self._images_pass()
         pre = [s for s in self.slots if s.state == "prefill"]
         if pre:
             for s in pre:
@@ -220,6 +225,8 @@ class Engine:
         dec = [s for s in self.slots if s.state == "decode"]
         if dec:
             self._decode_pass(dec)
+            return
+        if images_busy:
             return
         # nothing active: block briefly for work
         try:
@@ -248,6 +255,8 @@ class Engine:
                 self._run_embeddings(task)
             elif isinstance(task, RerankTask):
                 self._run_rerank(task)
+            elif isinstance(task, ImagesTask):
+                self._admit_images(task)
             else:
                 raise ValueError(f"unknown task kind {task.kind}")
         except Exception as exc:  # noqa: BLE001
@@ -674,6 +683,72 @@ class Engine:
             s.cache_tokens = []
             s.pos = 0
         self._arrs_dirty = True
+
+    # -- images (diffusion) --------------------------------------------------
+
+    def _admit_images(self, task: ImagesTask) -> None:
+        if self.images_pipeline is None:
+            raise ValueError("this server has no image model loaded")
+        import dataclasses as _dc
+        task.t_start = time.monotonic()
+        for i in range(task.n):
+            gp = _dc.replace(task.gp, seed=task.gp.seed + i)
+            if task.init_image is not None:
+                st = self.images_pipeline.img2img_stream(
+                    gp, task.init_image, task.mask)
+            else:
+                st = self.images_pipeline.txt2img_stream(gp)
+            task.streams.append(st)
+        self.image_tasks.append(task)
+
+    def _images_pass(self) -> bool:
+        """Advance every live stream ONE denoise step (one per reconcile
+        pass so image work interleaves with LLM decode; reference
+        httpserver.hpp:4942-4958)."""
+        if not self.image_tasks:
+            return False
+        done_tasks = []
+        for task in self.image_tasks:
+            if task.cancelled:
+                done_tasks.append(task)
+                continue
+            try:
+                for i, st in enumerate(task.streams):
+                    if st.done:
+                        continue
+                    st.step()
+                    task.steps_done += 1
+                    self.metrics.n_image_steps_forward += 1
+                    if task.stream:
+                        ev = {"index": i, "step": st.i,
+                              "total_steps": st.total_steps,
+                              "progress": round(100.0 * st.i
+                                                / st.total_steps, 1)}
+                        if task.preview and not st.done:
+                            ev["preview"] = st.preview()
+                        task.emit("progress", ev)
+                if all(st.done for st in task.streams):
+                    self._finish_images(task)
+                    done_tasks.append(task)
+            except Exception as exc:  # noqa: BLE001
+                SRV_ERR("images", "task %s failed: %r", task.rid, exc)
+                task.fail(exc)
+                done_tasks.append(task)
+        for t in done_tasks:
+            self.image_tasks.remove(t)
+        return bool(self.image_tasks)
+
+    def _finish_images(self, task: ImagesTask) -> None:
+        import io
+
+        from PIL import Image
+        for st in task.streams:
+            img = st.result()
+            buf = io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            task.images.append(buf.getvalue())
+        task.t_done = time.monotonic()
+        task.emit("final", task)
 
     # -- embeddings / rerank -------------------------------------------------
 

@@ -26,7 +26,7 @@ from .protocol import (
     parse_prompt_tokens, parse_sampling, parse_stop, parse_stream_options,
     usage_json,
 )
-from .task import CompletionsTask, EmbeddingsTask, RerankTask
+from .task import CompletionsTask, EmbeddingsTask, ImagesTask, RerankTask
 
 SSE_HEADERS = {
     "Content-Type": "text/event-stream",
@@ -106,6 +106,9 @@ class HTTPServer:
         if self.caps["reranking"]:
             r.add_post("/v1/rerank", self.handle_rerank)
             r.add_post("/rerank", self.handle_rerank)
+        if self.caps["image"]:
+            r.add_post("/v1/images/generations", self.handle_images)
+            r.add_post("/v1/images/edits", self.handle_images_edits)
         return app
 
     @web.middleware
@@ -514,6 +517,113 @@ class HTTPServer:
                       "total_tokens": task.n_prompt},
         })
 
+    async def handle_images(self, request: web.Request) -> web.Response:
+        body = await self._body(request)
+        task = _images_task_from_body(body, request["rid"])
+        return await self._images_response(request, task)
+
+    async def handle_images_edits(self, request: web.Request) -> web.Response:
+        """multipart: image (+ optional mask) + prompt fields (reference
+        image-edit pipeline httpserver.hpp:1913-2037)."""
+        import io
+
+        import numpy as np
+        if not (request.content_type or "").startswith("multipart/"):
+            raise bad_request("image edits require multipart/form-data")
+        form = await request.post()
+        body = {k: form[k] for k in form if not hasattr(form[k], "file")}
+        for k in ("n", "sample_steps", "steps", "seed"):
+            if k in body:
+                try:
+                    body[k] = int(body[k])
+                except ValueError:
+                    raise bad_request(f"\"{k}\" is invalid", k)
+        for k in ("cfg_scale", "strength"):
+            if k in body:
+                try:
+                    body[k] = float(body[k])
+                except ValueError:
+                    raise bad_request(f"\"{k}\" is invalid", k)
+        if "stream" in body:
+            body["stream"] = str(body["stream"]).lower() in ("1", "true")
+        img_field = form.get("image")
+        if img_field is None or not hasattr(img_field, "file"):
+            raise bad_request("\"image\" file must be provided", "image")
+        from PIL import Image
+        w, h = _parse_size(body.get("size"))
+        img = Image.open(io.BytesIO(img_field.file.read())).convert("RGB")
+        img = img.resize((w, h), Image.BICUBIC)
+        init_image = np.asarray(img, np.float32) / 255.0
+        mask = None
+        mask_field = form.get("mask")
+        if mask_field is not None and hasattr(mask_field, "file"):
+            m = Image.open(io.BytesIO(mask_field.file.read())).convert("L")
+            mask = np.asarray(m.resize((w, h), Image.BILINEAR),
+                              np.float32) / 255.0
+        task = _images_task_from_body(dict(body), request["rid"],
+                                      init_image=init_image, mask=mask)
+        return await self._images_response(request, task)
+
+    async def _images_response(self, request, task: ImagesTask):
+        import base64 as _b64
+        self.engine.submit(task)
+        created = int(time.time())
+        if not task.stream:
+            while True:
+                kind, payload = await self._await_event(task, timeout=3600)
+                if kind == "error":
+                    raise RequestError(500, str(payload),
+                                       err_type="server_error")
+                if kind == "final":
+                    return web.json_response({
+                        "created": created,
+                        "data": [{"b64_json":
+                                  _b64.b64encode(png).decode()}
+                                 for png in payload.images],
+                        "usage": payload.usage(),
+                    })
+        resp = web.StreamResponse(status=200, headers=dict(SSE_HEADERS))
+        await resp.prepare(request)
+        try:
+            while True:
+                kind, payload = await self._await_event(task, timeout=3600)
+                if kind == "error":
+                    err = RequestError(500, str(payload),
+                                       err_type="server_error").to_json()
+                    await resp.write(b"error: " + json.dumps(err).encode()
+                                     + b"\n\n")
+                    break
+                if kind == "progress":
+                    ev = {"created": created,
+                          "data": [{"index": payload["index"],
+                                    "progress": payload["progress"]}]}
+                    if "preview" in payload:
+                        import io as _io
+
+                        from PIL import Image as _Image
+                        buf = _io.BytesIO()
+                        _Image.fromarray(payload["preview"]).save(
+                            buf, format="PNG")
+                        ev["data"][0]["b64_json"] = _b64.b64encode(
+                            buf.getvalue()).decode()
+                    await resp.write(b"data: " + json.dumps(ev).encode()
+                                     + b"\n\n")
+                elif kind == "final":
+                    ev = {"created": created,
+                          "data": [{"index": i, "progress": 100.0,
+                                    "b64_json": _b64.b64encode(png).decode()}
+                                   for i, png in enumerate(payload.images)],
+                          "usage": payload.usage()}
+                    await resp.write(b"data: " + json.dumps(ev).encode()
+                                     + b"\n\n")
+                    await resp.write(b"data: [DONE]\n\n")
+                    break
+        except (asyncio.CancelledError, ConnectionResetError):
+            task.cancelled = True
+            raise
+        await resp.write_eof()
+        return resp
+
     async def handle_rerank(self, request: web.Request) -> web.Response:
         body = await self._body(request)
         tok = self.engine.tokenizer
@@ -562,6 +672,58 @@ class HTTPServer:
             "usage": {"prompt_tokens": task.n_prompt,
                       "total_tokens": task.n_prompt},
         })
+
+
+def _parse_size(size, param="size"):
+    if size is None:
+        return 512, 512
+    try:
+        w, h = str(size).lower().split("x")
+        w, h = int(w), int(h)
+    except ValueError:
+        raise bad_request(f"\"{param}\" must look like \"512x512\"", param)
+    if w % 64 or h % 64 or not (64 <= w <= 2048 and 64 <= h <= 2048):
+        raise bad_request(f"\"{param}\" must be multiples of 64 within "
+                          "64..2048", param)
+    return w, h
+
+
+def _images_task_from_body(body: dict, rid: str, init_image=None,
+                           mask=None) -> ImagesTask:
+    from ..diffusion import GenerationParams
+    prompt = body.get("prompt")
+    if not isinstance(prompt, str) or not prompt:
+        raise bad_request("\"prompt\" must be a non-empty string", "prompt")
+    n = body.get("n", 1)
+    if not isinstance(n, int) or isinstance(n, bool) or not 1 <= n <= 8:
+        raise bad_request("\"n\" must be an integer in 1..8", "n")
+    rf = body.get("response_format", "b64_json")
+    if rf not in ("b64_json",):
+        raise bad_request("only \"b64_json\" response_format is supported",
+                          "response_format")
+    w, h = _parse_size(body.get("size"))
+    sampler = body.get("sampler", body.get("sample_method", "euler"))
+    from ..diffusion.scheduler import SAMPLERS
+    if sampler not in SAMPLERS:
+        raise bad_request(f"\"sampler\" must be one of {sorted(SAMPLERS)}",
+                          "sampler")
+    seed = body.get("seed")
+    if seed is None or not isinstance(seed, int) or seed < 0:
+        seed = int(time.time_ns() & 0xFFFFFFFF)
+    gp = GenerationParams(
+        prompt=prompt,
+        negative_prompt=str(body.get("negative_prompt", "")),
+        width=w, height=h,
+        steps=max(1, min(int(body.get("sample_steps",
+                                      body.get("steps", 20))), 150)),
+        cfg_scale=float(body.get("cfg_scale", 7.0)),
+        sampler=sampler,
+        seed=seed,
+        strength=float(body.get("strength", 0.75)),
+    )
+    return ImagesTask(gp, n=n, stream=bool(body.get("stream", False)),
+                      preview=bool(body.get("preview", False)),
+                      init_image=init_image, mask=mask, rid=rid)
 
 
 async def run_app(server: HTTPServer, host: str = "0.0.0.0", port: int = 8080):

@@ -209,6 +209,39 @@ class EmbeddingsTask(BaseTask):
         self.n_prompt = sum(len(i) for i in inputs)
 
 
+class ImagesTask(BaseTask):
+    kind = "images"
+
+    def __init__(self, gp, n: int = 1, stream: bool = False,
+                 preview: bool = False, response_format: str = "b64_json",
+                 init_image=None, mask=None, rid: str = ""):
+        """gp: diffusion.GenerationParams; n streams run at seed+i and each
+        reconcile pass advances every live stream one denoise step
+        (reference images branch, httpserver.hpp:4152-4179, 4922-5016)."""
+        super().__init__(rid)
+        self.gp = gp
+        self.n = n
+        self.stream = stream
+        self.preview = preview
+        self.response_format = response_format
+        self.init_image = init_image
+        self.mask = mask
+        self.streams = []            # engine-populated StreamState list
+        self.images: list[bytes] = []  # PNG results
+        self.t_start = 0.0
+        self.t_done = 0.0
+        self.steps_done = 0
+
+    def usage(self) -> dict:
+        dt = max(self.t_done - self.t_start, 1e-6)
+        return {
+            "time_to_process_ms": round(dt * 1e3, 2),
+            "generation_per_second": round(self.steps_done / dt, 3),
+            "time_per_generation_ms": round(
+                dt * 1e3 / max(self.steps_done, 1), 2),
+        }
+
+
 class RerankTask(BaseTask):
     kind = "rerank"
 
