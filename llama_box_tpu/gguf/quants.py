@@ -663,6 +663,16 @@ QUANTIZERS = {
 
 
 def dequantize(ggml_type: GGMLType, raw, shape) -> np.ndarray:
+    n = int(np.prod(shape)) if shape else 0
+    if n >= (1 << 16):  # large tensors: native C++ kernels when available
+        from .native import native_dequant
+        out = native_dequant(int(ggml_type), raw, n)
+        if out is not None:
+            return out.reshape(shape)
+    return _dequantize_np(ggml_type, raw, shape)
+
+
+def _dequantize_np(ggml_type: GGMLType, raw, shape) -> np.ndarray:
     n = int(np.prod(shape)) if shape else 1
     fn = DEQUANTIZERS.get(GGMLType(ggml_type))
     if fn is None:

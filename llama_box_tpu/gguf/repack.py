@@ -217,6 +217,12 @@ def repack(ggml_type: GGMLType, raw, n: int) -> RepackedTensor | None:
     fn = REPACKERS.get(ggml_type)
     if fn is None:
         return None
+    if n >= (1 << 16):  # large tensors: native C++ kernels when available
+        from .native import native_repack
+        nat = native_repack(int(ggml_type), raw, n)
+        if nat is not None:
+            q, scales, mins, group, qbits = nat
+            return RepackedTensor(q, scales, mins, group, qbits)
     return fn(raw, n)
 
 
