@@ -107,6 +107,14 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--pooling", default=None,
                    choices=["none", "mean", "cls", "last", "rank"])
 
+    g = p.add_argument_group("lora")
+    g.add_argument("--lora", action="append", default=[],
+                   help="LoRA adapter GGUF (repeatable)")
+    g.add_argument("--lora-scaled", action="append", nargs=2, default=[],
+                   metavar=("PATH", "SCALE"))
+    g.add_argument("--lora-init-without-apply", action="store_true",
+                   default=False)
+
     g = p.add_argument_group("multimodal")
     g.add_argument("--mmproj", default=None)
 
@@ -176,6 +184,16 @@ def main(argv: list[str] | None = None) -> int:
     with GGUFFile(args.model) as g:
         tokenizer = Tokenizer.from_gguf(g)
 
+    adapters = []
+    if args.lora or args.lora_scaled:
+        from .models.lora import apply_lora, load_lora
+        for path in args.lora:
+            adapters.append(load_lora(path, 1.0))
+        for path, scale in args.lora_scaled:
+            adapters.append(load_lora(path, float(scale)))
+        if not args.lora_init_without_apply:
+            params = apply_lora(params, cfg, adapters)
+
     draft = None
     if args.model_draft:
         SRV_INF("main", "loading draft model %s", args.model_draft)
@@ -235,6 +253,10 @@ def main(argv: list[str] | None = None) -> int:
                       or args.lookup_ngram_min > 0},
         max_tps=max_tps,
         multimodal=multimodal,
+        lora_adapters=[{"id": i, "path": a.path,
+                        "scale": 0.0 if args.lora_init_without_apply
+                        else a.scale}
+                       for i, a in enumerate(adapters)],
     )
 
     async def serve():

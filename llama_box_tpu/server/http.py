@@ -41,7 +41,8 @@ class HTTPServer:
                  chat_templates: ChatTemplates | None = None,
                  capabilities: dict | None = None,
                  max_tps: float = 0.0,
-                 multimodal=None):
+                 multimodal=None,
+                 lora_adapters: list | None = None):
         self.engine = engine
         self.model_name = model_name
         self.defaults = defaults or SamplerParams()
@@ -59,6 +60,7 @@ class HTTPServer:
         if capabilities:
             self.caps.update(capabilities)
         self.max_tps = max_tps  # server decode-rate cap (0 = unlimited)
+        self.lora_adapters = lora_adapters or []
         self.created = int(time.time())
 
     def _request_rate_bucket(self, request: web.Request):
@@ -184,7 +186,7 @@ class HTTPServer:
         })
 
     async def handle_lora_adapters(self, request: web.Request) -> web.Response:
-        return web.json_response([])
+        return web.json_response(self.lora_adapters)
 
     async def handle_metrics(self, request: web.Request) -> web.Response:
         m = self.engine.metrics
