@@ -161,9 +161,13 @@ def main():
         try:
             tok_s_q4, _ = run(qparams)
         except Exception as exc:  # noqa: BLE001 — report bf16 if q4 fails
-            print(f"# q4 variant failed: {exc!r}", flush=True)
+            import sys
+            print(f"# q4 variant failed: {exc!r}", file=sys.stderr, flush=True)
         qbytes = sum(x.size * x.dtype.itemsize
                      for x in jax.tree.leaves(qparams))
+        import sys
+        print(f"# bf16={tok_s_bf16:.1f} tok/s, q4k={tok_s_q4:.1f} tok/s",
+              file=sys.stderr, flush=True)
 
     pbytes = sum(x.size * x.dtype.itemsize
                  for x in jax.tree.leaves(dense_params))

@@ -179,10 +179,20 @@ def main(argv: list[str] | None = None) -> int:
     dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
              "quantized": jnp.bfloat16}[args.weights_dtype]
     quantized = args.weights_dtype == "quantized"
-    cfg, params = load_model(args.model, dtype=dtype, quantized=quantized,
-                             shard_fn=shard_fn)
     with GGUFFile(args.model) as g:
+        arch = g.architecture
         tokenizer = Tokenizer.from_gguf(g)
+
+    from .models.bert import BERT_ARCHS, load_bert
+    is_bert = arch in BERT_ARCHS
+    if is_bert:
+        cfg, params = load_bert(args.model, dtype=dtype)
+        if args.rerank or cfg.pooling == "rank":
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, pooling="rank")
+    else:
+        cfg, params = load_model(args.model, dtype=dtype,
+                                 quantized=quantized, shard_fn=shard_fn)
 
     adapters = []
     if args.lora or args.lora_scaled:
@@ -248,7 +258,9 @@ def main(argv: list[str] | None = None) -> int:
         model_name=args.alias or (args.model.rsplit("/", 1)[-1]),
         defaults=defaults,
         chat_templates=ChatTemplates(tokenizer, template_override, args.jinja),
-        capabilities={"reranking": args.rerank,
+        capabilities={"reranking": args.rerank or
+                      (is_bert and cfg.pooling == "rank"),
+                      "completion": not is_bert and not args.embeddings,
                       "speculative": draft is not None
                       or args.lookup_ngram_min > 0},
         max_tps=max_tps,

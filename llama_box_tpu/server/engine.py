@@ -752,6 +752,18 @@ class Engine:
 
     # -- embeddings / rerank -------------------------------------------------
 
+    def _embed_forward(self, toks, lens, pooling: str):
+        """Arch dispatch: llama-family (non-causal path) or BERT encoder
+        (incl. the 'new' jina-reranker arch, model.patch §2.4)."""
+        from ..models.bert import BERT_ARCHS, bert_forward
+        if self.cfg.arch in BERT_ARCHS:
+            return jax.jit(bert_forward,
+                           static_argnames=("cfg", "pooling"))(
+                self.params, self.cfg, toks, lens, pooling=pooling)
+        return forward_embeddings(self.params, self.cfg, toks, lens,
+                                  self.rope_cos, self.rope_sin,
+                                  pooling=pooling)
+
     def _embed_batch(self, token_lists: list[list[int]], pooling: str):
         """Pack token lists into bucketed batches and run the non-causal
         embedding forward; returns [N, E] float32 numpy."""
@@ -768,10 +780,8 @@ class Engine:
                 seq = token_lists[j][:T]
                 toks[b, :len(seq)] = seq
                 lens[b] = len(seq)
-            emb = forward_embeddings(self.params, self.cfg,
-                                     jnp.asarray(toks), jnp.asarray(lens),
-                                     self.rope_cos, self.rope_sin,
-                                     pooling=pooling)
+            emb = self._embed_forward(jnp.asarray(toks), jnp.asarray(lens),
+                                      pooling)
             emb_h = np.asarray(emb)
             for b, j in enumerate(group):
                 out[j] = emb_h[b]

@@ -641,12 +641,16 @@ class HTTPServer:
         normalize = bool(body.get("normalize", True))
 
         def pair(q: str, d: str) -> list[int]:
+            """[BOS/CLS] q [SEP] d [SEP] [EOS] (httpserver.hpp:6189-6231)."""
             q_ids = tok.encode(q, add_special=False)
             d_ids = tok.encode(d, add_special=False)
-            bos = [tok.bos_id] if tok.bos_id is not None else []
+            cls = getattr(tok, "cls_id", None)
+            bos = [cls] if cls is not None else (
+                [tok.bos_id] if tok.bos_id is not None else [])
             sep = [tok.sep_id] if tok.sep_id is not None else (
                 [tok.eos_id] if tok.eos_id is not None else [])
-            eos = [tok.eos_id] if tok.eos_id is not None else []
+            eos = [] if tok.sep_id is not None and tok.eos_id is None else (
+                [tok.eos_id] if tok.eos_id is not None else [])
             return bos + q_ids + sep + d_ids + sep + eos
 
         pairs = [pair(query, d) for d in docs]

@@ -13,6 +13,7 @@ from typing import TYPE_CHECKING
 
 from .bpe import BPETokenizer
 from .spm import SPMTokenizer, SPM_UNDERLINE
+from .wordpiece import WordPieceTokenizer
 
 if TYPE_CHECKING:
     from ..gguf.reader import GGUFFile
@@ -52,6 +53,7 @@ class Tokenizer:
         unk_id: int | None = None,
         sep_id: int | None = None,
         pad_id: int | None = None,
+        cls_id: int | None = None,
         add_bos: bool = True,
         add_eos: bool = False,
         add_space_prefix: bool | None = None,
@@ -68,6 +70,7 @@ class Tokenizer:
         self.unk_id = unk_id
         self.sep_id = sep_id
         self.pad_id = pad_id
+        self.cls_id = cls_id
         self.add_bos = add_bos
         self.add_eos = add_eos
         self.chat_template = chat_template
@@ -78,7 +81,9 @@ class Tokenizer:
             self._inner = SPMTokenizer(vocab, self.scores,
                                        [int(t) for t in self.token_types],
                                        unk_id, add_space_prefix=asp)
-        elif model in ("gpt2", "bert", "t5"):
+        elif model == "bert":
+            self._inner = WordPieceTokenizer(vocab, unk_id)
+        elif model in ("gpt2", "t5"):
             self._inner = BPETokenizer(vocab, merges or [], pre=pre)
         else:
             raise ValueError(f"unsupported tokenizer model {model!r}")
@@ -130,6 +135,7 @@ class Tokenizer:
             unk_id=opt_id("unknown_token_id"),
             sep_id=opt_id("seperator_token_id"),
             pad_id=opt_id("padding_token_id"),
+            cls_id=opt_id("cls_token_id"),
             add_bos=bool(get("add_bos_token", True)),
             add_eos=bool(get("add_eos_token", False)),
             add_space_prefix=(None if get("add_space_prefix") is None
