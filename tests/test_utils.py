@@ -57,3 +57,41 @@ def test_token_bucket():
     if not ok:
         time.sleep(0.01)
         assert tb.try_acquire()
+
+
+def test_perplexity_harness(tmp_path):
+    """The perplexity script runs end-to-end on the tiny model and produces
+    a finite ppl; quantized load gives a close value (BASELINE parity
+    machinery)."""
+    import io
+    import sys
+    import contextlib
+
+    from .fixtures.make_tiny_model import write_tiny_model
+    from llama_box_tpu.gguf.constants import GGMLType
+
+    sys.path.insert(0, "scripts")
+    try:
+        import perplexity
+    finally:
+        sys.path.pop(0)
+
+    mpath = str(tmp_path / "m.gguf")
+    write_tiny_model(mpath, quant=GGMLType.Q4_K)
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("the quick brown fox jumps over the lazy dog " * 30)
+
+    def run(extra):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            perplexity.main(["-m", mpath, "-f", str(corpus), "--ctx", "32",
+                             "--limit-windows", "3"] + extra)
+        return float(buf.getvalue().strip())
+
+    ppl_dense = run([])
+    ppl_q = run(["--quantized"])
+    assert ppl_dense > 0 and ppl_q > 0
+    import math
+    assert math.isfinite(ppl_dense) and math.isfinite(ppl_q)
+    # identical math modulo bf16 rounding of the fused path
+    assert abs(ppl_dense - ppl_q) / ppl_dense < 0.05
