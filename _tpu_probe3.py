@@ -18,9 +18,12 @@ w_bf = jnp.asarray(rng.normal(size=(IN, OUT), scale=0.02), jnp.bfloat16)
 qt4 = QTensor(qs4, sc, mn, IN, group, True)
 qt8 = QTensor(qs8, sc, None, IN, group, False)
 
-def f_q4(x): return q_matmul_pallas(x, qt4)
-def f_q8(x): return q_matmul_pallas(x, qt8)
-def f_bf(x): return (x @ w_bf).astype(jnp.float32)
+f_q4 = jax.jit(lambda x, qt: q_matmul_pallas(x, qt))
+f_q8 = jax.jit(lambda x, qt: q_matmul_pallas(x, qt))
+_f_q4, _f_q8 = f_q4, f_q8
+f_q4 = lambda x: _f_q4(x, qt4)
+f_q8 = lambda x: _f_q8(x, qt8)
+f_bf = jax.jit(lambda x: (x @ w_bf).astype(jnp.float32))
 
 fns = {"q4": f_q4, "q8": f_q8, "bf16": f_bf}
 for name, f in fns.items():

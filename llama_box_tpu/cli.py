@@ -220,7 +220,7 @@ def main(argv: list[str] | None = None) -> int:
         n_ctx=args.n_ctx,
         n_ubatch=args.n_ubatch,
         kv_dtype={"f32": "float32", "f16": "float16", "bf16": "bfloat16",
-                  "q8_0": "bfloat16", "int8": "bfloat16"}[args.cache_type_k],
+                  "q8_0": "int8", "int8": "int8"}[args.cache_type_k],
         n_keep_default=args.n_keep,
         draft_max=args.draft_max,
         draft_min=args.draft_min,

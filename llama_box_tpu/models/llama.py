@@ -31,18 +31,40 @@ from .config import ModelConfig
 
 
 class KVCache(NamedTuple):
-    k: jnp.ndarray  # [L, B, C, Hkv, D]
-    v: jnp.ndarray  # [L, B, C, Hkv, D]
+    """[L, B, C, Hkv, D]; int8 quantized caches carry per-(token, head)
+    scales (the reference's -ctk/-ctv q8_0 mode done the TPU way: symmetric
+    int8 with bf16 scales, halving KV bandwidth)."""
+    k: jnp.ndarray
+    v: jnp.ndarray
+    k_scale: jnp.ndarray | None = None  # [L, B, C, Hkv] bf16
+    v_scale: jnp.ndarray | None = None
 
     @property
     def capacity(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def init_kv_cache(cfg: ModelConfig, n_slots: int, capacity: int,
                   dtype=jnp.bfloat16) -> KVCache:
     shape = (cfg.n_layers, n_slots, capacity, cfg.n_kv_heads, cfg.head_dim)
+    if jnp.dtype(dtype) == jnp.int8:
+        return KVCache(
+            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
+            k_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+            v_scale=jnp.zeros(shape[:-1], jnp.bfloat16))
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def _kv_quantize(x):
+    """[B, T, H, D] f32 -> (int8 codes, [B, T, H] scales)."""
+    amax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.bfloat16)
 
 
 def _rope_params(cfg: ModelConfig) -> RopeParams:
@@ -83,8 +105,9 @@ def make_delta_rope(cfg: ModelConfig, max_pos: int):
 
 
 def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
-                cos, sin):
-    """x: [B,T,E]; k_cache/v_cache: [B,C,Hkv,D]; mask: [B,T,C] True=attend."""
+                cos, sin, k_scale=None, v_scale=None):
+    """x: [B,T,E]; k_cache/v_cache: [B,C,Hkv,D]; mask: [B,T,C] True=attend.
+    k_scale/v_scale: [B,C,Hkv] when the cache is int8-quantized."""
     B, T, E = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -109,15 +132,27 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     # scatter current K/V into the cache at the absolute positions (position
     # >= C is a sentinel: the write is dropped)
     bidx = jnp.arange(B)[:, None].repeat(T, 1)
-    k_cache = k_cache.at[bidx, positions].set(
-        k.astype(k_cache.dtype), mode="drop")
-    v_cache = v_cache.at[bidx, positions].set(
-        v.astype(v_cache.dtype), mode="drop")
+    if k_scale is not None:
+        kq, ks = _kv_quantize(k.astype(jnp.float32))
+        vq, vs = _kv_quantize(v.astype(jnp.float32))
+        k_cache = k_cache.at[bidx, positions].set(kq, mode="drop")
+        v_cache = v_cache.at[bidx, positions].set(vq, mode="drop")
+        k_scale = k_scale.at[bidx, positions].set(ks, mode="drop")
+        v_scale = v_scale.at[bidx, positions].set(vs, mode="drop")
+        kf = (k_cache.astype(jnp.float32)
+              * k_scale.astype(jnp.float32)[..., None])
+        vf = (v_cache.astype(jnp.float32)
+              * v_scale.astype(jnp.float32)[..., None])
+    else:
+        k_cache = k_cache.at[bidx, positions].set(
+            k.astype(k_cache.dtype), mode="drop")
+        v_cache = v_cache.at[bidx, positions].set(
+            v.astype(v_cache.dtype), mode="drop")
+        kf = k_cache.astype(jnp.float32)
+        vf = v_cache.astype(jnp.float32)
 
     G = H // Hkv
     qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
-    kf = k_cache.astype(jnp.float32)
-    vf = v_cache.astype(jnp.float32)
     scores = jnp.einsum("bthgd,bchd->bhgtc", qf, kf) * (D ** -0.5)
     if cfg.attn_softcap > 0.0:
         scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
@@ -138,7 +173,7 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         act = (jax.nn.silu(gate.astype(jnp.float32))
                * up.astype(jnp.float32)).astype(x.dtype)
         x = x + mm(act, lp["w_down"]).astype(x.dtype)
-    return x, k_cache, v_cache
+    return x, k_cache, v_cache, k_scale, v_scale
 
 
 def _moe_ffn(h, lp, cfg: ModelConfig):
@@ -183,17 +218,26 @@ def _moe_ffn(h, lp, cfg: ModelConfig):
 
 
 def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
-               cos, sin):
-    """Scan the layer stack; returns (hidden pre-out-norm, k_new, v_new)."""
+               cos, sin, kv_ks=None, kv_vs=None):
+    """Scan the layer stack; returns (hidden, k_new, v_new, ks_new, vs_new)."""
+    quant = kv_ks is not None
 
     def body(x, layer):
-        lp, k_c, v_c = layer
-        x, k_c, v_c = _attn_layer(x, lp, positions, k_c, v_c, mask, cfg,
-                                  cos, sin)
-        return x, (k_c, v_c)
+        if quant:
+            lp, k_c, v_c, ks, vs = layer
+        else:
+            lp, k_c, v_c = layer
+            ks = vs = None
+        x, k_c, v_c, ks, vs = _attn_layer(x, lp, positions, k_c, v_c, mask,
+                                          cfg, cos, sin, ks, vs)
+        return x, ((k_c, v_c, ks, vs) if quant else (k_c, v_c))
 
+    if quant:
+        x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
+            body, x, (params["layers"], kv_k, kv_v, kv_ks, kv_vs))
+        return x, k_new, v_new, ks_new, vs_new
     x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], kv_k, kv_v))
-    return x, k_new, v_new
+    return x, k_new, v_new, None, None
 
 
 def _output_logits(params, cfg: ModelConfig, x):
@@ -233,9 +277,11 @@ def forward_impl(params, cfg: ModelConfig, tokens, positions, kv: KVCache,
     C = kv.capacity
     x = jnp.take(params["tok_embd"], tokens, axis=0)
     mask = _causal_mask(positions, seq_lens, T, C, cfg.swa_window)
-    x, k_new, v_new = _run_stack(params, cfg, x, positions, kv.k, kv.v, mask,
-                                 rope_cos, rope_sin)
-    return _output_logits(params, cfg, x), KVCache(k=k_new, v=v_new)
+    x, k_new, v_new, ks, vs = _run_stack(
+        params, cfg, x, positions, kv.k, kv.v, mask, rope_cos, rope_sin,
+        kv.k_scale, kv.v_scale)
+    return _output_logits(params, cfg, x), KVCache(k=k_new, v=v_new,
+                                                   k_scale=ks, v_scale=vs)
 
 
 forward = partial(jax.jit, static_argnames=("cfg",),
@@ -249,20 +295,29 @@ def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
     C = kv.capacity
     k_slot = jax.lax.dynamic_slice_in_dim(kv.k, slot, 1, axis=1)
     v_slot = jax.lax.dynamic_slice_in_dim(kv.v, slot, 1, axis=1)
+    ks_slot = vs_slot = None
+    if kv.quantized:
+        ks_slot = jax.lax.dynamic_slice_in_dim(kv.k_scale, slot, 1, axis=1)
+        vs_slot = jax.lax.dynamic_slice_in_dim(kv.v_scale, slot, 1, axis=1)
 
     offs = jnp.arange(T, dtype=jnp.int32)
     positions = jnp.where(offs < n_valid, pos_base + offs, C)[None, :]
     seq_lens = jnp.full((1,), n_valid, jnp.int32)
 
     mask = _causal_mask(positions, seq_lens, T, C, cfg.swa_window)
-    x, k_new, v_new = _run_stack(params, cfg, x, positions,
-                                 k_slot, v_slot, mask, rope_cos, rope_sin)
+    x, k_new, v_new, ks_new, vs_new = _run_stack(
+        params, cfg, x, positions, k_slot, v_slot, mask, rope_cos, rope_sin,
+        ks_slot, vs_slot)
     last = jnp.maximum(n_valid - 1, 0)
     logits = _output_logits(params, cfg,
                             jax.lax.dynamic_slice_in_dim(x[0], last, 1, 0))[0]
     kv = KVCache(
         k=jax.lax.dynamic_update_slice_in_dim(kv.k, k_new, slot, axis=1),
         v=jax.lax.dynamic_update_slice_in_dim(kv.v, v_new, slot, axis=1),
+        k_scale=(jax.lax.dynamic_update_slice_in_dim(
+            kv.k_scale, ks_new, slot, axis=1) if kv.quantized else None),
+        v_scale=(jax.lax.dynamic_update_slice_in_dim(
+            kv.v_scale, vs_new, slot, axis=1) if kv.quantized else None),
     )
     return logits, kv
 
@@ -315,14 +370,39 @@ def shift_kv_impl(kv: KVCache, slot, n_keep, n_discard, delta_cos, delta_sin,
     k_g = jnp.take(k_slot, src, axis=1)   # [L, C, H, D]
     v_g = jnp.take(v_slot, src, axis=1)
 
+    ks_new = vs_new = None
+    if kv.quantized:
+        ks_slot = jax.lax.dynamic_slice_in_dim(kv.k_scale, slot, 1, axis=1)[:, 0]
+        vs_slot = jax.lax.dynamic_slice_in_dim(kv.v_scale, slot, 1, axis=1)[:, 0]
+        ks_g = jnp.take(ks_slot, src, axis=1)  # [L, C, H]
+        vs_new = jnp.take(vs_slot, src, axis=1)
+        k_f = k_g.astype(jnp.float32) * ks_g.astype(jnp.float32)[..., None]
+    else:
+        k_f = k_g.astype(jnp.float32)
+
     # inverse rotation by n_discard: cos(dθ), -sin(dθ)
     d = jnp.full((C,), n_discard, jnp.int32)
-    k_rot = apply_rope(k_g.astype(jnp.float32), d, delta_cos, -delta_sin,
-                       rope_mode)
-    k_new = jnp.where(moved[None, :, None, None], k_rot.astype(k_g.dtype), k_g)
+    k_rot = apply_rope(k_f, d, delta_cos, -delta_sin, rope_mode)
+
+    if kv.quantized:
+        k_rot_f = jnp.where(moved[None, :, None, None], k_rot, k_f)
+        amax = jnp.max(jnp.abs(k_rot_f), axis=-1)
+        ks_new = (jnp.maximum(amax, 1e-6) / 127.0).astype(jnp.bfloat16)
+        k_new = jnp.clip(jnp.round(
+            k_rot_f / ks_new.astype(jnp.float32)[..., None]),
+            -127, 127).astype(jnp.int8)
+    else:
+        k_new = jnp.where(moved[None, :, None, None],
+                          k_rot.astype(k_g.dtype), k_g)
     return KVCache(
         k=jax.lax.dynamic_update_slice_in_dim(kv.k, k_new[:, None], slot, axis=1),
         v=jax.lax.dynamic_update_slice_in_dim(kv.v, v_g[:, None], slot, axis=1),
+        k_scale=(jax.lax.dynamic_update_slice_in_dim(
+            kv.k_scale, ks_new[:, None], slot, axis=1)
+            if kv.quantized else None),
+        v_scale=(jax.lax.dynamic_update_slice_in_dim(
+            kv.v_scale, vs_new[:, None], slot, axis=1)
+            if kv.quantized else None),
     )
 
 
@@ -344,8 +424,8 @@ def forward_embeddings(params, cfg: ModelConfig, tokens, seq_lens,
 
     kv_k = jnp.zeros((cfg.n_layers, B, T, cfg.n_kv_heads, cfg.head_dim), x.dtype)
     kv_v = jnp.zeros_like(kv_k)
-    x, _, _ = _run_stack(params, cfg, x, positions, kv_k, kv_v, mask,
-                         rope_cos, rope_sin)
+    x, _, _, _, _ = _run_stack(params, cfg, x, positions, kv_k, kv_v, mask,
+                               rope_cos, rope_sin)
     x = rms_norm(x, params["output_norm"], cfg.rms_eps).astype(jnp.float32)
 
     if pooling == "mean":

@@ -121,7 +121,15 @@ def kv_pspec() -> P:
 
 def shard_kv(mesh: Mesh, kv):
     sh = fit_spec(mesh, kv_pspec(), kv.k.shape)
-    return type(kv)(k=jax.device_put(kv.k, sh), v=jax.device_put(kv.v, sh))
+    scale_sh = fit_spec(mesh, P(None, "dp", None, "tp"),
+                        kv.k_scale.shape) if kv.k_scale is not None else None
+    return type(kv)(
+        k=jax.device_put(kv.k, sh), v=jax.device_put(kv.v, sh),
+        k_scale=(jax.device_put(kv.k_scale, scale_sh)
+                 if kv.k_scale is not None else None),
+        v_scale=(jax.device_put(kv.v_scale, scale_sh)
+                 if kv.v_scale is not None else None),
+    )
 
 
 def shard_sampler_state(mesh: Mesh, state):

@@ -171,3 +171,31 @@ def test_shift_kv_matches_reprefill(tiny_model):
     np.testing.assert_allclose(np.asarray(kv.v[0, 0, :n]),
                                np.asarray(kv_ref.v[0, 0, :n]),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_int8_kv_cache_close_to_dense(tiny_model):
+    """INT8 KV (per-token-head scales) must track the f32-KV forward."""
+    import jax.numpy as jnp
+    from llama_box_tpu.models.llama import forward, init_kv_cache, make_rope
+    cfg, params, weights, tok = tiny_model
+    rng = np.random.default_rng(11)
+    toks = rng.integers(3, 200, size=(2, 6)).astype(np.int32)
+    pos = np.tile(np.arange(6, dtype=np.int32), (2, 1))
+    lens = np.array([6, 6], np.int32)
+    cos, sin = make_rope(cfg, 16)
+
+    l1, kv1 = forward(params, cfg, toks, pos,
+                      init_kv_cache(cfg, 2, 16, jnp.float32), lens, cos, sin)
+    l2, kv2 = forward(params, cfg, toks, pos,
+                      init_kv_cache(cfg, 2, 16, jnp.int8), lens, cos, sin)
+    assert kv2.quantized and kv2.k.dtype == jnp.int8
+    a = np.asarray(l1)[:, -1]
+    b = np.asarray(l2)[:, -1]
+    # int8 kv: small relative error on logits
+    assert np.abs(a - b).mean() / (np.abs(a).mean() + 1e-6) < 0.05
+    # decode continues correctly from the quantized cache
+    nt = np.array([[5], [7]], np.int32)
+    npos = np.full((2, 1), 6, np.int32)
+    l3, _ = forward(params, cfg, nt, npos, kv2, np.array([1, 1], np.int32),
+                    cos, sin)
+    assert np.isfinite(np.asarray(l3)).all()
