@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import NEG_INF
+from ..ops.flash_attention import flash_attention_prefill
 from ..ops.norm import rms_norm
 from ..ops.qmatmul import mm
 from ..ops.rope import RopeParams, apply_rope, compute_rope_cache
@@ -105,9 +106,11 @@ def make_delta_rope(cfg: ModelConfig, max_pos: int):
 
 
 def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
-                cos, sin, k_scale=None, v_scale=None):
+                cos, sin, k_scale=None, v_scale=None, flash_pos0=None):
     """x: [B,T,E]; k_cache/v_cache: [B,C,Hkv,D]; mask: [B,T,C] True=attend.
-    k_scale/v_scale: [B,C,Hkv] when the cache is int8-quantized."""
+    k_scale/v_scale: [B,C,Hkv] when the cache is int8-quantized.
+    flash_pos0: absolute position of x[:, 0] when the chunk is contiguous
+    (prefill) — enables the flash kernel instead of the masked einsum."""
     B, T, E = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -152,15 +155,29 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         vf = v_cache.astype(jnp.float32)
 
     G = H // Hkv
-    qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
-    scores = jnp.einsum("bthgd,bchd->bhgtc", qf, kf) * (D ** -0.5)
-    if cfg.attn_softcap > 0.0:
-        scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
-    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
-    scores = scores - scores.max(axis=-1, keepdims=True)
-    probs = jnp.exp(scores)
-    probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-30)
-    attn = jnp.einsum("bhgtc,bchd->bthgd", probs, vf).reshape(B, T, H * D)
+    use_flash = (flash_pos0 is not None and B == 1 and T >= 64
+                 and _flash_ok())
+    if use_flash:
+        # [1,T,H,D] -> [Hkv,G,T,D]; cache [1,C,Hkv,D] -> [Hkv,C,D]
+        qg = q[0].reshape(T, Hkv, G, D).transpose(1, 2, 0, 3)
+        kg = kf[0].transpose(1, 0, 2)
+        vg = vf[0].transpose(1, 0, 2)
+        o = flash_attention_prefill(
+            qg.astype(jnp.bfloat16), kg.astype(jnp.bfloat16),
+            vg.astype(jnp.bfloat16), flash_pos0,
+            swa=cfg.swa_window, softcap=cfg.attn_softcap,
+            interpret=not _flash_on_tpu())
+        attn = o.transpose(2, 0, 1, 3).reshape(1, T, H * D)
+    else:
+        qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
+        scores = jnp.einsum("bthgd,bchd->bhgtc", qf, kf) * (D ** -0.5)
+        if cfg.attn_softcap > 0.0:
+            scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
+        scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+        scores = scores - scores.max(axis=-1, keepdims=True)
+        probs = jnp.exp(scores)
+        probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-30)
+        attn = jnp.einsum("bhgtc,bchd->bthgd", probs, vf).reshape(B, T, H * D)
 
     x = x + mm(attn.astype(x.dtype), lp["wo"]).astype(x.dtype)
 
@@ -217,8 +234,20 @@ def _moe_ffn(h, lp, cfg: ModelConfig):
     return y
 
 
+def _flash_on_tpu() -> bool:
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _flash_ok() -> bool:
+    import os
+    return not os.environ.get("LLAMA_BOX_TPU_NO_FLASH")
+
+
 def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
-               cos, sin, kv_ks=None, kv_vs=None):
+               cos, sin, kv_ks=None, kv_vs=None, flash_pos0=None):
     """Scan the layer stack; returns (hidden, k_new, v_new, ks_new, vs_new)."""
     quant = kv_ks is not None
 
@@ -229,7 +258,8 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
             lp, k_c, v_c = layer
             ks = vs = None
         x, k_c, v_c, ks, vs = _attn_layer(x, lp, positions, k_c, v_c, mask,
-                                          cfg, cos, sin, ks, vs)
+                                          cfg, cos, sin, ks, vs,
+                                          flash_pos0=flash_pos0)
         return x, ((k_c, v_c, ks, vs) if quant else (k_c, v_c))
 
     if quant:
@@ -307,7 +337,8 @@ def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
     mask = _causal_mask(positions, seq_lens, T, C, cfg.swa_window)
     x, k_new, v_new, ks_new, vs_new = _run_stack(
         params, cfg, x, positions, k_slot, v_slot, mask, rope_cos, rope_sin,
-        ks_slot, vs_slot)
+        ks_slot, vs_slot,
+        flash_pos0=(pos_base if ks_slot is None else None))
     last = jnp.maximum(n_valid - 1, 0)
     logits = _output_logits(params, cfg,
                             jax.lax.dynamic_slice_in_dim(x[0], last, 1, 0))[0]
