@@ -20,7 +20,8 @@ O(1e-4) when top_k is disabled).
 Differences vs reference, by design:
 - RNG is JAX threefry keyed by the request seed, not Xoshiro256
   (seed.patch): same-seed reproducibility holds, exact streams differ.
-- mirostat/dry are not yet implemented (rarely used; planned).
+- mirostat (v1/v2) and DRY run on the HostSampler path (like grammar),
+  not in the fused device chain.
 """
 
 from __future__ import annotations
@@ -59,10 +60,24 @@ class SamplerParams:
     ignore_eos: bool = False
     n_probs: int = 0
     grammar: object = None  # host-side constraint engine (grammar.py)
+    # host-sampled extras (mirostat / DRY run on the host path like grammar)
+    mirostat: int = 0            # 0 off, 1 v1, 2 v2
+    mirostat_tau: float = 5.0
+    mirostat_eta: float = 0.1
+    dry_multiplier: float = 0.0
+    dry_base: float = 1.75
+    dry_allowed_length: int = 2
 
     @property
     def is_greedy(self) -> bool:
         return self.temp <= 0.0
+
+    @property
+    def needs_host_sampler(self) -> bool:
+        """True when this request must take the host sampling path
+        (grammar constraints, mirostat, or DRY)."""
+        return (self.grammar is not None or self.mirostat > 0
+                or self.dry_multiplier > 0.0)
 
 
 class SamplerState(NamedTuple):
@@ -405,10 +420,14 @@ class HostSampler:
         self._last_n = min(sp.penalty_last_n if sp.penalty_last_n >= 0
                            else RING_CAP, RING_CAP)
         self._mask_cache: dict = {}
+        self._history: list[int] = []   # full generation history (DRY)
+        # mirostat v1/v2 state: target surprise window
+        self._mu = 2.0 * sp.mirostat_tau
 
     # -- state ---------------------------------------------------------------
 
     def accept(self, token: int) -> None:
+        self._history.append(token)
         if self._last_n > 0:
             self._window.append(token)
             self._counts[token] = self._counts.get(token, 0) + 1
@@ -474,6 +493,9 @@ class HostSampler:
                 logits[tid] = (l - c * sp.penalty_freq
                                - (c > 0) * sp.penalty_present)
 
+        if self.sp.dry_multiplier > 0.0:
+            self._apply_dry(logits)
+
         kcap = min(N_CAND, logits.shape[0])
         cand = np.argpartition(-logits, kcap - 1)[:kcap]
         cand = cand[np.argsort(-logits[cand], kind="stable")]
@@ -502,8 +524,55 @@ class HostSampler:
         p /= p.sum()
         return int(token), cand[:N_PROBS].astype(np.int64), p[:N_PROBS]
 
+    def _apply_dry(self, logits: np.ndarray) -> None:
+        """DRY sampler (llama.cpp semantics, simplified): penalize tokens
+        that would extend a sequence already seen — for each candidate z, if
+        history ends with S and S+z occurred before with |S| >= allowed,
+        subtract multiplier * base^(|S| - allowed)."""
+        sp = self.sp
+        h = self._history
+        n = len(h)
+        if n < sp.dry_allowed_length:
+            return
+        max_pen: dict[int, int] = {}
+        # find occurrences of the current suffix of length L (L descending
+        # capped at 32) and note the token that followed each
+        for L in range(min(n, 32), sp.dry_allowed_length - 1, -1):
+            suffix = h[n - L:]
+            for i in range(0, n - L):
+                if h[i:i + L] == suffix:
+                    nxt = h[i + L]
+                    if nxt not in max_pen:
+                        max_pen[nxt] = L
+            if max_pen:
+                break
+        for tok, L in max_pen.items():
+            if 0 <= tok < logits.shape[0]:
+                logits[tok] -= (sp.dry_multiplier
+                                * sp.dry_base ** (L - sp.dry_allowed_length))
+
+    def _mirostat_pick(self, cand, cvals) -> int:
+        """Mirostat v2: drop candidates with surprise > mu, sample from the
+        rest, then update mu toward the target surprise tau."""
+        sp = self.sp
+        z = cvals - cvals.max()
+        p = np.exp(z)
+        p /= p.sum()
+        surprise = -np.log2(p + 1e-30)
+        keep = surprise <= self._mu
+        if not keep.any():
+            keep[p.argmax()] = True
+        pk = p * keep
+        pk /= pk.sum()
+        idx = int(self.rng.choice(len(cand), p=pk))
+        observed = float(surprise[idx])
+        self._mu -= sp.mirostat_eta * (observed - sp.mirostat_tau)
+        return int(cand[idx])
+
     def _pick(self, cand, cvals, grammar_mask) -> int:
         sp = self.sp
+        if sp.mirostat > 0 and grammar_mask is None:
+            return self._mirostat_pick(cand, cvals)
         K = len(cand)
         keep = np.ones(K, bool)
         if grammar_mask is not None:

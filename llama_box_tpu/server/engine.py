@@ -320,9 +320,9 @@ class Engine:
                 jnp.int32(len(window)), jnp.int32(last_n))
         self._arrs_dirty = True
 
-        # grammar-constrained requests sample host-side (lazy-grammar
+        # grammar/mirostat/DRY requests sample host-side (lazy-grammar
         # semantics of sampling.patch; SURVEY.md §7 hard part (e))
-        if sp.grammar is not None and not hasattr(task, "host_sampler"):
+        if sp.needs_host_sampler and not hasattr(task, "host_sampler"):
             from ..sampling import HostSampler
             task.host_sampler = HostSampler(sp, sp.grammar, self.tokenizer)
             task.host_sampler.push_prompt(task.prompt_tokens)

@@ -135,6 +135,16 @@ def parse_sampling(body: dict, defaults: SamplerParams | None = None,
         logit_bias=logit_bias,
         ignore_eos=bool(body.get("ignore_eos", False)),
         n_probs=n_probs,
+        mirostat=get_ranged(body, "mirostat", d.mirostat, 0, 2, int),
+        mirostat_tau=get_ranged(body, "mirostat_tau", d.mirostat_tau,
+                                0.0, None),
+        mirostat_eta=get_ranged(body, "mirostat_eta", d.mirostat_eta,
+                                0.0, None),
+        dry_multiplier=get_ranged(body, "dry_multiplier", d.dry_multiplier,
+                                  0.0, None),
+        dry_base=get_ranged(body, "dry_base", d.dry_base, 1.0, None),
+        dry_allowed_length=get_ranged(body, "dry_allowed_length",
+                                      d.dry_allowed_length, 1, None, int),
     )
 
 

@@ -179,3 +179,47 @@ def test_top_probs_output():
     np_sm = np.exp(logits[0] - logits[0].max())
     np_sm /= np_sm.sum()
     np.testing.assert_allclose(probs[0][:5], np_sm[order[:5]], rtol=2e-3)
+
+
+def test_mirostat_host_sampler():
+    from llama_box_tpu.sampling import HostSampler
+
+    class FakeTok:
+        eog_ids = set()
+        def is_eog(self, t): return False
+        def is_control(self, t): return False
+        def token_bytes(self, t, render_special=False): return b"x"
+
+    sp = SamplerParams(temp=1.0, seed=3, mirostat=2, mirostat_tau=3.0)
+    assert sp.needs_host_sampler
+    hs = HostSampler(sp, None, FakeTok())
+    rng = np.random.default_rng(0)
+    logits = rng.normal(scale=2.0, size=V).astype(np.float32)
+    mus = []
+    for _ in range(10):
+        t, _, _ = hs.sample(logits)
+        hs.accept(t)
+        mus.append(hs._mu)
+        assert 0 <= t < V
+    assert mus[-1] != 2.0 * 3.0  # mu adapted
+
+
+def test_dry_penalizes_repeats():
+    from llama_box_tpu.sampling import HostSampler
+
+    class FakeTok:
+        eog_ids = set()
+        def is_eog(self, t): return False
+        def is_control(self, t): return False
+        def token_bytes(self, t, render_special=False): return b"x"
+
+    sp = SamplerParams(temp=0.0, dry_multiplier=5.0, dry_allowed_length=2)
+    hs = HostSampler(sp, None, FakeTok())
+    # history: 1 2 3 1 2 -> token 3 would extend the repeat; penalize it
+    for t in [1, 2, 3, 1, 2]:
+        hs.accept(t)
+    logits = np.zeros(V, np.float32)
+    logits[3] = 1.0
+    logits[4] = 0.9
+    t, _, _ = hs.sample(logits)
+    assert t == 4  # 3 was penalized below 4
