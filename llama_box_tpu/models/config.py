@@ -37,6 +37,7 @@ class ModelConfig:
     rope_orig_ctx: int = 0
     rope_dim: int = 0
     rope_mode: str = "norm"
+    mrope_sections: tuple = ()   # qwen2-vl M-RoPE half-dim sections
     yarn_ext_factor: float = -1.0
     yarn_attn_factor: float = 1.0
     yarn_beta_fast: float = 32.0
@@ -90,7 +91,12 @@ class ModelConfig:
             rope_scaling_type=scaling,
             rope_orig_ctx=int(kv("rope.scaling.original_context_length", 0)),
             rope_dim=int(kv("rope.dimension_count", 0)) or head_dim,
-            rope_mode="neox" if arch in _NEOX_ROPE_ARCHS else "norm",
+            rope_mode="neox" if (arch in _NEOX_ROPE_ARCHS
+                                or arch in ("qwen2vl", "qwen25vl")) else "norm",
+            mrope_sections=tuple(
+                int(x) for x in (kv("rope.dimension_sections")
+                                 if kv("rope.dimension_sections") is not None
+                                 else kv("rope.mrope_section", []) or [])),
             causal=bool(g.metadata.get(f"{arch}.attention.causal", True)),
             expert_count=int(kv("expert_count", 0) or 0),
             expert_used_count=int(kv("expert_used_count", 0) or 0),

@@ -27,7 +27,8 @@ from ..ops.attention import NEG_INF
 from ..ops.flash_attention import flash_attention_prefill
 from ..ops.norm import rms_norm
 from ..ops.qmatmul import mm
-from ..ops.rope import RopeParams, apply_rope, compute_rope_cache
+from ..ops.rope import (RopeParams, apply_mrope, apply_rope,
+                        compute_rope_cache)
 from .config import ModelConfig
 
 
@@ -129,8 +130,15 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
 
-    q = apply_rope(q, positions, cos, sin, cfg.rope_mode)
-    k = apply_rope(k, positions, cos, sin, cfg.rope_mode)
+    if cfg.mrope_sections:
+        # qwen2-vl M-RoPE: text tokens use identical streams; vision chunks
+        # with explicit (t, y, x) grids plug in here (r2)
+        pos3 = jnp.broadcast_to(positions[None], (3,) + positions.shape)
+        q = apply_mrope(q, pos3, cos, sin, cfg.mrope_sections)
+        k = apply_mrope(k, pos3, cos, sin, cfg.mrope_sections)
+    else:
+        q = apply_rope(q, positions, cos, sin, cfg.rope_mode)
+        k = apply_rope(k, positions, cos, sin, cfg.rope_mode)
 
     # scatter current K/V into the cache at the absolute positions (position
     # >= C is a sentinel: the write is dropped)

@@ -75,6 +75,48 @@ def compute_rope_cache(params: RopeParams, max_pos: int):
     return jnp.asarray(cos), jnp.asarray(sin)
 
 
+def apply_mrope(x: jnp.ndarray, positions3, cos: jnp.ndarray,
+                sin: jnp.ndarray, sections: tuple) -> jnp.ndarray:
+    """Multi-section RoPE (qwen2-vl M-RoPE; reference mrope.patch + §2.1
+    #11): rotary half-dims are partitioned into sections (temporal, height,
+    width[, extra]) and each section rotates by its own position stream.
+
+    x: [B, T, H, D]; positions3: [S, B, T] int32 (S == len(sections) or
+    fewer — missing streams reuse stream 0); neox (half-split) layout,
+    which is what qwen2-vl uses."""
+    half = cos.shape[-1]
+    # per-half-dim section index
+    sec_idx = []
+    for s, n in enumerate(sections):
+        sec_idx.extend([s] * n)
+    sec_idx = sec_idx[:half] + [0] * (half - len(sec_idx))
+    sec = jnp.asarray(sec_idx, jnp.int32)            # [half]
+
+    S = positions3.shape[0]
+    # gather cos/sin per stream: [S, B, T, half] -> select per dim
+    c_all = jnp.take(cos, positions3, axis=0)        # [S, B, T, half]
+    s_all = jnp.take(sin, positions3, axis=0)
+    sel = jnp.clip(sec, 0, S - 1)                    # [half]
+    c_all2 = jnp.moveaxis(c_all, 0, -1)              # [B, T, half, S]
+    s_all2 = jnp.moveaxis(s_all, 0, -1)
+    c = jnp.take_along_axis(c_all2, sel[None, None, :, None], axis=-1)[..., 0]
+    s = jnp.take_along_axis(s_all2, sel[None, None, :, None], axis=-1)[..., 0]
+    c = c[:, :, None, :]                              # [B, T, 1, half]
+    s = s[:, :, None, :]
+
+    rot_dim = half * 2
+    d = x.shape[-1]
+    xr = x[..., :rot_dim].astype(jnp.float32)
+    x0 = xr[..., :half]
+    x1 = xr[..., half:]
+    o0 = x0 * c - x1 * s
+    o1 = x0 * s + x1 * c
+    rotated = jnp.concatenate([o0, o1], axis=-1).astype(x.dtype)
+    if rot_dim < d:
+        rotated = jnp.concatenate([rotated, x[..., rot_dim:]], axis=-1)
+    return rotated
+
+
 def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, cos: jnp.ndarray,
                sin: jnp.ndarray, mode: str = "norm") -> jnp.ndarray:
     """x: [..., T, H, D]; positions: broadcastable to [..., T] int32."""

@@ -95,3 +95,50 @@ def test_perplexity_harness(tmp_path):
     assert math.isfinite(ppl_dense) and math.isfinite(ppl_q)
     # identical math modulo bf16 rounding of the fused path
     assert abs(ppl_dense - ppl_q) / ppl_dense < 0.05
+
+
+def test_mrope_reduces_to_rope_for_text():
+    """When all position streams are equal (text tokens), M-RoPE must equal
+    plain neox RoPE."""
+    import numpy as np
+    import jax.numpy as jnp
+    from llama_box_tpu.ops.rope import (RopeParams, apply_mrope, apply_rope,
+                                        compute_rope_cache)
+
+    rng = np.random.default_rng(0)
+    B, T, H, D = 1, 6, 2, 32
+    x = rng.normal(size=(B, T, H, D)).astype(np.float32)
+    rp = RopeParams(head_dim=D, mode="neox")
+    cos, sin = compute_rope_cache(rp, 64)
+    pos = np.arange(T, dtype=np.int32)[None, :]
+    want = apply_rope(jnp.asarray(x), jnp.asarray(pos), cos, sin, "neox")
+    pos3 = np.stack([pos, pos, pos])  # [3, B, T] all equal
+    got = apply_mrope(jnp.asarray(x), jnp.asarray(pos3), cos, sin,
+                      sections=(4, 6, 6))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_mrope_sections_rotate_independently():
+    import numpy as np
+    import jax.numpy as jnp
+    from llama_box_tpu.ops.rope import RopeParams, apply_mrope, compute_rope_cache
+
+    rng = np.random.default_rng(1)
+    B, T, H, D = 1, 2, 1, 16
+    x = rng.normal(size=(B, T, H, D)).astype(np.float32)
+    cos, sin = compute_rope_cache(RopeParams(head_dim=D, mode="neox"), 64)
+    base = np.zeros((3, B, T), np.int32)
+    # change only the 'height' stream; only section-1 dims may differ
+    p_a = base.copy()
+    p_b = base.copy()
+    p_b[1] += 5
+    a = np.asarray(apply_mrope(jnp.asarray(x), jnp.asarray(p_a), cos, sin,
+                               (3, 3, 2)))
+    b = np.asarray(apply_mrope(jnp.asarray(x), jnp.asarray(p_b), cos, sin,
+                               (3, 3, 2)))
+    half = 8
+    sec1 = list(range(3, 6)) + list(range(half + 3, half + 6))
+    other = [i for i in range(D) if i not in sec1]
+    np.testing.assert_allclose(a[..., other], b[..., other], atol=1e-6)
+    assert np.abs(a[..., sec1] - b[..., sec1]).max() > 1e-3
