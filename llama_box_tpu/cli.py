@@ -245,7 +245,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"error: mmproj projection dim {ccfg.proj_dim} != model "
                   f"embedding dim {cfg.n_embd}", file=sys.stderr)
             return 1
-        multimodal = MultimodalProcessor(ccfg, cparams)
+        acfg = aparams = None
+        with GGUFFile(args.mmproj) as g:
+            if g.metadata.get("clip.has_audio_encoder"):
+                from .models.audio import load_audio_tower
+                acfg, aparams = load_audio_tower(args.mmproj)
+        multimodal = MultimodalProcessor(ccfg, cparams, audio_cfg=acfg,
+                                         audio_params=aparams)
 
     max_tps = args.tokens_per_second
     if max_tps < 0:  # -1: auto-probe decode rate (reference -tps -1)

@@ -411,10 +411,27 @@ class HTTPServer:
                     elif ptype == "image_url" and self.mp is not None:
                         url = (p.get("image_url") or {}).get("url", "")
                         try:
-                            images.append(fetch_image_bytes(url))
+                            images.append(("image", fetch_image_bytes(url)))
                         except Exception as exc:  # noqa: BLE001
                             raise bad_request(
                                 f"messages[{i}] image fetch failed: {exc}",
+                                "messages")
+                        parts.append(MTMD_MARKER)
+                    elif ptype == "input_audio" and self.mp is not None \
+                            and self.mp.supports_audio:
+                        ia = p.get("input_audio") or {}
+                        fmt = ia.get("format", "wav")
+                        if fmt != "wav":
+                            raise bad_request(
+                                f"messages[{i}] audio format \"{fmt}\" is "
+                                "not supported (wav only)", "messages")
+                        import base64 as _b64
+                        try:
+                            images.append(("audio",
+                                           _b64.b64decode(ia.get("data", ""))))
+                        except Exception as exc:  # noqa: BLE001
+                            raise bad_request(
+                                f"messages[{i}] audio decode failed: {exc}",
                                 "messages")
                         parts.append(MTMD_MARKER)
                     else:

@@ -43,15 +43,22 @@ def fetch_image_bytes(url: str, timeout: float = 15.0) -> bytes:
 
 
 class MultimodalProcessor:
-    """Owns the vision tower; encodes images to LM-space embeddings with an
-    LRU cache keyed by image-content FNV hash."""
+    """Owns the vision (and optional audio) towers; encodes media to
+    LM-space embeddings with an LRU cache keyed by content FNV hash."""
 
-    def __init__(self, clip_cfg, clip_params, max_cache: int = 8):
+    def __init__(self, clip_cfg, clip_params, max_cache: int = 8,
+                 audio_cfg=None, audio_params=None):
         self.cfg = clip_cfg
         self.params = clip_params
+        self.audio_cfg = audio_cfg
+        self.audio_params = audio_params
         self.max_cache = max_cache
         self._cache: OrderedDict[int, np.ndarray] = OrderedDict()
         self._lock = threading.Lock()  # clip encode is mutex'd (ref :3385)
+
+    @property
+    def supports_audio(self) -> bool:
+        return self.audio_cfg is not None
 
     @property
     def n_image_tokens(self) -> int:
@@ -82,6 +89,22 @@ class MultimodalProcessor:
                         h, emb.shape[0])
             return self._cache[h], h
 
+    def encode_audio(self, audio_bytes: bytes) -> tuple[np.ndarray, int]:
+        """WAV bytes -> (embeddings [N, proj] f32, content hash)."""
+        if self.audio_cfg is None:
+            raise ValueError("this server has no audio encoder loaded")
+        from ..models.audio import encode_audio
+        h = fnv1a_64(audio_bytes)
+        with self._lock:
+            if h in self._cache:
+                self._cache.move_to_end(h)
+                return self._cache[h], h
+            emb = encode_audio(self.audio_cfg, self.audio_params, audio_bytes)
+            self._cache[h] = emb
+            while len(self._cache) > self.max_cache:
+                self._cache.popitem(last=False)
+        return emb, h
+
     def dummy_tokens(self, content_hash: int, n: int) -> list[int]:
         """Negative pseudo-token ids identifying this image in the prefix
         cache (z_multimodal.hpp:90)."""
@@ -89,16 +112,19 @@ class MultimodalProcessor:
         return [base - i for i in range(n)]
 
 
-def build_chunks(prompt: str, images: list[bytes], tokenizer, mp,
+def build_chunks(prompt: str, media: list, tokenizer, mp,
                  add_special: bool = True):
-    """Split the templated prompt on MTMD markers and interleave image
-    embedding chunks. Returns (flat_ids, chunks) where chunks is a list of
-    ("tokens", ids) / ("embed", np.ndarray, dummy_ids)."""
+    """Split the templated prompt on MTMD markers and interleave media
+    embedding chunks. media: list of ("image"|"audio", bytes). Returns
+    (flat_ids, chunks); chunks = ("tokens", ids) | ("embed", arr, dummies)."""
+    # tolerate a bare list of image bytes (legacy call sites/tests)
+    media = [("image", m) if isinstance(m, (bytes, bytearray)) else m
+             for m in media]
     parts = prompt.split(MTMD_MARKER)
-    if len(parts) != len(images) + 1:
+    if len(parts) != len(media) + 1:
         raise ValueError(
             f"prompt has {len(parts) - 1} media markers for "
-            f"{len(images)} images")
+            f"{len(media)} media items")
     chunks = []
     flat: list[int] = []
     for i, part in enumerate(parts):
@@ -112,8 +138,12 @@ def build_chunks(prompt: str, images: list[bytes], tokenizer, mp,
                 and tokenizer.bos_id is not None:
             chunks.append(("tokens", [tokenizer.bos_id]))
             flat.append(tokenizer.bos_id)
-        if i < len(images):
-            emb, h = mp.encode(images[i])
+        if i < len(media):
+            kind, data = media[i]
+            if kind == "audio":
+                emb, h = mp.encode_audio(data)
+            else:
+                emb, h = mp.encode(data)
             dummies = mp.dummy_tokens(h, emb.shape[0])
             chunks.append(("embed", emb, dummies))
             flat.extend(dummies)
