@@ -118,6 +118,12 @@ def build_parser() -> argparse.ArgumentParser:
     g = p.add_argument_group("multimodal")
     g.add_argument("--mmproj", default=None)
 
+    g = p.add_argument_group("images")
+    g.add_argument("--clip-vocab", default=None,
+                   help="CLIP vocab.json for SD conditioning")
+    g.add_argument("--clip-merges", default=None,
+                   help="CLIP merges.txt for SD conditioning")
+
     g = p.add_argument_group("tpu/distributed")
     g.add_argument("--mesh", default=None,
                    help="device mesh spec, e.g. 'tp=4' or 'dp=2,tp=4'")
@@ -126,6 +132,48 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--num-hosts", type=int, default=1)
     g.add_argument("--host-id", type=int, default=0)
     return p
+
+
+def _serve_images(args) -> int:
+    """Image-generation-only server for a Stable Diffusion GGUF (the
+    reference's sd-model dispatch at load, SURVEY.md §2.1 #21)."""
+    from .diffusion.sd_models import build_sd_pipeline
+    from .models.config import ModelConfig
+    from .server.engine import Engine, EngineConfig
+    from .server.http import HTTPServer, run_app
+    from .tokenizer.clip_bpe import CLIPTokenizer, HashTokenizer
+
+    if args.clip_vocab:
+        tok = CLIPTokenizer.from_files(args.clip_vocab, args.clip_merges)
+    else:
+        SRV_WRN("main", "no --clip-vocab given; SD conditioning uses a "
+                "degraded hash tokenizer")
+        tok = HashTokenizer()
+    SRV_INF("main", "loading SD model %s", args.model)
+    pipeline = build_sd_pipeline(args.model, tokenizer=tok)
+    engine = Engine(ModelConfig(), None, None,
+                    EngineConfig(n_slots=1, n_ctx=16),
+                    images_pipeline=pipeline)
+    engine.start()
+    server = HTTPServer(engine,
+                        model_name=args.alias or args.model.rsplit("/", 1)[-1],
+                        capabilities={"completion": False, "embedding": False,
+                                      "image": True})
+    import asyncio
+    import signal
+
+    async def serve():
+        runner = await run_app(server, args.host, args.port)
+        stop = asyncio.Event()
+        loop = asyncio.get_event_loop()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            loop.add_signal_handler(sig, stop.set)
+        await stop.wait()
+        await runner.cleanup()
+        engine.stop()
+
+    asyncio.run(serve())
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -181,7 +229,11 @@ def main(argv: list[str] | None = None) -> int:
     quantized = args.weights_dtype == "quantized"
     with GGUFFile(args.model) as g:
         arch = g.architecture
-        tokenizer = Tokenizer.from_gguf(g)
+        is_sd = any(n.startswith("model.diffusion_model.") for n in g.tensors)
+        tokenizer = None if is_sd else Tokenizer.from_gguf(g)
+
+    if is_sd:
+        return _serve_images(args)
 
     from .models.bert import BERT_ARCHS, load_bert
     is_bert = arch in BERT_ARCHS

@@ -143,11 +143,19 @@ class Engine:
 
         S = self.ecfg.n_slots
         self.slot_ctx = max(16, self.ecfg.n_ctx // S)
-        kv_dtype = jnp.dtype(self.ecfg.kv_dtype)
-        self.kv = init_kv_cache(cfg, S, self.slot_ctx, kv_dtype)
-        self.rope_cos, self.rope_sin = make_rope(cfg, self.slot_ctx)
-        self.delta_cos, self.delta_sin = make_delta_rope(cfg, self.slot_ctx)
-        self.sstate = init_sampler_state(S, cfg.vocab_size)
+        if params is not None:
+            kv_dtype = jnp.dtype(self.ecfg.kv_dtype)
+            self.kv = init_kv_cache(cfg, S, self.slot_ctx, kv_dtype)
+            self.rope_cos, self.rope_sin = make_rope(cfg, self.slot_ctx)
+            self.delta_cos, self.delta_sin = make_delta_rope(cfg,
+                                                             self.slot_ctx)
+            self.sstate = init_sampler_state(S, cfg.vocab_size)
+        else:
+            # image-only server (the reference's sd-model dispatch,
+            # engine.cpp): no LM, only ImagesTask work reaches the loop
+            self.kv = self.sstate = None
+            self.rope_cos = self.rope_sin = None
+            self.delta_cos = self.delta_sin = None
         self.eog_ids = sorted(tokenizer.eog_ids) if tokenizer else []
         self._default_sp = SamplerParams()
         self.arrs = make_sampler_arrays([self._default_sp] * S, self.eog_ids)

@@ -1,0 +1,99 @@
+"""Stable-Diffusion GGUF pipeline: tiny checkpoint loads, all three model
+parts run, txt2img/img2img streams produce images (SURVEY.md §3.4)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_box_tpu.diffusion import GenerationParams
+from llama_box_tpu.diffusion.sd_models import (
+    build_sd_pipeline, clip_text_encode, load_sd, unet_forward, vae_decode,
+)
+
+from .fixtures.make_tiny_sd import CTX, VOCAB, write_tiny_sd
+
+
+def char_tokenizer(prompt: str):
+    ids = [min(ord(c) % VOCAB, VOCAB - 1) for c in prompt][:77]
+    return ids + [0] * (77 - len(ids))
+
+
+@pytest.fixture(scope="module")
+def sd(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "sd.gguf")
+    write_tiny_sd(path)
+    return load_sd(path), path
+
+
+def test_text_encoder(sd):
+    trees, _ = sd
+    out = clip_text_encode(trees["text"], np.asarray(char_tokenizer("a cat")))
+    assert out.shape == (77, CTX)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_shapes(sd):
+    trees, _ = sd
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(8, 8, 4)), jnp.float32)
+    ctx = jnp.asarray(rng.normal(size=(77, CTX)), jnp.float32)
+    eps = unet_forward(trees["unet"], x, jnp.float32(10.0), ctx)
+    assert eps.shape == (8, 8, 4)
+    assert np.isfinite(np.asarray(eps)).all()
+
+
+def test_vae_decode_shape(sd):
+    trees, _ = sd
+    rng = np.random.default_rng(1)
+    z = jnp.asarray(rng.normal(size=(8, 8, 4)), jnp.float32)
+    img = vae_decode(trees["vae"], z)
+    assert img.shape == (64, 64, 3)
+
+
+def test_txt2img_stream(sd):
+    _, path = sd
+    pl = build_sd_pipeline(path, tokenizer=char_tokenizer)
+    p = GenerationParams(prompt="a tiny cat", negative_prompt="blurry",
+                         width=64, height=64, steps=3, cfg_scale=4.0,
+                         sampler="euler", seed=3)
+    st = pl.txt2img_stream(p)
+    assert st.total_steps == 3
+    previews = []
+    while not st.done:
+        st.step()
+        previews.append(st.preview())
+    img = st.result()
+    assert img.shape == (64, 64, 3) and img.dtype == np.uint8
+    assert previews[0].shape[2] == 3
+
+
+def test_img2img_stream(sd):
+    _, path = sd
+    pl = build_sd_pipeline(path, tokenizer=char_tokenizer)
+    rng = np.random.default_rng(2)
+    init = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    p = GenerationParams(prompt="x", width=64, height=64, steps=4,
+                         cfg_scale=2.0, sampler="euler", seed=5,
+                         strength=0.5)
+    st = pl.img2img_stream(p, init)
+    assert st.total_steps <= 4
+    while not st.done:
+        st.step()
+    assert st.result().shape == (64, 64, 3)
+
+
+def test_clip_bpe_tokenizer():
+    from llama_box_tpu.tokenizer.clip_bpe import CLIPTokenizer, HashTokenizer
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1,
+             "a</w>": 2, "c": 3, "at</w>": 4, "cat</w>": 5, "t</w>": 6,
+             "a": 7, "t": 8}
+    merges = ["a t</w>", "c at</w>"]
+    tok = CLIPTokenizer(vocab, merges)
+    ids = tok("a cat")
+    assert ids[0] == 0 and len(ids) == 77
+    # "cat" -> c + at</w> -> merged to cat</w> (rank order applies a-t first)
+    assert 5 in ids or 4 in ids
+    ht = HashTokenizer()
+    ids2 = ht("hello world")
+    assert len(ids2) == 77 and ids2[0] == 49406
+    assert ht("hello world") == ids2  # deterministic
