@@ -131,6 +131,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="jax.distributed coordinator address for multi-host")
     g.add_argument("--num-hosts", type=int, default=1)
     g.add_argument("--host-id", type=int, default=0)
+    g.add_argument("--control-bind", default="tcp://*:18182",
+                   help="host-0 control-plane PUB bind")
+    g.add_argument("--control-connect", default=None,
+                   help="worker: host-0 control-plane address "
+                        "(tcp://host0:18182)")
     return p
 
 
@@ -280,6 +285,19 @@ def main(argv: list[str] | None = None) -> int:
         lookup_ngram_min=args.lookup_ngram_min,
     )
     engine = Engine(cfg, params, tokenizer, ecfg, draft=draft, mesh=mesh)
+
+    if args.host_id > 0 or args.control_connect:
+        # worker host: execute the host-0 step-plan stream (SURVEY.md §2.2
+        # TPU-native RPC replacement); no HTTP, no scheduler thread
+        from .parallel.controller import WorkerLoop, engine_ops
+        addr = args.control_connect or "tcp://localhost:18182"
+        WorkerLoop(addr, engine_ops(engine)).run_forever()
+        return 0
+
+    if args.num_hosts > 1:
+        from .parallel.controller import ControlPlane
+        engine.control = ControlPlane(args.control_bind,
+                                      n_workers=args.num_hosts - 1)
     engine.start()
 
     defaults = SamplerParams(

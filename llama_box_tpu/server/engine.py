@@ -186,6 +186,7 @@ class Engine:
                              if b <= max(self.ecfg.n_ubatch, 16))
         self.slots = [Slot(i, self.slot_ctx) for i in range(S)]
         self.queue: queue.Queue[BaseTask] = queue.Queue()
+        self.control = None  # parallel/controller.ControlPlane (multi-host)
         self.metrics = Metrics()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -314,6 +315,10 @@ class Engine:
 
         # reset + seed the sampler slot; prompt participates in penalties
         sp = task.sparams
+        if self.control is not None:
+            self.control.broadcast("reset_slot", {},
+                                   {"slot": s.idx,
+                                    "seed": sp.seed & 0xFFFFFFFF})
         self.sstate = reset_slot(self.sstate, jnp.int32(s.idx),
                                  jnp.uint32(sp.seed & 0xFFFFFFFF))
         last_n = min(sp.penalty_last_n if sp.penalty_last_n >= 0 else RING_CAP,
@@ -323,6 +328,10 @@ class Engine:
             window = [t if t >= 0 else 0 for t in task.prompt_tokens[-last_n:]]
             buf = np.full(RING_CAP, -1, np.int32)
             buf[:len(window)] = window
+            if self.control is not None:
+                self.control.broadcast("push_tokens", {"tokens": buf},
+                                       {"slot": s.idx, "n": len(window),
+                                        "last_n": last_n})
             self.sstate = push_tokens(
                 self.sstate, jnp.int32(s.idx), jnp.asarray(buf),
                 jnp.int32(len(window)), jnp.int32(last_n))
@@ -351,6 +360,10 @@ class Engine:
         plist = [s.task.sparams if s.task is not None else self._default_sp
                  for s in self.slots]
         self.arrs = make_sampler_arrays(plist, self.eog_ids)
+        if self.control is not None:
+            self.control.broadcast(
+                "set_arrs", {k: np.asarray(v)
+                             for k, v in self.arrs._asdict().items()})
         self._arrs_dirty = False
 
     # -- prefill -------------------------------------------------------------
@@ -387,6 +400,10 @@ class Engine:
         if ch[0] == "tokens":
             buf = np.zeros(bucket, np.int32)
             buf[:chunk] = ch[1][off:off + chunk]
+            if self.control is not None:
+                self.control.broadcast("prefill", {"tokens": buf},
+                                       {"slot": s.idx, "pos": s.pos,
+                                        "n": chunk})
             logits, self.kv = prefill(
                 self.params, self.cfg, jnp.asarray(buf), self.kv,
                 jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
@@ -395,6 +412,10 @@ class Engine:
             emb = ch[1][off:off + chunk]
             buf = np.zeros((bucket, emb.shape[1]), np.float32)
             buf[:chunk] = emb
+            if self.control is not None:
+                self.control.broadcast("prefill_embed", {"embeds": buf},
+                                       {"slot": s.idx, "pos": s.pos,
+                                        "n": chunk})
             logits, self.kv = prefill_embed(
                 self.params, self.cfg, jnp.asarray(buf), self.kv,
                 jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
@@ -560,6 +581,11 @@ class Engine:
             samp_active[s.idx] = \
                 getattr(s.task, "host_sampler", None) is None
 
+        if self.control is not None:
+            self.control.broadcast(
+                "decode",
+                {"tokens": tokens, "positions": positions, "n_draft": n_draft,
+                 "active": active, "samp_active": samp_active}, {})
         toks, n_emitted, ids, probs, logits0, self.kv, self.sstate = \
             _decode_verify_sample(
                 self.params, self.cfg, jnp.asarray(tokens),
@@ -667,6 +693,10 @@ class Engine:
         n_keep = max(n_keep, 0)
         n_left = s.pos - n_keep
         n_discard = max(1, n_left // 2)
+        if self.control is not None:
+            self.control.broadcast("shift", {}, {"slot": s.idx,
+                                                 "keep": n_keep,
+                                                 "discard": n_discard})
         self.kv = shift_kv(self.kv, jnp.int32(s.idx), jnp.int32(n_keep),
                            jnp.int32(n_discard), self.delta_cos,
                            self.delta_sin, self.cfg.rope_mode)
