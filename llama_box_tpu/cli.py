@@ -114,6 +114,9 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar=("PATH", "SCALE"))
     g.add_argument("--lora-init-without-apply", action="store_true",
                    default=False)
+    g.add_argument("--lora-per-request", action="store_true", default=False,
+                   help="keep adapters unmerged; requests pick scales via "
+                        "the 'lora' field (slots batch together regardless)")
 
     g = p.add_argument_group("multimodal")
     g.add_argument("--mmproj", default=None)
@@ -252,13 +255,16 @@ def main(argv: list[str] | None = None) -> int:
                                  quantized=quantized, shard_fn=shard_fn)
 
     adapters = []
+    lora_dynamic = 0
     if args.lora or args.lora_scaled:
-        from .models.lora import apply_lora, load_lora
+        from .models.lora import apply_lora, load_lora, stack_dynamic
         for path in args.lora:
             adapters.append(load_lora(path, 1.0))
         for path, scale in args.lora_scaled:
             adapters.append(load_lora(path, float(scale)))
-        if not args.lora_init_without_apply:
+        if args.lora_per_request:
+            lora_dynamic = stack_dynamic(params, cfg, adapters)
+        elif not args.lora_init_without_apply:
             params = apply_lora(params, cfg, adapters)
 
     draft = None
@@ -285,6 +291,11 @@ def main(argv: list[str] | None = None) -> int:
         lookup_ngram_min=args.lookup_ngram_min,
     )
     engine = Engine(cfg, params, tokenizer, ecfg, draft=draft, mesh=mesh)
+    if lora_dynamic:
+        engine.configure_lora(
+            lora_dynamic,
+            [0.0 if args.lora_init_without_apply else a.scale
+             for a in adapters])
 
     if args.host_id > 0 or args.control_connect:
         # worker host: execute the host-0 step-plan stream (SURVEY.md §2.2

@@ -106,8 +106,22 @@ def make_delta_rope(cfg: ModelConfig, max_pos: int):
     return cos, sin
 
 
+def _lora_delta(h, lp, key, lora_scales):
+    """Per-slot scaled low-rank delta (dynamic LoRA): h [B,T,E],
+    lora_scales [B, n_ad] -> [B, T, out] or 0.0."""
+    A = lp.get(f"lora_A_{key}")
+    if A is None or lora_scales is None:
+        return 0.0
+    Bm = lp[f"lora_B_{key}"]
+    hf = h.astype(jnp.float32)
+    t = jnp.einsum("bte,are->btar", hf, A)
+    d = jnp.einsum("btar,aor->btao", t, Bm)
+    return (d * lora_scales[:, None, :, None]).sum(axis=2).astype(h.dtype)
+
+
 def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
-                cos, sin, k_scale=None, v_scale=None, flash_pos0=None):
+                cos, sin, k_scale=None, v_scale=None, flash_pos0=None,
+                lora_scales=None):
     """x: [B,T,E]; k_cache/v_cache: [B,C,Hkv,D]; mask: [B,T,C] True=attend.
     k_scale/v_scale: [B,C,Hkv] when the cache is int8-quantized.
     flash_pos0: absolute position of x[:, 0] when the chunk is contiguous
@@ -116,9 +130,9 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-    q = mm(h, lp["wq"])
-    k = mm(h, lp["wk"])
-    v = mm(h, lp["wv"])
+    q = mm(h, lp["wq"]) + _lora_delta(h, lp, "wq", lora_scales)
+    k = mm(h, lp["wk"]) + _lora_delta(h, lp, "wk", lora_scales)
+    v = mm(h, lp["wv"]) + _lora_delta(h, lp, "wv", lora_scales)
     if "bq" in lp:  # qwen2-style attention biases
         q = q + lp["bq"]
         k = k + lp["bk"]
@@ -187,17 +201,20 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-30)
         attn = jnp.einsum("bhgtc,bchd->bthgd", probs, vf).reshape(B, T, H * D)
 
-    x = x + mm(attn.astype(x.dtype), lp["wo"]).astype(x.dtype)
+    ao = attn.astype(x.dtype)
+    x = x + (mm(ao, lp["wo"])
+             + _lora_delta(ao, lp, "wo", lora_scales)).astype(x.dtype)
 
     h = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
     if "w_gate_inp" in lp:
         x = x + _moe_ffn(h, lp, cfg).astype(x.dtype)
     else:
-        gate = mm(h, lp["w_gate"])
-        up = mm(h, lp["w_up"])
+        gate = mm(h, lp["w_gate"]) + _lora_delta(h, lp, "w_gate", lora_scales)
+        up = mm(h, lp["w_up"]) + _lora_delta(h, lp, "w_up", lora_scales)
         act = (jax.nn.silu(gate.astype(jnp.float32))
                * up.astype(jnp.float32)).astype(x.dtype)
-        x = x + mm(act, lp["w_down"]).astype(x.dtype)
+        x = x + (mm(act, lp["w_down"])
+                 + _lora_delta(act, lp, "w_down", lora_scales)).astype(x.dtype)
     return x, k_cache, v_cache, k_scale, v_scale
 
 
@@ -258,6 +275,7 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                cos, sin, kv_ks=None, kv_vs=None, flash_pos0=None):
     """Scan the layer stack; returns (hidden, k_new, v_new, ks_new, vs_new)."""
     quant = kv_ks is not None
+    lora_scales = params.get("lora_scales")
 
     def body(x, layer):
         if quant:
@@ -267,7 +285,8 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
             ks = vs = None
         x, k_c, v_c, ks, vs = _attn_layer(x, lp, positions, k_c, v_c, mask,
                                           cfg, cos, sin, ks, vs,
-                                          flash_pos0=flash_pos0)
+                                          flash_pos0=flash_pos0,
+                                          lora_scales=lora_scales)
         return x, ((k_c, v_c, ks, vs) if quant else (k_c, v_c))
 
     if quant:
@@ -329,6 +348,10 @@ forward = partial(jax.jit, static_argnames=("cfg",),
 def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
                   pos_base, n_valid, rope_cos, rope_sin):
     """Shared prefill body: run a [1, T, E] chunk into one slot's KV slice."""
+    if params.get("lora_scales") is not None:
+        params = dict(params)
+        params["lora_scales"] = jax.lax.dynamic_slice_in_dim(
+            params["lora_scales"], slot, 1, axis=0)
     T = x.shape[1]
     C = kv.capacity
     k_slot = jax.lax.dynamic_slice_in_dim(kv.k, slot, 1, axis=1)

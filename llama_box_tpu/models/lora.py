@@ -64,6 +64,50 @@ def load_lora(path: str, scale: float = 1.0) -> LoraAdapter:
                        pairs=pairs)
 
 
+def stack_dynamic(params: dict, cfg, adapters: list[LoraAdapter]) -> int:
+    """Register adapters UNMERGED for per-request scaling: per-layer low-rank
+    stacks params["layers"]["lora_A_<key>"] [L, n_ad, r_max, in] and
+    ["lora_B_<key>"] [L, n_ad, out, r_max]. The forward applies
+    y += sum_a slot_scale[a] * (x @ A_a.T) @ B_a.T — every slot can run a
+    different adapter mix inside ONE batch (the reference instead partitions
+    batches by LoRA set, httpserver.hpp:3682-3723). Returns n_adapters."""
+    import jax.numpy as jnp
+
+    layers = params["layers"]
+    n_layers = cfg.n_layers
+    r_max = max((a.rank for a in adapters), default=0)
+    if r_max == 0:
+        return 0
+    by_key: dict = {}
+    for ai, ad in enumerate(adapters):
+        eff = ad.alpha / max(ad.rank, 1)
+        for base, (A, B) in ad.pairs.items():
+            if not base.startswith("blk."):
+                continue
+            _, idx, rest = base.split(".", 2)
+            key = _TARGETS.get(rest)
+            if key is None or key not in layers:
+                continue
+            by_key.setdefault(key, {})[(ai, int(idx))] = (A * eff, B)
+    n_ad = len(adapters)
+    from ..ops.qmatmul import QTensor
+    for key, entries in by_key.items():
+        W = layers[key]
+        if isinstance(W, QTensor):
+            in_dim, out_dim = W.in_dim, W.out_dim  # works on quantized base
+        else:
+            in_dim, out_dim = W.shape[1], W.shape[2]
+        A_stack = np.zeros((n_layers, n_ad, r_max, in_dim), np.float32)
+        B_stack = np.zeros((n_layers, n_ad, out_dim, r_max), np.float32)
+        for (ai, li), (A, B) in entries.items():
+            r = A.shape[0]
+            A_stack[li, ai, :r, :] = A
+            B_stack[li, ai, :, :r] = B
+        layers[f"lora_A_{key}"] = jnp.asarray(A_stack)
+        layers[f"lora_B_{key}"] = jnp.asarray(B_stack)
+    return n_ad
+
+
 # base tensor name -> (param tree location, transposed?)
 _TARGETS = {
     "attn_q.weight": "wq",

@@ -187,6 +187,9 @@ class Engine:
         self.slots = [Slot(i, self.slot_ctx) for i in range(S)]
         self.queue: queue.Queue[BaseTask] = queue.Queue()
         self.control = None  # parallel/controller.ControlPlane (multi-host)
+        self.n_lora = 0                  # dynamic (per-request) adapters
+        self.lora_default: list[float] = []
+        self._lora_rows = None           # np [S, n_lora] slot scale rows
         self.metrics = Metrics()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -202,6 +205,27 @@ class Engine:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=30)
+
+    def configure_lora(self, n_adapters: int,
+                       default_scales: list[float]) -> None:
+        """Enable per-request LoRA: per-slot scale rows feed the forward's
+        low-rank deltas (models/lora.py:stack_dynamic)."""
+        self.n_lora = n_adapters
+        self.lora_default = list(default_scales)
+        self._lora_rows = np.tile(np.asarray(default_scales, np.float32),
+                                  (len(self.slots), 1))
+        self.params["lora_scales"] = jnp.asarray(self._lora_rows)
+
+    def _set_lora_row(self, slot: int, lora: tuple) -> None:
+        if self.n_lora == 0:
+            return
+        row = np.asarray(self.lora_default, np.float32).copy()
+        for aid, scale in lora or ():
+            if 0 <= aid < self.n_lora:
+                row[aid] = scale
+        if not np.array_equal(self._lora_rows[slot], row):
+            self._lora_rows[slot] = row
+            self.params["lora_scales"] = jnp.asarray(self._lora_rows)
 
     def submit(self, task: BaseTask) -> None:
         self.metrics.n_requests += 1
@@ -351,6 +375,7 @@ class Engine:
             task.ngram.update(task.prompt_tokens)
         s.drafts = []
         s.draft_pos = 0
+        self._set_lora_row(s.idx, task.lora)
         SRV_DBG("admit", "task %s -> slot %d reuse=%d prompt=%d",
                 task.rid, s.idx, reuse, len(task.prompt_tokens))
 

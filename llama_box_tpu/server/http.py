@@ -22,9 +22,9 @@ from .reasoning import ReasoningSplitter, detect_reasoning_markers
 from .toolcall import ToolCallScanner, migrate_functions
 from .protocol import (
     RequestError, bad_request, chat_chunk_json, chat_completion_json,
-    completion_chunk_json, completion_json, new_request_id, parse_max_tokens,
-    parse_prompt_tokens, parse_sampling, parse_stop, parse_stream_options,
-    usage_json,
+    completion_chunk_json, completion_json, new_request_id, parse_lora,
+    parse_max_tokens, parse_prompt_tokens, parse_sampling, parse_stop,
+    parse_stream_options, usage_json,
 )
 from .task import CompletionsTask, EmbeddingsTask, ImagesTask, RerankTask
 
@@ -289,6 +289,7 @@ class HTTPServer:
             n_probs=sparams.n_probs,
             rid=request["rid"],
             rate_bucket=self._request_rate_bucket(request),
+            lora=parse_lora(body, self.engine.n_lora),
         )
         self.engine.submit(task)
         if not so["stream"]:
@@ -343,6 +344,7 @@ class HTTPServer:
             toolscan=ToolCallScanner(self.chat.alias) if use_tools else None,
             rate_bucket=self._request_rate_bucket(request),
             chunks=chunks,
+            lora=parse_lora(body, self.engine.n_lora),
         )
         self.engine.submit(task)
         if not so["stream"]:
