@@ -253,6 +253,9 @@ def main(argv: list[str] | None = None) -> int:
     else:
         cfg, params = load_model(args.model, dtype=dtype,
                                  quantized=quantized, shard_fn=shard_fn)
+        if args.pooling:  # --pooling overrides the embedding pool mode
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, pooling=args.pooling)
 
     adapters = []
     lora_dynamic = 0
@@ -285,6 +288,7 @@ def main(argv: list[str] | None = None) -> int:
         kv_dtype={"f32": "float32", "f16": "float16", "bf16": "bfloat16",
                   "q8_0": "int8", "int8": "int8"}[args.cache_type_k],
         n_keep_default=args.n_keep,
+        prompt_cache=args.prompt_cache,
         draft_max=args.draft_max,
         draft_min=args.draft_min,
         draft_p_min=args.draft_p_min,

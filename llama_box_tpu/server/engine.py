@@ -92,6 +92,7 @@ class EngineConfig:
     n_ubatch: int = 512           # max prefill chunk
     kv_dtype: str = "bfloat16"
     n_keep_default: int = 0
+    prompt_cache: bool = True     # prefix cache (--no-prompt-cache disables)
     defrag_headroom: int = 4      # free positions to leave after prompt squeeze
     max_embed_batch: int = 8
     # speculative decoding (reference §2.1 #10)
@@ -323,6 +324,8 @@ class Engine:
             -s.last_used))
         lcp = longest_common_prefix(best.cache_tokens, task.prompt_tokens)
         reuse = min(lcp, len(task.prompt_tokens) - 1)
+        if not self.ecfg.prompt_cache:
+            reuse = 0
         if self.cfg.swa_window > 0 and reuse < len(task.prompt_tokens) - 1:
             reuse = 0  # partial reuse would dip below the SWA window
 
@@ -710,7 +713,7 @@ class Engine:
             task.finish_reason = finish
             task.t_decoded = time.monotonic()
             task.emit("final", task)
-            self._release(s, keep_cache=True)
+            self._release(s, keep_cache=self.ecfg.prompt_cache)
 
     def _context_shift(self, s: Slot) -> None:
         task = s.task

@@ -182,3 +182,73 @@ def test_cancelled_task_releases_slot(engine):
             break
         time.sleep(0.05)
     assert any(s.state == "idle" for s in engine.slots)
+
+
+def test_prompt_cache_disabled(tmp_path):
+    import jax.numpy as jnp
+    from llama_box_tpu.gguf import GGUFFile
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.tokenizer import Tokenizer
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=1, n_ctx=64, prompt_cache=False))
+    eng.start()
+    try:
+        toks = tok.encode("a b c")
+        f1, _ = run_task(eng, CompletionsTask(
+            toks, greedy(), tokenizer=tok, max_tokens=2, stream=False))
+        f2, _ = run_task(eng, CompletionsTask(
+            toks, greedy(), tokenizer=tok, max_tokens=2, stream=False))
+        assert f2.n_cached == 0  # no reuse when the prompt cache is off
+        assert f2.generated == f1.generated
+    finally:
+        eng.stop()
+
+
+def test_mixed_workload_interleaving(tmp_path):
+    """Completions + embeddings concurrently: everything finishes and the
+    completion output is unaffected (reference batch-type homogeneity).
+    Prompt cache off so both runs take the identical prefill path (cached
+    vs uncached prefill have different — both valid — fp reduction orders)."""
+    from llama_box_tpu.gguf import GGUFFile
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.tokenizer import Tokenizer
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=2, n_ctx=128, n_ubatch=16,
+                              prompt_cache=False))
+    eng.start()
+    try:
+        comp = CompletionsTask(tok.encode("a b c d e"), greedy(9),
+                               tokenizer=tok, max_tokens=12, stream=False)
+        embs = [EmbeddingsTask([tok.encode("hello"), tok.encode("world")])
+                for _ in range(3)]
+        eng.submit(comp)
+        for e in embs:
+            eng.submit(e)
+        f, _ = run_task(eng, comp, timeout=120)
+        assert len(f.generated) == 12
+        for e in embs:
+            kind, payload = e.result_q.get(timeout=60)
+            assert kind == "final"
+            assert len(payload.embeddings) == 2
+
+        # determinism vs a quiet engine
+        solo = CompletionsTask(tok.encode("a b c d e"), greedy(9),
+                               tokenizer=tok, max_tokens=12, stream=False)
+        fs, _ = run_task(eng, solo)
+        assert fs.generated == f.generated
+    finally:
+        eng.stop()
