@@ -282,6 +282,11 @@ class Engine:
     def _dispatch(self, task: BaseTask) -> None:
         if task.cancelled:
             return
+        if getattr(task, "_dispatched", False):
+            SRV_ERR("dispatch", "task %s submitted twice; ignoring duplicate",
+                    task.rid)
+            return
+        task._dispatched = True
         try:
             if isinstance(task, CompletionsTask):
                 self._admit_completion(task)

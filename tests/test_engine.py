@@ -235,7 +235,6 @@ def test_mixed_workload_interleaving(tmp_path):
                                tokenizer=tok, max_tokens=12, stream=False)
         embs = [EmbeddingsTask([tok.encode("hello"), tok.encode("world")])
                 for _ in range(3)]
-        eng.submit(comp)
         for e in embs:
             eng.submit(e)
         f, _ = run_task(eng, comp, timeout=120)
