@@ -51,6 +51,10 @@ class ModelConfig:
     expert_used_count: int = 0
     expert_weights_norm: bool = True  # renormalize top-k router probs
     swa_window: int = 0  # sliding-window attention width; 0 = full
+    swa_pattern: int = 0   # every n-th layer is global (gemma2: 2, gemma3: 6)
+    act_fn: str = "silu"   # FFN gate activation (gemma: gelu)
+    embd_scale: float = 1.0  # embedding multiplier (gemma: sqrt(n_embd))
+    rope_freq_base_swa: float = 0.0  # local-layer rope base (gemma3)
     extra: dict = dataclasses.field(default_factory=dict, compare=False, hash=False)
 
     @property
@@ -103,6 +107,15 @@ class ModelConfig:
             expert_weights_norm=bool(kv("expert_weights_norm",
                                         arch in ("llama", "mixtral"))),
             swa_window=int(kv("attention.sliding_window", 0) or 0),
+            swa_pattern=int(kv("attention.sliding_window_pattern",
+                               {"gemma2": 2, "gemma3": 6}.get(arch, 0))
+                            or 0) if arch.startswith("gemma") else 0,
+            act_fn="gelu" if arch.startswith("gemma") else "silu",
+            embd_scale=(float(n_embd) ** 0.5
+                        if arch.startswith("gemma") else 1.0),
+            rope_freq_base_swa=float(
+                kv("rope.local_freq_base",
+                   10000.0 if arch == "gemma3" else 0.0) or 0.0),
             logit_softcap=float(kv("final_logit_softcapping", 0.0) or 0.0),
             attn_softcap=float(kv("attn_logit_softcapping", 0.0) or 0.0),
         )

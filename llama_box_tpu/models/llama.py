@@ -86,7 +86,30 @@ def _rope_params(cfg: ModelConfig) -> RopeParams:
 
 
 def make_rope(cfg: ModelConfig, max_pos: int):
-    return compute_rope_cache(_rope_params(cfg), max_pos)
+    """(cos, sin) caches; for alternating-SWA archs with a distinct local
+    rope base (gemma3) the caches are stacked [2, P, half]: index 0 =
+    global layers, 1 = local layers."""
+    cos, sin = compute_rope_cache(_rope_params(cfg), max_pos)
+    if cfg.swa_pattern > 0 and cfg.rope_freq_base_swa > 0:
+        rp = _rope_params(cfg)
+        import dataclasses as _dc
+        cos_l, sin_l = compute_rope_cache(
+            _dc.replace(rp, freq_base=cfg.rope_freq_base_swa), max_pos)
+        return jnp.stack([cos, cos_l]), jnp.stack([sin, sin_l])
+    return cos, sin
+
+
+def _layer_is_local(cfg: ModelConfig) -> jnp.ndarray:
+    """[L] int32: 1 where the layer uses the sliding window (gemma2/3
+    alternating pattern; plain-SWA archs are local everywhere)."""
+    import numpy as _np
+    L = cfg.n_layers
+    if cfg.swa_window <= 0:
+        return jnp.zeros((L,), jnp.int32)
+    if cfg.swa_pattern <= 0:
+        return jnp.ones((L,), jnp.int32)
+    idx = _np.arange(L)
+    return jnp.asarray(((idx + 1) % cfg.swa_pattern != 0).astype(_np.int32))
 
 
 def make_delta_rope(cfg: ModelConfig, max_pos: int):
@@ -121,7 +144,7 @@ def _lora_delta(h, lp, key, lora_scales):
 
 def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
                 cos, sin, k_scale=None, v_scale=None, flash_pos0=None,
-                lora_scales=None):
+                lora_scales=None, is_local=jnp.int32(0), mrope_pos=None):
     """x: [B,T,E]; k_cache/v_cache: [B,C,Hkv,D]; mask: [B,T,C] True=attend.
     k_scale/v_scale: [B,C,Hkv] when the cache is int8-quantized.
     flash_pos0: absolute position of x[:, 0] when the chunk is contiguous
@@ -144,10 +167,18 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
 
+    if cos.ndim == 3:  # stacked global/local rope (gemma3)
+        cos = jax.lax.select(is_local > 0, cos[1], cos[0])
+        sin = jax.lax.select(is_local > 0, sin[1], sin[0])
+    if mask.ndim == 4:  # stacked global/local masks (alternating SWA)
+        mask = jax.lax.select(is_local > 0, mask[1], mask[0])
     if cfg.mrope_sections:
-        # qwen2-vl M-RoPE: text tokens use identical streams; vision chunks
-        # with explicit (t, y, x) grids plug in here (r2)
-        pos3 = jnp.broadcast_to(positions[None], (3,) + positions.shape)
+        # qwen2-vl M-RoPE: text tokens use identical streams; vision
+        # chunks pass explicit (t, y, x) grid streams via mrope_pos
+        if mrope_pos is None:
+            pos3 = jnp.broadcast_to(positions[None], (3,) + positions.shape)
+        else:
+            pos3 = mrope_pos
         q = apply_mrope(q, pos3, cos, sin, cfg.mrope_sections)
         k = apply_mrope(k, pos3, cos, sin, cfg.mrope_sections)
     else:
@@ -202,8 +233,11 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         attn = jnp.einsum("bhgtc,bchd->bthgd", probs, vf).reshape(B, T, H * D)
 
     ao = attn.astype(x.dtype)
-    x = x + (mm(ao, lp["wo"])
-             + _lora_delta(ao, lp, "wo", lora_scales)).astype(x.dtype)
+    attn_out = (mm(ao, lp["wo"])
+                + _lora_delta(ao, lp, "wo", lora_scales)).astype(x.dtype)
+    if "attn_post_norm" in lp:  # gemma2/3 sandwich norm
+        attn_out = rms_norm(attn_out, lp["attn_post_norm"], cfg.rms_eps)
+    x = x + attn_out
 
     h = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
     if "w_gate_inp" in lp:
@@ -211,10 +245,15 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     else:
         gate = mm(h, lp["w_gate"]) + _lora_delta(h, lp, "w_gate", lora_scales)
         up = mm(h, lp["w_up"]) + _lora_delta(h, lp, "w_up", lora_scales)
-        act = (jax.nn.silu(gate.astype(jnp.float32))
-               * up.astype(jnp.float32)).astype(x.dtype)
-        x = x + (mm(act, lp["w_down"])
-                 + _lora_delta(act, lp, "w_down", lora_scales)).astype(x.dtype)
+        gate = gate.astype(jnp.float32)
+        gact = (jax.nn.gelu(gate, approximate=True) if cfg.act_fn == "gelu"
+                else jax.nn.silu(gate))
+        act = (gact * up.astype(jnp.float32)).astype(x.dtype)
+        ffn_out = (mm(act, lp["w_down"])
+                   + _lora_delta(act, lp, "w_down", lora_scales)).astype(x.dtype)
+        if "ffn_post_norm" in lp:
+            ffn_out = rms_norm(ffn_out, lp["ffn_post_norm"], cfg.rms_eps)
+        x = x + ffn_out
     return x, k_cache, v_cache, k_scale, v_scale
 
 
@@ -272,28 +311,32 @@ def _flash_ok() -> bool:
 
 
 def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
-               cos, sin, kv_ks=None, kv_vs=None, flash_pos0=None):
+               cos, sin, kv_ks=None, kv_vs=None, flash_pos0=None,
+               mrope_pos=None):
     """Scan the layer stack; returns (hidden, k_new, v_new, ks_new, vs_new)."""
     quant = kv_ks is not None
     lora_scales = params.get("lora_scales")
+    is_local = _layer_is_local(cfg)
 
     def body(x, layer):
         if quant:
-            lp, k_c, v_c, ks, vs = layer
+            lp, k_c, v_c, ks, vs, loc = layer
         else:
-            lp, k_c, v_c = layer
+            lp, k_c, v_c, loc = layer
             ks = vs = None
         x, k_c, v_c, ks, vs = _attn_layer(x, lp, positions, k_c, v_c, mask,
                                           cfg, cos, sin, ks, vs,
                                           flash_pos0=flash_pos0,
-                                          lora_scales=lora_scales)
+                                          lora_scales=lora_scales,
+                                          is_local=loc, mrope_pos=mrope_pos)
         return x, ((k_c, v_c, ks, vs) if quant else (k_c, v_c))
 
     if quant:
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-            body, x, (params["layers"], kv_k, kv_v, kv_ks, kv_vs))
+            body, x, (params["layers"], kv_k, kv_v, kv_ks, kv_vs, is_local))
         return x, k_new, v_new, ks_new, vs_new
-    x, (k_new, v_new) = jax.lax.scan(body, x, (params["layers"], kv_k, kv_v))
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (params["layers"], kv_k, kv_v, is_local))
     return x, k_new, v_new, None, None
 
 
@@ -319,8 +362,25 @@ def _causal_mask(positions, seq_lens, T, C, swa_window):
     return mask
 
 
+def _build_mask(cfg: ModelConfig, positions, seq_lens, T, C):
+    """Per-arch mask: plain [B,T,C], or stacked [2,B,T,C] (global, local)
+    when SWA alternates across layers (gemma2/3)."""
+    if cfg.swa_window > 0 and cfg.swa_pattern > 0:
+        mg = _causal_mask(positions, seq_lens, T, C, 0)
+        ml = _causal_mask(positions, seq_lens, T, C, cfg.swa_window)
+        return jnp.stack([mg, ml])
+    return _causal_mask(positions, seq_lens, T, C, cfg.swa_window)
+
+
+def _embed_tokens(params, cfg: ModelConfig, tokens):
+    x = jnp.take(params["tok_embd"], tokens, axis=0)
+    if cfg.embd_scale != 1.0:
+        x = x * jnp.asarray(cfg.embd_scale, x.dtype)
+    return x
+
+
 def forward_impl(params, cfg: ModelConfig, tokens, positions, kv: KVCache,
-                 seq_lens, rope_cos, rope_sin):
+                 seq_lens, rope_cos, rope_sin, mrope_pos=None):
     """One forward step (prefill chunk or batched decode).
 
     tokens:    [B, T] int32
@@ -332,11 +392,11 @@ def forward_impl(params, cfg: ModelConfig, tokens, positions, kv: KVCache,
     """
     B, T = tokens.shape
     C = kv.capacity
-    x = jnp.take(params["tok_embd"], tokens, axis=0)
-    mask = _causal_mask(positions, seq_lens, T, C, cfg.swa_window)
+    x = _embed_tokens(params, cfg, tokens)
+    mask = _build_mask(cfg, positions, seq_lens, T, C)
     x, k_new, v_new, ks, vs = _run_stack(
         params, cfg, x, positions, kv.k, kv.v, mask, rope_cos, rope_sin,
-        kv.k_scale, kv.v_scale)
+        kv.k_scale, kv.v_scale, mrope_pos=mrope_pos)
     return _output_logits(params, cfg, x), KVCache(k=k_new, v=v_new,
                                                    k_scale=ks, v_scale=vs)
 
@@ -346,8 +406,9 @@ forward = partial(jax.jit, static_argnames=("cfg",),
 
 
 def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
-                  pos_base, n_valid, rope_cos, rope_sin):
-    """Shared prefill body: run a [1, T, E] chunk into one slot's KV slice."""
+                  pos_base, n_valid, rope_cos, rope_sin, mrope_pos=None):
+    """Shared prefill body: run a [1, T, E] chunk into one slot's KV slice.
+    mrope_pos: optional [3, T] grid position streams (qwen2-vl)."""
     if params.get("lora_scales") is not None:
         params = dict(params)
         params["lora_scales"] = jax.lax.dynamic_slice_in_dim(
@@ -365,11 +426,14 @@ def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
     positions = jnp.where(offs < n_valid, pos_base + offs, C)[None, :]
     seq_lens = jnp.full((1,), n_valid, jnp.int32)
 
-    mask = _causal_mask(positions, seq_lens, T, C, cfg.swa_window)
+    mask = _build_mask(cfg, positions, seq_lens, T, C)
+    flash_ok = (ks_slot is None and cfg.swa_pattern == 0
+                and not cfg.mrope_sections)
+    mp = mrope_pos[:, None, :] if mrope_pos is not None else None  # [3,1,T]
     x, k_new, v_new, ks_new, vs_new = _run_stack(
         params, cfg, x, positions, k_slot, v_slot, mask, rope_cos, rope_sin,
         ks_slot, vs_slot,
-        flash_pos0=(pos_base if ks_slot is None else None))
+        flash_pos0=(pos_base if flash_ok else None), mrope_pos=mp)
     last = jnp.maximum(n_valid - 1, 0)
     logits = _output_logits(params, cfg,
                             jax.lax.dynamic_slice_in_dim(x[0], last, 1, 0))[0]
@@ -385,7 +449,7 @@ def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
 
 
 def prefill_impl(params, cfg: ModelConfig, tokens, kv: KVCache, slot,
-                 pos_base, n_valid, rope_cos, rope_sin):
+                 pos_base, n_valid, rope_cos, rope_sin, mrope_pos=None):
     """Prefill one bucketed prompt chunk into a single slot's KV slice.
 
     tokens: [T] int32 chunk (padded to a bucket size)
@@ -394,9 +458,9 @@ def prefill_impl(params, cfg: ModelConfig, tokens, kv: KVCache, slot,
     n_valid: scalar int32 valid tokens in the chunk
     returns (logits of the last valid token [V] f32, new KVCache)
     """
-    x = jnp.take(params["tok_embd"], tokens[None, :], axis=0)
+    x = _embed_tokens(params, cfg, tokens[None, :])
     return _prefill_core(params, cfg, x, kv, slot, pos_base, n_valid,
-                         rope_cos, rope_sin)
+                         rope_cos, rope_sin, mrope_pos)
 
 
 prefill = partial(jax.jit, static_argnames=("cfg",),
@@ -404,12 +468,13 @@ prefill = partial(jax.jit, static_argnames=("cfg",),
 
 
 def prefill_embed_impl(params, cfg: ModelConfig, embeds, kv: KVCache, slot,
-                       pos_base, n_valid, rope_cos, rope_sin):
+                       pos_base, n_valid, rope_cos, rope_sin,
+                       mrope_pos=None):
     """Prefill a chunk of PRE-COMPUTED embeddings (vision/audio tokens from
     the multimodal projector; reference multimodal prefill §2.1 #11)."""
     x = embeds[None, :, :].astype(params["tok_embd"].dtype)
     return _prefill_core(params, cfg, x, kv, slot, pos_base, n_valid,
-                         rope_cos, rope_sin)
+                         rope_cos, rope_sin, mrope_pos)
 
 
 prefill_embed = partial(jax.jit, static_argnames=("cfg",),

@@ -46,6 +46,9 @@ _LAYER_OPTIONAL = {
     "bv": ("blk.{i}.attn_v.bias", False),
     "q_norm": ("blk.{i}.attn_q_norm.weight", False),
     "k_norm": ("blk.{i}.attn_k_norm.weight", False),
+    # gemma2/3 sandwich norms
+    "attn_post_norm": ("blk.{i}.post_attention_norm.weight", False),
+    "ffn_post_norm": ("blk.{i}.post_ffw_norm.weight", False),
     # mixture-of-experts (mixtral/qwen2moe/qwen3moe); 3D expert stacks are
     # stored (n_expert, FF, E) by the reader -> transposed to (X, E, FF)
     "w_gate_inp": ("blk.{i}.ffn_gate_inp.weight", True),
@@ -106,8 +109,12 @@ def load_model(
             "vocab=%d quantized=%s", cfg.arch, cfg.n_layers, cfg.n_embd,
             cfg.n_heads, cfg.n_kv_heads, cfg.n_ff, cfg.vocab_size, quantized)
 
+    gemma_norms = cfg.arch.startswith("gemma")
+
     def fetch(name: str, transpose) -> np.ndarray:
         x = g.tensor_f32(name)
+        if gemma_norms and name.endswith("norm.weight") and x.ndim == 1:
+            x = x + 1.0  # gemma stores RMSNorm weights as (w - 1)
         if transpose == "3d" and x.ndim == 3:
             return np.swapaxes(x, 1, 2)  # (X, FF, E) -> (X, E, FF)
         return x.T if (transpose is True and x.ndim == 2) else x

@@ -51,7 +51,7 @@ DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv", "sstate"))
 def _decode_verify_sample(params, cfg: ModelConfig, tokens, positions,
                           n_draft, kv, fwd_active, samp_active, sstate, arrs,
-                          cos, sin):
+                          cos, sin, mrope_delta=None):
     """Fused decode-forward + speculative verify + sampling over the full
     slot batch. T=1 is plain decode (one token per slot); T=K+1 verifies K
     drafted tokens and emits up to K+1. Only ids/probs leave the device.
@@ -60,8 +60,13 @@ def _decode_verify_sample(params, cfg: ModelConfig, tokens, positions,
     grammar-constrained slots, which are sampled host-side from the returned
     first-position logits (their device sampler state must not advance)."""
     seq_lens = jnp.where(fwd_active, n_draft + 1, 0)
+    mrope_pos = None
+    if cfg.mrope_sections and mrope_delta is not None:
+        mrope_pos = jnp.broadcast_to(
+            (positions + mrope_delta[:, None])[None],
+            (3,) + positions.shape)
     logits, kv = forward_impl(params, cfg, tokens, positions, kv, seq_lens,
-                              cos, sin)
+                              cos, sin, mrope_pos=mrope_pos)
     toks, n_emitted, ids, probs, sstate = verify_impl(
         logits, tokens, n_draft, sstate, arrs, samp_active)
     return toks, n_emitted, ids, probs, logits[:, 0], kv, sstate
@@ -430,6 +435,13 @@ class Engine:
         off = s.cursor - cstart
         chunk = min(cend - s.cursor, self.ecfg.n_ubatch)
         bucket = self._bucket(chunk)
+        mrope_pos = None
+        if len(ch) > 2 + (1 if ch[0] == "embed" else 0) \
+                and self.cfg.mrope_sections:
+            pos3 = ch[-1]
+            mp_buf = np.zeros((3, bucket), np.int32)
+            mp_buf[:, :chunk] = pos3[:, off:off + chunk]
+            mrope_pos = jnp.asarray(mp_buf)
         if ch[0] == "tokens":
             buf = np.zeros(bucket, np.int32)
             buf[:chunk] = ch[1][off:off + chunk]
@@ -440,7 +452,7 @@ class Engine:
             logits, self.kv = prefill(
                 self.params, self.cfg, jnp.asarray(buf), self.kv,
                 jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
-                self.rope_cos, self.rope_sin)
+                self.rope_cos, self.rope_sin, mrope_pos)
         else:  # embedding chunk (vision/audio); §2.1 #11
             emb = ch[1][off:off + chunk]
             buf = np.zeros((bucket, emb.shape[1]), np.float32)
@@ -452,7 +464,7 @@ class Engine:
             logits, self.kv = prefill_embed(
                 self.params, self.cfg, jnp.asarray(buf), self.kv,
                 jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
-                self.rope_cos, self.rope_sin)
+                self.rope_cos, self.rope_sin, mrope_pos)
         s.cache_tokens.extend(
             task.prompt_tokens[s.cursor:s.cursor + chunk])
         s.cursor += chunk
@@ -619,12 +631,18 @@ class Engine:
                 "decode",
                 {"tokens": tokens, "positions": positions, "n_draft": n_draft,
                  "active": active, "samp_active": samp_active}, {})
+        mrope_delta = None
+        if self.cfg.mrope_sections:
+            mrope_delta = jnp.asarray(
+                [getattr(s.task, "mrope_delta", 0) if s.task else 0
+                 for s in self.slots], jnp.int32)
         toks, n_emitted, ids, probs, logits0, self.kv, self.sstate = \
             _decode_verify_sample(
                 self.params, self.cfg, jnp.asarray(tokens),
                 jnp.asarray(positions), jnp.asarray(n_draft), self.kv,
                 jnp.asarray(active), jnp.asarray(samp_active), self.sstate,
-                self.arrs, self.rope_cos, self.rope_sin)
+                self.arrs, self.rope_cos, self.rope_sin,
+                mrope_delta=mrope_delta)
         toks_h = np.asarray(toks)
         n_emitted_h = np.asarray(n_emitted)
         ids_h = probs_h = None

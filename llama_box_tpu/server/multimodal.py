@@ -112,6 +112,56 @@ class MultimodalProcessor:
         return [base - i for i in range(n)]
 
 
+def build_chunks_mrope(prompt: str, media: list, tokenizer, mp,
+                       grids: list, add_special: bool = True):
+    """Qwen2-VL variant: every chunk carries [3, n] (t, y, x) position
+    streams; image grids compress the position space (published M-RoPE
+    scheme). grids[i] = (h_tokens, w_tokens) per media item.
+    Returns (flat_ids, chunks, mrope_delta) where chunks are
+    ("tokens", ids, pos3) / ("embed", emb, dummies, pos3) and decode-time
+    positions are kv_pos + mrope_delta."""
+    media = [("image", m) if isinstance(m, (bytes, bytearray)) else m
+             for m in media]
+    parts = prompt.split(MTMD_MARKER)
+    if len(parts) != len(media) + 1:
+        raise ValueError(
+            f"prompt has {len(parts) - 1} media markers for "
+            f"{len(media)} media items")
+    chunks = []
+    flat: list[int] = []
+    nxt = 0
+    for i, part in enumerate(parts):
+        ids = []
+        if part:
+            ids = tokenizer.encode(part, add_special=add_special and i == 0,
+                                   parse_special=True)
+        elif i == 0 and add_special and tokenizer.add_bos \
+                and tokenizer.bos_id is not None:
+            ids = [tokenizer.bos_id]
+        if ids:
+            n = len(ids)
+            pos3 = np.tile(np.arange(nxt, nxt + n, dtype=np.int32), (3, 1))
+            chunks.append(("tokens", ids, pos3))
+            flat.extend(ids)
+            nxt += n
+        if i < len(media):
+            kind, data = media[i]
+            emb, h = (mp.encode_audio(data) if kind == "audio"
+                      else mp.encode(data))
+            n = emb.shape[0]
+            gh, gw = grids[i] if i < len(grids) else (1, n)
+            pos3 = np.zeros((3, n), np.int32)
+            idx = np.arange(n)
+            pos3[0] = nxt                      # temporal
+            pos3[1] = nxt + idx // max(gw, 1)  # height
+            pos3[2] = nxt + idx % max(gw, 1)   # width
+            dummies = mp.dummy_tokens(h, n)
+            chunks.append(("embed", emb, dummies, pos3))
+            flat.extend(dummies)
+            nxt += max(1, gh, gw)
+    return flat, chunks, nxt - len(flat)
+
+
 def build_chunks(prompt: str, media: list, tokenizer, mp,
                  add_special: bool = True):
     """Split the templated prompt on MTMD markers and interleave media

@@ -1,0 +1,125 @@
+"""Gemma-family arch support: +1 norms, GeGLU, embedding scaling, sandwich
+norms, alternating sliding-window layers, dual rope bases."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_box_tpu.gguf.writer import GGUFWriter
+from llama_box_tpu.models import load_model
+from llama_box_tpu.models.config import ModelConfig
+from llama_box_tpu.models.llama import (
+    _layer_is_local, forward, init_kv_cache, make_rope,
+)
+
+E, FF, LAYERS, HEADS, KV_HEADS, HEAD_DIM, VOCAB = 32, 64, 4, 4, 2, 8, 96
+
+
+def write_tiny_gemma(path, seed=0):
+    rng = np.random.default_rng(seed)
+    w = GGUFWriter(path, architecture="gemma2")
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    w.add_kv("gemma2.block_count", LAYERS)
+    w.add_kv("gemma2.context_length", 128)
+    w.add_kv("gemma2.embedding_length", E)
+    w.add_kv("gemma2.feed_forward_length", FF)
+    w.add_kv("gemma2.attention.head_count", HEADS)
+    w.add_kv("gemma2.attention.head_count_kv", KV_HEADS)
+    w.add_kv("gemma2.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv("gemma2.attention.sliding_window", 8)
+    w.add_kv("gemma2.attn_logit_softcapping", 50.0)
+    w.add_kv("gemma2.final_logit_softcapping", 30.0)
+    w.add_kv("gemma2.rope.freq_base", 10000.0)
+    w.add_kv("gemma2.rope.dimension_count", HEAD_DIM)
+    w.add_kv("gemma2.vocab_size", VOCAB)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    toks = ["<pad>", "<s>", "</s>"] + [f"<t{i}>" for i in range(VOCAB - 3)]
+    w.add_kv("tokenizer.ggml.tokens", toks)
+    w.add_kv("tokenizer.ggml.scores", np.zeros(VOCAB, np.float32))
+    w.add_kv("tokenizer.ggml.token_type",
+             np.array([3, 3, 3] + [1] * (VOCAB - 3), np.int32))
+
+    w.add_tensor("token_embd.weight", rand(VOCAB, E))
+    w.add_tensor("output_norm.weight", np.zeros(E, np.float32))  # stored -1
+    for i in range(LAYERS):
+        p = f"blk.{i}."
+        w.add_tensor(p + "attn_norm.weight", np.zeros(E, np.float32))
+        w.add_tensor(p + "attn_q.weight", rand(HEADS * HEAD_DIM, E))
+        w.add_tensor(p + "attn_k.weight", rand(KV_HEADS * HEAD_DIM, E))
+        w.add_tensor(p + "attn_v.weight", rand(KV_HEADS * HEAD_DIM, E))
+        w.add_tensor(p + "attn_output.weight", rand(E, HEADS * HEAD_DIM))
+        w.add_tensor(p + "post_attention_norm.weight",
+                     np.zeros(E, np.float32))
+        w.add_tensor(p + "ffn_norm.weight", np.zeros(E, np.float32))
+        w.add_tensor(p + "ffn_gate.weight", rand(FF, E))
+        w.add_tensor(p + "ffn_up.weight", rand(FF, E))
+        w.add_tensor(p + "ffn_down.weight", rand(E, FF))
+        w.add_tensor(p + "post_ffw_norm.weight", np.zeros(E, np.float32))
+    w.write()
+
+
+@pytest.fixture(scope="module")
+def gemma(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "gemma.gguf")
+    write_tiny_gemma(path)
+    return load_model(path, dtype=jnp.float32)
+
+
+def test_gemma_config(gemma):
+    cfg, params = gemma
+    assert cfg.arch == "gemma2"
+    assert cfg.act_fn == "gelu"
+    assert cfg.swa_window == 8 and cfg.swa_pattern == 2
+    assert abs(cfg.embd_scale - E ** 0.5) < 1e-6
+    assert cfg.attn_softcap == 50.0 and cfg.logit_softcap == 30.0
+    # stored norm weights were -1-offset zeros -> loaded as ones
+    np.testing.assert_allclose(np.asarray(params["output_norm"]), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["attn_norm"][0]), 1.0)
+    assert "attn_post_norm" in params["layers"]
+    assert "ffn_post_norm" in params["layers"]
+
+
+def test_layer_locality_pattern(gemma):
+    cfg, _ = gemma
+    loc = np.asarray(_layer_is_local(cfg))
+    # gemma2 pattern 2: every 2nd layer is global
+    np.testing.assert_array_equal(loc, [1, 0, 1, 0])
+
+
+def test_gemma_forward_runs_and_swa_matters(gemma):
+    cfg, params = gemma
+    rng = np.random.default_rng(0)
+    T = 24
+    toks = rng.integers(3, VOCAB, size=(1, T)).astype(np.int32)
+    pos = np.arange(T, dtype=np.int32)[None, :]
+    lens = np.array([T], np.int32)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = forward(params, cfg, toks, pos,
+                        init_kv_cache(cfg, 1, 64, jnp.float32), lens,
+                        cos, sin)
+    out = np.asarray(logits)
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() <= 30.0 + 1e-3  # final softcap bound
+
+    # removing the window must change late-position logits (locality real)
+    import dataclasses
+    cfg_noswa = dataclasses.replace(cfg, swa_window=0, swa_pattern=0)
+    logits2, _ = forward(params, cfg_noswa, toks, pos,
+                         init_kv_cache(cfg_noswa, 1, 64, jnp.float32), lens,
+                         cos, sin)
+    assert np.abs(out[0, -1] - np.asarray(logits2)[0, -1]).max() > 1e-5
+
+
+def test_gemma3_dual_rope_cache():
+    cfg = ModelConfig(arch="gemma3", n_layers=2, n_embd=32, n_heads=4,
+                      n_kv_heads=2, head_dim=8, n_ff=64, vocab_size=16,
+                      rope_dim=8, rope_freq_base=1000000.0,
+                      rope_freq_base_swa=10000.0, swa_window=4,
+                      swa_pattern=6)
+    cos, sin = make_rope(cfg, 32)
+    assert cos.ndim == 3 and cos.shape[0] == 2
+    assert not np.allclose(np.asarray(cos[0]), np.asarray(cos[1]))
