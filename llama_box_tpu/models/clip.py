@@ -89,6 +89,7 @@ def load_clip(path: str, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
 
     params: dict = {
         "patch_embd": t("v.patch_embd.weight"),       # [E, 3, P, P]
+        "patch_embd_1": t("v.patch_embd.weight.1"),   # qwen2vl temporal slice
         "patch_embd_b": t("v.patch_embd.bias"),
         "class_embd": t("v.class_embd"),
         "pos_embd": t("v.position_embd.weight"),      # [n_pos, E]
@@ -208,6 +209,92 @@ def encode_image_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
 
 
 encode_image = jax.jit(encode_image_impl, static_argnames=("cfg",))
+
+
+def _vit_2d_rope_angles(grid_h: int, grid_w: int, head_dim: int
+                        ) -> np.ndarray:
+    """Qwen2-VL vision rope: per-patch angles [n, head_dim/2] — first half
+    of the rotary dims follows the row index, second half the column."""
+    quarter = head_dim // 4
+    inv_freq = 1.0 / (10000.0 ** (np.arange(quarter) / quarter))
+    rows = np.repeat(np.arange(grid_h), grid_w)
+    cols = np.tile(np.arange(grid_w), grid_h)
+    fh = np.outer(rows, inv_freq)
+    fw = np.outer(cols, inv_freq)
+    return np.concatenate([fh, fw], axis=1)  # [n, head_dim/2]
+
+
+def _apply_vit_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """x: [n, H, D]; cos/sin: [n, D/2] (neox half-split)."""
+    half = x.shape[-1] // 2
+    x0 = x[..., :half]
+    x1 = x[..., half:]
+    c = cos[:, None, :]
+    s = sin[:, None, :]
+    return jnp.concatenate([x0 * c - x1 * s, x0 * s + x1 * c], axis=-1)
+
+
+def encode_image_qwen2vl_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
+                              ) -> jnp.ndarray:
+    """Qwen2-VL ViT: temporal patch conv, NO learned positions, 2D rotary
+    attention, 2x2 merger MLP. pixels: [H, W, 3] -> [n_merged, proj]."""
+    P = cfg.patch_size
+    S = cfg.n_patches_side
+    E = cfg.n_embd
+    H = cfg.n_heads
+    D = E // H
+
+    patches = pixels.reshape(S, P, S, P, 3).transpose(0, 2, 4, 1, 3)
+    patches = patches.reshape(S * S, 3 * P * P)
+    w = params["patch_embd"].reshape(E, 3 * P * P)
+    if params.get("patch_embd_1") is not None:
+        # temporal kernel: static images repeat the frame, so the two
+        # temporal slices act as a summed weight
+        w = w + params["patch_embd_1"].reshape(E, 3 * P * P)
+    x = patches @ w.T
+    if params.get("patch_embd_b") is not None:
+        x = x + params["patch_embd_b"]
+
+    ang = _vit_2d_rope_angles(S, S, D)
+    cos = jnp.asarray(np.cos(ang), x.dtype)
+    sin = jnp.asarray(np.sin(ang), x.dtype)
+
+    def layer(x, lp):
+        h = _ln(x, lp["ln1"], lp.get("ln1_b"), cfg.eps)
+        q = (h @ lp["wq"] + lp.get("bq", 0.0)).reshape(-1, H, D)
+        k = (h @ lp["wk"] + lp.get("bk", 0.0)).reshape(-1, H, D)
+        v = (h @ lp["wv"] + lp.get("bv", 0.0)).reshape(-1, H, D)
+        q = _apply_vit_rope(q, cos, sin)
+        k = _apply_vit_rope(k, cos, sin)
+        scores = jnp.einsum("qhd,khd->hqk", q, k) * (D ** -0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("hqk,khd->qhd", probs, v).reshape(-1, E)
+        x = x + (attn @ lp["wo"] + lp.get("bo", 0.0))
+        h = _ln(x, lp["ln2"], lp.get("ln2_b"), cfg.eps)
+        h = h @ lp["w_up"] + lp.get("b_up", 0.0)
+        h = (jax.nn.silu(h) if cfg.use_silu
+             else _gelu_quick(h) if cfg.use_gelu_quick
+             else jax.nn.gelu(h, approximate=False))
+        h = h @ lp["w_down"] + lp.get("b_down", 0.0)
+        return x + h, None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+
+    # merger: ln_q (post_ln tensors) then 2x2 spatial merge + 2-layer MLP
+    if params.get("post_ln") is not None:
+        x = _ln(x, params["post_ln"], params.get("post_ln_b"), cfg.eps)
+    m = max(cfg.merge_size, 1)
+    x = x.reshape(S // m, m, S // m, m, E).transpose(0, 2, 1, 3, 4)
+    x = x.reshape((S // m) * (S // m), m * m * E)
+    x = x @ params["mm_0_weight"] + params.get("mm_0_bias", 0.0)
+    x = jax.nn.gelu(x, approximate=False)
+    x = x @ params["mm_2_weight"] + params.get("mm_2_bias", 0.0)
+    return x
+
+
+encode_image_qwen2vl = jax.jit(encode_image_qwen2vl_impl,
+                               static_argnames=("cfg",))
 
 
 def preprocess_image(img, cfg: ClipConfig) -> np.ndarray:

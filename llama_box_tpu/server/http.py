@@ -316,11 +316,21 @@ class HTTPServer:
         prompt = self.chat.apply(msgs, tools=tools if use_tools else None,
                                  add_generation_prompt=True)
         chunks = None
+        mrope_delta = 0
         if images:
-            from .multimodal import build_chunks
+            from .multimodal import (build_chunks, build_chunks_mrope,
+                                     scaffold_prompt)
+            prompt = scaffold_prompt(prompt, self.engine.cfg.arch)
             try:
-                prompt_tokens, chunks = build_chunks(prompt, images, tok,
-                                                     self.mp)
+                if self.engine.cfg.mrope_sections:
+                    side = self.mp.cfg.n_patches_side // max(
+                        self.mp.cfg.merge_size, 1)
+                    grids = [(side, side)] * len(images)
+                    prompt_tokens, chunks, mrope_delta = build_chunks_mrope(
+                        prompt, images, tok, self.mp, grids)
+                else:
+                    prompt_tokens, chunks = build_chunks(prompt, images, tok,
+                                                         self.mp)
             except ValueError as exc:
                 raise bad_request(str(exc), "messages")
         else:
@@ -346,6 +356,7 @@ class HTTPServer:
             chunks=chunks,
             lora=parse_lora(body, self.engine.n_lora),
         )
+        task.mrope_delta = mrope_delta
         self.engine.submit(task)
         if not so["stream"]:
             def render(t):

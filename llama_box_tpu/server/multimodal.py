@@ -80,8 +80,13 @@ class MultimodalProcessor:
         pixels = preprocess_image(img, self.cfg)
         with self._lock:
             if h not in self._cache:
-                emb = np.asarray(encode_image(self.params, self.cfg,
-                                              pixels))
+                if "qwen2vl" in self.cfg.projector:
+                    from ..models.clip import encode_image_qwen2vl
+                    emb = np.asarray(encode_image_qwen2vl(
+                        self.params, self.cfg, pixels))
+                else:
+                    emb = np.asarray(encode_image(self.params, self.cfg,
+                                                  pixels))
                 self._cache[h] = emb
                 while len(self._cache) > self.max_cache:
                     self._cache.popitem(last=False)
@@ -110,6 +115,28 @@ class MultimodalProcessor:
         cache (z_multimodal.hpp:90)."""
         base = -(content_hash % (1 << 30)) - 2
         return [base - i for i in range(n)]
+
+
+# per-model-family image scaffolds (reference scaffold tables,
+# httpserver.hpp:5741-6054): the marker stays inside so the splitter still
+# finds the embedding insertion point
+_SCAFFOLDS = {
+    "qwen2vl": "<|vision_start|>" + MTMD_MARKER + "<|vision_end|>",
+    "qwen25vl": "<|vision_start|>" + MTMD_MARKER + "<|vision_end|>",
+    "minicpmv": "<image>" + MTMD_MARKER + "</image>",
+    "gemma3": "<start_of_image>" + MTMD_MARKER + "<end_of_image>",
+    "internvl": "<img>" + MTMD_MARKER + "</img>",
+    "smolvlm": "<fake_token_around_image><image>" + MTMD_MARKER
+               + "<fake_token_around_image>",
+}
+
+
+def scaffold_prompt(prompt: str, arch: str) -> str:
+    """Wrap each media marker in the model family's special tokens."""
+    wrap = _SCAFFOLDS.get(arch)
+    if not wrap:
+        return prompt
+    return prompt.replace(MTMD_MARKER, wrap)
 
 
 def build_chunks_mrope(prompt: str, media: list, tokenizer, mp,
