@@ -127,6 +127,34 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--clip-merges", default=None,
                    help="CLIP merges.txt for SD conditioning")
 
+    g = p.add_argument_group("compat (accepted for llama-box command-line "
+                             "compatibility; mapped or ignored on TPU)")
+    g.add_argument("-ngl", "--gpu-layers", "--n-gpu-layers", dest="ngl",
+                   type=int, default=None, help="ignored: TPU runs all "
+                   "layers on device")
+    g.add_argument("--tensor-split", default=None,
+                   help="ignored: use --mesh (SURVEY.md §2.3)")
+    g.add_argument("--split-mode", default=None, choices=["none", "layer",
+                                                          "row"],
+                   help="ignored: use --mesh")
+    g.add_argument("--main-gpu", type=int, default=None, help="ignored")
+    g.add_argument("--device", default=None, help="ignored")
+    g.add_argument("--rpc", default=None,
+                   help="ignored: remote hosts join the mesh via "
+                        "--coordinator (SURVEY.md §2.2)")
+    g.add_argument("--flash-attn", action="store_true", default=None,
+                   help="always on for prefill (Pallas kernel)")
+    g.add_argument("--no-mmap", action="store_true", help="ignored")
+    g.add_argument("--mlock", action="store_true", help="ignored")
+    g.add_argument("--override-kv", action="append", default=[],
+                   help="KEY=TYPE:VALUE metadata overrides")
+    g.add_argument("--no-context-shift", dest="context_shift",
+                   action="store_false", default=True,
+                   help="accepted; context shift stays enabled")
+    g.add_argument("--swa-full", action="store_true", help="ignored")
+    g.add_argument("--kv-unified", action="store_true",
+                   help="accepted: the KV cache is already one buffer")
+
     g = p.add_argument_group("tpu/distributed")
     g.add_argument("--mesh", default=None,
                    help="device mesh spec, e.g. 'tp=4' or 'dp=2,tp=4'")
@@ -201,6 +229,14 @@ def main(argv: list[str] | None = None) -> int:
     if not args.model:
         print("error: -m/--model is required", file=sys.stderr)
         return 1
+    for flag, val in (("-ngl", args.ngl), ("--tensor-split",
+                                           args.tensor_split),
+                      ("--split-mode", args.split_mode),
+                      ("--main-gpu", args.main_gpu),
+                      ("--device", args.device), ("--rpc", args.rpc)):
+        if val is not None:
+            SRV_WRN("main", "%s has no effect on TPU (use --mesh / "
+                    "--coordinator)", flag)
 
     import jax.numpy as jnp
 
