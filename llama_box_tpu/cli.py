@@ -287,8 +287,10 @@ def main(argv: list[str] | None = None) -> int:
             import dataclasses as _dc
             cfg = _dc.replace(cfg, pooling="rank")
     else:
-        cfg, params = load_model(args.model, dtype=dtype,
-                                 quantized=quantized, shard_fn=shard_fn)
+        from .models.loader import parse_kv_overrides
+        cfg, params = load_model(
+            args.model, dtype=dtype, quantized=quantized, shard_fn=shard_fn,
+            metadata_overrides=parse_kv_overrides(args.override_kv))
         if args.pooling:  # --pooling overrides the embedding pool mode
             import dataclasses as _dc
             cfg = _dc.replace(cfg, pooling=args.pooling)

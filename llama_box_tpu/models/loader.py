@@ -86,11 +86,35 @@ def _stack_qtensors(qts: list[QTensor]) -> QTensor:
         in_dim=qts[0].in_dim, group=qts[0].group, packed4=qts[0].packed4)
 
 
+def parse_kv_overrides(specs: list[str]) -> dict:
+    """--override-kv KEY=TYPE:VALUE (reference engine_param.hpp semantics:
+    types int/float/bool/str)."""
+    out = {}
+    for spec in specs or []:
+        key, _, rest = spec.partition("=")
+        typ, _, val = rest.partition(":")
+        if not key or not typ or val == "":
+            raise ValueError(f"bad --override-kv {spec!r} "
+                             "(KEY=TYPE:VALUE)")
+        if typ == "int":
+            out[key] = int(val)
+        elif typ == "float":
+            out[key] = float(val)
+        elif typ == "bool":
+            out[key] = val.lower() in ("1", "true", "yes")
+        elif typ == "str":
+            out[key] = val
+        else:
+            raise ValueError(f"bad --override-kv type {typ!r}")
+    return out
+
+
 def load_model(
     path: str,
     dtype=jnp.bfloat16,
     shard_fn: Callable[[str, tuple], object] | None = None,
     quantized: bool = False,
+    metadata_overrides: dict | None = None,
 ) -> tuple[ModelConfig, dict]:
     """Load a GGUF model into a stacked-layer param tree.
 
@@ -104,6 +128,10 @@ def load_model(
                 "falling back to dense for sharded load")
         quantized = False
     g = GGUFFile(path)
+    if metadata_overrides:
+        for k, v in metadata_overrides.items():
+            SRV_INF("load_model", "override %s = %r", k, v)
+            g.metadata[k] = v
     cfg = ModelConfig.from_gguf(g)
     SRV_INF("load_model", "arch=%s layers=%d embd=%d heads=%d/%d ff=%d "
             "vocab=%d quantized=%s", cfg.arch, cfg.n_layers, cfg.n_embd,

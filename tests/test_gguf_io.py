@@ -60,3 +60,28 @@ def test_gguf_alignment(tmp_path, rng):
         assert g.tensors["t2"].offset % g.alignment == 0
         np.testing.assert_allclose(g.tensor_f32("t1"), t1, atol=2e-3, rtol=1e-2)
         assert np.abs(g.tensor_f32("t2") - t2).max() < 0.01
+
+
+def test_kv_overrides(tmp_path):
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.models.loader import parse_kv_overrides
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    ov = parse_kv_overrides(["llama.rope.freq_base=float:5000",
+                             "general.name=str:patched",
+                             "llama.context_length=int:999",
+                             "x.flag=bool:true"])
+    assert ov == {"llama.rope.freq_base": 5000.0, "general.name": "patched",
+                  "llama.context_length": 999, "x.flag": True}
+
+    path = str(tmp_path / "m.gguf")
+    write_tiny_model(path)
+    import jax.numpy as jnp
+    cfg, _ = load_model(path, dtype=jnp.float32, metadata_overrides=ov)
+    assert cfg.rope_freq_base == 5000.0
+    assert cfg.n_ctx_train == 999
+    assert cfg.name == "patched"
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        parse_kv_overrides(["broken"])
