@@ -179,18 +179,21 @@ def _q8_kernel(x_ref, qs_ref, sc_ref, mn_ref, out_ref, acc_ref, *,
 def _choose_tiles(byte_rows: int, out_dim: int, group: int
                   ) -> tuple[int, int]:
     """Largest in-tile <= 512 byte-rows that divides byte_rows and is a
-    multiple of `group`; out-tile 256/128 when the out dim allows."""
-    bt = min(byte_rows, 512)
+    multiple of `group`; out-tile 256/128 when the out dim allows.
+    LLAMA_BOX_TPU_Q4_BT / _Q4_OT override for tuning."""
+    import os
+    bt_cap = int(os.environ.get("LLAMA_BOX_TPU_Q4_BT", 512))
+    ot_cap = int(os.environ.get("LLAMA_BOX_TPU_Q4_OT", 256))
+    bt = min(byte_rows, bt_cap)
     while byte_rows % bt or bt % group:
         bt //= 2
         if bt < group:
             bt = byte_rows  # tiny test shapes: single tile
             break
-    if out_dim % 256 == 0:
-        ot = 256
-    elif out_dim % 128 == 0:
-        ot = 128
-    else:
+    ot = ot_cap
+    while ot > 128 and out_dim % ot:
+        ot //= 2
+    if out_dim % ot:
         ot = out_dim
     return bt, ot
 

@@ -833,8 +833,13 @@ class Engine:
         from PIL import Image
         for st in task.streams:
             img = st.result()
+            pil = Image.fromarray(img)
+            up = getattr(task, "upscale", 1)
+            if up and up > 1:  # resampling upscale (ESRGAN model: r2)
+                pil = pil.resize((pil.width * up, pil.height * up),
+                                 Image.LANCZOS)
             buf = io.BytesIO()
-            Image.fromarray(img).save(buf, format="PNG")
+            pil.save(buf, format="PNG")
             task.images.append(buf.getvalue())
         task.t_done = time.monotonic()
         task.emit("final", task)

@@ -757,9 +757,14 @@ def _images_task_from_body(body: dict, rid: str, init_image=None,
         seed=seed,
         strength=float(body.get("strength", 0.75)),
     )
-    return ImagesTask(gp, n=n, stream=bool(body.get("stream", False)),
+    task = ImagesTask(gp, n=n, stream=bool(body.get("stream", False)),
                       preview=bool(body.get("preview", False)),
                       init_image=init_image, mask=mask, rid=rid)
+    up = body.get("upscale", 1)
+    if not isinstance(up, int) or isinstance(up, bool) or up not in (1, 2, 4):
+        raise bad_request("\"upscale\" must be 1, 2 or 4", "upscale")
+    task.upscale = up
+    return task
 
 
 async def run_app(server: HTTPServer, host: str = "0.0.0.0", port: int = 8080):
