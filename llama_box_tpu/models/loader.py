@@ -171,15 +171,39 @@ def load_model(
     else:
         SRV_INF("load_model", "output.weight absent -> tied embeddings")
 
+    def split_qkv(i: int) -> dict | None:
+        """phi3/gptneox-style fused blk.N.attn_qkv.weight -> wq/wk/wv."""
+        name = f"blk.{i}.attn_qkv.weight"
+        if name not in g.tensors:
+            return None
+        w = fetch(name, True)  # [in, q+k+v]
+        qd = cfg.n_heads * cfg.head_dim
+        kvd = cfg.n_kv_heads * cfg.head_dim
+        out = {"wq": w[:, :qd], "wk": w[:, qd:qd + kvd],
+               "wv": w[:, qd + kvd:qd + 2 * kvd]}
+        bname = f"blk.{i}.attn_qkv.bias"
+        if bname in g.tensors:
+            b = fetch(bname, False)
+            out.update({"bq": b[:qd], "bk": b[qd:qd + kvd],
+                        "bv": b[qd + kvd:qd + 2 * kvd]})
+        return out
+
     layers: dict[str, list] = {k: [] for k in _LAYER_WEIGHTS}
     optional_missing = set()
     for i in range(cfg.n_layers):
+        fused = split_qkv(i)
         for key, (pattern, transpose) in _LAYER_WEIGHTS.items():
             name = pattern.format(i=i)
             if name not in g.tensors:
+                if fused and key in fused:
+                    layers[key].append(fused[key])
+                    continue
                 optional_missing.add(key)
                 continue
             layers[key].append(fetch_maybe_q(name, transpose))
+        if fused and "bq" in fused:
+            for bk in ("bq", "bk", "bv"):
+                layers.setdefault(bk, []).append(fused[bk])
         for key, (pattern, transpose) in _LAYER_OPTIONAL.items():
             name = pattern.format(i=i)
             if name in g.tensors:

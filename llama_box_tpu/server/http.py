@@ -351,7 +351,10 @@ class HTTPServer:
             n_probs=sparams.n_probs,
             rid=request["rid"],
             reasoning=reasoning,
-            toolscan=ToolCallScanner(self.chat.alias) if use_tools else None,
+            toolscan=(ToolCallScanner(
+                self.chat.alias,
+                parallel=bool(body.get("parallel_tool_calls", True)))
+                if use_tools else None),
             rate_bucket=self._request_rate_bucket(request),
             chunks=chunks,
             lora=parse_lora(body, self.engine.n_lora),

@@ -81,10 +81,11 @@ class ToolCallScanner:
     text after a start trigger is withheld until the call parses or the
     generation ends (flush)."""
 
-    def __init__(self, alias: str = "chatml"):
+    def __init__(self, alias: str = "chatml", parallel: bool = True):
         self.starts, self.ends, self.style = formats_for_alias(alias)
         self._buf = ""
         self._capturing = False
+        self.parallel = parallel
         self.tool_calls: list[ToolCall] = []
 
     def _holdback(self) -> int:
@@ -110,6 +111,8 @@ class ToolCallScanner:
         out_calls: list[ToolCall] = []
         while True:
             if not self._capturing:
+                if (self.tool_calls or out_calls) and not self.parallel:
+                    break  # single-call mode: ignore further triggers
                 hit = self._find_start()
                 if hit is None:
                     emit = len(self._buf) - self._holdback()

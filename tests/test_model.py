@@ -199,3 +199,54 @@ def test_int8_kv_cache_close_to_dense(tiny_model):
     l3, _ = forward(params, cfg, nt, npos, kv2, np.array([1, 1], np.int32),
                     cos, sin)
     assert np.isfinite(np.asarray(l3)).all()
+
+
+def test_fused_qkv_split(tmp_path):
+    """phi3-style fused attn_qkv tensors load into separate wq/wk/wv."""
+    from llama_box_tpu.gguf.writer import GGUFWriter
+    rng = np.random.default_rng(0)
+    E, H, HKV, D, FF, V = 32, 4, 2, 8, 64, 64
+    path = str(tmp_path / "phi.gguf")
+    w = GGUFWriter(path, architecture="phi3")
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    w.add_kv("phi3.block_count", 1)
+    w.add_kv("phi3.context_length", 64)
+    w.add_kv("phi3.embedding_length", E)
+    w.add_kv("phi3.feed_forward_length", FF)
+    w.add_kv("phi3.attention.head_count", H)
+    w.add_kv("phi3.attention.head_count_kv", HKV)
+    w.add_kv("phi3.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv("phi3.rope.dimension_count", D)
+    w.add_kv("phi3.vocab_size", V)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", [f"<t{i}>" for i in range(V)])
+    w.add_kv("tokenizer.ggml.scores", np.zeros(V, np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.ones(V, np.int32))
+    w.add_tensor("token_embd.weight", rand(V, E))
+    w.add_tensor("output_norm.weight", np.ones(E, np.float32))
+    w.add_tensor("output.weight", rand(V, E))
+    w.add_tensor("blk.0.attn_norm.weight", np.ones(E, np.float32))
+    qkv = rand(H * D + 2 * HKV * D, E)
+    w.add_tensor("blk.0.attn_qkv.weight", qkv)
+    w.add_tensor("blk.0.attn_output.weight", rand(E, H * D))
+    w.add_tensor("blk.0.ffn_norm.weight", np.ones(E, np.float32))
+    w.add_tensor("blk.0.ffn_gate.weight", rand(FF, E))
+    w.add_tensor("blk.0.ffn_up.weight", rand(FF, E))
+    w.add_tensor("blk.0.ffn_down.weight", rand(E, FF))
+    w.write()
+
+    cfg, params = load_model(path, dtype=jnp.float32)
+    assert params["layers"]["wq"].shape == (1, E, H * D)
+    assert params["layers"]["wk"].shape == (1, E, HKV * D)
+    np.testing.assert_allclose(np.asarray(params["layers"]["wq"][0]),
+                               qkv[: H * D].T, rtol=1e-6)
+    cos, sin = make_rope(cfg, 32)
+    toks = np.array([[1, 2, 3]], np.int32)
+    logits, _ = forward(params, cfg, toks,
+                        np.arange(3, dtype=np.int32)[None, :],
+                        init_kv_cache(cfg, 1, 32, jnp.float32),
+                        np.array([3], np.int32), cos, sin)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -138,3 +138,12 @@ def test_migrate_functions():
     assert choice["function"]["name"] == "f"
     tools2, choice2 = migrate_functions({"tools": [{"type": "function"}]})
     assert choice2 == "auto"
+
+
+def test_parallel_tool_calls_disabled():
+    s = ToolCallScanner("qwen", parallel=False)
+    text = ('<tool_call>{"name": "a", "arguments": {}}</tool_call>'
+            '<tool_call>{"name": "b", "arguments": {}}</tool_call>')
+    c, calls = s.feed(text)
+    c += s.flush()
+    assert [x.name for x in s.tool_calls] == ["a"]
