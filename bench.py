@@ -25,7 +25,7 @@ def make_q4_params(rng, L, E, H, HKV, D, FF, V, group=32,
     load; values random but shapes/packing identical)."""
     from llama_box_tpu.ops.qmatmul import QTensor
 
-    sdt = scale_dtype or jnp.float32
+    sdt = scale_dtype or jnp.bfloat16  # production default (see qmatmul)
 
     def qt(in_dim, out_dim):
         qs = rng.integers(0, 255, (in_dim // 2, out_dim), dtype=np.uint8)
@@ -169,17 +169,8 @@ def main():
         qbytes = sum(x.size * x.dtype.itemsize
                      for x in jax.tree.leaves(qparams))
         import sys
-        tok_s_q4b = 0.0
-        try:
-            qpb = make_q4_params(rng, L, E, H, HKV, D, FF, V,
-                                 scale_dtype=jnp.bfloat16)
-            tok_s_q4b, _ = run(qpb)
-        except Exception as exc:  # noqa: BLE001
-            print(f"# q4-bf16scale failed: {exc!r}", file=sys.stderr)
-        print(f"# bf16={tok_s_bf16:.1f} tok/s, q4k={tok_s_q4:.1f} tok/s, "
-              f"q4k-bf16scales={tok_s_q4b:.1f} tok/s",
+        print(f"# bf16={tok_s_bf16:.1f} tok/s, q4k={tok_s_q4:.1f} tok/s",
               file=sys.stderr, flush=True)
-        tok_s_q4 = max(tok_s_q4, tok_s_q4b)
 
     pbytes = sum(x.size * x.dtype.itemsize
                  for x in jax.tree.leaves(dense_params))

@@ -16,14 +16,22 @@ FORMATS = [GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
            GGMLType.Q8_0, GGMLType.Q2_K]
 
 
-def make_qtensor(fmt, in_dim, out_dim, rng):
+def make_qtensor(fmt, in_dim, out_dim, rng, exact=True):
     """Quantize a random [out, in] GGUF-order tensor; return (QTensor,
-    dequantized f32 [in, out])."""
+    dequantized f32 [in, out]). exact=True stores f32 scales so results
+    match the golden dequant bit-for-bit (bf16 scales are the production
+    default, tested separately for bounded error)."""
+    import os
     w = rng.normal(scale=0.1, size=(out_dim, in_dim)).astype(np.float32)
     raw = quantize(fmt, w.reshape(-1))
     golden = dequantize(fmt, raw, (out_dim, in_dim)).reshape(out_dim, in_dim)
     rt = repack(fmt, raw, in_dim * out_dim)
-    qt = pack_repacked(rt, (in_dim, out_dim))
+    if exact:
+        os.environ["LLAMA_BOX_TPU_Q4_F32SCALES"] = "1"
+    try:
+        qt = pack_repacked(rt, (in_dim, out_dim))
+    finally:
+        os.environ.pop("LLAMA_BOX_TPU_Q4_F32SCALES", None) if exact else None
     return qt, golden.T  # [in, out]
 
 
@@ -105,3 +113,24 @@ def test_quantized_model_end_to_end(tmp_path):
                     init_kv_cache(cfg2, 1, 16, jnp.float32), lens, cos, sin)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=5e-3,
                                atol=5e-3)
+
+
+def test_bf16_scales_bounded_error(rng):
+    """Production default (bf16 scales): the extra error is a small
+    fraction of the 4-bit quantization error itself."""
+    import jax.numpy as jnp_
+    in_dim, out_dim = 256, 128
+    w_true = rng.normal(scale=0.1, size=(out_dim, in_dim)).astype(np.float32)
+    raw = quantize(GGMLType.Q4_K, w_true.reshape(-1))
+    golden = dequantize(GGMLType.Q4_K, raw, (out_dim, in_dim)).T  # [in,out]
+    rt = repack(GGMLType.Q4_K, raw, in_dim * out_dim)
+    qt = pack_repacked(rt, (in_dim, out_dim))
+    assert qt.scales.dtype == jnp_.bfloat16
+
+    x = rng.normal(size=(4, in_dim)).astype(np.float32)
+    exact = x @ w_true.T.astype(np.float32).T if False else x @ w_true.T
+    quant = x @ golden
+    bf16s = np.asarray(q_matmul_ref(jnp.asarray(x), qt))
+    err_quant = np.abs(quant - exact).mean()
+    err_scales = np.abs(bf16s - quant).mean()
+    assert err_scales < 0.35 * err_quant, (err_scales, err_quant)
