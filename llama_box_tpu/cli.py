@@ -90,6 +90,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--no-jinja", dest="jinja", action="store_false")
     g.add_argument("--chat-template", default=None)
     g.add_argument("--chat-template-file", default=None)
+    g.add_argument("--chat-template-kwargs", default=None,
+                   help="JSON object merged into the template context")
 
     g = p.add_argument_group("speculative")
     g.add_argument("-md", "--model-draft", default=None)
@@ -394,6 +396,9 @@ def main(argv: list[str] | None = None) -> int:
                       or args.lookup_ngram_min > 0},
         max_tps=max_tps,
         multimodal=multimodal,
+        default_max_tokens=args.n_predict,
+        chat_template_kwargs=(__import__("json").loads(
+            args.chat_template_kwargs) if args.chat_template_kwargs else None),
         lora_adapters=[{"id": i, "path": a.path,
                         "scale": 0.0 if args.lora_init_without_apply
                         else a.scale}

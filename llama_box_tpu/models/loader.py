@@ -49,6 +49,13 @@ _LAYER_OPTIONAL = {
     # gemma2/3 sandwich norms
     "attn_post_norm": ("blk.{i}.post_attention_norm.weight", False),
     "ffn_post_norm": ("blk.{i}.post_ffw_norm.weight", False),
+    # deepseek2 multi-head latent attention (MLA)
+    "wq_a": ("blk.{i}.attn_q_a.weight", True),
+    "q_a_norm": ("blk.{i}.attn_q_a_norm.weight", False),
+    "wq_b": ("blk.{i}.attn_q_b.weight", True),
+    "wkv_a": ("blk.{i}.attn_kv_a_mqa.weight", True),
+    "kv_a_norm": ("blk.{i}.attn_kv_a_norm.weight", False),
+    "wkv_b": ("blk.{i}.attn_kv_b.weight", True),
     # mixture-of-experts (mixtral/qwen2moe/qwen3moe); 3D expert stacks are
     # stored (n_expert, FF, E) by the reader -> transposed to (X, E, FF)
     "w_gate_inp": ("blk.{i}.ffn_gate_inp.weight", True),
@@ -212,13 +219,48 @@ def load_model(
         SRV_WRN("load_model", "missing layer tensor class %s", key)
         layers.pop(key, None)
 
-    params["layers"] = {}
-    for key, vals in layers.items():
-        if not vals:
-            continue
-        if isinstance(vals[0], QTensor):
-            params["layers"][key] = _stack_qtensors(vals)
+    # layers may be heterogeneous (e.g. deepseek2: dense leading layers,
+    # MoE for the rest). Group CONSECUTIVE same-signature layers; each group
+    # scans separately in the model (models/llama.py:_run_stack).
+    per_layer: list[dict] = [dict() for _ in range(cfg.n_layers)]
+    counters = {k: 0 for k in layers}
+    for i in range(cfg.n_layers):
+        for key, (pattern, transpose) in list(_LAYER_WEIGHTS.items()) \
+                + list(_LAYER_OPTIONAL.items()):
+            name = pattern.format(i=i)
+            if name in g.tensors:
+                per_layer[i][key] = layers[key][counters[key]]
+                counters[key] += 1
+        # fused qkv splits were appended in order too
+        if "wq" in layers and f"blk.{i}.attn_q.weight" not in g.tensors \
+                and f"blk.{i}.attn_qkv.weight" in g.tensors:
+            for kk in ("wq", "wk", "wv", "bq", "bk", "bv"):
+                if kk in layers and counters.get(kk, 0) < len(layers[kk]):
+                    per_layer[i][kk] = layers[kk][counters[kk]]
+                    counters[kk] += 1
+
+    def stack_group(group: list[dict]) -> dict:
+        out = {}
+        for key in group[0]:
+            vals = [d[key] for d in group]
+            if isinstance(vals[0], QTensor):
+                out[key] = _stack_qtensors(vals)
+            else:
+                out[key] = put(f"layers.{key}", np.stack(vals))
+        return out
+
+    groups: list[list[dict]] = []
+    for d in per_layer:
+        sig = frozenset(d.keys())
+        if groups and frozenset(groups[-1][0].keys()) == sig:
+            groups[-1].append(d)
         else:
-            params["layers"][key] = put(f"layers.{key}", np.stack(vals))
+            groups.append([d])
+    if len(groups) == 1:
+        params["layers"] = stack_group(groups[0])
+    else:
+        SRV_INF("load_model", "heterogeneous layers: %s",
+                [len(gr) for gr in groups])
+        params["layer_groups"] = [stack_group(gr) for gr in groups]
     g.close()
     return cfg, params

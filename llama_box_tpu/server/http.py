@@ -42,7 +42,9 @@ class HTTPServer:
                  capabilities: dict | None = None,
                  max_tps: float = 0.0,
                  multimodal=None,
-                 lora_adapters: list | None = None):
+                 lora_adapters: list | None = None,
+                 default_max_tokens: int = -1,
+                 chat_template_kwargs: dict | None = None):
         self.engine = engine
         self.model_name = model_name
         self.defaults = defaults or SamplerParams()
@@ -61,6 +63,8 @@ class HTTPServer:
             self.caps.update(capabilities)
         self.max_tps = max_tps  # server decode-rate cap (0 = unlimited)
         self.lora_adapters = lora_adapters or []
+        self.default_max_tokens = default_max_tokens  # -n server default
+        self.chat_template_kwargs = chat_template_kwargs or {}
         self.created = int(time.time())
 
     def _request_rate_bucket(self, request: web.Request):
@@ -170,8 +174,8 @@ class HTTPServer:
                     "n_vocab": cfg.vocab_size,
                     "n_ctx_train": cfg.n_ctx_train,
                     "n_embd": cfg.n_embd,
-                    "n_params": None,
-                    "size": None,
+                    "n_params": self._n_params(),
+                    "size": self._param_bytes(),
                     "support_completion": self.caps["completion"],
                     "support_embedding": self.caps["embedding"],
                     "support_reranking": self.caps["reranking"],
@@ -184,6 +188,23 @@ class HTTPServer:
                 },
             }],
         })
+
+    def _n_params(self):
+        import jax
+        try:
+            return int(sum(x.size for x in jax.tree.leaves(
+                self.engine.params or {})))
+        except Exception:  # noqa: BLE001
+            return None
+
+    def _param_bytes(self):
+        import jax
+        try:
+            return int(sum(x.size * x.dtype.itemsize
+                           for x in jax.tree.leaves(
+                               self.engine.params or {})))
+        except Exception:  # noqa: BLE001
+            return None
 
     async def handle_lora_adapters(self, request: web.Request) -> web.Response:
         return web.json_response(self.lora_adapters)
@@ -280,9 +301,10 @@ class HTTPServer:
             raise bad_request("\"prompt\" must not be empty", "prompt")
         sparams = parse_sampling(body, self.defaults, tok.n_vocab)
         so = parse_stream_options(body)
+        mt = parse_max_tokens(body)
         task = CompletionsTask(
             prompt_tokens, sparams, tokenizer=tok,
-            max_tokens=parse_max_tokens(body),
+            max_tokens=mt if mt > 0 else self.default_max_tokens,
             stop_words=parse_stop(body),
             stream=so["stream"],
             n_keep=int(body.get("n_keep", 0)),
@@ -313,8 +335,13 @@ class HTTPServer:
         if tools is not None and not isinstance(tools, list):
             raise bad_request("\"tools\" must be an array", "tools")
         use_tools = bool(tools) and tool_choice != "none"
+        extra_ctx = dict(self.chat_template_kwargs)
+        ck = body.get("chat_template_kwargs")
+        if isinstance(ck, dict):
+            extra_ctx.update(ck)
         prompt = self.chat.apply(msgs, tools=tools if use_tools else None,
-                                 add_generation_prompt=True)
+                                 add_generation_prompt=True,
+                                 extra_context=extra_ctx or None)
         chunks = None
         mrope_delta = 0
         if images:
@@ -343,9 +370,10 @@ class HTTPServer:
             reasoning = ReasoningSplitter(*self.reasoning_markers,
                                           force_open=prompt.rstrip().endswith(
                                               self.reasoning_markers[0]))
+        mt = parse_max_tokens(body)
         task = CompletionsTask(
             prompt_tokens, sparams, tokenizer=tok,
-            max_tokens=parse_max_tokens(body),
+            max_tokens=mt if mt > 0 else self.default_max_tokens,
             stop_words=parse_stop(body),
             stream=so["stream"],
             n_probs=sparams.n_probs,
@@ -537,13 +565,26 @@ class HTTPServer:
             if not t:
                 raise bad_request(f"\"input\"[{i}] must not be empty", "input")
 
+        enc = body.get("encoding_format", "float")
+        if enc not in ("float", "base64"):
+            raise bad_request("\"encoding_format\" must be \"float\" or "
+                              "\"base64\"", "encoding_format")
         task = EmbeddingsTask(token_lists, rid=request["rid"])
         self.engine.submit(task)
         kind, payload = await self._await_event(task)
         if kind == "error":
             raise RequestError(500, str(payload), err_type="server_error")
-        data = [{"object": "embedding", "index": i, "embedding": e}
-                for i, e in enumerate(payload.embeddings)]
+        if enc == "base64":
+            import base64 as _b64
+
+            import numpy as _np
+            data = [{"object": "embedding", "index": i,
+                     "embedding": _b64.b64encode(
+                         _np.asarray(e, _np.float32).tobytes()).decode()}
+                    for i, e in enumerate(payload.embeddings)]
+        else:
+            data = [{"object": "embedding", "index": i, "embedding": e}
+                    for i, e in enumerate(payload.embeddings)]
         return web.json_response({
             "object": "list",
             "data": data,

@@ -226,3 +226,25 @@ def test_logprobs(base_url):
     lp = r.json()["choices"][0]["logprobs"]
     assert len(lp["content"]) == 2
     assert len(lp["content"][0]["top_logprobs"]) == 3
+
+
+def test_embeddings_base64(base_url):
+    import base64 as b64
+
+    import numpy as np
+    r = requests.post(base_url + "/v1/embeddings", json={
+        "input": "hello", "encoding_format": "base64"})
+    assert r.status_code == 200
+    emb = r.json()["data"][0]["embedding"]
+    assert isinstance(emb, str)
+    v = np.frombuffer(b64.b64decode(emb), np.float32)
+    assert v.shape == (64,)
+    r2 = requests.post(base_url + "/v1/embeddings", json={
+        "input": "hello", "encoding_format": "npz"})
+    assert r2.status_code == 400
+
+
+def test_models_param_counts(base_url):
+    m = requests.get(base_url + "/v1/models").json()["data"][0]
+    assert m["meta"]["n_params"] > 0
+    assert m["meta"]["size"] > 0
