@@ -50,6 +50,12 @@ class ModelConfig:
     expert_count: int = 0
     expert_used_count: int = 0
     expert_weights_norm: bool = True  # renormalize top-k router probs
+    expert_weights_scale: float = 1.0  # deepseek routed-output multiplier
+    expert_gating_func: int = 1        # 1 softmax, 2 sigmoid (deepseek3)
+    # deepseek2 multi-head latent attention
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0
+    v_head_dim: int = 0                # 0 => head_dim
     swa_window: int = 0  # sliding-window attention width; 0 = full
     swa_pattern: int = 0   # every n-th layer is global (gemma2: 2, gemma3: 6)
     act_fn: str = "silu"   # FFN gate activation (gemma: gelu)
@@ -106,6 +112,12 @@ class ModelConfig:
             expert_used_count=int(kv("expert_used_count", 0) or 0),
             expert_weights_norm=bool(kv("expert_weights_norm",
                                         arch in ("llama", "mixtral"))),
+            expert_weights_scale=float(kv("expert_weights_scale", 1.0)
+                                       or 1.0),
+            expert_gating_func=int(kv("expert_gating_func", 1) or 1),
+            q_lora_rank=int(kv("attention.q_lora_rank", 0) or 0),
+            kv_lora_rank=int(kv("attention.kv_lora_rank", 0) or 0),
+            v_head_dim=int(kv("attention.value_length", 0) or 0),
             swa_window=int(kv("attention.sliding_window", 0) or 0),
             swa_pattern=int(kv("attention.sliding_window_pattern",
                                {"gemma2": 2, "gemma3": 6}.get(arch, 0))

@@ -52,13 +52,17 @@ class KVCache(NamedTuple):
 
 def init_kv_cache(cfg: ModelConfig, n_slots: int, capacity: int,
                   dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.n_layers, n_slots, capacity, cfg.n_kv_heads, cfg.head_dim)
+    # MLA (deepseek2) caches K at qk dims and V at value_length dims
+    hkv = cfg.n_kv_heads if not cfg.kv_lora_rank else cfg.n_heads
+    dv = cfg.v_head_dim or cfg.head_dim
+    kshape = (cfg.n_layers, n_slots, capacity, hkv, cfg.head_dim)
+    vshape = (cfg.n_layers, n_slots, capacity, hkv, dv)
     if jnp.dtype(dtype) == jnp.int8:
         return KVCache(
-            k=jnp.zeros(shape, jnp.int8), v=jnp.zeros(shape, jnp.int8),
-            k_scale=jnp.zeros(shape[:-1], jnp.bfloat16),
-            v_scale=jnp.zeros(shape[:-1], jnp.bfloat16))
-    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+            k=jnp.zeros(kshape, jnp.int8), v=jnp.zeros(vshape, jnp.int8),
+            k_scale=jnp.zeros(kshape[:-1], jnp.bfloat16),
+            v_scale=jnp.zeros(vshape[:-1], jnp.bfloat16))
+    return KVCache(k=jnp.zeros(kshape, dtype), v=jnp.zeros(vshape, dtype))
 
 
 def _kv_quantize(x):
@@ -153,19 +157,26 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-    q = mm(h, lp["wq"]) + _lora_delta(h, lp, "wq", lora_scales)
-    k = mm(h, lp["wk"]) + _lora_delta(h, lp, "wk", lora_scales)
-    v = mm(h, lp["wv"]) + _lora_delta(h, lp, "wv", lora_scales)
-    if "bq" in lp:  # qwen2-style attention biases
-        q = q + lp["bq"]
-        k = k + lp["bk"]
-        v = v + lp["bv"]
-    q = q.reshape(B, T, H, D)
-    k = k.reshape(B, T, Hkv, D)
-    v = v.reshape(B, T, Hkv, D)
-    if "q_norm" in lp:  # qwen3/gemma3-style per-head QK norm
-        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
-        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+    if "wkv_a" in lp:
+        # deepseek2 MLA: low-rank q/kv projections; rope dims stored FIRST
+        # within each head so the plain rope/shift machinery applies
+        q, k, v = _mla_qkv(h, lp, cfg)
+        Hkv = H  # MLA expands to per-head K/V in this (non-compressed) cache
+        D = cfg.head_dim
+    else:
+        q = mm(h, lp["wq"]) + _lora_delta(h, lp, "wq", lora_scales)
+        k = mm(h, lp["wk"]) + _lora_delta(h, lp, "wk", lora_scales)
+        v = mm(h, lp["wv"]) + _lora_delta(h, lp, "wv", lora_scales)
+        if "bq" in lp:  # qwen2-style attention biases
+            q = q + lp["bq"]
+            k = k + lp["bk"]
+            v = v + lp["bv"]
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, Hkv, D)
+        v = v.reshape(B, T, Hkv, D)
+        if "q_norm" in lp:  # qwen3/gemma3-style per-head QK norm
+            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
 
     if cos.ndim == 3:  # stacked global/local rope (gemma3)
         cos = jax.lax.select(is_local > 0, cos[1], cos[0])
@@ -209,7 +220,7 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
 
     G = H // Hkv
     use_flash = (flash_pos0 is not None and B == 1 and T >= 64
-                 and _flash_ok())
+                 and kf.shape[-1] == vf.shape[-1] and _flash_ok())
     if use_flash:
         # [1,T,H,D] -> [Hkv,G,T,D]; cache [1,C,Hkv,D] -> [Hkv,C,D]
         qg = q[0].reshape(T, Hkv, G, D).transpose(1, 2, 0, 3)
@@ -230,7 +241,8 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         scores = scores - scores.max(axis=-1, keepdims=True)
         probs = jnp.exp(scores)
         probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-30)
-        attn = jnp.einsum("bhgtc,bchd->bthgd", probs, vf).reshape(B, T, H * D)
+        Dv = vf.shape[-1]
+    attn = jnp.einsum("bhgtc,bchd->bthgd", probs, vf).reshape(B, T, H * Dv)
 
     ao = attn.astype(x.dtype)
     attn_out = (mm(ao, lp["wo"])
@@ -257,6 +269,40 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     return x, k_cache, v_cache, k_scale, v_scale
 
 
+def _mla_qkv(h, lp, cfg: ModelConfig):
+    """Deepseek2 MLA projections -> per-head q/k/v with rope dims FIRST.
+
+    q: (q_a -> norm -> q_b) or plain wq; [B,T,H,(rope+nope)]
+    kv: wkv_a -> [c_kv (kv_lora), k_pe (rope)]; k_pe is a single shared
+    stream; wkv_b(norm(c_kv)) -> per-head (k_nope + v).
+    """
+    B, T, _ = h.shape
+    H = cfg.n_heads
+    rope = cfg.rope_dim
+    nope = cfg.head_dim - rope
+    dv = cfg.v_head_dim or cfg.head_dim
+
+    if "wq_a" in lp:
+        q = mm(rms_norm(mm(h, lp["wq_a"]), lp["q_a_norm"], cfg.rms_eps),
+               lp["wq_b"])
+    else:
+        q = mm(h, lp["wq"])
+    q = q.reshape(B, T, H, nope + rope)
+    # GGUF stores q as (nope, rope) per head; reorder to (rope, nope)
+    q = jnp.concatenate([q[..., nope:], q[..., :nope]], axis=-1)
+
+    c = mm(h, lp["wkv_a"])                       # [B,T, kv_lora + rope]
+    c_kv = rms_norm(c[..., :cfg.kv_lora_rank], lp["kv_a_norm"], cfg.rms_eps)
+    k_pe = c[..., cfg.kv_lora_rank:]             # [B,T,rope] shared head
+    kv = mm(c_kv, lp["wkv_b"]).reshape(B, T, H, nope + dv)
+    k_nope = kv[..., :nope]
+    v = kv[..., nope:]
+    k = jnp.concatenate(
+        [jnp.broadcast_to(k_pe[:, :, None, :], (B, T, H, rope)), k_nope],
+        axis=-1)
+    return q, k, v
+
+
 def _moe_ffn(h, lp, cfg: ModelConfig):
     """Mixture-of-experts FFN (mixtral/qwen2moe/qwen3moe; reference MoE runs
     via ggml's mul_mat_id). Decode batches are tiny, so experts are computed
@@ -267,7 +313,10 @@ def _moe_ffn(h, lp, cfg: ModelConfig):
     """
     X, K = cfg.expert_count, max(cfg.expert_used_count, 1)
     router = h @ lp["w_gate_inp"]                    # [B, T, X]
-    probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
+    if cfg.expert_gating_func == 2:                  # deepseek3 sigmoid
+        probs = jax.nn.sigmoid(router.astype(jnp.float32))
+    else:
+        probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
     topv, topi = jax.lax.top_k(probs, K)             # [B, T, K]
     if cfg.expert_weights_norm:
         topv = topv / (topv.sum(-1, keepdims=True) + 1e-9)
@@ -286,6 +335,8 @@ def _moe_ffn(h, lp, cfg: ModelConfig):
     out = jnp.einsum("btxf,xfe->btxe", act,
                      lp["w_down_exps"].astype(jnp.float32))
     y = (out * route[..., None]).sum(axis=2)          # [B, T, E]
+    if cfg.expert_weights_scale != 1.0:
+        y = y * cfg.expert_weights_scale
 
     if "w_gate_shexp" in lp:  # always-on shared expert (qwen2moe)
         sg = jax.nn.silu((hf @ lp["w_gate_shexp"].astype(jnp.float32)))
@@ -330,6 +381,34 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                                           lora_scales=lora_scales,
                                           is_local=loc, mrope_pos=mrope_pos)
         return x, ((k_c, v_c, ks, vs) if quant else (k_c, v_c))
+
+    if "layer_groups" in params:
+        # heterogeneous layers (deepseek2 dense+MoE): scan per group over
+        # static layer-offset slices of the KV stack
+        off = 0
+        k_parts, v_parts, ks_parts, vs_parts = [], [], [], []
+        for gp in params["layer_groups"]:
+            n = next(iter(gp.values())).shape[0] if not hasattr(
+                next(iter(gp.values())), "qs") else                 next(iter(gp.values())).qs.shape[0]
+            sl = slice(off, off + n)
+            if quant:
+                x, (k_n, v_n, ks_n, vs_n) = jax.lax.scan(
+                    body, x, (gp, kv_k[sl], kv_v[sl], kv_ks[sl], kv_vs[sl],
+                              is_local[sl]))
+                ks_parts.append(ks_n)
+                vs_parts.append(vs_n)
+            else:
+                x, (k_n, v_n) = jax.lax.scan(
+                    body, x, (gp, kv_k[sl], kv_v[sl], is_local[sl]))
+            k_parts.append(k_n)
+            v_parts.append(v_n)
+            off += n
+        k_new = jnp.concatenate(k_parts, axis=0)
+        v_new = jnp.concatenate(v_parts, axis=0)
+        if quant:
+            return (x, k_new, v_new, jnp.concatenate(ks_parts, 0),
+                    jnp.concatenate(vs_parts, 0))
+        return x, k_new, v_new, None, None
 
     if quant:
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(

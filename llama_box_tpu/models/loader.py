@@ -215,9 +215,8 @@ def load_model(
             name = pattern.format(i=i)
             if name in g.tensors:
                 layers.setdefault(key, []).append(fetch(name, transpose))
-    for key in optional_missing:
-        SRV_WRN("load_model", "missing layer tensor class %s", key)
-        layers.pop(key, None)
+    # keys missing in some layers are fine now: layers are grouped by
+    # signature below (e.g. deepseek2 dense + MoE mix)
 
     # layers may be heterogeneous (e.g. deepseek2: dense leading layers,
     # MoE for the rest). Group CONSECUTIVE same-signature layers; each group
