@@ -158,6 +158,31 @@ def main():
 
     tok_s_bf16, kv_bytes = run(dense_params)
 
+    # prefill throughput + TTFT diagnostic (stderr): one 512-token prompt
+    # through the single-slot prefill program (reference TTFT definition)
+    if on_tpu:
+        import sys
+
+        from llama_box_tpu.models.llama import prefill
+        P = 512
+        kvp = init_kv_cache(cfg, S, C, dtype)
+        ptoks = jnp.asarray(rng.integers(0, V, (P,)), jnp.int32)
+        lg, kvp = prefill(dense_params, cfg, ptoks, kvp, jnp.int32(0),
+                          jnp.int32(0), jnp.int32(P), cos, sin)
+        lg.block_until_ready()
+        ts = []
+        for _ in range(10):
+            kvp = init_kv_cache(cfg, S, C, dtype)
+            t0 = time.perf_counter()
+            lg, kvp = prefill(dense_params, cfg, ptoks, kvp, jnp.int32(0),
+                              jnp.int32(0), jnp.int32(P), cos, sin)
+            lg.block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        p50 = ts[len(ts) // 2]
+        print(f"# prefill512: p50_ttft={p50 * 1e3:.1f} ms, "
+              f"{P / p50:.0f} tok/s", file=sys.stderr, flush=True)
+
     tok_s_q4 = 0.0
     if on_tpu:
         qparams = make_q4_params(rng, L, E, H, HKV, D, FF, V)

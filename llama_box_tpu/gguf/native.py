@@ -20,24 +20,27 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
-_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                    "gguf_kernels.cpp")
-_OUT = os.path.join(os.path.dirname(__file__), "..", "..", "native",
-                    "libgguf_kernels.so")
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_SRCS = [os.path.join(_NATIVE_DIR, "gguf_kernels.cpp"),
+         os.path.join(_NATIVE_DIR, "tokenizer_core.cpp")]
+_OUT = os.path.join(_NATIVE_DIR, "libgguf_kernels.so")
 
 
 def _build() -> str | None:
-    src = os.path.abspath(_SRC)
+    srcs = [os.path.abspath(s) for s in _SRCS if os.path.exists(s)]
     out = os.path.abspath(_OUT)
-    if not os.path.exists(src):
+    if not srcs:
         return None
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+    if os.path.exists(out) and all(
+            os.path.getmtime(out) >= os.path.getmtime(s) for s in srcs):
         return out
+    last = None
     for cxx in ("g++", "c++", "clang++"):
         try:
             subprocess.run(
-                [cxx, "-O3", "-fopenmp", "-shared", "-fPIC", src, "-o", out],
-                check=True, capture_output=True, timeout=120)
+                [cxx, "-O3", "-fopenmp", "-shared", "-fPIC", *srcs,
+                 "-o", out],
+                check=True, capture_output=True, timeout=180)
             SRV_INF("native", "built %s with %s", out, cxx)
             return out
         except (FileNotFoundError, subprocess.CalledProcessError,
@@ -75,6 +78,15 @@ def get_lib():
         lib.lbox_group_size.argtypes = [ctypes.c_int]
         lib.lbox_qbits.restype = ctypes.c_int
         lib.lbox_qbits.argtypes = [ctypes.c_int]
+        lib.lbox_spm_new.restype = ctypes.c_void_p
+        lib.lbox_spm_new.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int32]
+        lib.lbox_spm_free.argtypes = [ctypes.c_void_p]
+        lib.lbox_spm_encode.restype = ctypes.c_int64
+        lib.lbox_spm_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
         return _lib
 

@@ -560,6 +560,38 @@ prefill_embed = partial(jax.jit, static_argnames=("cfg",),
                         donate_argnames=("kv",))(prefill_embed_impl)
 
 
+def prefill_batch_impl(params, cfg: ModelConfig, tokens, pos_base, n_valid,
+                       kv: KVCache, rope_cos, rope_sin):
+    """Batched prefill: one chunk per SLOT in a single fused program (the
+    reference packs multiple prefilling tasks into one llama_decode).
+
+    tokens:   [S, T] int32 — row s is slot s's next chunk (padded)
+    pos_base: [S] int32 absolute position of row starts
+    n_valid:  [S] int32 valid tokens per row (0 = slot not prefilling)
+    Returns (last-token logits [S, V] f32, new KVCache).
+    """
+    S, T = tokens.shape
+    C = kv.capacity
+    offs = jnp.arange(T, dtype=jnp.int32)[None, :]
+    positions = jnp.where(offs < n_valid[:, None],
+                          pos_base[:, None] + offs, C)
+    x = _embed_tokens(params, cfg, tokens)
+    mask = _build_mask(cfg, positions, n_valid, T, C)
+    x, k_new, v_new, ks, vs = _run_stack(
+        params, cfg, x, positions, kv.k, kv.v, mask, rope_cos, rope_sin,
+        kv.k_scale, kv.v_scale)
+    last = jnp.maximum(n_valid - 1, 0)
+    x_last = jnp.take_along_axis(
+        x, last[:, None, None].astype(jnp.int32).repeat(x.shape[-1], 2),
+        axis=1)[:, 0]                                   # [S, E]
+    logits = _output_logits(params, cfg, x_last)
+    return logits, KVCache(k=k_new, v=v_new, k_scale=ks, v_scale=vs)
+
+
+prefill_batch = partial(jax.jit, static_argnames=("cfg",),
+                        donate_argnames=("kv",))(prefill_batch_impl)
+
+
 def shift_kv_impl(kv: KVCache, slot, n_keep, n_discard, delta_cos, delta_sin,
                   rope_mode: str):
     """Context shift one slot: entries [n_keep+n_discard, C) move down by

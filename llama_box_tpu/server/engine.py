@@ -33,7 +33,7 @@ import numpy as np
 from ..models.config import ModelConfig
 from ..models.llama import (
     KVCache, forward_embeddings, forward_impl, init_kv_cache, make_delta_rope,
-    make_rope, prefill, prefill_embed, shift_kv,
+    make_rope, prefill, prefill_batch, prefill_embed, shift_kv,
 )
 from ..sampling import (
     RING_CAP, SamplerParams, init_sampler_state, make_sampler_arrays,
@@ -258,8 +258,7 @@ class Engine:
         images_busy = self._images_pass()
         pre = [s for s in self.slots if s.state == "prefill"]
         if pre:
-            for s in pre:
-                self._prefill_chunk(s)
+            self._prefill_pass(pre)
             return
         dec = [s for s in self.slots if s.state == "decode"]
         if dec:
@@ -425,6 +424,73 @@ class Engine:
             start += n
         raise RuntimeError("prefill cursor out of range")
 
+    def _prefill_pass(self, pre: list) -> None:
+        """Prefill all pending slots this pass. Plain-text chunks batch into
+        ONE fused program (reference packs prefills into one llama_decode);
+        multimodal/mrope chunks take the single-slot path."""
+        batchable = []
+        for s in pre:
+            task = s.task
+            if task.cancelled:
+                self._release(s)
+                continue
+            if task.chunks is None and self.control is None \
+                    and not self.cfg.mrope_sections:
+                batchable.append(s)
+            else:
+                self._prefill_chunk(s)
+        if len(batchable) == 1:
+            self._prefill_chunk(batchable[0])
+        elif batchable:
+            self._prefill_batch(batchable)
+
+    def _prefill_batch(self, slots: list) -> None:
+        t0 = time.monotonic()
+        S = len(self.slots)
+        chunks = {}
+        for s in slots:
+            rem = len(s.task.prompt_tokens) - s.cursor
+            chunks[s.idx] = min(rem, self.ecfg.n_ubatch)
+        bucket = self._bucket(max(chunks.values()))
+        tokens = np.zeros((S, bucket), np.int32)
+        pos_base = np.zeros((S,), np.int32)
+        n_valid = np.zeros((S,), np.int32)
+        for s in slots:
+            n = chunks[s.idx]
+            tokens[s.idx, :n] = s.task.prompt_tokens[s.cursor:s.cursor + n]
+            pos_base[s.idx] = s.pos
+            n_valid[s.idx] = n
+        logits, self.kv = prefill_batch(
+            self.params, self.cfg, jnp.asarray(tokens),
+            jnp.asarray(pos_base), jnp.asarray(n_valid), self.kv,
+            self.rope_cos, self.rope_sin)
+        total = int(sum(chunks.values()))
+        for s in slots:
+            n = chunks[s.idx]
+            s.cache_tokens.extend(s.task.prompt_tokens[s.cursor:s.cursor + n])
+            s.cursor += n
+            s.pos += n
+            if s.cursor >= len(s.task.prompt_tokens):
+                self._finish_prefill(s, logits[s.idx])
+        self.metrics.on_prefill(total, (time.monotonic() - t0) * 1e3)
+
+    def _finish_prefill(self, s: Slot, last_logits) -> None:
+        """Prompt complete: sample the first token from the prefill logits."""
+        task = s.task
+        hs = getattr(task, "host_sampler", None)
+        if hs is not None:
+            first, ids_row, probs_row = hs.sample(np.asarray(last_logits))
+        else:
+            self._refresh_arrs()
+            tok, ids, probs, self.sstate = sample_one(
+                last_logits, jnp.int32(s.idx), self.sstate, self.arrs)
+            first = int(tok[s.idx])
+            ids_row = np.asarray(ids)[s.idx] if task.n_probs > 0 else None
+            probs_row = np.asarray(probs)[s.idx] if task.n_probs > 0 else None
+        task.t_prefilled = time.monotonic()
+        s.state = "decode"
+        self._accept_token(s, first, ids_row, probs_row)
+
     def _prefill_chunk(self, s: Slot) -> None:
         task = s.task
         if task.cancelled:
@@ -475,20 +541,8 @@ class Engine:
             return
 
         # prompt complete: sample the first token from the prefill logits
-        hs = getattr(task, "host_sampler", None)
-        if hs is not None:
-            first, ids_row, probs_row = hs.sample(np.asarray(logits))
-        else:
-            self._refresh_arrs()
-            tok, ids, probs, self.sstate = sample_one(
-                logits, jnp.int32(s.idx), self.sstate, self.arrs)
-            first = int(tok[s.idx])
-            ids_row = np.asarray(ids)[s.idx] if task.n_probs > 0 else None
-            probs_row = np.asarray(probs)[s.idx] if task.n_probs > 0 else None
-        task.t_prefilled = time.monotonic()
-        self.metrics.on_prefill(chunk, (task.t_prefilled - t0) * 1e3)
-        s.state = "decode"
-        self._accept_token(s, first, ids_row, probs_row)
+        self.metrics.on_prefill(chunk, (time.monotonic() - t0) * 1e3)
+        self._finish_prefill(s, logits)
 
     # -- decode --------------------------------------------------------------
 

@@ -34,12 +34,50 @@ class SPMTokenizer:
                 except ValueError:
                     pass
 
+    def _native_handle(self):
+        if not hasattr(self, "_nh"):
+            self._nh = None
+            try:
+                import ctypes
+
+                import numpy as np
+
+                from ..gguf.native import get_lib
+                lib = get_lib()
+                if lib is not None and len(self.vocab) >= 1000:
+                    blob = b"".join(p.encode("utf-8") for p in self.vocab)
+                    lens = np.asarray([len(p.encode("utf-8"))
+                                       for p in self.vocab], np.int32)
+                    scores = np.asarray(self.scores, np.float32)
+                    self._nh_lib = lib
+                    self._nh = lib.lbox_spm_new(
+                        blob, lens.ctypes.data_as(ctypes.c_void_p),
+                        scores.ctypes.data_as(ctypes.c_void_p),
+                        len(self.vocab),
+                        -1 if self.unk_id is None else self.unk_id)
+            except Exception:  # noqa: BLE001 — python path always works
+                self._nh = None
+        return self._nh
+
     def encode(self, text: str) -> list[int]:
         if not text:
             return []
         if self.add_space_prefix:
             text = " " + text
         text = text.replace(" ", SPM_UNDERLINE)
+
+        nh = self._native_handle()
+        if nh is not None:
+            import ctypes
+
+            import numpy as np
+            data = text.encode("utf-8")
+            out = np.empty(len(data) + 8, np.int32)
+            m = self._nh_lib.lbox_spm_encode(
+                nh, data, len(data),
+                out.ctypes.data_as(ctypes.c_void_p), out.shape[0])
+            if m >= 0:
+                return out[:m].tolist()
 
         # initial symbols: unicode characters
         symbols = list(text)

@@ -49,3 +49,34 @@ def test_native_f16_dequant(rng):
     x = rng.normal(size=4096).astype(np.float16)
     got = native_dequant(1, x.tobytes(), 4096)
     np.testing.assert_array_equal(got, x.astype(np.float32))
+
+
+def test_native_spm_matches_python(rng):
+    """Native SPM bigram merge must reproduce the Python tokenizer exactly
+    on a synthetic vocab (forced past the size gate)."""
+    import llama_box_tpu.tokenizer.spm as spm_mod
+    from llama_box_tpu.tokenizer.spm import SPMTokenizer
+
+    # synthetic vocab: chars + merges with varied scores + byte fallback
+    pieces = ["<unk>", "▁", "a", "b", "c", "ab", "bc", "abc",
+              "▁a", "▁ab", "▁abc"]
+    pieces += [f"<0x{i:02X}>" for i in range(256)]
+    pieces += [f"fill{i}" for i in range(1000)]  # pass the native size gate
+    scores = [0.0] * len(pieces)
+    scores[pieces.index("ab")] = -1.0
+    scores[pieces.index("bc")] = -0.5
+    scores[pieces.index("abc")] = -2.0
+    scores[pieces.index("▁a")] = -0.7
+    scores[pieces.index("▁ab")] = -1.5
+    scores[pieces.index("▁abc")] = -3.0
+    types = [2] + [1] * (len(pieces) - 1)
+
+    tok_nat = SPMTokenizer(pieces, scores, types, unk_id=0)
+    assert tok_nat._native_handle() is not None
+    tok_py = SPMTokenizer(pieces, scores, types, unk_id=0)
+    tok_py._nh = None  # force python path
+
+    texts = ["abc", "abcabc", "a b c", "abcb ca", "日本 abc",
+             "aaabbbccc", "", "xyz abc xyz"]
+    for t in texts:
+        assert tok_nat.encode(t) == tok_py.encode(t), t
