@@ -113,8 +113,13 @@ def _count(tree) -> int:
 # -- CLIP text encoder -------------------------------------------------------
 
 
-def clip_text_encode(params: dict, tokens: np.ndarray) -> jnp.ndarray:
-    """tokens [77] -> [77, width]. params: text_model subtree."""
+def clip_text_encode(params: dict, tokens: np.ndarray,
+                     penultimate: bool = False,
+                     projection: bool = False):
+    """tokens [77] -> [77, width] hidden states. params: subtree with
+    transformer.text_model. penultimate: return layer N-1 output (SDXL
+    "clip skip"); projection: also return the pooled+projected embedding
+    (SDXL conditioning)."""
     tm = params["transformer"]["text_model"]
     emb = tm["embeddings"]
     x = jnp.take(emb["token_embedding"]["weight"], jnp.asarray(tokens), 0)
@@ -126,7 +131,10 @@ def clip_text_encode(params: dict, tokens: np.ndarray) -> jnp.ndarray:
     T = x.shape[0]
     causal = jnp.tril(jnp.ones((T, T), bool))
 
+    penult = None
     for i in range(n_layers):
+        if penultimate and i == n_layers - 1:
+            penult = x
         lp = layers[str(i)]
         h = layer_norm(x, lp["layer_norm1"]["weight"],
                        lp["layer_norm1"]["bias"])
@@ -147,8 +155,21 @@ def clip_text_encode(params: dict, tokens: np.ndarray) -> jnp.ndarray:
         h = proj(lp["mlp"]["fc1"], h)
         h = h * jax.nn.sigmoid(1.702 * h)   # quick-gelu (CLIP)
         x = x + proj(lp["mlp"]["fc2"], h)
-    return layer_norm(x, tm["final_layer_norm"]["weight"],
-                      tm["final_layer_norm"]["bias"])
+    final = layer_norm(x, tm["final_layer_norm"]["weight"],
+                       tm["final_layer_norm"]["bias"])
+    hidden = penult if penult is not None else final
+    if projection:
+        # pooled: first EOT-ish position = argmax token id (CLIP convention)
+        eot = int(np.argmax(np.asarray(tokens)))
+        pooled = final[eot]
+        tp = params.get("text_projection")
+        if tp is None and "transformer" in params:
+            tp = params["transformer"].get("text_projection")
+        if tp is not None:
+            w = tp["weight"] if isinstance(tp, dict) else tp
+            pooled = pooled @ w.T if w.ndim == 2 else pooled
+        return hidden, pooled
+    return hidden
 
 
 # -- UNet --------------------------------------------------------------------
@@ -240,14 +261,21 @@ def _apply_block(p: dict, x, emb, ctx):
     return x
 
 
-def unet_forward(params: dict, x, t, ctx):
-    """x: [H, W, C_lat]; t: scalar timestep; ctx: [M, Cc] -> eps [H, W, C]."""
+def unet_forward(params: dict, x, t, ctx, aug=None):
+    """x: [H, W, C_lat]; t: scalar timestep; ctx: [M, Cc] -> eps [H, W, C].
+    aug: SDXL conditioning vector (pooled text + fourier size ids) fed
+    through label_emb and added to the time embedding."""
     model_ch = params["time_embed"]["0"]["weight"].shape[1]
     temb = timestep_embedding(t, model_ch)
     temb = temb @ params["time_embed"]["0"]["weight"].T \
         + params["time_embed"]["0"]["bias"]
     temb = silu(temb) @ params["time_embed"]["2"]["weight"].T \
         + params["time_embed"]["2"]["bias"]
+    if aug is not None and "label_emb" in params:
+        le = params["label_emb"]["0"]
+        a = aug @ le["0"]["weight"].T + le["0"]["bias"]
+        a = silu(a) @ le["2"]["weight"].T + le["2"]["bias"]
+        temb = temb + a
 
     hs = []
     h = x
@@ -363,30 +391,49 @@ def vae_encode(params: dict, img):
 
 def build_sd_pipeline(path: str, tokenizer=None,
                       dtype=jnp.float32) -> DiffusionPipeline:
-    """GGUF -> streaming DiffusionPipeline (eps-prediction, SD1.x)."""
+    """GGUF -> streaming DiffusionPipeline. SD1.x and SDXL (detected by the
+    UNet label_emb / second text encoder) eps-prediction checkpoints."""
     trees = load_sd(path, dtype)
     schedule = NoiseSchedule()
     train_sigmas = schedule.sigmas()
+    is_xl = "label_emb" in trees["unet"] or "1" in trees["text"]
 
-    unet_jit = jax.jit(lambda x, t, c: unet_forward(trees["unet"], x, t, c))
-    text_jit = jax.jit(lambda toks: clip_text_encode(trees["text"], toks))
+    unet_jit = jax.jit(lambda x, t, c, a: unet_forward(trees["unet"], x, t,
+                                                       c, a))
     vae_dec_jit = jax.jit(lambda z: vae_decode(trees["vae"], z))
 
     def encode_prompt(prompt: str):
         if tokenizer is None:
             raise ValueError("sd pipeline needs a CLIP tokenizer")
-        ids = tokenizer(prompt)
-        return text_jit(np.asarray(ids, np.int32))
+        ids = np.asarray(tokenizer(prompt), np.int32)
+        if not is_xl:
+            return (clip_text_encode(trees["text"], ids), None)
+        h1 = clip_text_encode(trees["text"], ids, penultimate=True)
+        t2 = trees["text"].get("1", trees["text"])
+        h2, pooled = clip_text_encode(t2, ids, penultimate=True,
+                                      projection=True)
+        ctx = jnp.concatenate([h1, h2], axis=-1)
+        return (ctx, pooled)
 
     def text_encode(prompt, negative):
         return (encode_prompt(prompt), encode_prompt(negative or ""))
+
+    def _aug(pooled, hw):
+        if pooled is None:
+            return None
+        # SDXL size conditioning: (orig_h, orig_w, crop_t, crop_l, h, w)
+        ids = jnp.asarray([hw[0], hw[1], 0, 0, hw[0], hw[1]], jnp.float32)
+        four = jnp.concatenate([timestep_embedding(i, 256) for i in ids])
+        return jnp.concatenate([pooled, four])
 
     def denoiser(x, sigma, cond):
         sigma = float(sigma)
         t = int(np.abs(train_sigmas - sigma).argmin())
         c_in = 1.0 / math.sqrt(1.0 + sigma * sigma)
+        ctx, pooled = cond
+        hw = (x.shape[0] * 8, x.shape[1] * 8)
         # discrete eps model: x_t = x * c_in at integer timestep t
-        return unet_jit(x * c_in, jnp.float32(t), cond)
+        return unet_jit(x * c_in, jnp.float32(t), ctx, _aug(pooled, hw))
 
     def vdec(z):
         return vae_dec_jit(z)

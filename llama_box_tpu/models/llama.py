@@ -242,7 +242,8 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         probs = jnp.exp(scores)
         probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-30)
         Dv = vf.shape[-1]
-    attn = jnp.einsum("bhgtc,bchd->bthgd", probs, vf).reshape(B, T, H * Dv)
+        attn = jnp.einsum("bhgtc,bchd->bthgd", probs, vf) \
+            .reshape(B, T, H * Dv)
 
     ao = attn.astype(x.dtype)
     attn_out = (mm(ao, lp["wo"])

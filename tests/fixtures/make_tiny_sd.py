@@ -11,7 +11,14 @@ VOCAB = 100
 N_POS = 77
 
 
-def write_tiny_sd(path: str, seed: int = 0, with_encoder: bool = True):
+def write_tiny_sdxl(path: str, seed: int = 0):
+    """Tiny SDXL-style checkpoint: second text encoder + label_emb."""
+    write_tiny_sd(path, seed=seed, xl=True)
+    return path
+
+
+def write_tiny_sd(path: str, seed: int = 0, with_encoder: bool = True,
+                  xl: bool = False):
     rng = np.random.default_rng(seed)
     w = GGUFWriter(path, architecture="stable-diffusion")
 
@@ -40,6 +47,28 @@ def write_tiny_sd(path: str, seed: int = 0, with_encoder: bool = True):
     T(p + "final_layer_norm.weight", 1.0 + rand(CTX))
     T(p + "final_layer_norm.bias", rand(CTX))
 
+    if xl:
+        # second text encoder (bigG stand-in, same width) + projection
+        p2 = "cond_stage_model.1.transformer.text_model."
+        T(p2 + "embeddings.token_embedding.weight", rand(VOCAB, CTX))
+        T(p2 + "embeddings.position_embedding.weight", rand(N_POS, CTX))
+        for i in range(2):
+            q = p2 + f"encoder.layers.{i}."
+            for nm in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                T(q + f"self_attn.{nm}.weight", rand(CTX, CTX))
+                T(q + f"self_attn.{nm}.bias", rand(CTX))
+            for nm in ("layer_norm1", "layer_norm2"):
+                T(q + f"{nm}.weight", 1.0 + rand(CTX))
+                T(q + f"{nm}.bias", rand(CTX))
+            T(q + "mlp.fc1.weight", rand(CTX * 2, CTX))
+            T(q + "mlp.fc1.bias", rand(CTX * 2))
+            T(q + "mlp.fc2.weight", rand(CTX, CTX * 2))
+            T(q + "mlp.fc2.bias", rand(CTX))
+        T(p2 + "final_layer_norm.weight", 1.0 + rand(CTX))
+        T(p2 + "final_layer_norm.bias", rand(CTX))
+        T("cond_stage_model.1.transformer.text_projection.weight",
+          rand(CTX, CTX))
+
     # ---- UNet ----
     u = "model.diffusion_model."
 
@@ -58,6 +87,8 @@ def write_tiny_sd(path: str, seed: int = 0, with_encoder: bool = True):
             T(prefix + "skip_connection.weight", rand(cout, cin, 1, 1))
             T(prefix + "skip_connection.bias", rand(cout))
 
+    ctx_dim = 2 * CTX if xl else CTX  # SDXL concatenates both encoders
+
     def spatial(prefix, c):
         T(prefix + "norm.weight", 1.0 + rand(c))
         T(prefix + "norm.bias", rand(c))
@@ -67,7 +98,7 @@ def write_tiny_sd(path: str, seed: int = 0, with_encoder: bool = True):
         for nm in ("norm1", "norm2", "norm3"):
             T(b + nm + ".weight", 1.0 + rand(c))
             T(b + nm + ".bias", rand(c))
-        for attn, kdim in (("attn1", c), ("attn2", CTX)):
+        for attn, kdim in (("attn1", c), ("attn2", ctx_dim)):
             T(b + attn + ".to_q.weight", rand(c, c))
             T(b + attn + ".to_k.weight", rand(c, kdim))
             T(b + attn + ".to_v.weight", rand(c, kdim))
@@ -84,6 +115,12 @@ def write_tiny_sd(path: str, seed: int = 0, with_encoder: bool = True):
     T(u + "time_embed.0.bias", rand(TEMB))
     T(u + "time_embed.2.weight", rand(TEMB, TEMB))
     T(u + "time_embed.2.bias", rand(TEMB))
+    if xl:
+        aug_dim = CTX + 6 * 256   # pooled + fourier(size ids)
+        T(u + "label_emb.0.0.weight", rand(TEMB, aug_dim))
+        T(u + "label_emb.0.0.bias", rand(TEMB))
+        T(u + "label_emb.0.2.weight", rand(TEMB, TEMB))
+        T(u + "label_emb.0.2.bias", rand(TEMB))
 
     T(u + "input_blocks.0.0.weight", rand(CH, 4, 3, 3))
     T(u + "input_blocks.0.0.bias", rand(CH))

@@ -97,3 +97,23 @@ def test_clip_bpe_tokenizer():
     ids2 = ht("hello world")
     assert len(ids2) == 77 and ids2[0] == 49406
     assert ht("hello world") == ids2  # deterministic
+
+
+def test_sdxl_pipeline(tmp_path):
+    """SDXL-style checkpoint (dual encoders + label_emb): context dims
+    double, aug conditioning feeds the time embedding, txt2img runs."""
+    from .fixtures.make_tiny_sd import write_tiny_sdxl
+
+    path = str(tmp_path / "sdxl.gguf")
+    write_tiny_sdxl(path)
+    pl = build_sd_pipeline(path, tokenizer=char_tokenizer)
+    ctx, pooled = pl.text_encode("a dog", "")[0]
+    assert ctx.shape == (77, 2 * CTX)   # concat of both encoders
+    assert pooled.shape == (CTX,)
+
+    p = GenerationParams(prompt="a dog", width=64, height=64, steps=2,
+                         cfg_scale=3.0, sampler="euler", seed=1)
+    st = pl.txt2img_stream(p)
+    while not st.done:
+        st.step()
+    assert st.result().shape == (64, 64, 3)
