@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 
 def make_q4_params(rng, L, E, H, HKV, D, FF, V, group=32,
-                   scale_dtype=None):
+                   scale_dtype=None, as_int8=False):
     """Random Q4_K-layout QTensors (same memory traffic as a real Q4_K_M
     load; values random but shapes/packing identical)."""
     from llama_box_tpu.ops.qmatmul import QTensor
@@ -28,16 +28,23 @@ def make_q4_params(rng, L, E, H, HKV, D, FF, V, group=32,
     sdt = scale_dtype or jnp.bfloat16  # production default (see qmatmul)
 
     def qt(in_dim, out_dim):
-        qs = rng.integers(0, 255, (in_dim // 2, out_dim), dtype=np.uint8)
+        if as_int8:  # unpacked nibbles: 2x bytes, fewer VPU unpack ops
+            qs = jnp.asarray(rng.integers(0, 15, (in_dim, out_dim),
+                                          dtype=np.int8))
+            packed4 = False
+        else:
+            qs = jnp.asarray(rng.integers(0, 255, (in_dim // 2, out_dim),
+                                          dtype=np.uint8).view(np.int8))
+            packed4 = True
         return QTensor(
-            qs=jnp.asarray(qs.view(np.int8)),
+            qs=qs,
             scales=jnp.asarray(rng.uniform(0.001, 0.01,
                                            (in_dim // group, out_dim))
                                .astype(np.float32), sdt),
             mins=jnp.asarray(rng.uniform(0, 0.01,
                                          (in_dim // group, out_dim))
                              .astype(np.float32), sdt),
-            in_dim=in_dim, group=group, packed4=True)
+            in_dim=in_dim, group=group, packed4=packed4)
 
     def stack(n, in_dim, out_dim):
         qts = [qt(in_dim, out_dim) for _ in range(n)]
@@ -45,7 +52,7 @@ def make_q4_params(rng, L, E, H, HKV, D, FF, V, group=32,
             qs=jnp.stack([q.qs for q in qts]),
             scales=jnp.stack([q.scales for q in qts]),
             mins=jnp.stack([q.mins for q in qts]),
-            in_dim=in_dim, group=group, packed4=True)
+            in_dim=in_dim, group=group, packed4=qts[0].packed4)
 
     dtype = jnp.bfloat16
 
@@ -194,7 +201,14 @@ def main():
         qbytes = sum(x.size * x.dtype.itemsize
                      for x in jax.tree.leaves(qparams))
         import sys
-        print(f"# bf16={tok_s_bf16:.1f} tok/s, q4k={tok_s_q4:.1f} tok/s",
+        tok_s_q8r = 0.0
+        try:
+            qp8 = make_q4_params(rng, L, E, H, HKV, D, FF, V, as_int8=True)
+            tok_s_q8r, _ = run(qp8)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# q4-as-int8 failed: {exc!r}", file=sys.stderr)
+        print(f"# bf16={tok_s_bf16:.1f} tok/s, q4k={tok_s_q4:.1f} tok/s, "
+              f"q4-as-int8={tok_s_q8r:.1f} tok/s",
               file=sys.stderr, flush=True)
 
     pbytes = sum(x.size * x.dtype.itemsize

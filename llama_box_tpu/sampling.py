@@ -518,7 +518,6 @@ class HostSampler:
                 token = self._pick(cand, cvals, grammar_mask=mask)
 
         # logprobs view
-        keep = np.ones(len(cand), bool)
         z = cvals - cvals.max()
         p = np.exp(z)
         p /= p.sum()

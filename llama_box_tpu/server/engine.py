@@ -309,7 +309,9 @@ class Engine:
     def _admit_completion(self, task: CompletionsTask) -> None:
         idle = [s for s in self.slots if s.state == "idle"]
         if not idle:
-            self.queue.put(task)  # shouldn't happen (guarded by _admit)
+            # re-queue (and clear the duplicate guard so the retry passes)
+            task._dispatched = False
+            self.queue.put(task)
             return
 
         # resolve n_keep; squeeze over-long prompts (httpserver.hpp:5714-5738)

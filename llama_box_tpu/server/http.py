@@ -360,6 +360,11 @@ class HTTPServer:
                                                          self.mp)
             except ValueError as exc:
                 raise bad_request(str(exc), "messages")
+            max_len = self.engine.slot_ctx - self.engine.ecfg.defrag_headroom
+            if len(prompt_tokens) > max_len:
+                raise bad_request(
+                    f"multimodal prompt is {len(prompt_tokens)} tokens but "
+                    f"the per-slot context allows {max_len}", "messages")
         else:
             prompt_tokens = tok.encode(prompt, add_special=True,
                                        parse_special=True)
