@@ -128,6 +128,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="CLIP vocab.json for SD conditioning")
     g.add_argument("--clip-merges", default=None,
                    help="CLIP merges.txt for SD conditioning")
+    g.add_argument("--image-upscale-model", default=None,
+                   help="ESRGAN/RealESRGAN x4 GGUF applied to finished "
+                        "images (reference engine_param.hpp:472)")
+    g.add_argument("--image-upscale-repeats", type=int, default=1,
+                   help="how many x4 upscaler rounds (default 1)")
+    g.add_argument("--image-prediction", default="eps",
+                   choices=["eps", "v"],
+                   help="UNet output parametrization (v for SD2.x-768)")
 
     g = p.add_argument_group("compat (accepted for llama-box command-line "
                              "compatibility; mapped or ignored on TPU)")
@@ -188,10 +196,16 @@ def _serve_images(args) -> int:
                 "degraded hash tokenizer")
         tok = HashTokenizer()
     SRV_INF("main", "loading SD model %s", args.model)
-    pipeline = build_sd_pipeline(args.model, tokenizer=tok)
+    pipeline = build_sd_pipeline(args.model, tokenizer=tok,
+                                 prediction=args.image_prediction)
+    upscaler = None
+    if args.image_upscale_model:
+        from .diffusion.esrgan import Upscaler
+        upscaler = Upscaler(args.image_upscale_model)
     engine = Engine(ModelConfig(), None, None,
                     EngineConfig(n_slots=1, n_ctx=16),
-                    images_pipeline=pipeline)
+                    images_pipeline=pipeline, upscaler=upscaler,
+                    upscale_repeats=args.image_upscale_repeats)
     engine.start()
     server = HTTPServer(engine,
                         model_name=args.alias or args.model.rsplit("/", 1)[-1],

@@ -389,10 +389,14 @@ def vae_encode(params: dict, img):
 # -- pipeline assembly -------------------------------------------------------
 
 
-def build_sd_pipeline(path: str, tokenizer=None,
-                      dtype=jnp.float32) -> DiffusionPipeline:
+def build_sd_pipeline(path: str, tokenizer=None, dtype=jnp.float32,
+                      prediction: str = "eps") -> DiffusionPipeline:
     """GGUF -> streaming DiffusionPipeline. SD1.x and SDXL (detected by the
-    UNet label_emb / second text encoder) eps-prediction checkpoints."""
+    UNet label_emb / second text encoder) checkpoints.
+
+    prediction: "eps" (SD1.x/SDXL) or "v" (SD2.x-768-style v-prediction;
+    converted to eps in sigma space so the k-diffusion samplers are shared:
+    eps = c_in * v + sigma * c_in^2 * x, c_in = 1/sqrt(1+sigma^2))."""
     trees = load_sd(path, dtype)
     schedule = NoiseSchedule()
     train_sigmas = schedule.sigmas()
@@ -432,8 +436,11 @@ def build_sd_pipeline(path: str, tokenizer=None,
         c_in = 1.0 / math.sqrt(1.0 + sigma * sigma)
         ctx, pooled = cond
         hw = (x.shape[0] * 8, x.shape[1] * 8)
-        # discrete eps model: x_t = x * c_in at integer timestep t
-        return unet_jit(x * c_in, jnp.float32(t), ctx, _aug(pooled, hw))
+        # discrete model: x_t = x * c_in at integer timestep t
+        out = unet_jit(x * c_in, jnp.float32(t), ctx, _aug(pooled, hw))
+        if prediction == "v":
+            out = c_in * out + (sigma * c_in * c_in) * x
+        return out
 
     def vdec(z):
         return vae_dec_jit(z)

@@ -70,7 +70,12 @@ def pack_repacked(rt, shape_in_out: tuple[int, int]) -> QTensor:
 
     Scales/mins are stored bf16 by default: measured 3.4x faster dequant
     (the scale multiply rides the VPU in bf16 and streams half the bytes);
-    set LLAMA_BOX_TPU_Q4_F32SCALES=1 for exact f32 scales."""
+    set LLAMA_BOX_TPU_Q4_F32SCALES=1 for exact f32 scales.
+
+    LLAMA_BOX_TPU_Q4_INT8=1 keeps 4-bit formats resident as unpacked int8
+    codes (1 byte/weight instead of 0.5): skips the nibble unpack in the
+    kernel at 2x the HBM traffic — measured same-or-faster decode on v5e,
+    worth it when the model fits; packed stays the capacity-safe default."""
     import os
 
     from ..gguf.repack import RepackedTensor  # noqa: F401 (doc)
@@ -82,7 +87,7 @@ def pack_repacked(rt, shape_in_out: tuple[int, int]) -> QTensor:
     scales = rt.scales.reshape(out_dim, in_dim // rt.group).T
     mins = (rt.mins.reshape(out_dim, in_dim // rt.group).T
             if rt.mins is not None else None)
-    if rt.qbits == 4:
+    if rt.qbits == 4 and not os.environ.get("LLAMA_BOX_TPU_Q4_INT8"):
         half = in_dim // 2
         packed = (q[:half].astype(np.uint8)
                   | (q[half:].astype(np.uint8) << 4)).astype(np.int8)

@@ -130,7 +130,8 @@ class Engine:
                  ecfg: EngineConfig | None = None,
                  draft: tuple | None = None,
                  mesh=None,
-                 images_pipeline=None):
+                 images_pipeline=None, upscaler=None,
+                 upscale_repeats: int = 1):
         """draft: optional (ModelConfig, params) of a draft model for
         speculative decoding (reference draft-model path, §2.1 #10).
 
@@ -145,6 +146,8 @@ class Engine:
         self.ecfg = ecfg or EngineConfig()
         self.mesh = mesh
         self.images_pipeline = images_pipeline
+        self.upscaler = upscaler           # ESRGAN x4 (diffusion/esrgan.py)
+        self.upscale_repeats = upscale_repeats
         self.image_tasks: list[ImagesTask] = []
 
         S = self.ecfg.n_slots
@@ -889,9 +892,15 @@ class Engine:
         from PIL import Image
         for st in task.streams:
             img = st.result()
+            if self.upscaler is not None:
+                # model upscaler: x4 per round (reference
+                # z_stablediffusion.hpp:339-349)
+                for _ in range(max(1, self.upscale_repeats)):
+                    img = self.upscaler.upscale(img)
             pil = Image.fromarray(img)
             up = getattr(task, "upscale", 1)
-            if up and up > 1:  # resampling upscale (ESRGAN model: r2)
+            if up and up > 1 and self.upscaler is None:
+                # resampling fallback when no ESRGAN model is loaded
                 pil = pil.resize((pil.width * up, pil.height * up),
                                  Image.LANCZOS)
             buf = io.BytesIO()
