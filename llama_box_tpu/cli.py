@@ -48,7 +48,8 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_false", default=True)
     g.add_argument("-tps", "--tokens-per-second", type=float, default=0.0,
                    help="max decode rate per request; -1 probes at startup")
-    g.add_argument("--alias", "--model-alias", dest="alias", default=None)
+    g.add_argument("-a", "--alias", "--model-alias", dest="alias",
+                   default=None)
 
     g = p.add_argument_group("model")
     g.add_argument("-m", "--model", required=False,
@@ -67,6 +68,30 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--rope-freq-base", type=float, default=0.0)
     g.add_argument("--rope-freq-scale", type=float, default=0.0)
     g.add_argument("--yarn-orig-ctx", type=int, default=0)
+    g.add_argument("--rope-scale", type=float, default=0.0,
+                   help="RoPE context scale factor N (freq scale = 1/N)")
+    g.add_argument("--yarn-ext-factor", type=float, default=None)
+    g.add_argument("--yarn-attn-factor", type=float, default=None)
+    g.add_argument("--yarn-beta-fast", type=float, default=None)
+    g.add_argument("--yarn-beta-slow", type=float, default=None)
+    g.add_argument("--attention", default=None,
+                   choices=["causal", "non-causal"],
+                   help="override the attention type probe")
+    g.add_argument("--cache-reuse", type=int, default=0,
+                   help="accepted: prefix prompt-cache reuse is always on")
+    g.add_argument("-dt", "--defrag-thold", type=float, default=None,
+                   help="accepted: slot KV is defragmented by shifting")
+    g.add_argument("--no-cache-prompt", dest="prompt_cache",
+                   action="store_false",
+                   help="alias of --no-prompt-cache")
+    g.add_argument("--context-shift", action="store_true", default=True,
+                   help="context shift is enabled by default")
+    g.add_argument("-nr", "--no-repack", action="store_true",
+                   help="accepted: repack layout is TPU-chosen")
+    g.add_argument("--mmap", action="store_true",
+                   help="accepted: GGUF tensors are always mmapped")
+    g.add_argument("--warmup", action="store_true", default=True,
+                   help="warmup compile at startup (default)")
     g.add_argument("--no-warmup", dest="warmup", action="store_false",
                    default=True)
     g.add_argument("--weights-dtype", default="bf16",
@@ -83,6 +108,46 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--repeat-last-n", type=int, default=64)
     g.add_argument("--frequency-penalty", type=float, default=0.0)
     g.add_argument("--presence-penalty", type=float, default=0.0)
+    g.add_argument("--mirostat", type=int, default=0, choices=[0, 1, 2])
+    g.add_argument("--mirostat-ent", dest="mirostat_tau", type=float,
+                   default=5.0, help="mirostat target entropy tau")
+    g.add_argument("--mirostat-lr", dest="mirostat_eta", type=float,
+                   default=0.1, help="mirostat learning rate eta")
+    g.add_argument("--dry-multiplier", type=float, default=0.0)
+    g.add_argument("--dry-base", type=float, default=1.75)
+    g.add_argument("--dry-allowed-length", type=int, default=2)
+    g.add_argument("--dry-penalty-last-n", type=int, default=-1)
+    g.add_argument("--dry-sequence-breaker", action="append", default=None,
+                   help="DRY sequence breaker (repeatable; 'none' clears; "
+                        "default: newline ':' '\"' '*')")
+    g.add_argument("--dynatemp-range", type=float, default=0.0)
+    g.add_argument("--dynatemp-exp", dest="dynatemp_exponent", type=float,
+                   default=1.0)
+    g.add_argument("--xtc-probability", type=float, default=0.0)
+    g.add_argument("--xtc-threshold", type=float, default=0.10)
+    g.add_argument("--top-nsigma", type=float, default=-1.0)
+    g.add_argument("-l", "--logit-bias", action="append", default=[],
+                   metavar="TOKEN_ID(+/-)BIAS",
+                   help="server default logit bias, e.g. 29871+1.5 "
+                        "or 29871-inf (repeatable)")
+    g.add_argument("--grammar", default="",
+                   help="server default GBNF grammar")
+    g.add_argument("--grammar-file", default=None)
+    g.add_argument("-j", "--json-schema", default=None,
+                   help="server default JSON schema (converted to GBNF)")
+    g.add_argument("--samplers", "--sampling-seq", dest="samplers",
+                   default=None,
+                   help="sampler order, ';'-separated; the TPU chain is "
+                        "compiled in the default order — a different order "
+                        "logs a warning")
+    g.add_argument("-r", "--reverse-prompt", action="append", default=[],
+                   help="stop strings added to every request")
+    g.add_argument("-sp", "--special", action="store_true", default=False,
+                   help="render special tokens in output text")
+    g.add_argument("-e", "--escape", action="store_true", default=True,
+                   help="process escape sequences (accepted; server "
+                        "prompts arrive via JSON which already unescapes)")
+    g.add_argument("--no-escape", dest="escape", action="store_false")
     g.add_argument("-s", "--seed", type=int, default=-1)
     g.add_argument("-n", "--predict", dest="n_predict", type=int, default=-1)
     g.add_argument("--keep", dest="n_keep", type=int, default=0)
@@ -92,6 +157,16 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--chat-template-file", default=None)
     g.add_argument("--chat-template-kwargs", default=None,
                    help="JSON object merged into the template context")
+    g.add_argument("--enable-reasoning", dest="enable_reasoning",
+                   action="store_true", default=True)
+    g.add_argument("--no-enable-reasoning", dest="enable_reasoning",
+                   action="store_false",
+                   help="disable reasoning-block splitting")
+    g.add_argument("--reasoning-in-content", dest="reasoning_in_content",
+                   action="store_true", default=False,
+                   help="keep reasoning text inline in content")
+    g.add_argument("--no-reasoning-in-content", dest="reasoning_in_content",
+                   action="store_false")
 
     g = p.add_argument_group("speculative")
     g.add_argument("-md", "--model-draft", default=None)
@@ -120,8 +195,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="keep adapters unmerged; requests pick scales via "
                         "the 'lora' field (slots batch together regardless)")
 
+    g = p.add_argument_group("control vectors")
+    g.add_argument("--control-vector", action="append", default=[],
+                   help="control vector GGUF added to the residual stream "
+                        "(repeatable)")
+    g.add_argument("--control-vector-scaled", action="append", nargs=2,
+                   default=[], metavar=("PATH", "SCALE"))
+    g.add_argument("--control-vector-layer-range", nargs=2, type=int,
+                   default=None, metavar=("START", "END"),
+                   help="1-based inclusive layer range to steer")
+
     g = p.add_argument_group("multimodal")
     g.add_argument("--mmproj", default=None)
+    g.add_argument("--visual-max-image-size", type=int, default=0,
+                   help="downscale images so the long side <= N px")
+    g.add_argument("--visual-max-image-cache", "--max-projected-cache",
+                   dest="visual_max_image_cache", type=int, default=0,
+                   help="accepted: projected-embedding LRU entries")
 
     g = p.add_argument_group("images")
     g.add_argument("--clip-vocab", default=None,
@@ -136,23 +226,79 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--image-prediction", default="eps",
                    choices=["eps", "v"],
                    help="UNet output parametrization (v for SD2.x-768)")
+    g.add_argument("--image-sample-method", "--image-sampler",
+                   dest="image_sampler", default="euler_a",
+                   help="euler, euler_a, heun, dpm++2m (sd.cpp names "
+                        "accepted; unknown map to the closest)")
+    g.add_argument("--image-sampling-steps", "--image-sample-steps",
+                   dest="image_steps", type=int, default=10)
+    g.add_argument("--image-schedule-method", "--image-schedule",
+                   dest="image_schedule", default="discrete",
+                   choices=["default", "discrete", "karras", "exponential",
+                            "ays", "gits"],
+                   help="sigma schedule (ays/gits map to discrete)")
+    g.add_argument("--image-cfg-scale", type=float, default=None,
+                   help="default classifier-free-guidance scale")
+    g.add_argument("--image-guidance", type=float, default=3.5,
+                   help="accepted: distilled-guidance models")
+    g.add_argument("--image-strength", type=float, default=0.75,
+                   help="default img2img noising strength")
+    g.add_argument("--image-max-batch", type=int, default=4,
+                   help="max images per request")
+    g.add_argument("--image-max-height", type=int, default=1024)
+    g.add_argument("--image-max-width", type=int, default=1024)
+    g.add_argument("--image-vae-model", default=None,
+                   help="separate VAE GGUF overriding the checkpoint VAE")
+    g.add_argument("--image-clip-l-model", default=None,
+                   help="separate CLIP-L text encoder GGUF")
+    g.add_argument("--image-clip-g-model", default=None,
+                   help="separate CLIP-G text encoder GGUF (SDXL)")
+    g.add_argument("--image-t5xxl-model", default=None,
+                   help="T5-XXL text encoder GGUF (SD3/FLUX; accepted)")
+    g.add_argument("--image-taesd-model", default=None,
+                   help="accepted: previews use a linear latent "
+                        "projection instead of TAESD")
+    g.add_argument("--image-vae-tiling", action="store_true", default=False,
+                   help="decode the VAE in tiles (large images)")
+    g.add_argument("--image-no-vae-tiling", dest="image_vae_tiling",
+                   action="store_false")
+    g.add_argument("--image-slg-scale", type=float, default=0.0,
+                   help="accepted: skip-layer guidance (SD3.5)")
+    g.add_argument("--image-skip-layer", action="append", default=None,
+                   help="accepted with --image-slg-scale")
+    g.add_argument("--image-slg-start", type=float, default=0.01)
+    g.add_argument("--image-slg-end", type=float, default=0.2)
+    g.add_argument("--image-control-net-model", default=None,
+                   help="not yet supported on TPU (warns)")
+    g.add_argument("--image-control-strength", type=float, default=0.9)
+    g.add_argument("--image-control-canny", action="store_true")
+    g.add_argument("--image-no-control-net-model-offload",
+                   action="store_true", help="ignored: TPU HBM residency")
+    g.add_argument("--image-no-text-encoder-model-offload",
+                   action="store_true", help="ignored: TPU HBM residency")
+    g.add_argument("--image-no-vae-model-offload", action="store_true",
+                   help="ignored: TPU HBM residency")
+    g.add_argument("--image-free-compute-memory-immediately",
+                   action="store_true", help="ignored")
 
     g = p.add_argument_group("compat (accepted for llama-box command-line "
                              "compatibility; mapped or ignored on TPU)")
     g.add_argument("-ngl", "--gpu-layers", "--n-gpu-layers", dest="ngl",
                    type=int, default=None, help="ignored: TPU runs all "
                    "layers on device")
-    g.add_argument("--tensor-split", default=None,
+    g.add_argument("-ts", "--tensor-split", default=None,
                    help="ignored: use --mesh (SURVEY.md §2.3)")
-    g.add_argument("--split-mode", default=None, choices=["none", "layer",
+    g.add_argument("-sm", "--split-mode", default=None,
+                   choices=["none", "layer",
                                                           "row"],
                    help="ignored: use --mesh")
-    g.add_argument("--main-gpu", type=int, default=None, help="ignored")
-    g.add_argument("--device", default=None, help="ignored")
+    g.add_argument("-mg", "--main-gpu", type=int, default=None,
+                   help="ignored")
+    g.add_argument("-dev", "--device", default=None, help="ignored")
     g.add_argument("--rpc", default=None,
                    help="ignored: remote hosts join the mesh via "
                         "--coordinator (SURVEY.md §2.2)")
-    g.add_argument("--flash-attn", action="store_true", default=None,
+    g.add_argument("-fa", "--flash-attn", action="store_true", default=None,
                    help="always on for prefill (Pallas kernel)")
     g.add_argument("--no-mmap", action="store_true", help="ignored")
     g.add_argument("--mlock", action="store_true", help="ignored")
@@ -162,8 +308,83 @@ def build_parser() -> argparse.ArgumentParser:
                    action="store_false", default=True,
                    help="accepted; context shift stays enabled")
     g.add_argument("--swa-full", action="store_true", help="ignored")
-    g.add_argument("--kv-unified", action="store_true",
+    g.add_argument("-kvu", "--kv-unified", action="store_true",
                    help="accepted: the KV cache is already one buffer")
+    g.add_argument("-t", "--threads", type=int, default=None,
+                   help="host CPU threads (sets OMP_NUM_THREADS for the "
+                        "native cores)")
+    g.add_argument("-tb", "--threads-batch", type=int, default=None,
+                   help="accepted; TPU batching is compiled")
+    g.add_argument("--cpu-mask", default=None, help="ignored")
+    g.add_argument("--cpu-mask-batch", default=None, help="ignored")
+    g.add_argument("--cpu-range", default=None, help="ignored")
+    g.add_argument("--cpu-range-batch", default=None, help="ignored")
+    g.add_argument("--cpu-strict", type=int, default=None, help="ignored")
+    g.add_argument("--cpu-strict-batch", type=int, default=None,
+                   help="ignored")
+    g.add_argument("--poll", type=int, default=None, help="ignored")
+    g.add_argument("--poll-batch", type=int, default=None, help="ignored")
+    g.add_argument("--prio", type=int, default=None, help="ignored")
+    g.add_argument("--prio-batch", type=int, default=None, help="ignored")
+    g.add_argument("--numa", default=None, help="ignored")
+    g.add_argument("-nkvo", "--no-kv-offload", action="store_true",
+                   help="ignored: KV lives in HBM")
+    g.add_argument("--no-flash-attn", action="store_true",
+                   help="disables the Pallas flash-attention prefill path")
+    g.add_argument("-ngld", "--gpu-layers-draft", "--n-gpu-layers-draft",
+                   dest="ngld", type=int, default=None, help="ignored")
+    g.add_argument("-devd", "--device-draft", default=None, help="ignored")
+    g.add_argument("-ot", "--override-tensor", action="append",
+                   default=None, help="ignored: XLA owns placement")
+    g.add_argument("-otd", "--override-tensor-draft", action="append",
+                   default=None, help="ignored")
+    g.add_argument("-cmoe", "--cpu-moe", action="store_true",
+                   help="ignored: experts stay in HBM")
+    g.add_argument("-ncmoe", "--n-cpu-moe", type=int, default=None,
+                   help="ignored")
+    g.add_argument("-cmoed", "--cpu-moe-draft", action="store_true",
+                   help="ignored")
+    g.add_argument("-ncmoed", "--n-cpu-moe-draft", type=int, default=None,
+                   help="ignored")
+    g.add_argument("--draft-n", dest="draft_max", type=int, default=8,
+                   help="alias of --draft-max")
+    g.add_argument("--draft-n-min", dest="draft_min", type=int, default=1,
+                   help="alias of --draft-min")
+    g.add_argument("--conn-idle", type=int, default=60,
+                   help="idle connection reaping seconds")
+    g.add_argument("--conn-keepalive", type=int, default=15,
+                   help="keep-alive seconds after a response")
+    g.add_argument("--slot-save-path", default=None,
+                   help="accepted: slot KV save/restore lands in r2")
+    g.add_argument("--embedding", dest="embeddings", action="store_true",
+                   help="alias of --embeddings")
+    g.add_argument("--images", action="store_true", default=None,
+                   help="accepted: image endpoints switch on when the "
+                        "model is a diffusion checkpoint")
+    g.add_argument("--log-colors", action="store_true", help="accepted")
+    g.add_argument("--log-verbose", dest="log_verbose_flag",
+                   action="store_true",
+                   help="alias of high --log-verbosity")
+    g.add_argument("--verbosity", dest="log_verbosity", type=int,
+                   default=0, help="alias of -lv")
+    g.add_argument("--usage", action="help",
+                   help="print usage (alias of --help)")
+    g.add_argument("--list-buffer-types", action="store_true",
+                   help="list device memory kinds and exit")
+    g.add_argument("--rpc-server-host", default=None,
+                   help="unsupported: run a worker with --control-connect "
+                        "(SURVEY.md §2.3)")
+    g.add_argument("--rpc-server-port", type=int, default=None,
+                   help="unsupported: see --rpc-server-host")
+    g.add_argument("--rpc-server-main-gpu", type=int, default=None,
+                   help="ignored")
+    g.add_argument("--rpc-server-threads", type=int, default=None,
+                   help="ignored")
+    g.add_argument("--rpc-server-cache", action="store_true",
+                   help="ignored")
+    g.add_argument("--rpc-server-cache-dir", default=None, help="ignored")
+    g.add_argument("--rpc-server-reserve-memory", type=int, default=None,
+                   help="ignored")
 
     g = p.add_argument_group("tpu/distributed")
     g.add_argument("--mesh", default=None,
@@ -196,8 +417,19 @@ def _serve_images(args) -> int:
                 "degraded hash tokenizer")
         tok = HashTokenizer()
     SRV_INF("main", "loading SD model %s", args.model)
-    pipeline = build_sd_pipeline(args.model, tokenizer=tok,
-                                 prediction=args.image_prediction)
+    from .gguf import GGUFFile
+    with GGUFFile(args.model) as g:
+        is_flux = any("double_blocks." in n or "single_blocks." in n
+                      for n in g.tensors)
+    if is_flux:
+        from .diffusion.flux import build_flux_pipeline
+        pipeline = build_flux_pipeline(
+            args.model, tokenizer=tok, t5_path=args.image_t5xxl_model,
+            clip_l_path=args.image_clip_l_model,
+            vae_path=args.image_vae_model, guidance=args.image_guidance)
+    else:
+        pipeline = build_sd_pipeline(args.model, tokenizer=tok,
+                                     prediction=args.image_prediction)
     upscaler = None
     if args.image_upscale_model:
         from .diffusion.esrgan import Upscaler
@@ -207,10 +439,14 @@ def _serve_images(args) -> int:
                     images_pipeline=pipeline, upscaler=upscaler,
                     upscale_repeats=args.image_upscale_repeats)
     engine.start()
+    if args.image_control_net_model:
+        SRV_WRN("main", "--image-control-net-model is not yet supported on "
+                "TPU; ignoring")
     server = HTTPServer(engine,
                         model_name=args.alias or args.model.rsplit("/", 1)[-1],
                         capabilities={"completion": False, "embedding": False,
-                                      "image": True})
+                                      "image": True},
+                        image_defaults=_image_defaults(args))
     import asyncio
     import signal
 
@@ -228,9 +464,118 @@ def _serve_images(args) -> int:
     return 0
 
 
+_DEFAULT_SAMPLER_ORDER = (
+    "penalties;dry;top_n_sigma;top_k;typ_p;top_p;min_p;xtc;temperature")
+
+
+def _parse_logit_bias_flags(entries: list[str]) -> dict[int, float]:
+    """TOKEN_ID(+/-)BIAS, e.g. 29871+1.5, 29871-0.5, 29871-inf
+    (engine_param.hpp --logit-bias)."""
+    out: dict[int, float] = {}
+    for e in entries:
+        import re as _re
+        m = _re.match(r"^(\d+)([+-])(inf|[0-9.]+)$", e.strip())
+        if not m:
+            SRV_WRN("main", "--logit-bias %r is malformed (want "
+                    "TOKEN_ID+BIAS or TOKEN_ID-inf); ignored", e)
+            continue
+        tid, sign, val = int(m.group(1)), m.group(2), m.group(3)
+        bias = float("-inf") if val == "inf" else float(val)
+        out[tid] = -bias if sign == "-" and val != "inf" else bias
+    return out
+
+
+def _default_sampling(args) -> SamplerParams:
+    """Server-wide sampling defaults from the CLI (merged under each
+    request's own fields, reference common_params_sampling)."""
+    brks = args.dry_sequence_breaker
+    if brks is None:
+        brks = ("\n", ":", "\"", "*")
+    elif brks == ["none"]:
+        brks = ()
+    return SamplerParams(
+        temp=args.temp, top_k=args.top_k, top_p=args.top_p,
+        min_p=args.min_p, typ_p=args.typ_p,
+        penalty_repeat=args.repeat_penalty,
+        penalty_last_n=args.repeat_last_n,
+        penalty_freq=args.frequency_penalty,
+        penalty_present=args.presence_penalty,
+        xtc_probability=args.xtc_probability,
+        xtc_threshold=args.xtc_threshold,
+        top_n_sigma=args.top_nsigma,
+        dynatemp_range=args.dynatemp_range,
+        dynatemp_exponent=args.dynatemp_exponent,
+        mirostat=args.mirostat, mirostat_tau=args.mirostat_tau,
+        mirostat_eta=args.mirostat_eta,
+        dry_multiplier=args.dry_multiplier, dry_base=args.dry_base,
+        dry_allowed_length=args.dry_allowed_length,
+        dry_penalty_last_n=args.dry_penalty_last_n,
+        dry_sequence_breakers=tuple(brks),
+        logit_bias=_parse_logit_bias_flags(args.logit_bias),
+    )
+
+
+def _default_grammar_text(args) -> str | None:
+    if args.grammar:
+        return args.grammar
+    if args.grammar_file:
+        with open(args.grammar_file) as f:
+            return f.read()
+    if args.json_schema:
+        import json as _json
+
+        from .grammar import json_schema_to_grammar
+        return json_schema_to_grammar(_json.loads(args.json_schema))
+    return None
+
+
+def _image_defaults(args) -> dict:
+    return {
+        "sampler": args.image_sampler,
+        "steps": args.image_steps,
+        "schedule": ("" if args.image_schedule in ("default", "ays", "gits")
+                     else args.image_schedule),
+        "cfg_scale": (args.image_cfg_scale if args.image_cfg_scale
+                      is not None else 7.0),
+        "strength": args.image_strength,
+        "max_batch": args.image_max_batch,
+        "max_width": args.image_max_width,
+        "max_height": args.image_max_height,
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.log_verbose_flag:
+        args.log_verbosity = max(args.log_verbosity, 3)
     set_verbosity(args.verbose + args.log_verbosity)
+    if args.threads:
+        import os as _os
+        _os.environ.setdefault("OMP_NUM_THREADS", str(args.threads))
+    if args.no_flash_attn:
+        import os as _os
+        _os.environ["LLAMA_BOX_TPU_NO_FLASH"] = "1"
+    if args.samplers and args.samplers.replace(" ", "") not in (
+            _DEFAULT_SAMPLER_ORDER, _DEFAULT_SAMPLER_ORDER.replace(";", ",")):
+        SRV_WRN("main", "--samplers: the TPU chain is compiled in the "
+                "default order (%s); custom order is ignored",
+                _DEFAULT_SAMPLER_ORDER)
+    if args.rpc_server_host:
+        SRV_WRN("main", "--rpc-server-*: the TPU replacement is mesh "
+                "worker mode (--control-connect, SURVEY.md §2.3)")
+    if args.list_buffer_types:
+        import jax
+        print(f"llama-box-tpu {VERSION}")
+        for dd in jax.devices():
+            stats = {}
+            try:
+                stats = dd.memory_stats() or {}
+            except Exception:  # noqa: BLE001
+                pass
+            lim = stats.get("bytes_limit")
+            print(f"  {dd.id}: {dd.device_kind} ({dd.platform})"
+                  + (f" hbm={lim / 1e9:.1f}GB" if lim else ""))
+        return 0
 
     if args.version:
         print(f"llama-box-tpu {VERSION}")
@@ -310,6 +655,38 @@ def main(argv: list[str] | None = None) -> int:
         if args.pooling:  # --pooling overrides the embedding pool mode
             import dataclasses as _dc
             cfg = _dc.replace(cfg, pooling=args.pooling)
+        rope_over = {}
+        if args.rope_scaling:
+            rope_over["rope_scaling_type"] = args.rope_scaling
+        if args.rope_freq_base > 0:
+            rope_over["rope_freq_base"] = args.rope_freq_base
+        if args.rope_freq_scale > 0:
+            rope_over["rope_freq_scale"] = args.rope_freq_scale
+        elif args.rope_scale > 0:
+            rope_over["rope_freq_scale"] = 1.0 / args.rope_scale
+        if args.yarn_orig_ctx > 0:
+            rope_over["rope_orig_ctx"] = args.yarn_orig_ctx
+        for fname in ("yarn_ext_factor", "yarn_attn_factor",
+                      "yarn_beta_fast", "yarn_beta_slow"):
+            v = getattr(args, fname)
+            if v is not None:
+                rope_over[fname] = v
+        if args.attention:
+            rope_over["causal"] = args.attention == "causal"
+        if rope_over:
+            import dataclasses as _dc
+            cfg = _dc.replace(cfg, **rope_over)
+            SRV_INF("main", "config overrides: %s", rope_over)
+        if args.control_vector or args.control_vector_scaled:
+            from .models.control_vector import combine_control_vectors
+            entries = [(pth, 1.0) for pth in args.control_vector]
+            entries += [(pth, float(sc))
+                        for pth, sc in args.control_vector_scaled]
+            lr = (tuple(args.control_vector_layer_range)
+                  if args.control_vector_layer_range else None)
+            cv = combine_control_vectors(entries, cfg.n_layers, cfg.n_embd,
+                                         layer_range=lr)
+            params["cvec"] = jnp.asarray(cv, dtype)
 
     adapters = []
     lora_dynamic = 0
@@ -369,11 +746,7 @@ def main(argv: list[str] | None = None) -> int:
                                       n_workers=args.num_hosts - 1)
     engine.start()
 
-    defaults = SamplerParams(
-        temp=args.temp, top_k=args.top_k, top_p=args.top_p, min_p=args.min_p,
-        typ_p=args.typ_p, penalty_repeat=args.repeat_penalty,
-        penalty_last_n=args.repeat_last_n, penalty_freq=args.frequency_penalty,
-        penalty_present=args.presence_penalty)
+    defaults = _default_sampling(args)
 
     multimodal = None
     if args.mmproj:
@@ -391,6 +764,10 @@ def main(argv: list[str] | None = None) -> int:
                 acfg, aparams = load_audio_tower(args.mmproj)
         multimodal = MultimodalProcessor(ccfg, cparams, audio_cfg=acfg,
                                          audio_params=aparams)
+        if args.visual_max_image_size > 0:
+            multimodal.max_image_size = args.visual_max_image_size
+        if args.visual_max_image_cache > 0:
+            multimodal.max_cache = args.visual_max_image_cache
 
     max_tps = args.tokens_per_second
     if max_tps < 0:  # -1: auto-probe decode rate (reference -tps -1)
@@ -411,6 +788,8 @@ def main(argv: list[str] | None = None) -> int:
         max_tps=max_tps,
         multimodal=multimodal,
         default_max_tokens=args.n_predict,
+        default_grammar=_default_grammar_text(args),
+        default_stop=tuple(args.reverse_prompt),
         chat_template_kwargs=(__import__("json").loads(
             args.chat_template_kwargs) if args.chat_template_kwargs else None),
         lora_adapters=[{"id": i, "path": a.path,

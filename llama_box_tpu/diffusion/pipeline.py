@@ -36,6 +36,7 @@ class GenerationParams:
     seed: int = 0
     strength: float = 0.75        # img2img denoise strength
     karras: bool = False
+    schedule: str = ""            # ""/discrete/karras/exponential
 
 
 class StreamState:
@@ -53,14 +54,22 @@ class StreamState:
         lat_w = p.width // pipeline.latent_scale
         shape = (lat_h, lat_w, pipeline.latent_channels)
 
-        sigmas = make_sigmas(pipeline.schedule, p.steps, p.karras)
+        if pipeline.sigma_fn is not None:
+            sigmas = pipeline.sigma_fn(p.steps, (lat_h, lat_w))
+        else:
+            sigmas = make_sigmas(pipeline.schedule, p.steps, p.karras,
+                                 method=p.schedule or None)
         if init_image is not None:
             # img2img: start from the encoded image + noise at strength
             start = min(int(p.steps * p.strength), p.steps - 1)
             start = p.steps - 1 - start
             lat = pipeline.vae_encode(init_image)
             noise = self.rng.standard_normal(shape).astype(np.float32)
-            lat = lat + noise * sigmas[start]
+            if pipeline.flow:
+                # rectified flow: x_t = (1-t) x0 + t n
+                lat = lat * (1.0 - sigmas[start]) + noise * sigmas[start]
+            else:
+                lat = lat + noise * sigmas[start]
             self.sigmas = sigmas[start:]
             self.mask_latent = (None if mask is None else
                                 pipeline.downsample_mask(mask, lat_h, lat_w))
@@ -74,7 +83,14 @@ class StreamState:
             self.init_latent = None
         self.latents = jnp.asarray(lat)
         self.i = 0
-        self.sampler_state = _Dpmpp2mState() if p.sampler == "dpm++2m" else None
+        from .scheduler import resolve_sampler
+        self.sampler_name = resolve_sampler(p.sampler)
+        if pipeline.flow and self.sampler_name not in ("euler", "heun"):
+            # VE-specific steppers (ancestral noise, dpm log-space) don't
+            # transfer to sigma==t flow; euler IS the rectified-flow ODE
+            self.sampler_name = "euler"
+        self.sampler_state = (_Dpmpp2mState()
+                              if self.sampler_name == "dpm++2m" else None)
 
     @property
     def total_steps(self) -> int:
@@ -89,7 +105,7 @@ class StreamState:
         exactly one of these)."""
         if self.done:
             return
-        fn = SAMPLERS[self.p.sampler]
+        fn = SAMPLERS[self.sampler_name]
 
         def denoise_cfg(x, sigma, cond):
             eps_c, eps_u = self.pl.denoise_both(x, sigma, cond)
@@ -134,7 +150,12 @@ class DiffusionPipeline:
                  vae_decode: Callable, vae_encode: Callable | None = None,
                  latent_channels: int = 4, latent_scale: int = 8,
                  schedule: NoiseSchedule | None = None,
-                 supports_negative: bool = True):
+                 supports_negative: bool = True,
+                 flow: bool = False, sigma_fn: Callable | None = None):
+        """flow: rectified-flow model (FLUX/SD3) — sigma==t semantics,
+        flow-style img2img mixing, euler stepping.
+        sigma_fn(n_steps, (lat_h, lat_w)) -> sigma ladder override (flow
+        models shift the schedule by resolution)."""
         self.text_encode = text_encode
         self._denoiser = denoiser
         self.vae_decode = vae_decode
@@ -144,6 +165,8 @@ class DiffusionPipeline:
         self.latent_scale = latent_scale
         self.schedule = schedule or NoiseSchedule()
         self.supports_negative = supports_negative
+        self.flow = flow
+        self.sigma_fn = sigma_fn
 
     def denoise_both(self, x, sigma, cond):
         """Returns (eps_cond, eps_uncond) for CFG."""

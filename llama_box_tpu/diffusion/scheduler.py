@@ -38,15 +38,21 @@ class NoiseSchedule:
 
 
 def make_sigmas(schedule: NoiseSchedule, n_steps: int,
-                karras: bool = False) -> np.ndarray:
-    """Sigma ladder for n_steps (descending), with a trailing 0."""
+                karras: bool = False,
+                method: str | None = None) -> np.ndarray:
+    """Sigma ladder for n_steps (descending), with a trailing 0.
+    method: "discrete" (default), "karras", or "exponential" (the
+    reference's --image-schedule-method values sd.cpp implements)."""
+    method = method or ("karras" if karras else "discrete")
     train_sigmas = schedule.sigmas()
-    if karras:
+    smin, smax = train_sigmas[0], train_sigmas[-1]
+    if method == "karras":
         rho = 7.0
-        smin, smax = train_sigmas[0], train_sigmas[-1]
         ramp = np.linspace(0, 1, n_steps)
         sig = (smax ** (1 / rho)
                + ramp * (smin ** (1 / rho) - smax ** (1 / rho))) ** rho
+    elif method == "exponential":
+        sig = np.exp(np.linspace(np.log(smax), np.log(smin), n_steps))
     else:
         idx = np.linspace(len(train_sigmas) - 1, 0, n_steps)
         sig = np.interp(idx, np.arange(len(train_sigmas)), train_sigmas)
@@ -81,6 +87,21 @@ def step_euler_a(denoiser, x, sigmas, i, rng, cond):
     return x + noise * sigma_up
 
 
+def step_heun(denoiser, x, sigmas, i, rng, cond):
+    """Heun's 2nd-order method (two model calls per step)."""
+    sigma, sigma_next = float(sigmas[i]), float(sigmas[i + 1])
+    eps = denoiser(x, sigma, cond)
+    denoised = _to_denoised(x, eps, sigma)
+    d = (x - denoised) / sigma
+    if sigma_next == 0:
+        return denoised
+    x2 = x + d * (sigma_next - sigma)
+    eps2 = denoiser(x2, sigma_next, cond)
+    denoised2 = _to_denoised(x2, eps2, sigma_next)
+    d2 = (x2 - denoised2) / sigma_next
+    return x + 0.5 * (d + d2) * (sigma_next - sigma)
+
+
 class _Dpmpp2mState:
     def __init__(self):
         self.old_denoised = None
@@ -111,5 +132,32 @@ def step_dpmpp_2m(denoiser, x, sigmas, i, rng, cond, state=None):
 SAMPLERS = {
     "euler": step_euler,
     "euler_a": step_euler_a,
+    "heun": step_heun,
     "dpm++2m": step_dpmpp_2m,
 }
+
+# sd.cpp sampler names we accept but map to the closest implemented
+# stepper (a warning is logged at the mapping site)
+SAMPLER_ALIASES = {
+    "dpm2": "heun",
+    "dpm++2s_a": "euler_a",
+    "dpm++2mv2": "dpm++2m",
+    "ipndm": "euler",
+    "ipndm_v": "euler",
+    "lcm": "euler",
+    "ddim_trailing": "euler",
+    "tcd": "euler",
+}
+
+
+def resolve_sampler(name: str) -> str:
+    """Canonical stepper name for a requested sampler (known sd.cpp
+    aliases map to the closest implemented one). Raises ValueError for
+    names that are neither implemented nor known aliases."""
+    name = (name or "euler").lower().replace("euler_ancestral", "euler_a")
+    if name in SAMPLERS:
+        return name
+    if name in SAMPLER_ALIASES:
+        return SAMPLER_ALIASES[name]
+    raise ValueError(f"unknown sampler {name!r}; choose from "
+                     f"{sorted(SAMPLERS) + sorted(SAMPLER_ALIASES)}")

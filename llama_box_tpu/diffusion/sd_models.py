@@ -122,7 +122,9 @@ def clip_text_encode(params: dict, tokens: np.ndarray,
     (SDXL conditioning)."""
     tm = params["transformer"]["text_model"]
     emb = tm["embeddings"]
-    x = jnp.take(emb["token_embedding"]["weight"], jnp.asarray(tokens), 0)
+    vocab = emb["token_embedding"]["weight"].shape[0]
+    ids = jnp.clip(jnp.asarray(tokens), 0, vocab - 1)  # jnp.take OOB = NaN
+    x = jnp.take(emb["token_embedding"]["weight"], ids, 0)
     x = x + emb["position_embedding"]["weight"][: x.shape[0]]
     layers = tm["encoder"]["layers"]
     n_layers = len(layers)
@@ -335,9 +337,12 @@ def _vae_attn(p, x):
     return x + a.reshape(H, W, C)
 
 
-def vae_decode(params: dict, z):
-    """z: [h, w, 4] latents -> [H, W, 3] image in [0, 1]."""
-    z = z / 0.18215
+def vae_decode(params: dict, z, scale: float = 0.18215,
+               shift: float = 0.0):
+    """z: [h, w, C] latents -> [H, W, 3] image in [0, 1].
+    scale/shift: per-family latent normalization (SD1.x 0.18215, SDXL
+    0.13025, FLUX 0.3611 with shift 0.1159 — sd.cpp VERSION tables)."""
+    z = z / scale + shift
     if "post_quant_conv" in params:
         z = conv2d(z, params["post_quant_conv"]["weight"],
                    params["post_quant_conv"]["bias"], padding=0)
@@ -360,7 +365,8 @@ def vae_decode(params: dict, z):
 
 
 def vae_encode(params: dict, img):
-    """img: [H, W, 3] in [0,1] -> [h, w, 4] latents (deterministic mean)."""
+    """img: [H, W, 3] in [0,1] -> [h, w, C] latents (deterministic mean,
+    unscaled; see vae_encode_scaled)."""
     e = params.get("encoder")
     if e is None:
         raise ValueError("this sd gguf has no VAE encoder (txt2img only)")
@@ -383,7 +389,12 @@ def vae_encode(params: dict, img):
         h = conv2d(h, params["quant_conv"]["weight"],
                    params["quant_conv"]["bias"], padding=0)
     mean = h[..., : h.shape[-1] // 2]
-    return np.asarray(mean * 0.18215)
+    return np.asarray(mean * 1.0)
+
+
+def vae_encode_scaled(params: dict, img, scale: float = 0.18215,
+                      shift: float = 0.0):
+    return np.asarray((vae_encode(params, img) - shift) * scale)
 
 
 # -- pipeline assembly -------------------------------------------------------
@@ -402,9 +413,11 @@ def build_sd_pipeline(path: str, tokenizer=None, dtype=jnp.float32,
     train_sigmas = schedule.sigmas()
     is_xl = "label_emb" in trees["unet"] or "1" in trees["text"]
 
+    vae_scale = 0.13025 if is_xl else 0.18215
     unet_jit = jax.jit(lambda x, t, c, a: unet_forward(trees["unet"], x, t,
                                                        c, a))
-    vae_dec_jit = jax.jit(lambda z: vae_decode(trees["vae"], z))
+    vae_dec_jit = jax.jit(lambda z: vae_decode(trees["vae"], z,
+                                               scale=vae_scale))
 
     def encode_prompt(prompt: str):
         if tokenizer is None:
@@ -446,7 +459,8 @@ def build_sd_pipeline(path: str, tokenizer=None, dtype=jnp.float32,
         return vae_dec_jit(z)
 
     def venc(img):
-        return vae_encode(trees["vae"], jnp.asarray(img, dtype))
+        return vae_encode_scaled(trees["vae"], jnp.asarray(img, dtype),
+                                 scale=vae_scale)
 
     return DiffusionPipeline(text_encode, denoiser, vdec, venc,
                              latent_channels=4, latent_scale=8,

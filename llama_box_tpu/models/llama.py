@@ -369,8 +369,11 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
     quant = kv_ks is not None
     lora_scales = params.get("lora_scales")
     is_local = _layer_is_local(cfg)
+    cvec = params.get("cvec")   # [L, E] control-vector deltas (optional)
 
     def body(x, layer):
+        if cvec is not None:
+            *layer, cv = layer
         if quant:
             lp, k_c, v_c, ks, vs, loc = layer
         else:
@@ -381,7 +384,16 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                                           flash_pos0=flash_pos0,
                                           lora_scales=lora_scales,
                                           is_local=loc, mrope_pos=mrope_pos)
+        if cvec is not None:
+            # control vector: steer the residual stream at this layer's
+            # output (reference llama_apply_adapter_cvec semantics)
+            x = x + cv.astype(x.dtype)
         return x, ((k_c, v_c, ks, vs) if quant else (k_c, v_c))
+
+    def with_cv(xs, sl=None):
+        if cvec is None:
+            return xs
+        return (*xs, cvec if sl is None else cvec[sl])
 
     if "layer_groups" in params:
         # heterogeneous layers (deepseek2 dense+MoE): scan per group over
@@ -394,13 +406,14 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
             sl = slice(off, off + n)
             if quant:
                 x, (k_n, v_n, ks_n, vs_n) = jax.lax.scan(
-                    body, x, (gp, kv_k[sl], kv_v[sl], kv_ks[sl], kv_vs[sl],
-                              is_local[sl]))
+                    body, x, with_cv((gp, kv_k[sl], kv_v[sl], kv_ks[sl],
+                                      kv_vs[sl], is_local[sl]), sl))
                 ks_parts.append(ks_n)
                 vs_parts.append(vs_n)
             else:
                 x, (k_n, v_n) = jax.lax.scan(
-                    body, x, (gp, kv_k[sl], kv_v[sl], is_local[sl]))
+                    body, x, with_cv((gp, kv_k[sl], kv_v[sl], is_local[sl]),
+                                     sl))
             k_parts.append(k_n)
             v_parts.append(v_n)
             off += n
@@ -413,10 +426,11 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
 
     if quant:
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
-            body, x, (params["layers"], kv_k, kv_v, kv_ks, kv_vs, is_local))
+            body, x, with_cv((params["layers"], kv_k, kv_v, kv_ks, kv_vs,
+                              is_local)))
         return x, k_new, v_new, ks_new, vs_new
     x, (k_new, v_new) = jax.lax.scan(
-        body, x, (params["layers"], kv_k, kv_v, is_local))
+        body, x, with_cv((params["layers"], kv_k, kv_v, is_local)))
     return x, k_new, v_new, None, None
 
 

@@ -67,6 +67,12 @@ class SamplerParams:
     dry_multiplier: float = 0.0
     dry_base: float = 1.75
     dry_allowed_length: int = 2
+    dry_penalty_last_n: int = -1          # -1 = whole context
+    dry_sequence_breakers: tuple = ("\n", ":", "\"", "*")
+    # device-side extras
+    dynatemp_range: float = 0.0           # entropy-scaled temperature
+    dynatemp_exponent: float = 1.0
+    top_n_sigma: float = -1.0             # keep logits >= max - n*std
 
     @property
     def is_greedy(self) -> bool:
@@ -113,6 +119,9 @@ class SamplerArrays(NamedTuple):
     pen_present: jnp.ndarray # [B] f32
     bias_idx: jnp.ndarray    # [B, BIAS_CAP] i32, -1 = unused
     bias_val: jnp.ndarray    # [B, BIAS_CAP] f32
+    dyna_range: jnp.ndarray  # [B] f32 (0 => static temperature)
+    dyna_exp: jnp.ndarray    # [B] f32
+    nsigma: jnp.ndarray      # [B] f32 (<=0 => disabled)
 
 
 def make_sampler_arrays(params: Sequence[SamplerParams],
@@ -146,6 +155,9 @@ def make_sampler_arrays(params: Sequence[SamplerParams],
         pen_present=vec(lambda p: p.penalty_present, jnp.float32),
         bias_idx=jnp.asarray(bias_idx),
         bias_val=jnp.asarray(bias_val),
+        dyna_range=vec(lambda p: p.dynatemp_range, jnp.float32),
+        dyna_exp=vec(lambda p: p.dynatemp_exponent, jnp.float32),
+        nsigma=vec(lambda p: p.top_n_sigma, jnp.float32),
     )
 
 
@@ -237,9 +249,17 @@ def _chain_mask(cvals, arrs: SamplerArrays, xtc_draw):
     B, K = cvals.shape
     col = jnp.arange(K)[None, :]
 
+    # top-n-sigma (<=0 => disabled): keep logits >= max - n * std; std is
+    # taken over the candidate set (top-N_CAND approximation of the
+    # full-vocab std llama.cpp uses — the tail barely moves it)
+    std = jnp.std(cvals, axis=-1, keepdims=True)
+    ns_on = (arrs.nsigma > 0.0)[:, None]
+    keep_ns = cvals >= (cvals[:, :1] - arrs.nsigma[:, None] * std)
+    mask = ~ns_on | keep_ns | (col == 0)
+
     # top-k (0/negative => disabled)
     k = jnp.where(arrs.top_k <= 0, K, jnp.minimum(arrs.top_k, K))[:, None]
-    mask = col < k
+    mask = mask & (col < k)
 
     # softmax over current survivors
     def probs_of(mask):
@@ -312,8 +332,19 @@ def sample_impl(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
 
     mask = _chain_mask(cvals, arrs, xtc_draw)
 
-    # temperature + final softmax over survivors
-    temp = jnp.maximum(arrs.temp, 1e-4)[:, None]
+    # temperature + final softmax over survivors; dynatemp (range > 0)
+    # rescales temp in [temp-range, temp+range] by the normalized entropy
+    # of the surviving candidates (llama.cpp llama_sampler_temp_ext)
+    p_surv = jnp.exp(jnp.where(mask, cvals - cvals[:, :1], NEG_INF))
+    p_surv = p_surv / (p_surv.sum(-1, keepdims=True) + 1e-30)
+    ent = -jnp.sum(p_surv * jnp.log(p_surv + 1e-30), axis=-1)
+    n_kept = jnp.maximum(mask.sum(-1), 2).astype(jnp.float32)
+    norm_ent = jnp.clip(ent / jnp.log(n_kept), 0.0, 1.0)
+    t_min = jnp.maximum(arrs.temp - arrs.dyna_range, 0.0)
+    t_max = arrs.temp + arrs.dyna_range
+    t_dyn = t_min + (t_max - t_min) * norm_ent ** arrs.dyna_exp
+    temp = jnp.where(arrs.dyna_range > 0.0, t_dyn, arrs.temp)
+    temp = jnp.maximum(temp, 1e-4)[:, None]
     z = jnp.where(mask, cvals / temp, NEG_INF)
     z = z - z.max(-1, keepdims=True)
     ez = jnp.exp(z) * mask
@@ -523,6 +554,27 @@ class HostSampler:
         p /= p.sum()
         return int(token), cand[:N_PROBS].astype(np.int64), p[:N_PROBS]
 
+    _DRY_BRK_CACHE: dict = {}   # (tokenizer id, breakers) -> frozenset
+
+    def _dry_breaker_ids(self) -> frozenset:
+        """Token ids whose text contains a DRY sequence breaker (computed
+        once per tokenizer+breaker set; llama.cpp preprocesses the breaker
+        strings into a token restart set the same way)."""
+        brks = tuple(self.sp.dry_sequence_breakers or ())
+        if not brks or self.tok is None \
+                or not hasattr(self.tok, "n_vocab"):
+            return frozenset()
+        key = (id(self.tok), brks)
+        hit = self._DRY_BRK_CACHE.get(key)
+        if hit is None:
+            pats = [b.encode() for b in brks]
+            hit = frozenset(
+                t for t in range(self.tok.n_vocab)
+                if any(p in self.tok.token_bytes(t, render_special=True)
+                       for p in pats))
+            self._DRY_BRK_CACHE[key] = hit
+        return hit
+
     def _apply_dry(self, logits: np.ndarray) -> None:
         """DRY sampler (llama.cpp semantics, simplified): penalize tokens
         that would extend a sequence already seen — for each candidate z, if
@@ -530,6 +582,16 @@ class HostSampler:
         subtract multiplier * base^(|S| - allowed)."""
         sp = self.sp
         h = self._history
+        if sp.dry_penalty_last_n > 0:
+            h = h[-sp.dry_penalty_last_n:]
+        # sequence breakers cut the match window: only history after the
+        # most recent breaker token participates (llama.cpp restart set)
+        brk = self._dry_breaker_ids()
+        if brk:
+            for i in range(len(h) - 1, -1, -1):
+                if h[i] in brk:
+                    h = h[i + 1:]
+                    break
         n = len(h)
         if n < sp.dry_allowed_length:
             return
@@ -576,6 +638,9 @@ class HostSampler:
         keep = np.ones(K, bool)
         if grammar_mask is not None:
             keep &= grammar_mask
+        if sp.top_n_sigma > 0.0:
+            keep &= cvals >= cvals.max() - sp.top_n_sigma * cvals.std()
+            keep[0] = True
         if sp.top_k > 0:
             kk = np.zeros(K, bool)
             kk[np.nonzero(keep)[0][:sp.top_k]] = True
@@ -618,7 +683,16 @@ class HostSampler:
                 keep &= ~drop
         if sp.temp <= 0.0:
             return int(cand[np.nonzero(keep)[0][0]])
-        z = np.where(keep, cvals / max(sp.temp, 1e-4), NEG_INF)
+        temp = sp.temp
+        if sp.dynatemp_range > 0.0:
+            p = probs_of(keep)
+            ent = float(-(p * np.log(p + 1e-30)).sum())
+            n_kept = max(int(keep.sum()), 2)
+            norm = min(max(ent / np.log(n_kept), 0.0), 1.0)
+            t_min = max(temp - sp.dynatemp_range, 0.0)
+            t_max = temp + sp.dynatemp_range
+            temp = t_min + (t_max - t_min) * norm ** sp.dynatemp_exponent
+        z = np.where(keep, cvals / max(temp, 1e-4), NEG_INF)
         z = z - z.max()
         e = np.exp(z) * keep
         p = e / e.sum()

@@ -44,10 +44,16 @@ class HTTPServer:
                  multimodal=None,
                  lora_adapters: list | None = None,
                  default_max_tokens: int = -1,
-                 chat_template_kwargs: dict | None = None):
+                 chat_template_kwargs: dict | None = None,
+                 default_grammar: str | None = None,
+                 default_stop: tuple = (),
+                 image_defaults: dict | None = None):
         self.engine = engine
         self.model_name = model_name
         self.defaults = defaults or SamplerParams()
+        self.default_grammar = default_grammar
+        self.default_stop = tuple(default_stop)
+        self.image_defaults = image_defaults or {}
         self.chat = chat_templates or ChatTemplates(engine.tokenizer)
         self.mp = multimodal  # MultimodalProcessor | None
         self.reasoning_markers = detect_reasoning_markers(self.chat.source)
@@ -299,13 +305,14 @@ class HTTPServer:
         prompt_tokens = parse_prompt_tokens(body["prompt"], tok)
         if not prompt_tokens:
             raise bad_request("\"prompt\" must not be empty", "prompt")
-        sparams = parse_sampling(body, self.defaults, tok.n_vocab)
+        sparams = parse_sampling(body, self.defaults, tok.n_vocab,
+                                 default_grammar=self.default_grammar)
         so = parse_stream_options(body)
         mt = parse_max_tokens(body)
         task = CompletionsTask(
             prompt_tokens, sparams, tokenizer=tok,
             max_tokens=mt if mt > 0 else self.default_max_tokens,
-            stop_words=parse_stop(body),
+            stop_words=parse_stop(body, self.default_stop),
             stream=so["stream"],
             n_keep=int(body.get("n_keep", 0)),
             n_probs=sparams.n_probs,
@@ -368,7 +375,8 @@ class HTTPServer:
         else:
             prompt_tokens = tok.encode(prompt, add_special=True,
                                        parse_special=True)
-        sparams = parse_sampling(body, self.defaults, tok.n_vocab)
+        sparams = parse_sampling(body, self.defaults, tok.n_vocab,
+                                 default_grammar=self.default_grammar)
         so = parse_stream_options(body)
         reasoning = None
         if self.reasoning_markers is not None:
@@ -379,7 +387,7 @@ class HTTPServer:
         task = CompletionsTask(
             prompt_tokens, sparams, tokenizer=tok,
             max_tokens=mt if mt > 0 else self.default_max_tokens,
-            stop_words=parse_stop(body),
+            stop_words=parse_stop(body, self.default_stop),
             stream=so["stream"],
             n_probs=sparams.n_probs,
             rid=request["rid"],
@@ -600,7 +608,8 @@ class HTTPServer:
 
     async def handle_images(self, request: web.Request) -> web.Response:
         body = await self._body(request)
-        task = _images_task_from_body(body, request["rid"])
+        task = _images_task_from_body(body, request["rid"],
+                                      defaults=self.image_defaults)
         return await self._images_response(request, task)
 
     async def handle_images_edits(self, request: web.Request) -> web.Response:
@@ -642,7 +651,8 @@ class HTTPServer:
             mask = np.asarray(m.resize((w, h), Image.BILINEAR),
                               np.float32) / 255.0
         task = _images_task_from_body(dict(body), request["rid"],
-                                      init_image=init_image, mask=mask)
+                                      init_image=init_image, mask=mask,
+                                      defaults=self.image_defaults)
         return await self._images_response(request, task)
 
     async def _images_response(self, request, task: ImagesTask):
@@ -774,24 +784,39 @@ def _parse_size(size, param="size"):
 
 
 def _images_task_from_body(body: dict, rid: str, init_image=None,
-                           mask=None) -> ImagesTask:
+                           mask=None,
+                           defaults: dict | None = None) -> ImagesTask:
+    """defaults: server-side --image-* knobs (sampler/steps/cfg_scale/
+    strength/schedule/max_batch/max_width/max_height)."""
     from ..diffusion import GenerationParams
+    d = defaults or {}
     prompt = body.get("prompt")
     if not isinstance(prompt, str) or not prompt:
         raise bad_request("\"prompt\" must be a non-empty string", "prompt")
+    n_cap = int(d.get("max_batch", 8))
     n = body.get("n", 1)
-    if not isinstance(n, int) or isinstance(n, bool) or not 1 <= n <= 8:
-        raise bad_request("\"n\" must be an integer in 1..8", "n")
+    if not isinstance(n, int) or isinstance(n, bool) or not 1 <= n <= n_cap:
+        raise bad_request(f"\"n\" must be an integer in 1..{n_cap}", "n")
     rf = body.get("response_format", "b64_json")
     if rf not in ("b64_json",):
         raise bad_request("only \"b64_json\" response_format is supported",
                           "response_format")
     w, h = _parse_size(body.get("size"))
-    sampler = body.get("sampler", body.get("sample_method", "euler"))
-    from ..diffusion.scheduler import SAMPLERS
+    max_w, max_h = int(d.get("max_width", 2048)), int(d.get("max_height",
+                                                            2048))
+    if w > max_w or h > max_h:
+        raise bad_request(f"\"size\" exceeds the server limit "
+                          f"{max_w}x{max_h}", "size")
+    sampler = body.get("sampler", body.get("sample_method",
+                                           d.get("sampler", "euler")))
+    from ..diffusion.scheduler import SAMPLERS, resolve_sampler
     if sampler not in SAMPLERS:
-        raise bad_request(f"\"sampler\" must be one of {sorted(SAMPLERS)}",
-                          "sampler")
+        try:
+            mapped = resolve_sampler(str(sampler))
+        except ValueError as exc:
+            raise bad_request(str(exc), "sampler")
+        SRV_INF("images", "sampler %r -> %r", sampler, mapped)
+        sampler = mapped
     seed = body.get("seed")
     if seed is None or not isinstance(seed, int) or seed < 0:
         seed = int(time.time_ns() & 0xFFFFFFFF)
@@ -800,11 +825,13 @@ def _images_task_from_body(body: dict, rid: str, init_image=None,
         negative_prompt=str(body.get("negative_prompt", "")),
         width=w, height=h,
         steps=max(1, min(int(body.get("sample_steps",
-                                      body.get("steps", 20))), 150)),
-        cfg_scale=float(body.get("cfg_scale", 7.0)),
+                                      body.get("steps",
+                                               d.get("steps", 20)))), 150)),
+        cfg_scale=float(body.get("cfg_scale", d.get("cfg_scale", 7.0))),
         sampler=sampler,
         seed=seed,
-        strength=float(body.get("strength", 0.75)),
+        strength=float(body.get("strength", d.get("strength", 0.75))),
+        schedule=str(body.get("schedule", d.get("schedule", ""))),
     )
     task = ImagesTask(gp, n=n, stream=bool(body.get("stream", False)),
                       preview=bool(body.get("preview", False)),

@@ -53,6 +53,7 @@ class MultimodalProcessor:
         self.audio_cfg = audio_cfg
         self.audio_params = audio_params
         self.max_cache = max_cache
+        self.max_image_size = 0   # --visual-max-image-size (0 = unlimited)
         self._cache: OrderedDict[int, np.ndarray] = OrderedDict()
         self._lock = threading.Lock()  # clip encode is mutex'd (ref :3385)
 
@@ -77,6 +78,9 @@ class MultimodalProcessor:
                 self._cache.move_to_end(h)
                 return self._cache[h], h
         img = Image.open(io.BytesIO(image_bytes))
+        if self.max_image_size > 0 and max(img.size) > self.max_image_size:
+            img.thumbnail((self.max_image_size, self.max_image_size),
+                          Image.BICUBIC)
         pixels = preprocess_image(img, self.cfg)
         with self._lock:
             if h not in self._cache:

@@ -75,7 +75,11 @@ def get_ranged(body: dict, key: str, default, lo=None, hi=None, typ=float):
 
 
 def parse_sampling(body: dict, defaults: SamplerParams | None = None,
-                   n_vocab: int = 0) -> SamplerParams:
+                   n_vocab: int = 0,
+                   default_grammar: str | None = None) -> SamplerParams:
+    """default_grammar: server-wide GBNF (--grammar/--grammar-file/
+    --json-schema) compiled fresh per request when the body brings none
+    (grammar engines are stateful)."""
     d = defaults or SamplerParams()
     seed = get_typed(body, "seed", int, None)
     if seed is None or seed < 0:
@@ -111,6 +115,12 @@ def parse_sampling(body: dict, defaults: SamplerParams | None = None,
             n_probs = get_ranged(body, "logprobs", 0, 0, 20, int)
 
     grammar = parse_grammar(body)
+    if grammar is None and default_grammar:
+        try:
+            grammar = Grammar(default_grammar)
+        except GrammarError as exc:
+            raise bad_request(f"server default grammar is invalid: {exc}",
+                              "grammar")
 
     return SamplerParams(
         seed=seed,
@@ -145,6 +155,18 @@ def parse_sampling(body: dict, defaults: SamplerParams | None = None,
         dry_base=get_ranged(body, "dry_base", d.dry_base, 1.0, None),
         dry_allowed_length=get_ranged(body, "dry_allowed_length",
                                       d.dry_allowed_length, 1, None, int),
+        dry_penalty_last_n=get_ranged(body, "dry_penalty_last_n",
+                                      d.dry_penalty_last_n, -1, None, int),
+        dry_sequence_breakers=tuple(
+            body["dry_sequence_breakers"])
+        if isinstance(body.get("dry_sequence_breakers"), list)
+        else d.dry_sequence_breakers,
+        dynatemp_range=get_ranged(body, "dynatemp_range", d.dynatemp_range,
+                                  0.0, None),
+        dynatemp_exponent=get_ranged(body, "dynatemp_exponent",
+                                     d.dynatemp_exponent, 0.0, None),
+        top_n_sigma=get_ranged(body, "top_n_sigma", d.top_n_sigma,
+                               -1.0, None),
     )
 
 
@@ -194,12 +216,13 @@ def parse_grammar(body: dict) -> Grammar | None:
         raise bad_request(f"\"grammar\" is invalid: {exc}", "grammar")
 
 
-def parse_stop(body: dict) -> list[str]:
+def parse_stop(body: dict, extra: tuple = ()) -> list[str]:
+    """extra: server-default stop strings (--reverse-prompt) merged in."""
     stop = body.get("stop")
     if stop is None:
-        return []
+        return list(extra)
     if isinstance(stop, str):
-        return [stop] if stop else []
+        return ([stop] if stop else []) + list(extra)
     if isinstance(stop, list):
         out = []
         for s in stop:
@@ -210,7 +233,7 @@ def parse_stop(body: dict) -> list[str]:
                 out.append(s)
         if len(out) > 16:
             raise bad_request("\"stop\" supports up to 16 entries", "stop")
-        return out
+        return out + list(extra)
     raise bad_request("\"stop\" must be a string or array of strings", "stop")
 
 
