@@ -421,12 +421,20 @@ def _serve_images(args) -> int:
     with GGUFFile(args.model) as g:
         is_flux = any("double_blocks." in n or "single_blocks." in n
                       for n in g.tensors)
+        is_sd3 = any("joint_blocks." in n for n in g.tensors)
     if is_flux:
         from .diffusion.flux import build_flux_pipeline
         pipeline = build_flux_pipeline(
             args.model, tokenizer=tok, t5_path=args.image_t5xxl_model,
             clip_l_path=args.image_clip_l_model,
             vae_path=args.image_vae_model, guidance=args.image_guidance)
+    elif is_sd3:
+        from .diffusion.sd3 import build_sd3_pipeline
+        pipeline = build_sd3_pipeline(
+            args.model, tokenizer=tok, t5_path=args.image_t5xxl_model,
+            clip_l_path=args.image_clip_l_model,
+            clip_g_path=args.image_clip_g_model,
+            vae_path=args.image_vae_model)
     else:
         pipeline = build_sd_pipeline(args.model, tokenizer=tok,
                                      prediction=args.image_prediction)

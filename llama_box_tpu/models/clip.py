@@ -39,6 +39,7 @@ class ClipConfig:
     image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
     merge_size: int = 1          # qwen2vl merger: 2
+    minicpmv_version: int = 0    # >0 => resampler projector + tiling
 
     @property
     def n_patches_side(self) -> int:
@@ -77,6 +78,8 @@ def load_clip(path: str, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
                                       (0.26862954, 0.26130258, 0.27577711)))
                         .tolist()),
         merge_size=2 if "qwen2vl" in proj else 1,
+        minicpmv_version=int(md.get("clip.minicpmv_version",
+                                    2 if proj == "resampler" else 0)),
     )
 
     def t(name, transpose=False):
@@ -122,6 +125,28 @@ def load_clip(path: str, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
         if name.startswith("mm."):
             params[name.replace(".", "_")] = t(
                 name, transpose=name.endswith(".weight"))
+    if any(n.startswith("resampler.") for n in g.tensors):
+        # minicpmv perceiver resampler (llama.cpp clip.cpp resampler.*)
+        params["resampler"] = {
+            "query": t("resampler.query"),
+            "kv_w": t("resampler.kv.weight", True),
+            "kv_b": t("resampler.kv.bias"),
+            "q_w": t("resampler.attn.q.weight", True),
+            "q_b": t("resampler.attn.q.bias"),
+            "k_w": t("resampler.attn.k.weight", True),
+            "k_b": t("resampler.attn.k.bias"),
+            "v_w": t("resampler.attn.v.weight", True),
+            "v_b": t("resampler.attn.v.bias"),
+            "o_w": t("resampler.attn.out.weight", True),
+            "o_b": t("resampler.attn.out.bias"),
+            "ln_q": t("resampler.ln_q.weight"),
+            "ln_q_b": t("resampler.ln_q.bias"),
+            "ln_kv": t("resampler.ln_kv.weight"),
+            "ln_kv_b": t("resampler.ln_kv.bias"),
+            "ln_post": t("resampler.ln_post.weight"),
+            "ln_post_b": t("resampler.ln_post.bias"),
+            "proj": t("resampler.proj.weight", True),
+        }
     g.close()
     SRV_INF("load_clip", "clip: %d layers embd=%d patches=%d proj=%s",
             cfg.n_layers, cfg.n_embd, cfg.n_patches, cfg.projector)
@@ -199,6 +224,9 @@ def encode_image_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
         x = x.reshape(S // m, m, S // m, m, E).transpose(0, 2, 1, 3, 4)
         x = x.reshape((S // m) * (S // m), m * m * E)
 
+    if params.get("resampler") is not None:
+        return _resampler_project(params["resampler"], cfg, x)
+
     # projector: mm.0 (+gelu) mm.2 for mlp; single mm.0 otherwise
     if "mm_0_weight" in params:
         x = x @ params["mm_0_weight"] + params.get("mm_0_bias", 0.0)
@@ -206,6 +234,44 @@ def encode_image_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
             x = jax.nn.gelu(x, approximate=False)
             x = x @ params["mm_2_weight"] + params.get("mm_2_bias", 0.0)
     return x
+
+
+def _sincos_pos_2d(dim: int, side: int) -> np.ndarray:
+    """2D sine-cosine position embedding [side*side, dim] (the minicpmv
+    resampler adds this to keys; llama.cpp builds the same table)."""
+    half = dim // 2
+    omega = 1.0 / (10000.0 ** (np.arange(half // 2) / (half / 2.0)))
+    pos = np.arange(side, dtype=np.float32)
+    out = np.einsum("p,f->pf", pos, omega)          # [side, half/2]
+    emb_1d = np.concatenate([np.sin(out), np.cos(out)], -1)  # [side, half]
+    eh = np.repeat(emb_1d, side, axis=0)            # rows vary slowly
+    ew = np.tile(emb_1d, (side, 1))
+    return np.concatenate([eh, ew], -1).astype(np.float32)
+
+
+def _resampler_project(rp, cfg: ClipConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Perceiver resampler: learned queries cross-attend the ViT patch
+    grid (keys carry a 2D sincos position signal). x: [N, E_vit]."""
+    q = rp["query"]                                   # [Q, D]
+    D = q.shape[-1]
+    heads = max(D // 128, 1)
+    hd = D // heads
+    kv = x @ rp["kv_w"] + (rp["kv_b"] if rp["kv_b"] is not None else 0.0)
+    kv = _ln(kv, rp["ln_kv"], rp["ln_kv_b"], cfg.eps)
+    side = int(np.sqrt(x.shape[0]))
+    pos = jnp.asarray(_sincos_pos_2d(D, side))[: x.shape[0]]
+    qn = _ln(q, rp["ln_q"], rp["ln_q_b"], cfg.eps)
+    qh = (qn @ rp["q_w"] + rp["q_b"]).reshape(-1, heads, hd)
+    kh = ((kv + pos) @ rp["k_w"] + rp["k_b"]).reshape(-1, heads, hd)
+    vh = (kv @ rp["v_w"] + rp["v_b"]).reshape(-1, heads, hd)
+    s = jnp.einsum("qhd,khd->hqk", qh, kh) * (hd ** -0.5)
+    a = jnp.einsum("hqk,khd->qhd", jax.nn.softmax(s, -1), vh)
+    out = a.reshape(-1, D) @ rp["o_w"] + rp["o_b"]
+    out = _ln(out, rp["ln_post"], rp["ln_post_b"], cfg.eps)
+    pw = rp["proj"]
+    if pw.shape[0] != D:      # orientation differs between converters
+        pw = pw.T
+    return out @ pw
 
 
 encode_image = jax.jit(encode_image_impl, static_argnames=("cfg",))

@@ -114,11 +114,103 @@ class MultimodalProcessor:
                 self._cache.popitem(last=False)
         return emb, h
 
+    @property
+    def minicpmv_version(self) -> int:
+        return getattr(self.cfg, "minicpmv_version", 0)
+
+    def encode_sliced(self, image_bytes: bytes):
+        """MiniCPM-V tiling: overview + best-grid tiles (llama.cpp uhd
+        slicing; reference z_multimodal.hpp:105-131 encodes each entry).
+        Returns (embs [overview, tile...], (gx, gy), content_hash)."""
+        from PIL import Image
+
+        h = fnv1a_64(image_bytes + b"/sliced")
+        with self._lock:
+            if h in self._cache:
+                self._cache.move_to_end(h)
+                embs, grid = self._cache[h]
+                return embs, grid, h
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        overview, tiles, grid = minicpmv_slice(img)
+        embs = []
+        for piece in [overview] + tiles:
+            buf = io.BytesIO()
+            piece.save(buf, format="PNG")
+            emb, _ = self.encode(buf.getvalue())
+            embs.append(emb)
+        with self._lock:
+            self._cache[h] = (embs, grid)
+            while len(self._cache) > self.max_cache:
+                self._cache.popitem(last=False)
+        SRV_INF("multimodal", "minicpmv sliced image hash=%x grid=%dx%d",
+                h, grid[0], grid[1])
+        return embs, grid, h
+
     def dummy_tokens(self, content_hash: int, n: int) -> list[int]:
         """Negative pseudo-token ids identifying this image in the prefix
         cache (z_multimodal.hpp:90)."""
         base = -(content_hash % (1 << 30)) - 2
         return [base - i for i in range(n)]
+
+
+def _ensure_divide(length: float, patch: int) -> int:
+    return max(int(round(length / patch)) * patch, patch)
+
+
+def _best_resize(w: int, h: int, scale_res: int, patch: int,
+                 allow_upscale: bool = False) -> tuple[int, int]:
+    if w * h > scale_res * scale_res or allow_upscale:
+        r = w / h
+        w = scale_res * (r ** 0.5)
+        h = scale_res / (r ** 0.5)
+    return _ensure_divide(w, patch), _ensure_divide(h, patch)
+
+
+def _best_grid(max_slice: int, multiple: int, log_ratio: float
+               ) -> tuple[int, int]:
+    import math
+    best, best_err = (1, 1), float("inf")
+    for m in (multiple - 1, multiple, multiple + 1):
+        if m < 1 or m > max_slice:
+            continue
+        for gx in range(1, m + 1):
+            if m % gx:
+                continue
+            gy = m // gx
+            err = abs(log_ratio - math.log(gx / gy))
+            if err < best_err:
+                best, best_err = (gx, gy), err
+    return best
+
+
+def minicpmv_slice(img, scale_res: int = 448, patch: int = 14,
+                   max_slice: int = 9):
+    """LLaVA-UHD slicing (llama.cpp clip.cpp uhd_slice_image): returns
+    (overview PIL, tiles row-major [PIL], grid (gx, gy)); grid (0, 0)
+    when no slicing is needed."""
+    import math
+
+    from PIL import Image
+    W, H = img.size
+    multiple = min(math.ceil(W * H / (scale_res * scale_res)), max_slice)
+    if multiple <= 1:
+        w, h = _best_resize(W, H, scale_res, patch)
+        return img.resize((w, h), Image.BICUBIC), [], (0, 0)
+    gx, gy = _best_grid(max_slice, multiple, math.log(W / H))
+    ow, oh = _best_resize(W, H, scale_res, patch, allow_upscale=True)
+    overview = img.resize((ow, oh), Image.BICUBIC)
+    # refine: grid-aligned resize, then split
+    rw = _ensure_divide(W, gx)
+    rh = _ensure_divide(H, gy)
+    bw, bh = _best_resize(rw // gx, rh // gy, scale_res, patch,
+                          allow_upscale=True)
+    refine = img.resize((bw * gx, bh * gy), Image.BICUBIC)
+    tiles = []
+    for y in range(gy):
+        for x in range(gx):
+            tiles.append(refine.crop((x * bw, y * bh, (x + 1) * bw,
+                                      (y + 1) * bh)))
+    return overview, tiles, (gx, gy)
 
 
 # per-model-family image scaffolds (reference scaffold tables,
@@ -127,7 +219,7 @@ class MultimodalProcessor:
 _SCAFFOLDS = {
     "qwen2vl": "<|vision_start|>" + MTMD_MARKER + "<|vision_end|>",
     "qwen25vl": "<|vision_start|>" + MTMD_MARKER + "<|vision_end|>",
-    "minicpmv": "<image>" + MTMD_MARKER + "</image>",
+    # minicpmv composes its tiled scaffold in build_chunks directly
     "gemma3": "<start_of_image>" + MTMD_MARKER + "<end_of_image>",
     "internvl": "<img>" + MTMD_MARKER + "</img>",
     "smolvlm": "<fake_token_around_image><image>" + MTMD_MARKER
@@ -223,9 +315,51 @@ def build_chunks(prompt: str, media: list, tokenizer, mp,
             kind, data = media[i]
             if kind == "audio":
                 emb, h = mp.encode_audio(data)
+            elif getattr(mp, "minicpmv_version", 0) > 0:
+                _minicpmv_chunks(data, tokenizer, mp, chunks, flat)
+                continue
             else:
                 emb, h = mp.encode(data)
             dummies = mp.dummy_tokens(h, emb.shape[0])
             chunks.append(("embed", emb, dummies))
             flat.extend(dummies)
     return flat, chunks
+
+
+def _minicpmv_chunks(data: bytes, tokenizer, mp, chunks: list,
+                     flat: list) -> None:
+    """Compose the MiniCPM-V tiled scaffold in place (reference
+    httpserver.hpp:5768-5846):
+      2.5:  <image>ov</image><slice><image>t</image>...\n...</slice>
+      2.6+: <image>ov</image><slice>t</slice><slice>t</slice>\n..."""
+    version = mp.minicpmv_version
+
+    def text(sv):
+        ids = tokenizer.encode(sv, add_special=False, parse_special=True)
+        if ids:
+            chunks.append(("tokens", ids))
+            flat.extend(ids)
+
+    def embed(emb, salt):
+        h2 = fnv1a_64(data + salt)
+        dummies = mp.dummy_tokens(h2, emb.shape[0])
+        chunks.append(("embed", emb, dummies))
+        flat.extend(dummies)
+
+    embs, (gx, gy), _h = mp.encode_sliced(data)
+    text("<image>")
+    embed(embs[0], b"/ov")
+    text("</image>")
+    if gx and gy and len(embs) > 1:
+        ifmt, ofmt = ("<image>", "</image>") if version < 3             else ("<slice>", "</slice>")
+        if version < 3:
+            text("<slice>")
+        for y in range(gy):
+            for x in range(gx):
+                text(ifmt)
+                embed(embs[1 + y * gx + x], b"/t%d" % (y * gx + x))
+                text(ofmt)
+            if y != gy - 1:
+                text("\n")
+        if version < 3:
+            text("</slice>")

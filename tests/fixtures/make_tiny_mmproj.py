@@ -14,7 +14,8 @@ V_HEADS = 4
 PROJ_DIM = 64      # == tiny LM n_embd
 
 
-def write_tiny_mmproj(path: str, seed: int = 0):
+def write_tiny_mmproj(path: str, seed: int = 0, resampler: bool = False,
+                      minicpmv_version: int = 3):
     rng = np.random.default_rng(seed)
     w = GGUFWriter(path, architecture="clip")
 
@@ -22,7 +23,10 @@ def write_tiny_mmproj(path: str, seed: int = 0):
         return (rng.standard_normal(shape) * 0.05).astype(np.float32)
 
     w.add_kv("clip.has_vision_encoder", True)
-    w.add_kv("clip.projector_type", "mlp")
+    w.add_kv("clip.projector_type",
+             "resampler" if resampler else "mlp")
+    if resampler:
+        w.add_kv("clip.minicpmv_version", minicpmv_version)
     w.add_kv("clip.vision.image_size", IMAGE_SIZE)
     w.add_kv("clip.vision.patch_size", PATCH)
     w.add_kv("clip.vision.embedding_length", V_EMBD)
@@ -63,9 +67,21 @@ def write_tiny_mmproj(path: str, seed: int = 0):
         w.add_tensor(p + "ffn_up.bias", rand(V_FF))
         w.add_tensor(p + "ffn_down.weight", rand(V_EMBD, V_FF))
         w.add_tensor(p + "ffn_down.bias", rand(V_EMBD))
-    w.add_tensor("mm.0.weight", rand(PROJ_DIM, V_EMBD))
-    w.add_tensor("mm.0.bias", rand(PROJ_DIM))
-    w.add_tensor("mm.2.weight", rand(PROJ_DIM, PROJ_DIM))
-    w.add_tensor("mm.2.bias", rand(PROJ_DIM))
+    if resampler:
+        D, Q = V_EMBD, 4   # resampler dim, learned query count
+        w.add_tensor("resampler.query", rand(Q, D))
+        w.add_tensor("resampler.kv.weight", rand(D, V_EMBD))
+        for nm in ("q", "k", "v", "out"):
+            w.add_tensor(f"resampler.attn.{nm}.weight", rand(D, D))
+            w.add_tensor(f"resampler.attn.{nm}.bias", rand(D))
+        for nm in ("ln_q", "ln_kv", "ln_post"):
+            w.add_tensor(f"resampler.{nm}.weight", 1.0 + rand(D))
+            w.add_tensor(f"resampler.{nm}.bias", rand(D))
+        w.add_tensor("resampler.proj.weight", rand(PROJ_DIM, D))
+    else:
+        w.add_tensor("mm.0.weight", rand(PROJ_DIM, V_EMBD))
+        w.add_tensor("mm.0.bias", rand(PROJ_DIM))
+        w.add_tensor("mm.2.weight", rand(PROJ_DIM, PROJ_DIM))
+        w.add_tensor("mm.2.bias", rand(PROJ_DIM))
     w.write()
     return path
