@@ -500,9 +500,14 @@ forward = partial(jax.jit, static_argnames=("cfg",),
 
 
 def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
-                  pos_base, n_valid, rope_cos, rope_sin, mrope_pos=None):
+                  pos_base, n_valid, rope_cos, rope_sin, mrope_pos=None,
+                  bidir_span=None):
     """Shared prefill body: run a [1, T, E] chunk into one slot's KV slice.
-    mrope_pos: optional [3, T] grid position streams (qwen2-vl)."""
+    mrope_pos: optional [3, T] grid position streams (qwen2-vl).
+    bidir_span: optional (start, end) absolute positions — queries may
+    attend cache entries in [start, end) regardless of causality (gemma3
+    non-causal vision window; spans split across ubatches stay causal
+    toward unwritten keys because end caps at the written extent)."""
     if params.get("lora_scales") is not None:
         params = dict(params)
         params["lora_scales"] = jax.lax.dynamic_slice_in_dim(
@@ -521,8 +526,14 @@ def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
     seq_lens = jnp.full((1,), n_valid, jnp.int32)
 
     mask = _build_mask(cfg, positions, seq_lens, T, C)
+    if bidir_span is not None:
+        st, en = bidir_span
+        kpos = jnp.arange(C)[None, None, :]
+        qvalid = (offs < n_valid)[None, :, None]
+        extra = (kpos >= st) & (kpos < en) & qvalid
+        mask = mask | (extra[None] if mask.ndim == 4 else extra)
     flash_ok = (ks_slot is None and cfg.swa_pattern == 0
-                and not cfg.mrope_sections)
+                and not cfg.mrope_sections and bidir_span is None)
     mp = mrope_pos[:, None, :] if mrope_pos is not None else None  # [3,1,T]
     x, k_new, v_new, ks_new, vs_new = _run_stack(
         params, cfg, x, positions, k_slot, v_slot, mask, rope_cos, rope_sin,
@@ -563,12 +574,15 @@ prefill = partial(jax.jit, static_argnames=("cfg",),
 
 def prefill_embed_impl(params, cfg: ModelConfig, embeds, kv: KVCache, slot,
                        pos_base, n_valid, rope_cos, rope_sin,
-                       mrope_pos=None):
+                       mrope_pos=None, bidir_span=None):
     """Prefill a chunk of PRE-COMPUTED embeddings (vision/audio tokens from
-    the multimodal projector; reference multimodal prefill §2.1 #11)."""
+    the multimodal projector; reference multimodal prefill §2.1 #11).
+    bidir_span: (start, end) scalars — non-causal window over the image''s
+    own cache positions (gemma3)."""
     x = embeds[None, :, :].astype(params["tok_embd"].dtype)
     return _prefill_core(params, cfg, x, kv, slot, pos_base, n_valid,
-                         rope_cos, rope_sin, mrope_pos)
+                         rope_cos, rope_sin, mrope_pos,
+                         bidir_span=bidir_span)
 
 
 prefill_embed = partial(jax.jit, static_argnames=("cfg",),

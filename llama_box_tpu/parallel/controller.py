@@ -121,10 +121,13 @@ def engine_ops(engine) -> dict[str, Callable]:
             engine.rope_cos, engine.rope_sin)
 
     def op_prefill_embed(a, s):
+        bidir = None
+        if s.get("bidir0") is not None:
+            bidir = (jnp.int32(s["bidir0"]), jnp.int32(s["bidir1"]))
         logits, engine.kv = prefill_embed(
             engine.params, engine.cfg, jnp.asarray(a["embeds"]), engine.kv,
             jnp.int32(s["slot"]), jnp.int32(s["pos"]), jnp.int32(s["n"]),
-            engine.rope_cos, engine.rope_sin)
+            engine.rope_cos, engine.rope_sin, None, bidir_span=bidir)
 
     def op_decode(a, s):
         from ..server.engine import _decode_verify_sample

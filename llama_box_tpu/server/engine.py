@@ -529,13 +529,22 @@ class Engine:
             buf = np.zeros((bucket, emb.shape[1]), np.float32)
             buf[:chunk] = emb
             if self.control is not None:
+                meta = {"slot": s.idx, "pos": s.pos, "n": chunk}
+                if self.cfg.arch == "gemma3":
+                    meta["bidir0"] = s.pos - off
+                    meta["bidir1"] = s.pos + chunk
                 self.control.broadcast("prefill_embed", {"embeds": buf},
-                                       {"slot": s.idx, "pos": s.pos,
-                                        "n": chunk})
+                                       meta)
+            bidir = None
+            if self.cfg.arch == "gemma3":
+                # gemma3 image tokens attend bidirectionally within their
+                # own span (llama.cpp non-causal vision window)
+                bidir = (jnp.int32(s.pos - off), jnp.int32(s.pos + chunk))
             logits, self.kv = prefill_embed(
                 self.params, self.cfg, jnp.asarray(buf), self.kv,
                 jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
-                self.rope_cos, self.rope_sin, mrope_pos)
+                self.rope_cos, self.rope_sin, mrope_pos,
+                bidir_span=bidir)
         s.cache_tokens.extend(
             task.prompt_tokens[s.cursor:s.cursor + chunk])
         s.cursor += chunk
