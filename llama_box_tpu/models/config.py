@@ -58,6 +58,14 @@ class ModelConfig:
     v_head_dim: int = 0                # 0 => head_dim
     swa_window: int = 0  # sliding-window attention width; 0 = full
     swa_pattern: int = 0   # every n-th layer is global (gemma2: 2, gemma3: 6)
+    # llama4: every nope_layer_step-th layer has NO rope (and full-context
+    # attention with temperature tuning); the rest use chunked attention
+    nope_layer_step: int = 0
+    chunked_window: int = 0          # aligned-chunk attention width
+    attn_temp_scale: float = 0.0     # q *= 1+scale*log1p((pos+1)/floor)
+    attn_temp_floor: float = 8192.0
+    qk_l2_norm: bool = False         # weightless per-head L2 norm (llama4)
+    moe_weight_before_ffn: bool = False  # llama4: scale expert INPUT
     act_fn: str = "silu"   # FFN gate activation (gemma: gelu)
     embd_scale: float = 1.0  # embedding multiplier (gemma: sqrt(n_embd))
     rope_freq_base_swa: float = 0.0  # local-layer rope base (gemma3)
@@ -112,9 +120,23 @@ class ModelConfig:
             expert_used_count=int(kv("expert_used_count", 0) or 0),
             expert_weights_norm=bool(kv("expert_weights_norm",
                                         arch in ("llama", "mixtral"))),
+            nope_layer_step=int(kv("attention.no_rope_layer_step",
+                                   4 if arch == "llama4" else 0) or 0),
+            chunked_window=int(kv("attention.chunk_size",
+                                  8192 if arch == "llama4" else 0) or 0),
+            attn_temp_scale=float(kv("attention.temperature_scale",
+                                     0.1 if arch == "llama4" else 0.0)
+                                  or 0.0),
+            attn_temp_floor=float(kv("attention.floor_scale", 8192.0)
+                                  or 8192.0),
+            qk_l2_norm=bool(kv("attention.use_kq_norm",
+                               arch == "llama4")),
+            moe_weight_before_ffn=arch == "llama4",
             expert_weights_scale=float(kv("expert_weights_scale", 1.0)
                                        or 1.0),
-            expert_gating_func=int(kv("expert_gating_func", 1) or 1),
+            expert_gating_func=int(kv("expert_gating_func",
+                                       2 if arch == "llama4" else 1)
+                                   or 1),
             q_lora_rank=int(kv("attention.q_lora_rank", 0) or 0),
             kv_lora_rank=int(kv("attention.kv_lora_rank", 0) or 0),
             v_head_dim=int(kv("attention.value_length", 0) or 0),

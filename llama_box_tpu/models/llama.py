@@ -94,6 +94,11 @@ def make_rope(cfg: ModelConfig, max_pos: int):
     rope base (gemma3) the caches are stacked [2, P, half]: index 0 =
     global layers, 1 = local layers."""
     cos, sin = compute_rope_cache(_rope_params(cfg), max_pos)
+    if cfg.nope_layer_step > 0:
+        # llama4: global (nope) layers use the IDENTITY rotation — stack
+        # [identity, rope] so the per-layer is_local select picks it
+        return (jnp.stack([jnp.ones_like(cos), cos]),
+                jnp.stack([jnp.zeros_like(sin), sin]))
     if cfg.swa_pattern > 0 and cfg.rope_freq_base_swa > 0:
         rp = _rope_params(cfg)
         import dataclasses as _dc
@@ -105,9 +110,15 @@ def make_rope(cfg: ModelConfig, max_pos: int):
 
 def _layer_is_local(cfg: ModelConfig) -> jnp.ndarray:
     """[L] int32: 1 where the layer uses the sliding window (gemma2/3
-    alternating pattern; plain-SWA archs are local everywhere)."""
+    alternating pattern; plain-SWA archs are local everywhere). For llama4
+    "local" = rope+chunked-attention layers; every nope_layer_step-th
+    layer is global (no rope, full context, temperature-tuned)."""
     import numpy as _np
     L = cfg.n_layers
+    if cfg.nope_layer_step > 0:
+        idx = _np.arange(L)
+        return jnp.asarray(
+            ((idx + 1) % cfg.nope_layer_step != 0).astype(_np.int32))
     if cfg.swa_window <= 0:
         return jnp.zeros((L,), jnp.int32)
     if cfg.swa_pattern <= 0:
@@ -195,6 +206,21 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     else:
         q = apply_rope(q, positions, cos, sin, cfg.rope_mode)
         k = apply_rope(k, positions, cos, sin, cfg.rope_mode)
+    if cfg.qk_l2_norm:  # llama4: weightless per-head L2 norm after rope
+        q = q * jax.lax.rsqrt(
+            jnp.sum(jnp.square(q.astype(jnp.float32)), -1,
+                    keepdims=True) + 1e-6).astype(q.dtype)
+        k = k * jax.lax.rsqrt(
+            jnp.sum(jnp.square(k.astype(jnp.float32)), -1,
+                    keepdims=True) + 1e-6).astype(k.dtype)
+    if cfg.attn_temp_scale > 0.0:
+        # llama4 nope-layer temperature tuning:
+        # q *= 1 + scale * log1p(floor((pos+1) / floor_scale))
+        pf = jnp.floor((positions.astype(jnp.float32) + 1.0)
+                       / cfg.attn_temp_floor)
+        f = 1.0 + cfg.attn_temp_scale * jnp.log1p(pf)
+        f = jnp.where(is_local > 0, 1.0, f)          # rope layers: off
+        q = q * f[:, :, None, None].astype(q.dtype)
 
     # scatter current K/V into the cache at the absolute positions (position
     # >= C is a sentinel: the write is dropped)
@@ -328,14 +354,27 @@ def _moe_ffn(h, lp, cfg: ModelConfig):
         topi].add(topv)
 
     hf = h.astype(jnp.float32)
-    gate = jnp.einsum("bte,xef->btxf", hf,
-                      lp["w_gate_exps"].astype(jnp.float32))
-    up = jnp.einsum("bte,xef->btxf", hf,
-                    lp["w_up_exps"].astype(jnp.float32))
-    act = jax.nn.silu(gate) * up                      # [B, T, X, F]
-    out = jnp.einsum("btxf,xfe->btxe", act,
-                     lp["w_down_exps"].astype(jnp.float32))
-    y = (out * route[..., None]).sum(axis=2)          # [B, T, E]
+    if cfg.moe_weight_before_ffn:
+        # llama4: the routing weight scales the expert INPUT (and FFN(0)=0
+        # keeps unrouted experts exactly zero in the dense formulation)
+        hx = hf[:, :, None, :] * route[..., None]     # [B, T, X, E]
+        gate = jnp.einsum("btxe,xef->btxf", hx,
+                          lp["w_gate_exps"].astype(jnp.float32))
+        up = jnp.einsum("btxe,xef->btxf", hx,
+                        lp["w_up_exps"].astype(jnp.float32))
+        act = jax.nn.silu(gate) * up
+        out = jnp.einsum("btxf,xfe->btxe", act,
+                         lp["w_down_exps"].astype(jnp.float32))
+        y = out.sum(axis=2)
+    else:
+        gate = jnp.einsum("bte,xef->btxf", hf,
+                          lp["w_gate_exps"].astype(jnp.float32))
+        up = jnp.einsum("bte,xef->btxf", hf,
+                        lp["w_up_exps"].astype(jnp.float32))
+        act = jax.nn.silu(gate) * up                  # [B, T, X, F]
+        out = jnp.einsum("btxf,xfe->btxe", act,
+                         lp["w_down_exps"].astype(jnp.float32))
+        y = (out * route[..., None]).sum(axis=2)      # [B, T, E]
     if cfg.expert_weights_scale != 1.0:
         y = y * cfg.expert_weights_scale
 
@@ -458,7 +497,14 @@ def _causal_mask(positions, seq_lens, T, C, swa_window):
 
 def _build_mask(cfg: ModelConfig, positions, seq_lens, T, C):
     """Per-arch mask: plain [B,T,C], or stacked [2,B,T,C] (global, local)
-    when SWA alternates across layers (gemma2/3)."""
+    when SWA alternates across layers (gemma2/3) or attention is chunked
+    (llama4: local layers attend within aligned chunked_window blocks)."""
+    if cfg.chunked_window > 0:
+        mg = _causal_mask(positions, seq_lens, T, C, 0)
+        cw = cfg.chunked_window
+        kchunk = jnp.arange(C)[None, None, :] // cw
+        qchunk = positions[:, :, None] // cw
+        return jnp.stack([mg, mg & (kchunk == qchunk)])
     if cfg.swa_window > 0 and cfg.swa_pattern > 0:
         mg = _causal_mask(positions, seq_lens, T, C, 0)
         ml = _causal_mask(positions, seq_lens, T, C, cfg.swa_window)
@@ -533,7 +579,8 @@ def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
         extra = (kpos >= st) & (kpos < en) & qvalid
         mask = mask | (extra[None] if mask.ndim == 4 else extra)
     flash_ok = (ks_slot is None and cfg.swa_pattern == 0
-                and not cfg.mrope_sections and bidir_span is None)
+                and not cfg.mrope_sections and bidir_span is None
+                and cfg.nope_layer_step == 0)
     mp = mrope_pos[:, None, :] if mrope_pos is not None else None  # [3,1,T]
     x, k_new, v_new, ks_new, vs_new = _run_stack(
         params, cfg, x, positions, k_slot, v_slot, mask, rope_cos, rope_sin,

@@ -90,7 +90,8 @@ def _stack_qtensors(qts: list[QTensor]) -> QTensor:
         scales=jnp.stack([q.scales for q in qts]),
         mins=(jnp.stack([q.mins for q in qts])
               if qts[0].mins is not None else None),
-        in_dim=qts[0].in_dim, group=qts[0].group, packed4=qts[0].packed4)
+        in_dim=qts[0].in_dim, group=qts[0].group, packed4=qts[0].packed4,
+        w8a8=qts[0].w8a8)
 
 
 def parse_kv_overrides(specs: list[str]) -> dict:

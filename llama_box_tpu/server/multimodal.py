@@ -222,6 +222,9 @@ _SCAFFOLDS = {
     # minicpmv composes its tiled scaffold in build_chunks directly
     "gemma3": "<start_of_image>" + MTMD_MARKER + "<end_of_image>",
     "internvl": "<img>" + MTMD_MARKER + "</img>",
+    # llama4 single-tile form of httpserver.hpp:5846-5900 (tile grids
+    # need the llama4-clip tiler; the overview-only scaffold is valid)
+    "llama4": "<|image_start|><|image|>" + MTMD_MARKER + "<|image_end|>",
     "smolvlm": "<fake_token_around_image><image>" + MTMD_MARKER
                + "<fake_token_around_image>",
 }

@@ -100,6 +100,7 @@ def test_quantized_model_end_to_end(tmp_path):
     cfg, dense = load_model(path, dtype=jnp.float32)
     cfg2, qparams = load_model(path, dtype=jnp.float32, quantized=True)
     assert isinstance(qparams["layers"]["wq"], QTensor)
+    assert qparams["layers"]["wq"].w8a8   # W8A8 residency is the default
 
     rng = np.random.default_rng(0)
     toks = rng.integers(3, 200, size=(1, 7)).astype(np.int32)
@@ -111,14 +112,18 @@ def test_quantized_model_end_to_end(tmp_path):
                     init_kv_cache(cfg, 1, 16, jnp.float32), lens, cos, sin)
     l2, _ = forward(qparams, cfg2, toks, pos,
                     init_kv_cache(cfg2, 1, 16, jnp.float32), lens, cos, sin)
-    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), rtol=5e-3,
-                               atol=5e-3)
+    # W8A8 adds per-row activation quantization error (~1/127 relative)
+    # on top of the Q4_K weight error; compare on an absolute scale
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=0.05)
+    # top-1 agreement: quantization must not flip the argmax here
+    assert np.asarray(l1)[0, -1].argmax() == np.asarray(l2)[0, -1].argmax()
 
 
-def test_bf16_scales_bounded_error(rng):
-    """Production default (bf16 scales): the extra error is a small
+def test_bf16_scales_bounded_error(rng, monkeypatch):
+    """Packed-nibble mode (bf16 scales): the extra error is a small
     fraction of the 4-bit quantization error itself."""
     import jax.numpy as jnp_
+    monkeypatch.setenv("LLAMA_BOX_TPU_PACKED4", "1")
     in_dim, out_dim = 256, 128
     w_true = rng.normal(scale=0.1, size=(out_dim, in_dim)).astype(np.float32)
     raw = quantize(GGMLType.Q4_K, w_true.reshape(-1))
@@ -134,3 +139,28 @@ def test_bf16_scales_bounded_error(rng):
     err_quant = np.abs(quant - exact).mean()
     err_scales = np.abs(bf16s - quant).mean()
     assert err_scales < 0.35 * err_quant, (err_scales, err_quant)
+
+
+def test_w8a8_bounded_error(rng):
+    """W8A8 (default residency): per-column weight requant + per-row
+    activation quant stays within a small multiple of the Q4_K error."""
+    from llama_box_tpu.ops.qmatmul import pack_w8a8, q_matmul_ref
+    import jax.numpy as jnp_
+    in_dim, out_dim = 256, 128
+    w_true = rng.normal(scale=0.1, size=(out_dim, in_dim)).astype(np.float32)
+    raw = quantize(GGMLType.Q4_K, w_true.reshape(-1))
+    golden = dequantize(GGMLType.Q4_K, raw, (out_dim, in_dim)).T  # [in,out]
+    rt = repack(GGMLType.Q4_K, raw, in_dim * out_dim)
+    qt = pack_w8a8(rt, (in_dim, out_dim))
+    assert qt.w8a8 and qt.qs.dtype == jnp_.int8
+    # weight-only error: per-column int8 on top of exact Q4_K dequant
+    wf = np.asarray(qt.qs, np.float32) * np.asarray(qt.scales)[None, :]
+    err_w8 = np.abs(wf - golden).max()
+    err_q4 = np.abs(golden - w_true.T).max()
+    assert err_w8 < 0.35 * err_q4
+    # matmul path (activation quant included) vs exact dequant matmul
+    x = rng.normal(size=(4, in_dim)).astype(np.float32)
+    got = np.asarray(q_matmul_ref(jnp_.asarray(x), qt))
+    want = x @ golden
+    denom = np.abs(want).max()
+    assert np.abs(got - want).max() / denom < 0.02
