@@ -233,15 +233,15 @@ def main():
         try:
             qp8 = make_q4_params(rng, L, E, H, HKV, D, FF, V, w8a8=True)
             tok_s_w8, _ = run(qp8)
-            if tok_s_w8 > tok_s_q4:
-                tok_s_q4 = tok_s_w8     # report the best quantized mode
-                qbytes = sum(x.size * x.dtype.itemsize
-                             for x in jax.tree.leaves(qp8))
         except Exception as exc:  # noqa: BLE001
             print(f"# w8a8 failed: {exc!r}", file=sys.stderr)
         print(f"# bf16={tok_s_bf16:.1f} tok/s, q4k={tok_s_q4:.1f} tok/s, "
               f"w8a8={tok_s_w8:.1f} tok/s",
               file=sys.stderr, flush=True)
+        if tok_s_w8 > tok_s_q4:
+            tok_s_q4 = tok_s_w8         # report the best quantized mode
+            qbytes = sum(x.size * x.dtype.itemsize
+                         for x in jax.tree.leaves(qp8))
 
     pbytes = sum(x.size * x.dtype.itemsize
                  for x in jax.tree.leaves(dense_params))

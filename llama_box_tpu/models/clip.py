@@ -40,6 +40,9 @@ class ClipConfig:
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
     merge_size: int = 1          # qwen2vl merger: 2
     minicpmv_version: int = 0    # >0 => resampler projector + tiling
+    wa_pattern: int = 0          # qwen2.5vl: every n-th block full-attn,
+                                 # the rest attend within 8x8-patch windows
+    vit_rms: bool = False        # qwen2.5vl: RMSNorm tower
 
     @property
     def n_patches_side(self) -> int:
@@ -77,9 +80,11 @@ def load_clip(path: str, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
         image_std=tuple(np.asarray(kv("image_std",
                                       (0.26862954, 0.26130258, 0.27577711)))
                         .tolist()),
-        merge_size=2 if "qwen2vl" in proj else 1,
+        merge_size=2 if "qwen2" in proj else 1,
         minicpmv_version=int(md.get("clip.minicpmv_version",
                                     2 if proj == "resampler" else 0)),
+        wa_pattern=int(kv("n_wa_pattern", 0) or 0),
+        vit_rms="2.5" in proj or "qwen25" in proj,
     )
 
     def t(name, transpose=False):
@@ -114,12 +119,19 @@ def load_clip(path: str, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
             "w_up": t(p + "ffn_up.weight", True), "b_up": t(p + "ffn_up.bias"),
             "w_down": t(p + "ffn_down.weight", True),
             "b_down": t(p + "ffn_down.bias"),
+            "w_gate": t(p + "ffn_gate.weight", True),   # qwen2.5vl SwiGLU
+            "b_gate": t(p + "ffn_gate.bias"),
         })
     # stack for lax.scan (all layers homogeneous)
     params["layers"] = {
         k: jnp.stack([l[k] for l in layers])
         for k in layers[0] if layers[0][k] is not None
     }
+    if cfg.wa_pattern > 0:
+        # qwen2.5vl: every wa_pattern-th block is full attention
+        params["layers"]["is_full"] = jnp.asarray(
+            [(i + 1) % cfg.wa_pattern == 0 for i in range(cfg.n_layers)],
+            jnp.int32)
     # projector
     for name in list(g.tensors):
         if name.startswith("mm."):
@@ -326,22 +338,49 @@ def encode_image_qwen2vl_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
     cos = jnp.asarray(np.cos(ang), x.dtype)
     sin = jnp.asarray(np.sin(ang), x.dtype)
 
+    def norm(x, w, b):
+        if cfg.vit_rms:
+            var = jnp.mean(jnp.square(x.astype(jnp.float32)), -1,
+                           keepdims=True)
+            return (x * jax.lax.rsqrt(var + cfg.eps)).astype(x.dtype) * w
+        return _ln(x, w, b, cfg.eps)
+
+    # qwen2.5vl window attention: 8x8-patch windows (112px / patch 14);
+    # the mask keeps patches in natural order (equivalent to llama.cpp's
+    # window_index reorder — attention is permutation-invariant)
+    if cfg.wa_pattern > 0:
+        win = 8
+        rows = jnp.arange(S * S) // S
+        cols = jnp.arange(S * S) % S
+        wid = (rows // win) * S + (cols // win)
+        mask_w = (wid[:, None] == wid[None, :])
+    else:
+        mask_w = None
+
     def layer(x, lp):
-        h = _ln(x, lp["ln1"], lp.get("ln1_b"), cfg.eps)
+        h = norm(x, lp["ln1"], lp.get("ln1_b"))
         q = (h @ lp["wq"] + lp.get("bq", 0.0)).reshape(-1, H, D)
         k = (h @ lp["wk"] + lp.get("bk", 0.0)).reshape(-1, H, D)
         v = (h @ lp["wv"] + lp.get("bv", 0.0)).reshape(-1, H, D)
         q = _apply_vit_rope(q, cos, sin)
         k = _apply_vit_rope(k, cos, sin)
         scores = jnp.einsum("qhd,khd->hqk", q, k) * (D ** -0.5)
+        if mask_w is not None:
+            full = lp["is_full"] > 0
+            keep = jnp.where(full, jnp.ones_like(mask_w), mask_w)
+            scores = jnp.where(keep[None], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("hqk,khd->qhd", probs, v).reshape(-1, E)
         x = x + (attn @ lp["wo"] + lp.get("bo", 0.0))
-        h = _ln(x, lp["ln2"], lp.get("ln2_b"), cfg.eps)
-        h = h @ lp["w_up"] + lp.get("b_up", 0.0)
-        h = (jax.nn.silu(h) if cfg.use_silu
-             else _gelu_quick(h) if cfg.use_gelu_quick
-             else jax.nn.gelu(h, approximate=False))
+        h = norm(x, lp["ln2"], lp.get("ln2_b"))
+        if "w_gate" in lp:    # qwen2.5vl gated FFN
+            g = jax.nn.silu(h @ lp["w_gate"] + lp.get("b_gate", 0.0))
+            h = g * (h @ lp["w_up"] + lp.get("b_up", 0.0))
+        else:
+            h = h @ lp["w_up"] + lp.get("b_up", 0.0)
+            h = (jax.nn.silu(h) if cfg.use_silu
+                 else _gelu_quick(h) if cfg.use_gelu_quick
+                 else jax.nn.gelu(h, approximate=False))
         h = h @ lp["w_down"] + lp.get("b_down", 0.0)
         return x + h, None
 

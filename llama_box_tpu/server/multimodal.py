@@ -84,7 +84,7 @@ class MultimodalProcessor:
         pixels = preprocess_image(img, self.cfg)
         with self._lock:
             if h not in self._cache:
-                if "qwen2vl" in self.cfg.projector:
+                if "qwen2" in self.cfg.projector:   # qwen2vl + qwen2.5vl
                     from ..models.clip import encode_image_qwen2vl
                     emb = np.asarray(encode_image_qwen2vl(
                         self.params, self.cfg, pixels))

@@ -233,3 +233,79 @@ def test_qwen2vl_vit_tower(tmp_path):
     out2 = encode_image_qwen2vl(cparams, ccfg,
                                 jnp.asarray(np.roll(pixels, P, axis=1)))
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_qwen25vl_vit_window_attention(tmp_path):
+    """Qwen2.5-VL ViT: RMS norms, gated FFN, 8x8-patch window attention
+    with full-attention blocks every n_wa_pattern layers."""
+    from llama_box_tpu.gguf.writer import GGUFWriter
+    from llama_box_tpu.models.clip import encode_image_qwen2vl, load_clip
+
+    rng = np.random.default_rng(1)
+    # 16x16 patch grid (image 64 / patch 4) -> window ids span 2x2 windows
+    VE, VFF, VL, VH, P, IMG, PROJ = 32, 64, 4, 4, 4, 64, 64
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    def build(path, wa_pattern):
+        w = GGUFWriter(path, architecture="clip")
+        w.add_kv("clip.projector_type", "qwen2.5vl_merger")
+        w.add_kv("clip.vision.image_size", IMG)
+        w.add_kv("clip.vision.patch_size", P)
+        w.add_kv("clip.vision.embedding_length", VE)
+        w.add_kv("clip.vision.feed_forward_length", VFF)
+        w.add_kv("clip.vision.block_count", VL)
+        w.add_kv("clip.vision.attention.head_count", VH)
+        w.add_kv("clip.vision.projection_dim", PROJ)
+        if wa_pattern:
+            w.add_kv("clip.vision.n_wa_pattern", wa_pattern)
+        rng2 = np.random.default_rng(7)
+
+        def r2(*shape):
+            return (rng2.standard_normal(shape) * 0.05).astype(np.float32)
+
+        w.add_tensor("v.patch_embd.weight", r2(VE, 3, P, P))
+        w.add_tensor("v.patch_embd.weight.1", r2(VE, 3, P, P))
+        w.add_tensor("v.patch_embd.bias", r2(VE))
+        w.add_tensor("v.post_ln.weight", 1.0 + r2(VE))
+        for i in range(VL):
+            p = f"v.blk.{i}."
+            w.add_tensor(p + "ln1.weight", 1.0 + r2(VE))
+            for nm in ("attn_q", "attn_k", "attn_v", "attn_out"):
+                w.add_tensor(p + nm + ".weight", r2(VE, VE))
+                w.add_tensor(p + nm + ".bias", r2(VE))
+            w.add_tensor(p + "ln2.weight", 1.0 + r2(VE))
+            w.add_tensor(p + "ffn_gate.weight", r2(VFF, VE))
+            w.add_tensor(p + "ffn_gate.bias", r2(VFF))
+            w.add_tensor(p + "ffn_up.weight", r2(VFF, VE))
+            w.add_tensor(p + "ffn_up.bias", r2(VFF))
+            w.add_tensor(p + "ffn_down.weight", r2(VE, VFF))
+            w.add_tensor(p + "ffn_down.bias", r2(VE))
+        w.add_tensor("mm.0.weight", r2(PROJ, 4 * VE))
+        w.add_tensor("mm.0.bias", r2(PROJ))
+        w.add_tensor("mm.2.weight", r2(PROJ, PROJ))
+        w.add_tensor("mm.2.bias", r2(PROJ))
+        w.write()
+        return path
+
+    pw = build(str(tmp_path / "w.gguf"), wa_pattern=4)
+    pf = build(str(tmp_path / "f.gguf"), wa_pattern=0)
+    cw, pw_params = load_clip(pw)
+    cf, pf_params = load_clip(pf)
+    assert cw.wa_pattern == 4 and cw.vit_rms and cw.merge_size == 2
+    assert "w_gate" in pw_params["layers"]
+    assert "is_full" in pw_params["layers"]
+    # layer 4 (1-based) is the only full-attention block
+    assert np.asarray(pw_params["layers"]["is_full"]).tolist() == [0, 0, 0, 1]
+
+    pixels = np.random.default_rng(3).uniform(
+        -1, 1, (IMG, IMG, 3)).astype(np.float32)
+    ow = np.asarray(encode_image_qwen2vl(pw_params, cw,
+                                         jnp.asarray(pixels)))
+    of = np.asarray(encode_image_qwen2vl(pf_params, cf,
+                                         jnp.asarray(pixels)))
+    assert ow.shape == of.shape == (64, PROJ)
+    assert np.isfinite(ow).all()
+    # same weights, different attention topology -> different outputs
+    assert not np.allclose(ow, of)
