@@ -413,8 +413,11 @@ def build_flux_pipeline(path: str, tokenizer=None, t5_path: str = None,
         # pooled stream (CLIP-L)
         if clip_tree is not None and tokenizer is not None:
             ids = np.asarray(tokenizer(prompt), np.int32)
-            _, pooled = clip_text_encode(clip_tree, ids, projection=True)
-            pooled = jnp.asarray(pooled[:clip_dim], dtype)
+            _, p = clip_text_encode(clip_tree, ids, projection=True)
+            p = np.asarray(p, np.float32)
+            pooled = np.zeros((clip_dim,), np.float32)
+            pooled[:min(p.shape[0], clip_dim)] = p[:clip_dim]
+            pooled = jnp.asarray(pooled, dtype)
         else:
             pooled = jnp.zeros((clip_dim,), dtype)
         # sequence stream (T5)
@@ -425,9 +428,12 @@ def build_flux_pipeline(path: str, tokenizer=None, t5_path: str = None,
             n = len(ids5)
             ids5 = ids5 + [0] * (T5_SEQ_LEN - n)
             from ..models.t5 import t5_encode
-            txt = t5_encode(t5_params, t5_cfg,
-                            jnp.asarray(ids5, jnp.int32), valid_len=n)
-            txt = jnp.asarray(txt[:, :txt_dim], dtype)
+            th = np.asarray(t5_encode(t5_params, t5_cfg,
+                                      jnp.asarray(ids5, jnp.int32),
+                                      valid_len=n), np.float32)
+            txt = np.zeros((T5_SEQ_LEN, txt_dim), np.float32)
+            txt[:, :min(th.shape[1], txt_dim)] = th[:, :txt_dim]
+            txt = jnp.asarray(txt, dtype)
         else:
             txt = jnp.zeros((T5_SEQ_LEN, txt_dim), dtype)
         # flux-dev is guidance-distilled: no negative stream
