@@ -27,7 +27,15 @@ HOP = 160
 
 
 def decode_wav(data: bytes) -> np.ndarray:
-    """WAV bytes -> mono f32 waveform at 16 kHz (naive resample)."""
+    """WAV bytes -> mono f32 waveform at 16 kHz (naive resample).
+
+    The reference also decodes mp3 (miniaudio, httpserver input_audio
+    format "mp3"); this image has no mp3 codec, so reject it with a
+    clear message instead of a wave-module parse error."""
+    if data[:3] == b"ID3" or (len(data) > 1 and data[0] == 0xFF
+                              and (data[1] & 0xE0) == 0xE0):
+        raise ValueError("mp3 input_audio is not supported by this build; "
+                         "please send WAV")
     with wave.open(io.BytesIO(data)) as w:
         sr = w.getframerate()
         n = w.getnframes()
