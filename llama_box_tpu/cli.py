@@ -256,8 +256,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--image-t5xxl-model", default=None,
                    help="T5-XXL text encoder GGUF (SD3/FLUX; accepted)")
     g.add_argument("--image-taesd-model", default=None,
-                   help="accepted: previews use a linear latent "
-                        "projection instead of TAESD")
+                   help="TAESD GGUF for per-step latent previews")
     g.add_argument("--image-vae-tiling", action="store_true", default=False,
                    help="decode the VAE in tiles (large images)")
     g.add_argument("--image-no-vae-tiling", dest="image_vae_tiling",
@@ -438,6 +437,9 @@ def _serve_images(args) -> int:
     else:
         pipeline = build_sd_pipeline(args.model, tokenizer=tok,
                                      prediction=args.image_prediction)
+    if args.image_taesd_model:
+        from .diffusion.taesd import TaesdPreview
+        pipeline.preview_fn = TaesdPreview(args.image_taesd_model)
     upscaler = None
     if args.image_upscale_model:
         from .diffusion.esrgan import Upscaler

@@ -127,8 +127,10 @@ class StreamState:
         self.i += 1
 
     def preview(self) -> np.ndarray:
-        """Cheap latent->RGB preview (the reference uses TAESD; a linear
-        projection is the standard fallback)."""
+        """Latent->RGB preview: TAESD decode when a tiny autoencoder is
+        loaded (--image-taesd-model), else a linear projection."""
+        if getattr(self.pl, "preview_fn", None) is not None:
+            return self.pl.preview_fn(np.asarray(self.latents))
         return self.pl.latent_preview(np.asarray(self.latents))
 
     def result(self) -> np.ndarray:
@@ -167,6 +169,7 @@ class DiffusionPipeline:
         self.supports_negative = supports_negative
         self.flow = flow
         self.sigma_fn = sigma_fn
+        self.preview_fn = None   # TAESD preview decoder (cli wires it)
 
     def denoise_both(self, x, sigma, cond):
         """Returns (eps_cond, eps_uncond) for CFG."""
