@@ -96,7 +96,7 @@ def bert_forward(params, cfg: ModelConfig, tokens, seq_lens,
     D = E // H
     eps = cfg.rms_eps
 
-    x = jnp.take(params["tok_embd"], tokens, axis=0)
+    x = jnp.take(params["tok_embd"], tokens, axis=0, mode="clip")
     if params.get("type_embd") is not None:
         x = x + params["type_embd"][0]
     if params.get("pos_embd") is not None:

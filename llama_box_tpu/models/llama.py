@@ -11,8 +11,9 @@ reference's single fused llama_decode per reconcile pass (httpserver.hpp:4192):
             semantics (httpserver.hpp:3453-3537) as a device gather.
 
 Inactive rows / padding use position C (the slot capacity) as a sentinel:
-XLA scatter drops out-of-bounds KV writes and `jnp.take` clips reads, so no
-masking state is needed beyond the attention mask.
+XLA scatter drops out-of-bounds KV writes and all sentinel-indexed reads
+use mode="clip" (jnp.take's DEFAULT fills out-of-range with NaN — never
+rely on it), so no masking state is needed beyond the attention mask.
 """
 
 from __future__ import annotations
@@ -63,6 +64,11 @@ def init_kv_cache(cfg: ModelConfig, n_slots: int, capacity: int,
             k_scale=jnp.zeros(kshape[:-1], jnp.bfloat16),
             v_scale=jnp.zeros(vshape[:-1], jnp.bfloat16))
     return KVCache(k=jnp.zeros(kshape, dtype), v=jnp.zeros(vshape, dtype))
+
+
+def C_cap(cache):
+    """Cache capacity along the position axis ([B, C, H, D])."""
+    return cache.shape[1]
 
 
 def _kv_quantize(x):
@@ -159,7 +165,8 @@ def _lora_delta(h, lp, key, lora_scales):
 
 def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
                 cos, sin, k_scale=None, v_scale=None, flash_pos0=None,
-                lora_scales=None, is_local=jnp.int32(0), mrope_pos=None):
+                lora_scales=None, is_local=jnp.int32(0), mrope_pos=None,
+                contig_pos0=None):
     """x: [B,T,E]; k_cache/v_cache: [B,C,Hkv,D]; mask: [B,T,C] True=attend.
     k_scale/v_scale: [B,C,Hkv] when the cache is int8-quantized.
     flash_pos0: absolute position of x[:, 0] when the chunk is contiguous
@@ -222,25 +229,56 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         f = jnp.where(is_local > 0, 1.0, f)          # rope layers: off
         q = q * f[:, :, None, None].astype(q.dtype)
 
-    # scatter current K/V into the cache at the absolute positions (position
-    # >= C is a sentinel: the write is dropped)
-    bidx = jnp.arange(B)[:, None].repeat(T, 1)
+    # write current K/V into the cache. Prefill chunks are contiguous
+    # (flash_pos0 = chunk start): dynamic_update_slice is a straight DMA,
+    # far cheaper than a scatter; the scatter path (with the position>=C
+    # sentinel dropping pad rows) covers batched decode/verify. A chunk
+    # whose BUCKET would spill past capacity falls back to the scatter
+    # (dynamic_update_slice clamps its start, which would corrupt earlier
+    # entries). Pad rows written by the contiguous path land at positions
+    # the mask never exposes until they are overwritten by later chunks.
+    if contig_pos0 is None:
+        contig_pos0 = flash_pos0
+    contig = contig_pos0 is not None and B == 1
     if k_scale is not None:
         kq, ks = _kv_quantize(k.astype(jnp.float32))
         vq, vs = _kv_quantize(v.astype(jnp.float32))
-        k_cache = k_cache.at[bidx, positions].set(kq, mode="drop")
-        v_cache = v_cache.at[bidx, positions].set(vq, mode="drop")
-        k_scale = k_scale.at[bidx, positions].set(ks, mode="drop")
-        v_scale = v_scale.at[bidx, positions].set(vs, mode="drop")
+        vals = ((kq, ks), (vq, vs))
+    else:
+        vals = ((k.astype(k_cache.dtype), None),
+                (v.astype(v_cache.dtype), None))
+
+    def _scatter(cache, scale, val, sval):
+        bidx = jnp.arange(B)[:, None].repeat(T, 1)
+        cache = cache.at[bidx, positions].set(val, mode="drop")
+        if scale is not None:
+            scale = scale.at[bidx, positions].set(sval, mode="drop")
+        return cache, scale
+
+    def _contig(cache, scale, val, sval):
+        cache = jax.lax.dynamic_update_slice_in_dim(
+            cache, val, contig_pos0, axis=1)
+        if scale is not None:
+            scale = jax.lax.dynamic_update_slice_in_dim(
+                scale, sval, contig_pos0, axis=1)
+        return cache, scale
+
+    if contig:
+        safe = (contig_pos0 + T) <= C_cap(k_cache)
+        k_cache, k_scale = jax.lax.cond(
+            safe, _contig, _scatter, k_cache, k_scale, *vals[0])
+        v_cache, v_scale = jax.lax.cond(
+            safe, _contig, _scatter, v_cache, v_scale, *vals[1])
+    else:
+        k_cache, k_scale = _scatter(k_cache, k_scale, *vals[0])
+        v_cache, v_scale = _scatter(v_cache, v_scale, *vals[1])
+
+    if k_scale is not None:
         kf = (k_cache.astype(jnp.float32)
               * k_scale.astype(jnp.float32)[..., None])
         vf = (v_cache.astype(jnp.float32)
               * v_scale.astype(jnp.float32)[..., None])
     else:
-        k_cache = k_cache.at[bidx, positions].set(
-            k.astype(k_cache.dtype), mode="drop")
-        v_cache = v_cache.at[bidx, positions].set(
-            v.astype(v_cache.dtype), mode="drop")
         kf = k_cache.astype(jnp.float32)
         vf = v_cache.astype(jnp.float32)
 
@@ -403,7 +441,7 @@ def _flash_ok() -> bool:
 
 def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                cos, sin, kv_ks=None, kv_vs=None, flash_pos0=None,
-               mrope_pos=None):
+               mrope_pos=None, contig_pos0=None):
     """Scan the layer stack; returns (hidden, k_new, v_new, ks_new, vs_new)."""
     quant = kv_ks is not None
     lora_scales = params.get("lora_scales")
@@ -422,7 +460,8 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                                           cfg, cos, sin, ks, vs,
                                           flash_pos0=flash_pos0,
                                           lora_scales=lora_scales,
-                                          is_local=loc, mrope_pos=mrope_pos)
+                                          is_local=loc, mrope_pos=mrope_pos,
+                                          contig_pos0=contig_pos0)
         if cvec is not None:
             # control vector: steer the residual stream at this layer's
             # output (reference llama_apply_adapter_cvec semantics)
@@ -513,7 +552,7 @@ def _build_mask(cfg: ModelConfig, positions, seq_lens, T, C):
 
 
 def _embed_tokens(params, cfg: ModelConfig, tokens):
-    x = jnp.take(params["tok_embd"], tokens, axis=0)
+    x = jnp.take(params["tok_embd"], tokens, axis=0, mode="clip")
     if cfg.embd_scale != 1.0:
         x = x * jnp.asarray(cfg.embd_scale, x.dtype)
     return x
@@ -585,7 +624,8 @@ def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
     x, k_new, v_new, ks_new, vs_new = _run_stack(
         params, cfg, x, positions, k_slot, v_slot, mask, rope_cos, rope_sin,
         ks_slot, vs_slot,
-        flash_pos0=(pos_base if flash_ok else None), mrope_pos=mp)
+        flash_pos0=(pos_base if flash_ok else None), mrope_pos=mp,
+        contig_pos0=pos_base)
     last = jnp.maximum(n_valid - 1, 0)
     logits = _output_logits(params, cfg,
                             jax.lax.dynamic_slice_in_dim(x[0], last, 1, 0))[0]
@@ -681,15 +721,15 @@ def shift_kv_impl(kv: KVCache, slot, n_keep, n_discard, delta_cos, delta_sin,
 
     k_slot = jax.lax.dynamic_slice_in_dim(kv.k, slot, 1, axis=1)[:, 0]
     v_slot = jax.lax.dynamic_slice_in_dim(kv.v, slot, 1, axis=1)[:, 0]
-    k_g = jnp.take(k_slot, src, axis=1)   # [L, C, H, D]
-    v_g = jnp.take(v_slot, src, axis=1)
+    k_g = jnp.take(k_slot, src, axis=1, mode="clip")   # [L, C, H, D]
+    v_g = jnp.take(v_slot, src, axis=1, mode="clip")
 
     ks_new = vs_new = None
     if kv.quantized:
         ks_slot = jax.lax.dynamic_slice_in_dim(kv.k_scale, slot, 1, axis=1)[:, 0]
         vs_slot = jax.lax.dynamic_slice_in_dim(kv.v_scale, slot, 1, axis=1)[:, 0]
-        ks_g = jnp.take(ks_slot, src, axis=1)  # [L, C, H]
-        vs_new = jnp.take(vs_slot, src, axis=1)
+        ks_g = jnp.take(ks_slot, src, axis=1, mode="clip")  # [L,C,H]
+        vs_new = jnp.take(vs_slot, src, axis=1, mode="clip")
         k_f = k_g.astype(jnp.float32) * ks_g.astype(jnp.float32)[..., None]
     else:
         k_f = k_g.astype(jnp.float32)
@@ -729,7 +769,7 @@ def forward_embeddings(params, cfg: ModelConfig, tokens, seq_lens,
     """Non-causal embedding forward (SURVEY.md §3.3): no KV cache, bidirectional
     attention over each sequence, pooled output."""
     B, T = tokens.shape
-    x = jnp.take(params["tok_embd"], tokens, axis=0)
+    x = jnp.take(params["tok_embd"], tokens, axis=0, mode="clip")
     positions = jnp.arange(T)[None, :].repeat(B, 0)
     valid = positions < seq_lens[:, None]  # [B,T]
     mask = valid[:, :, None] & valid[:, None, :]  # [B,T,T]

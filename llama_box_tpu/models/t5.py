@@ -60,7 +60,7 @@ def t5_encode(params: dict, cfg: T5Config, tokens: jnp.ndarray,
               valid_len: int | None = None) -> jnp.ndarray:
     """tokens [T] int32 -> [T, d_model] f32 encoder states."""
     T = tokens.shape[0]
-    x = jnp.take(params["shared"], tokens, axis=0)
+    x = jnp.take(params["shared"], tokens, axis=0, mode="clip")
 
     pos = jnp.arange(T)
     rel = pos[None, :] - pos[:, None]                 # key - query

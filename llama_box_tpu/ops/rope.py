@@ -94,8 +94,8 @@ def apply_mrope(x: jnp.ndarray, positions3, cos: jnp.ndarray,
 
     S = positions3.shape[0]
     # gather cos/sin per stream: [S, B, T, half] -> select per dim
-    c_all = jnp.take(cos, positions3, axis=0)        # [S, B, T, half]
-    s_all = jnp.take(sin, positions3, axis=0)
+    c_all = jnp.take(cos, positions3, axis=0, mode="clip")   # [S,B,T,half]
+    s_all = jnp.take(sin, positions3, axis=0, mode="clip")
     sel = jnp.clip(sec, 0, S - 1)                    # [half]
     c_all2 = jnp.moveaxis(c_all, 0, -1)              # [B, T, half, S]
     s_all2 = jnp.moveaxis(s_all, 0, -1)
@@ -122,8 +122,8 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, cos: jnp.ndarray,
     """x: [..., T, H, D]; positions: broadcastable to [..., T] int32."""
     rot_dim = cos.shape[-1] * 2
     d = x.shape[-1]
-    c = jnp.take(cos, positions, axis=0)[..., None, :]  # [..., T, 1, half]
-    s = jnp.take(sin, positions, axis=0)[..., None, :]
+    c = jnp.take(cos, positions, axis=0, mode="clip")[..., None, :]
+    s = jnp.take(sin, positions, axis=0, mode="clip")[..., None, :]
     xr = x[..., :rot_dim].astype(jnp.float32)
     if mode == "norm":
         x0 = xr[..., 0::2]
