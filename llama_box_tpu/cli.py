@@ -268,7 +268,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--image-slg-start", type=float, default=0.01)
     g.add_argument("--image-slg-end", type=float, default=0.2)
     g.add_argument("--image-control-net-model", default=None,
-                   help="not yet supported on TPU (warns)")
+                   help="SD1.x/SDXL ControlNet GGUF (control_model.* "
+                        "tensors); requests supply the control image via "
+                        "the image-edit 'control' part or 'control_image'")
     g.add_argument("--image-control-strength", type=float, default=0.9)
     g.add_argument("--image-control-canny", action="store_true")
     g.add_argument("--image-no-control-net-model-offload",
@@ -435,8 +437,10 @@ def _serve_images(args) -> int:
             clip_g_path=args.image_clip_g_model,
             vae_path=args.image_vae_model)
     else:
-        pipeline = build_sd_pipeline(args.model, tokenizer=tok,
-                                     prediction=args.image_prediction)
+        pipeline = build_sd_pipeline(
+            args.model, tokenizer=tok, prediction=args.image_prediction,
+            control_net_path=args.image_control_net_model,
+            control_strength=args.image_control_strength)
     if args.image_taesd_model:
         from .diffusion.taesd import TaesdPreview
         pipeline.preview_fn = TaesdPreview(args.image_taesd_model)
@@ -449,9 +453,9 @@ def _serve_images(args) -> int:
                     images_pipeline=pipeline, upscaler=upscaler,
                     upscale_repeats=args.image_upscale_repeats)
     engine.start()
-    if args.image_control_net_model:
-        SRV_WRN("main", "--image-control-net-model is not yet supported on "
-                "TPU; ignoring")
+    if args.image_control_net_model and (is_flux or is_sd3):
+        SRV_WRN("main", "--image-control-net-model: only SD1.x/SDXL "
+                "control nets are supported; ignoring")
     server = HTTPServer(engine,
                         model_name=args.alias or args.model.rsplit("/", 1)[-1],
                         capabilities={"completion": False, "embedding": False,
@@ -551,6 +555,7 @@ def _image_defaults(args) -> dict:
         "max_batch": args.image_max_batch,
         "max_width": args.image_max_width,
         "max_height": args.image_max_height,
+        "control_canny": args.image_control_canny,
     }
 
 

@@ -45,9 +45,17 @@ class StreamState:
 
     def __init__(self, pipeline: "DiffusionPipeline", p: GenerationParams,
                  init_image: Optional[np.ndarray] = None,
-                 mask: Optional[np.ndarray] = None):
+                 mask: Optional[np.ndarray] = None,
+                 control: Optional[np.ndarray] = None):
         self.pl = pipeline
         self.p = p
+        self.control = None
+        if control is not None:
+            embed = getattr(pipeline, "hint_embed", None)
+            if embed is None:
+                raise ValueError("this server has no ControlNet loaded "
+                                 "(--image-control-net-model)")
+            self.control = embed(control)
         self.rng = np.random.default_rng(p.seed & 0xFFFFFFFF)
         self.cond = pipeline.text_encode(p.prompt, p.negative_prompt)
         lat_h = p.height // pipeline.latent_scale
@@ -108,7 +116,8 @@ class StreamState:
         fn = SAMPLERS[self.sampler_name]
 
         def denoise_cfg(x, sigma, cond):
-            eps_c, eps_u = self.pl.denoise_both(x, sigma, cond)
+            eps_c, eps_u = self.pl.denoise_both(x, sigma, cond,
+                                                control=self.control)
             return eps_u + self.p.cfg_scale * (eps_c - eps_u)
 
         kwargs = {}
@@ -171,9 +180,15 @@ class DiffusionPipeline:
         self.sigma_fn = sigma_fn
         self.preview_fn = None   # TAESD preview decoder (cli wires it)
 
-    def denoise_both(self, x, sigma, cond):
-        """Returns (eps_cond, eps_uncond) for CFG."""
+    def denoise_both(self, x, sigma, cond, control=None):
+        """Returns (eps_cond, eps_uncond) for CFG. control: pre-embedded
+        ControlNet hint (SD pipelines only)."""
         c, u = cond
+        if control is not None:
+            eps_c = self._denoiser(x, sigma, c, control=control)
+            eps_u = (self._denoiser(x, sigma, u, control=control)
+                     if u is not None else eps_c)
+            return eps_c, eps_u
         eps_c = self._denoiser(x, sigma, c)
         eps_u = self._denoiser(x, sigma, u) if u is not None else eps_c
         return eps_c, eps_u
@@ -193,9 +208,12 @@ class DiffusionPipeline:
             (w, h), Image.BILINEAR)
         return np.asarray(m, np.float32) / 255.0
 
-    def txt2img_stream(self, p: GenerationParams) -> StreamState:
-        return StreamState(self, p)
+    def txt2img_stream(self, p: GenerationParams,
+                       control: np.ndarray | None = None) -> StreamState:
+        return StreamState(self, p, control=control)
 
     def img2img_stream(self, p: GenerationParams, image: np.ndarray,
-                       mask: np.ndarray | None = None) -> StreamState:
-        return StreamState(self, p, init_image=image, mask=mask)
+                       mask: np.ndarray | None = None,
+                       control: np.ndarray | None = None) -> StreamState:
+        return StreamState(self, p, init_image=image, mask=mask,
+                           control=control)

@@ -263,10 +263,12 @@ def _apply_block(p: dict, x, emb, ctx):
     return x
 
 
-def unet_forward(params: dict, x, t, ctx, aug=None):
+def unet_forward(params: dict, x, t, ctx, aug=None, control=None):
     """x: [H, W, C_lat]; t: scalar timestep; ctx: [M, Cc] -> eps [H, W, C].
     aug: SDXL conditioning vector (pooled text + fourier size ids) fed
-    through label_emb and added to the time embedding."""
+    through label_emb and added to the time embedding.
+    control: optional (skip_residuals list, middle_residual) from
+    controlnet_forward, added to the saved skips / middle output."""
     model_ch = params["time_embed"]["0"]["weight"].shape[1]
     temb = timestep_embedding(t, model_ch)
     temb = temb @ params["time_embed"]["0"]["weight"].T \
@@ -291,9 +293,17 @@ def unet_forward(params: dict, x, t, ctx, aug=None):
         hs.append(h)
 
     h = _apply_block(params["middle_block"], h, temb, ctx)
+    ctrl_skips = None
+    if control is not None:
+        ctrl_skips, ctrl_mid = control
+        ctrl_skips = list(ctrl_skips)
+        h = h + ctrl_mid
 
     for kk in sorted(params["output_blocks"], key=int):
-        h = jnp.concatenate([h, hs.pop()], axis=-1)
+        skip = hs.pop()
+        if ctrl_skips is not None:
+            skip = skip + ctrl_skips.pop()
+        h = jnp.concatenate([h, skip], axis=-1)
         h = _apply_block(params["output_blocks"][kk], h, temb, ctx)
 
     h = group_norm(h, params["out"]["0"]["weight"], params["out"]["0"]["bias"])
@@ -401,7 +411,9 @@ def vae_encode_scaled(params: dict, img, scale: float = 0.18215,
 
 
 def build_sd_pipeline(path: str, tokenizer=None, dtype=jnp.float32,
-                      prediction: str = "eps") -> DiffusionPipeline:
+                      prediction: str = "eps",
+                      control_net_path: str = None,
+                      control_strength: float = 0.9) -> DiffusionPipeline:
     """GGUF -> streaming DiffusionPipeline. SD1.x and SDXL (detected by the
     UNet label_emb / second text encoder) checkpoints.
 
@@ -414,8 +426,24 @@ def build_sd_pipeline(path: str, tokenizer=None, dtype=jnp.float32,
     is_xl = "label_emb" in trees["unet"] or "1" in trees["text"]
 
     vae_scale = 0.13025 if is_xl else 0.18215
+    cn_tree = None
+    if control_net_path:
+        from .controlnet import load_controlnet
+        cn_tree = load_controlnet(control_net_path, dtype)
     unet_jit = jax.jit(lambda x, t, c, a: unet_forward(trees["unet"], x, t,
                                                        c, a))
+
+    def unet_ctrl(x, t, c, a, hint_lat):
+        from .controlnet import controlnet_forward
+        skips, mid = controlnet_forward(cn_tree, x, hint_lat, t, c, a)
+        sw = control_strength
+        return unet_forward(trees["unet"], x, t, c, a,
+                            control=([s * sw for s in skips], mid * sw))
+
+    unet_ctrl_jit = jax.jit(unet_ctrl)
+    hint_jit = jax.jit(lambda img: __import__(
+        "llama_box_tpu.diffusion.controlnet",
+        fromlist=["embed_hint"]).embed_hint(cn_tree, img))
     vae_dec_jit = jax.jit(lambda z: vae_decode(trees["vae"], z,
                                                scale=vae_scale))
 
@@ -443,14 +471,18 @@ def build_sd_pipeline(path: str, tokenizer=None, dtype=jnp.float32,
         four = jnp.concatenate([timestep_embedding(i, 256) for i in ids])
         return jnp.concatenate([pooled, four])
 
-    def denoiser(x, sigma, cond):
+    def denoiser(x, sigma, cond, control=None):
         sigma = float(sigma)
         t = int(np.abs(train_sigmas - sigma).argmin())
         c_in = 1.0 / math.sqrt(1.0 + sigma * sigma)
         ctx, pooled = cond
         hw = (x.shape[0] * 8, x.shape[1] * 8)
         # discrete model: x_t = x * c_in at integer timestep t
-        out = unet_jit(x * c_in, jnp.float32(t), ctx, _aug(pooled, hw))
+        if control is not None and cn_tree is not None:
+            out = unet_ctrl_jit(x * c_in, jnp.float32(t), ctx,
+                                _aug(pooled, hw), control)
+        else:
+            out = unet_jit(x * c_in, jnp.float32(t), ctx, _aug(pooled, hw))
         if prediction == "v":
             out = c_in * out + (sigma * c_in * c_in) * x
         return out
@@ -462,6 +494,10 @@ def build_sd_pipeline(path: str, tokenizer=None, dtype=jnp.float32,
         return vae_encode_scaled(trees["vae"], jnp.asarray(img, dtype),
                                  scale=vae_scale)
 
-    return DiffusionPipeline(text_encode, denoiser, vdec, venc,
-                             latent_channels=4, latent_scale=8,
-                             schedule=schedule)
+    pl = DiffusionPipeline(text_encode, denoiser, vdec, venc,
+                           latent_channels=4, latent_scale=8,
+                           schedule=schedule)
+    if cn_tree is not None:
+        pl.hint_embed = lambda img: np.asarray(hint_jit(
+            jnp.asarray(img, dtype)))
+    return pl

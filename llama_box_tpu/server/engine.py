@@ -852,9 +852,11 @@ class Engine:
             gp = _dc.replace(task.gp, seed=task.gp.seed + i)
             if task.init_image is not None:
                 st = self.images_pipeline.img2img_stream(
-                    gp, task.init_image, task.mask)
+                    gp, task.init_image, task.mask,
+                    control=task.control)
             else:
-                st = self.images_pipeline.txt2img_stream(gp)
+                st = self.images_pipeline.txt2img_stream(
+                    gp, control=task.control)
             task.streams.append(st)
         self.image_tasks.append(task)
 

@@ -650,8 +650,18 @@ class HTTPServer:
             m = Image.open(io.BytesIO(mask_field.file.read())).convert("L")
             mask = np.asarray(m.resize((w, h), Image.BILINEAR),
                               np.float32) / 255.0
+        control = None
+        ctl_field = form.get("control")
+        if ctl_field is not None and hasattr(ctl_field, "file"):
+            c = Image.open(io.BytesIO(ctl_field.file.read())).convert("RGB")
+            control = np.asarray(c.resize((w, h), Image.BICUBIC),
+                                 np.float32) / 255.0
+            if self.image_defaults.get("control_canny"):
+                from ..diffusion.controlnet import canny
+                control = canny(control)
         task = _images_task_from_body(dict(body), request["rid"],
                                       init_image=init_image, mask=mask,
+                                      control=control,
                                       defaults=self.image_defaults)
         return await self._images_response(request, task)
 
@@ -784,7 +794,7 @@ def _parse_size(size, param="size"):
 
 
 def _images_task_from_body(body: dict, rid: str, init_image=None,
-                           mask=None,
+                           mask=None, control=None,
                            defaults: dict | None = None) -> ImagesTask:
     """defaults: server-side --image-* knobs (sampler/steps/cfg_scale/
     strength/schedule/max_batch/max_width/max_height)."""
@@ -833,9 +843,27 @@ def _images_task_from_body(body: dict, rid: str, init_image=None,
         strength=float(body.get("strength", d.get("strength", 0.75))),
         schedule=str(body.get("schedule", d.get("schedule", ""))),
     )
+    if control is None and isinstance(body.get("control_image"), str):
+        # JSON API extension: base64 control image for txt2img ControlNet
+        import base64 as _b64
+        import io as _io
+
+        from PIL import Image as _Image
+        try:
+            raw = _b64.b64decode(body["control_image"])
+            ci = _Image.open(_io.BytesIO(raw)).convert("RGB")
+        except Exception:
+            raise bad_request("\"control_image\" must be base64 image "
+                              "data", "control_image")
+        control = np.asarray(ci.resize((w, h), _Image.BICUBIC),
+                             np.float32) / 255.0
+        if d.get("control_canny"):
+            from ..diffusion.controlnet import canny
+            control = canny(control)
     task = ImagesTask(gp, n=n, stream=bool(body.get("stream", False)),
                       preview=bool(body.get("preview", False)),
-                      init_image=init_image, mask=mask, rid=rid)
+                      init_image=init_image, mask=mask, control=control,
+                      rid=rid)
     up = body.get("upscale", 1)
     if not isinstance(up, int) or isinstance(up, bool) or up not in (1, 2, 4):
         raise bad_request("\"upscale\" must be 1, 2 or 4", "upscale")

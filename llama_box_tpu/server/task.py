@@ -214,7 +214,7 @@ class ImagesTask(BaseTask):
 
     def __init__(self, gp, n: int = 1, stream: bool = False,
                  preview: bool = False, response_format: str = "b64_json",
-                 init_image=None, mask=None, rid: str = ""):
+                 init_image=None, mask=None, control=None, rid: str = ""):
         """gp: diffusion.GenerationParams; n streams run at seed+i and each
         reconcile pass advances every live stream one denoise step
         (reference images branch, httpserver.hpp:4152-4179, 4922-5016)."""
@@ -226,6 +226,7 @@ class ImagesTask(BaseTask):
         self.response_format = response_format
         self.init_image = init_image
         self.mask = mask
+        self.control = control       # ControlNet hint image [H, W, 3] 0..1
         self.streams = []            # engine-populated StreamState list
         self.images: list[bytes] = []  # PNG results
         self.t_start = 0.0
