@@ -87,6 +87,16 @@ def get_lib():
         lib.lbox_spm_encode.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64]
+        lib.lbox_bpe_new.restype = ctypes.c_void_p
+        lib.lbox_bpe_new.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.c_void_p, ctypes.c_int64]
+        lib.lbox_bpe_free.argtypes = [ctypes.c_void_p]
+        lib.lbox_bpe_encode.restype = ctypes.c_int64
+        lib.lbox_bpe_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64]
         _lib = lib
         return _lib
 

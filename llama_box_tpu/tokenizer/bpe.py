@@ -74,6 +74,42 @@ class BPETokenizer:
         self.pre_re = re.compile(pattern)
         self.b2u = byte_to_unicode()
         self.u2b = unicode_to_byte()
+        self._merges = [(m.partition(" ")[0], m.partition(" ")[2])
+                        for m in merges if " " in m]
+
+    def _native_handle(self):
+        """Lazy native merge core (native/tokenizer_core.cpp lbox_bpe_*);
+        None when the library is unavailable — the Python loop always
+        works."""
+        if not hasattr(self, "_nh"):
+            self._nh = None
+            try:
+                import ctypes
+
+                import numpy as np
+
+                from ..gguf.native import get_lib
+                lib = get_lib()
+                if lib is not None and len(self.vocab) >= 1000:
+                    venc = [p.encode("utf-8") for p in self.vocab]
+                    vblob = b"".join(venc)
+                    vlens = np.asarray([len(x) for x in venc], np.int32)
+                    lenc = [a.encode("utf-8") for a, _ in self._merges]
+                    renc = [b.encode("utf-8") for _, b in self._merges]
+                    llens = np.asarray([len(x) for x in lenc], np.int32)
+                    rlens = np.asarray([len(x) for x in renc], np.int32)
+                    self._nh_lib = lib
+                    self._nh = lib.lbox_bpe_new(
+                        vblob, vlens.ctypes.data_as(ctypes.c_void_p),
+                        len(venc),
+                        b"".join(lenc),
+                        llens.ctypes.data_as(ctypes.c_void_p),
+                        b"".join(renc),
+                        rlens.ctypes.data_as(ctypes.c_void_p),
+                        len(lenc))
+            except Exception:  # noqa: BLE001
+                self._nh = None
+        return self._nh
 
     def _bpe_word(self, word: str) -> list[str]:
         parts = list(word)
@@ -93,6 +129,25 @@ class BPETokenizer:
 
     def encode(self, text: str) -> list[int]:
         out: list[int] = []
+        nh = self._native_handle()
+        if nh is not None:
+            import ctypes
+
+            import numpy as np
+            buf = np.empty(4096, np.int32)
+            for piece in self.pre_re.findall(text):
+                mapped = "".join(self.b2u[b] for b in piece.encode("utf-8"))
+                data = mapped.encode("utf-8")
+                if len(data) + 8 > buf.shape[0]:
+                    buf = np.empty(len(data) + 8, np.int32)
+                m = self._nh_lib.lbox_bpe_encode(
+                    nh, data, len(data),
+                    buf.ctypes.data_as(ctypes.c_void_p), buf.shape[0])
+                if m < 0:
+                    out.extend(self._encode_word_py(mapped))
+                else:
+                    out.extend(buf[:m].tolist())
+            return out
         for piece in self.pre_re.findall(text):
             mapped = "".join(self.b2u[b] for b in piece.encode("utf-8"))
             for sub in self._bpe_word(mapped):
@@ -105,6 +160,19 @@ class BPETokenizer:
                         tid = self.piece_to_id.get(ch)
                         if tid is not None:
                             out.append(tid)
+        return out
+
+    def _encode_word_py(self, mapped: str) -> list[int]:
+        out: list[int] = []
+        for sub in self._bpe_word(mapped):
+            tid = self.piece_to_id.get(sub)
+            if tid is not None:
+                out.append(tid)
+            else:
+                for ch in sub:
+                    tid = self.piece_to_id.get(ch)
+                    if tid is not None:
+                        out.append(tid)
         return out
 
     def piece_bytes(self, token_id: int) -> bytes:

@@ -80,3 +80,30 @@ def test_native_spm_matches_python(rng):
              "aaabbbccc", "", "xyz abc xyz"]
     for t in texts:
         assert tok_nat.encode(t) == tok_py.encode(t), t
+
+
+def test_native_bpe_matches_python():
+    """Native BPE merge core == Python loop on a synthetic gpt2-style
+    vocab (forced past the >=1000-vocab native threshold)."""
+    import numpy as np
+
+    from llama_box_tpu.tokenizer.bpe import BPETokenizer, byte_to_unicode
+
+    rng = np.random.default_rng(0)
+    b2u = byte_to_unicode()
+    base = [b2u[i] for i in range(256)]
+    words = ["the", "he", "th", "er", "ing", "tion", "hello", "world",
+             " t", " the", "lo", "ll", "llo", "wor", "ld", "orld"]
+    vocab = base + words + [f"fill{i}" for i in range(1100)]
+    merges = ["t h", "th e", "e r", "i n", "in g", "l l", "l o",
+              "ll o", "w o", "wo r", "r l", "l d", "or ld", "Ġ t",
+              "Ġt he"]
+    tok_n = BPETokenizer(vocab, merges, pre="default")
+    assert tok_n._native_handle() is not None
+    tok_p = BPETokenizer(vocab, merges, pre="default")
+    tok_p._nh = None   # force the Python path
+
+    texts = ["the theller world", "hello world!", "  多语言 mixed tÃ©xt",
+             "a" * 300, "th er ing llold", "", "\n\n  tabs\tand spaces"]
+    for t in texts:
+        assert tok_n.encode(t) == tok_p.encode(t), t
