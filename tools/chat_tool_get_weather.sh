@@ -1,9 +1,9 @@
 #!/usr/bin/env bash
-# Function-calling demo (port of reference tools/chat_tool_*.sh fixtures):
-# exposes get_weather and answers the tool call locally.
+# Function-calling demo (reference tools/chat_tool_get_weather.sh): exposes get_weather and
+# answers the tool call locally.
 set -euo pipefail
 URL="${LLAMA_BOX_URL:-http://127.0.0.1:8080}"
-Q="${1:-What's the weather in Paris?}"
+Q="${1:-What is the weather in Paris?}"
 TOOLS='[{"type":"function","function":{"name":"get_weather","description":"Get current weather for a city","parameters":{"type":"object","properties":{"city":{"type":"string"}},"required":["city"]}}}]'
 RESP=$(curl -s "$URL/v1/chat/completions" -H 'Content-Type: application/json' -d "$(jq -nc \
   --arg q "$Q" --argjson tools "$TOOLS" \
