@@ -60,6 +60,8 @@ class SamplerParams:
     ignore_eos: bool = False
     n_probs: int = 0
     grammar: object = None  # host-side constraint engine (grammar.py)
+    grammar_lazy: bool = False       # enforce only after a trigger string
+    grammar_triggers: tuple = ()     # e.g. ("<tool_call>",)
     # host-sampled extras (mirostat / DRY run on the host path like grammar)
     mirostat: int = 0            # 0 off, 1 v1, 2 v2
     mirostat_tau: float = 5.0
@@ -445,6 +447,15 @@ class HostSampler:
         self.sp = sp
         self.grammar = grammar
         self.tok = tokenizer
+        # lazy grammars (tool-call constraint, reference common_chat
+        # grammar_lazy + trigger words): stay unconstrained until a
+        # trigger string appears in the generated text, enforce the
+        # grammar until it completes, then re-arm for the next call
+        self._gr_template = None
+        self._trigger_tail = ""
+        if grammar is not None and sp.grammar_lazy and sp.grammar_triggers:
+            self._gr_template = grammar.copy()
+            self.grammar = None
         self.rng = np.random.default_rng(sp.seed & 0xFFFFFFFF)
         self._window: list[int] = []
         self._counts: dict[int, int] = {}
@@ -467,10 +478,27 @@ class HostSampler:
                 self._counts[old] -= 1
                 if not self._counts[old]:
                     del self._counts[old]
+        if self._gr_template is not None and self.grammar is None \
+                and not self.tok.is_eog(token):
+            piece = self.tok.token_bytes(token, render_special=True)
+            self._trigger_tail = (self._trigger_tail
+                                  + piece.decode("utf-8", "replace"))[-64:]
+            for trig in self.sp.grammar_triggers:
+                if self._trigger_tail.endswith(trig):
+                    self.grammar = self._gr_template.copy()
+                    self._mask_cache.clear()
+                    self._trigger_tail = ""
+                    return
+            return
         if self.grammar is not None and not self.tok.is_eog(token):
             self.grammar.accept_bytes(
                 self.tok.token_bytes(token, render_special=True))
             self._mask_cache.clear()
+            if self._gr_template is not None and self.grammar.completed:
+                # call emitted in full: back to unconstrained text until
+                # the next trigger (parallel tool calls)
+                self.grammar = None
+                self._mask_cache.clear()
 
     def push_prompt(self, tokens: list[int]) -> None:
         for t in tokens[-self._last_n:] if self._last_n > 0 else []:

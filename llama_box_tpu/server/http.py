@@ -19,7 +19,8 @@ from ..utils.tokenbucket import RatelimitTokenBucket
 from .chat import ChatTemplates
 from .engine import Engine
 from .reasoning import ReasoningSplitter, detect_reasoning_markers
-from .toolcall import ToolCallScanner, migrate_functions
+from .toolcall import ToolCallScanner, migrate_functions, \
+    tools_grammar
 from .protocol import (
     RequestError, bad_request, chat_chunk_json, chat_completion_json,
     completion_chunk_json, completion_json, new_request_id, parse_lora,
@@ -384,6 +385,18 @@ class HTTPServer:
                                           force_open=prompt.rstrip().endswith(
                                               self.reasoning_markers[0]))
         mt = parse_max_tokens(body)
+        if use_tools and sparams.grammar is None:
+            tg = tools_grammar(tools, self.chat.alias)
+            if tg is not None:
+                import dataclasses as _dc
+
+                from ..grammar import Grammar, GrammarError
+                try:
+                    sparams = _dc.replace(
+                        sparams, grammar=Grammar(tg[0]), grammar_lazy=True,
+                        grammar_triggers=tg[1])
+                except GrammarError:
+                    pass   # malformed tool schema: fall back to scanning
         task = CompletionsTask(
             prompt_tokens, sparams, tokenizer=tok,
             max_tokens=mt if mt > 0 else self.default_max_tokens,

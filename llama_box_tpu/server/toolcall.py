@@ -46,6 +46,38 @@ def formats_for_alias(alias: str):
     return _FORMATS.get(alias, _FORMATS["chatml"])
 
 
+def tools_grammar(tools: list, alias: str):
+    """(gbnf, trigger_strings) for LAZY constrained tool-call decoding
+    (reference common_chat grammar_lazy + trigger words): sampling stays
+    unconstrained until a start marker appears, then the call JSON is
+    grammar-forced. Returns None for formats whose start marker is itself
+    part of the JSON (bare/fenced) — those stay scan-only."""
+    from ..grammar import GrammarError, json_schema_to_grammar
+    starts, ends, style = formats_for_alias(alias)
+    if style not in ("wrapped", "array"):
+        return None
+    schemas = []
+    for t in tools:
+        fn = t.get("function") or {}
+        params = fn.get("parameters") or {"type": "object"}
+        schemas.append({
+            "type": "object",
+            "properties": {"name": {"const": fn.get("name", "")},
+                           "arguments": params},
+            "required": ["name", "arguments"],
+        })
+    if not schemas:
+        return None
+    schema = schemas[0] if len(schemas) == 1 else {"anyOf": schemas}
+    if style == "array":
+        schema = {"type": "array", "items": schema}
+    try:
+        gbnf = json_schema_to_grammar(schema)
+    except (GrammarError, ValueError, TypeError):
+        return None
+    return gbnf, tuple(starts)
+
+
 def _parse_json_prefix(text: str):
     """Parse the first JSON value in text; returns (value, end_idx) or None
     (tolerates trailing content)."""

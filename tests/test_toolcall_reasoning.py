@@ -147,3 +147,69 @@ def test_parallel_tool_calls_disabled():
     c, calls = s.feed(text)
     c += s.flush()
     assert [x.name for x in s.tool_calls] == ["a"]
+
+
+def test_tools_grammar_builder():
+    from llama_box_tpu.grammar import Grammar
+    from llama_box_tpu.server.toolcall import tools_grammar
+
+    tools = [{"type": "function", "function": {
+        "name": "get_weather",
+        "parameters": {"type": "object",
+                       "properties": {"city": {"type": "string"}},
+                       "required": ["city"]}}}]
+    tg = tools_grammar(tools, "chatml")
+    assert tg is not None
+    gbnf, triggers = tg
+    assert triggers == ("<tool_call>",)
+    g = Grammar(gbnf)
+    ok = g.accept_bytes(
+        b'{"name": "get_weather", "arguments": {"city": "Paris"}}')
+    assert ok and g.completed
+    g2 = Grammar(gbnf)
+    assert not g2.accept_bytes(b'{"name": "bogus_tool"')
+    # bare-JSON formats stay scan-only
+    assert tools_grammar(tools, "llama3") is None
+
+
+def test_lazy_grammar_sampler_flow():
+    """HostSampler: unconstrained until the trigger, constrained through
+    the call JSON, unconstrained again after completion."""
+    import numpy as np
+
+    from llama_box_tpu.grammar import Grammar
+    from llama_box_tpu.sampling import HostSampler, SamplerParams
+    from llama_box_tpu.server.toolcall import tools_grammar
+
+    tools = [{"type": "function", "function": {
+        "name": "f", "parameters": {
+            "type": "object", "properties": {"x": {"type": "integer"}},
+            "required": ["x"]}}}]
+    gbnf, triggers = tools_grammar(tools, "chatml")
+
+    class ByteTok:
+        n_vocab = 256
+        eos_id = 0
+
+        def is_eog(self, t):
+            return t == 0
+
+        def is_control(self, t):
+            return False
+
+        def token_bytes(self, t, render_special=False):
+            return bytes([t])
+
+    sp = SamplerParams(temp=0.0, grammar_lazy=True,
+                       grammar_triggers=triggers)
+    hs = HostSampler(sp, Grammar(gbnf), ByteTok())
+    assert hs.grammar is None          # unarmed: unconstrained
+    for b in b"some text <tool_call>":
+        hs.accept(b)
+    assert hs.grammar is not None      # trigger armed the grammar
+    for b in b'{"name": "f", "arguments": {"x": 3}}':
+        assert hs._token_allowed(b), chr(b)
+        hs.accept(b)
+    assert hs.grammar is None          # call complete: re-armed
+    for b in b"</tool_call> done":
+        hs.accept(b)                   # trailing text unconstrained
