@@ -118,6 +118,40 @@ class MultimodalProcessor:
     def minicpmv_version(self) -> int:
         return getattr(self.cfg, "minicpmv_version", 0)
 
+    @property
+    def is_llama4(self) -> bool:
+        return "llama4" in getattr(self.cfg, "projector", "")
+
+    def encode_tiled_llama4(self, image_bytes: bytes):
+        """Llama4 tiling: best-aspect grid of tile-sized crops + overview
+        (reference llama4 branch httpserver.hpp:5846-5900 encodes each
+        tile separately). Returns (embs [tile..., overview], (gx, gy), h)."""
+        from PIL import Image
+
+        h = fnv1a_64(image_bytes + b"/llama4")
+        with self._lock:
+            if h in self._cache:
+                self._cache.move_to_end(h)
+                embs, grid = self._cache[h]
+                return embs, grid, h
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        tiles, grid = llama4_slice(img, tile=self.cfg.image_size)
+        overview = img.resize((self.cfg.image_size, self.cfg.image_size),
+                              Image.BICUBIC)
+        embs = []
+        for piece in tiles + [overview]:
+            buf = io.BytesIO()
+            piece.save(buf, format="PNG")
+            emb, _ = self.encode(buf.getvalue())
+            embs.append(emb)
+        with self._lock:
+            self._cache[h] = (embs, grid)
+            while len(self._cache) > self.max_cache:
+                self._cache.popitem(last=False)
+        SRV_INF("multimodal", "llama4 tiled image hash=%x grid=%dx%d",
+                h, grid[0], grid[1])
+        return embs, grid, h
+
     def encode_sliced(self, image_bytes: bytes):
         """MiniCPM-V tiling: overview + best-grid tiles (llama.cpp uhd
         slicing; reference z_multimodal.hpp:105-131 encodes each entry).
@@ -183,6 +217,27 @@ def _best_grid(max_slice: int, multiple: int, log_ratio: float
     return best
 
 
+def llama4_slice(img, tile: int = 336, max_tiles: int = 16):
+    """Best-aspect grid of tile-size crops (llama4 vision tiling).
+    Returns (tiles row-major [PIL], (gx, gy)); no tiles for small images
+    (overview alone carries them)."""
+    import math
+
+    from PIL import Image
+    W, H = img.size
+    multiple = min(math.ceil(W * H / (tile * tile)), max_tiles)
+    if multiple <= 1:
+        return [], (0, 0)
+    gx, gy = _best_grid(max_tiles, multiple, math.log(W / H))
+    resized = img.resize((gx * tile, gy * tile), Image.BICUBIC)
+    tiles = []
+    for y in range(gy):
+        for x in range(gx):
+            tiles.append(resized.crop((x * tile, y * tile,
+                                       (x + 1) * tile, (y + 1) * tile)))
+    return tiles, (gx, gy)
+
+
 def minicpmv_slice(img, scale_res: int = 448, patch: int = 14,
                    max_slice: int = 9):
     """LLaVA-UHD slicing (llama.cpp clip.cpp uhd_slice_image): returns
@@ -222,11 +277,10 @@ _SCAFFOLDS = {
     # minicpmv composes its tiled scaffold in build_chunks directly
     "gemma3": "<start_of_image>" + MTMD_MARKER + "<end_of_image>",
     "internvl": "<img>" + MTMD_MARKER + "</img>",
-    # llama4 single-tile form of httpserver.hpp:5846-5900 (tile grids
-    # need the llama4-clip tiler; the overview-only scaffold is valid)
-    "llama4": "<|image_start|><|image|>" + MTMD_MARKER + "<|image_end|>",
-    "smolvlm": "<fake_token_around_image><image>" + MTMD_MARKER
+    # llama4 composes its tiled scaffold in build_chunks directly
+    "smolvlm": "<fake_token_around_image><global-img>" + MTMD_MARKER
                + "<fake_token_around_image>",
+    "pixtral": MTMD_MARKER + "[IMG_END]",
 }
 
 
@@ -321,12 +375,48 @@ def build_chunks(prompt: str, media: list, tokenizer, mp,
             elif getattr(mp, "minicpmv_version", 0) > 0:
                 _minicpmv_chunks(data, tokenizer, mp, chunks, flat)
                 continue
+            elif getattr(mp, "is_llama4", False):
+                _llama4_chunks(data, tokenizer, mp, chunks, flat)
+                continue
             else:
                 emb, h = mp.encode(data)
             dummies = mp.dummy_tokens(h, emb.shape[0])
             chunks.append(("embed", emb, dummies))
             flat.extend(dummies)
     return flat, chunks
+
+
+def _llama4_chunks(data: bytes, tokenizer, mp, chunks: list,
+                   flat: list) -> None:
+    """Compose the llama4 tiled scaffold in place (reference
+    httpserver.hpp:5846-5900):
+      <|image_start|> t <|tile_x_separator|> t ... <|tile_y_separator|>
+      (per row) ... <|image|> overview <|image_end|>"""
+
+    def text(sv):
+        ids = tokenizer.encode(sv, add_special=False, parse_special=True)
+        if ids:
+            chunks.append(("tokens", ids))
+            flat.extend(ids)
+
+    def embed(emb, salt):
+        h2 = fnv1a_64(data + salt)
+        dummies = mp.dummy_tokens(h2, emb.shape[0])
+        chunks.append(("embed", emb, dummies))
+        flat.extend(dummies)
+
+    embs, (gx, gy), _h = mp.encode_tiled_llama4(data)
+    text("<|image_start|>")
+    if gx and gy:
+        for y in range(gy):
+            for x in range(gx):
+                embed(embs[y * gx + x], b"/t%d" % (y * gx + x))
+                if x != gx - 1:
+                    text("<|tile_x_separator|>")
+            text("<|tile_y_separator|>")
+    text("<|image|>")
+    embed(embs[-1], b"/ov")
+    text("<|image_end|>")
 
 
 def _minicpmv_chunks(data: bytes, tokenizer, mp, chunks: list,

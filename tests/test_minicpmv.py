@@ -116,3 +116,55 @@ def test_build_chunks_minicpmv_v2_uses_image_tags(tmp_path):
     # 2.5-style: tiles wrapped in <image></image> inside one <slice> block
     assert all_ids.count(3) == 1 and all_ids.count(4) == 1
     assert all_ids.count(1) > 1
+
+
+def test_llama4_slice_grid():
+    from llama_box_tpu.server.multimodal import llama4_slice
+    img = Image.new("RGB", (1344, 672), (5, 5, 5))
+    tiles, (gx, gy) = llama4_slice(img, tile=336, max_tiles=16)
+    assert gx * gy == len(tiles) and gx > gy
+    assert all(t.size == (336, 336) for t in tiles)
+    # small image: overview only
+    tiles2, grid2 = llama4_slice(Image.new("RGB", (200, 200)), tile=336)
+    assert tiles2 == [] and grid2 == (0, 0)
+
+
+def test_build_chunks_llama4_scaffold(tmp_path):
+    from llama_box_tpu.models.clip import load_clip
+    from tests.fixtures.make_tiny_mmproj import write_tiny_mmproj
+
+    path = str(tmp_path / "mm.gguf")
+    write_tiny_mmproj(path)
+
+    # rewrite projector type to llama4 via metadata override: easiest is
+    # monkeypatching the cfg after load
+    import dataclasses
+    ccfg, cparams = load_clip(path)
+    ccfg = dataclasses.replace(ccfg, projector="llama4")
+    mp = MultimodalProcessor(ccfg, cparams)
+    assert mp.is_llama4
+
+    class _Tok4:
+        add_bos = False
+        bos_id = None
+
+        def encode(self, s, add_special=False, parse_special=True):
+            table = {"<|image_start|>": [11], "<|image_end|>": [12],
+                     "<|tile_x_separator|>": [13],
+                     "<|tile_y_separator|>": [14], "<|image|>": [15]}
+            return table.get(s, [7])
+
+    big = _png((1344, 672), (80, 10, 10))
+    flat, chunks = build_chunks(MTMD_MARKER, [("image", big)], _Tok4(), mp,
+                                add_special=False)
+    all_ids = [i for c in chunks if c[0] == "tokens" for i in c[1]]
+    embeds = [c for c in chunks if c[0] == "embed"]
+    from llama_box_tpu.server.multimodal import llama4_slice
+    import io as _io
+    img = Image.open(_io.BytesIO(big))
+    _, (gx, gy) = llama4_slice(img, tile=mp.cfg.image_size)
+    assert len(embeds) == gx * gy + 1
+    assert all_ids.count(11) == 1 and all_ids.count(12) == 1
+    assert all_ids.count(13) == (gx - 1) * gy
+    assert all_ids.count(14) == gy
+    assert all_ids.count(15) == 1
