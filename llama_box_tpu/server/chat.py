@@ -48,6 +48,7 @@ def _make_env() -> jinja2.Environment:
 
 _ALIAS_MARKERS = [
     ("chatml", ["<|im_start|>"]),
+    ("llama4", ["<|header_start|>", "<|header_end|>"]),
     ("llama3", ["<|start_header_id|>", "<|end_header_id|>"]),
     ("llama2", ["[INST]", "<<SYS>>"]),
     ("mistral", ["[INST]"]),
@@ -88,6 +89,16 @@ def _builtin_llama3(msgs, add_gen):
                    f"{m['content']}<|eot_id|>")
     if add_gen:
         out.append("<|start_header_id|>assistant<|end_header_id|>\n\n")
+    return "".join(out)
+
+
+def _builtin_llama4(msgs, add_gen):
+    out = ["<|begin_of_text|>"]
+    for m in msgs:
+        out.append(f"<|header_start|>{m['role']}<|header_end|>\n\n"
+                   f"{m['content']}<|eot|>")
+    if add_gen:
+        out.append("<|header_start|>assistant<|header_end|>\n\n")
     return "".join(out)
 
 
@@ -136,6 +147,7 @@ def _builtin_phi3(msgs, add_gen):
 _BUILTINS = {
     "chatml": _builtin_chatml,
     "llama3": _builtin_llama3,
+    "llama4": _builtin_llama4,
     "llama2": _builtin_llama2,
     "mistral": _builtin_llama2,
     "gemma": _builtin_gemma,

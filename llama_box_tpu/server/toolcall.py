@@ -34,6 +34,7 @@ _FORMATS = {
     "chatml": (["<tool_call>"], ["</tool_call>"], "wrapped"),
     "qwen": (["<tool_call>"], ["</tool_call>"], "wrapped"),
     "llama3": (['{"name":', '{"name" :', '{ "name"'], [], "bare"),
+    "llama4": (['{"name":', '{"name" :', '{ "name"'], [], "bare"),
     "mistral": (["[TOOL_CALLS]"], [], "array"),
     "deepseek3": (["<｜tool▁calls▁begin｜>", "<｜tool_calls_begin｜>"],
                   ["<｜tool▁calls▁end｜>", "<｜tool_calls_end｜>"], "fenced"),
