@@ -273,14 +273,17 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         k_cache, k_scale = _scatter(k_cache, k_scale, *vals[0])
         v_cache, v_scale = _scatter(v_cache, v_scale, *vals[1])
 
+    # attention compute dtype: bf16 when the cache is bf16/int8 (halves
+    # the materialized cache traffic; MXU still accumulates f32 via
+    # preferred_element_type) — f32 caches (tests, --cache-type f32)
+    # keep exact f32 math
+    adt = (jnp.float32 if k_cache.dtype == jnp.float32 else jnp.bfloat16)
     if k_scale is not None:
-        kf = (k_cache.astype(jnp.float32)
-              * k_scale.astype(jnp.float32)[..., None])
-        vf = (v_cache.astype(jnp.float32)
-              * v_scale.astype(jnp.float32)[..., None])
+        kf = k_cache.astype(adt) * k_scale.astype(adt)[..., None]
+        vf = v_cache.astype(adt) * v_scale.astype(adt)[..., None]
     else:
-        kf = k_cache.astype(jnp.float32)
-        vf = v_cache.astype(jnp.float32)
+        kf = k_cache.astype(adt)
+        vf = v_cache.astype(adt)
 
     G = H // Hkv
     use_flash = (flash_pos0 is not None and B == 1 and T >= 64
@@ -297,8 +300,9 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
             interpret=not _flash_on_tpu())
         attn = o.transpose(2, 0, 1, 3).reshape(1, T, H * D)
     else:
-        qf = q.astype(jnp.float32).reshape(B, T, Hkv, G, D)
-        scores = jnp.einsum("bthgd,bchd->bhgtc", qf, kf) * (D ** -0.5)
+        qf = q.astype(adt).reshape(B, T, Hkv, G, D)
+        scores = jnp.einsum("bthgd,bchd->bhgtc", qf, kf,
+                            preferred_element_type=jnp.float32) * (D ** -0.5)
         if cfg.attn_softcap > 0.0:
             scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
         scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
@@ -306,7 +310,8 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         probs = jnp.exp(scores)
         probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-30)
         Dv = vf.shape[-1]
-        attn = jnp.einsum("bhgtc,bchd->bthgd", probs, vf) \
+        attn = jnp.einsum("bhgtc,bchd->bthgd", probs.astype(adt), vf,
+                          preferred_element_type=jnp.float32) \
             .reshape(B, T, H * Dv)
 
     ao = attn.astype(x.dtype)
