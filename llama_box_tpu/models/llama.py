@@ -166,7 +166,7 @@ def _lora_delta(h, lp, key, lora_scales):
 def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
                 cos, sin, k_scale=None, v_scale=None, flash_pos0=None,
                 lora_scales=None, is_local=jnp.int32(0), mrope_pos=None,
-                contig_pos0=None):
+                contig_pos0=None, deferred_kv=False):
     """x: [B,T,E]; k_cache/v_cache: [B,C,Hkv,D]; mask: [B,T,C] True=attend.
     k_scale/v_scale: [B,C,Hkv] when the cache is int8-quantized.
     flash_pos0: absolute position of x[:, 0] when the chunk is contiguous
@@ -228,6 +228,17 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         f = 1.0 + cfg.attn_temp_scale * jnp.log1p(pf)
         f = jnp.where(is_local > 0, 1.0, f)          # rope layers: off
         q = q * f[:, :, None, None].astype(q.dtype)
+
+    if deferred_kv:
+        # decode/verify: the cache stays READ-ONLY inside the layer scan
+        # (carrying updated caches through scan outputs forces a full
+        # cache copy per layer — profiled at ~600us/step); attention runs
+        # against cache entries strictly before the chunk plus an explicit
+        # in-chunk causal part, and the new rows are returned for ONE
+        # fused scatter after the scan.
+        return _attn_deferred(x, lp, positions, k_cache, v_cache, mask,
+                              cfg, q, k, v, is_local, k_scale, v_scale,
+                              lora_scales)
 
     # write current K/V into the cache. Prefill chunks are contiguous
     # (flash_pos0 = chunk start): dynamic_update_slice is a straight DMA,
@@ -314,28 +325,7 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
                           preferred_element_type=jnp.float32) \
             .reshape(B, T, H * Dv)
 
-    ao = attn.astype(x.dtype)
-    attn_out = (mm(ao, lp["wo"])
-                + _lora_delta(ao, lp, "wo", lora_scales)).astype(x.dtype)
-    if "attn_post_norm" in lp:  # gemma2/3 sandwich norm
-        attn_out = rms_norm(attn_out, lp["attn_post_norm"], cfg.rms_eps)
-    x = x + attn_out
-
-    h = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
-    if "w_gate_inp" in lp:
-        x = x + _moe_ffn(h, lp, cfg).astype(x.dtype)
-    else:
-        gate = mm(h, lp["w_gate"]) + _lora_delta(h, lp, "w_gate", lora_scales)
-        up = mm(h, lp["w_up"]) + _lora_delta(h, lp, "w_up", lora_scales)
-        gate = gate.astype(jnp.float32)
-        gact = (jax.nn.gelu(gate, approximate=True) if cfg.act_fn == "gelu"
-                else jax.nn.silu(gate))
-        act = (gact * up.astype(jnp.float32)).astype(x.dtype)
-        ffn_out = (mm(act, lp["w_down"])
-                   + _lora_delta(act, lp, "w_down", lora_scales)).astype(x.dtype)
-        if "ffn_post_norm" in lp:
-            ffn_out = rms_norm(ffn_out, lp["ffn_post_norm"], cfg.rms_eps)
-        x = x + ffn_out
+    x = _layer_tail(x, lp, cfg, attn, lora_scales)
     return x, k_cache, v_cache, k_scale, v_scale
 
 
@@ -371,6 +361,103 @@ def _mla_qkv(h, lp, cfg: ModelConfig):
         [jnp.broadcast_to(k_pe[:, :, None, :], (B, T, H, rope)), k_nope],
         axis=-1)
     return q, k, v
+
+
+def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales):
+    """Shared post-attention tail: output proj (+post norm) + FFN/MoE."""
+    ao = attn.astype(x.dtype)
+    attn_out = (mm(ao, lp["wo"])
+                + _lora_delta(ao, lp, "wo", lora_scales)).astype(x.dtype)
+    if "attn_post_norm" in lp:  # gemma2/3 sandwich norm
+        attn_out = rms_norm(attn_out, lp["attn_post_norm"], cfg.rms_eps)
+    x = x + attn_out
+
+    h = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
+    if "w_gate_inp" in lp:
+        x = x + _moe_ffn(h, lp, cfg).astype(x.dtype)
+    else:
+        gate = mm(h, lp["w_gate"]) + _lora_delta(h, lp, "w_gate",
+                                                 lora_scales)
+        up = mm(h, lp["w_up"]) + _lora_delta(h, lp, "w_up", lora_scales)
+        gate = gate.astype(jnp.float32)
+        gact = (jax.nn.gelu(gate, approximate=True) if cfg.act_fn == "gelu"
+                else jax.nn.silu(gate))
+        act = (gact * up.astype(jnp.float32)).astype(x.dtype)
+        ffn_out = (mm(act, lp["w_down"])
+                   + _lora_delta(act, lp, "w_down",
+                                 lora_scales)).astype(x.dtype)
+        if "ffn_post_norm" in lp:
+            ffn_out = rms_norm(ffn_out, lp["ffn_post_norm"], cfg.rms_eps)
+        x = x + ffn_out
+    return x
+
+
+def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
+                   is_local, k_scale, v_scale, lora_scales):
+    """Read-only-cache attention for the batched decode/verify step.
+    Returns (x_out, rows) where rows are the new K/V entries (quantized
+    when the cache is int8) for a post-scan scatter."""
+    B, T = positions.shape
+    C = k_cache.shape[1]
+    H = q.shape[2]
+    Hkv = k.shape[2]
+    D = q.shape[-1]
+    G = H // Hkv
+    adt = (jnp.float32 if k_cache.dtype == jnp.float32 else jnp.bfloat16)
+
+    if k_scale is not None:
+        kq_r, ks_r = _kv_quantize(k.astype(jnp.float32))
+        vq_r, vs_r = _kv_quantize(v.astype(jnp.float32))
+        rows = (kq_r, vq_r, ks_r, vs_r)
+        kf = k_cache.astype(adt) * k_scale.astype(adt)[..., None]
+        vf = v_cache.astype(adt) * v_scale.astype(adt)[..., None]
+    else:
+        rows = (k.astype(k_cache.dtype), v.astype(v_cache.dtype))
+        kf = k_cache.astype(adt)
+        vf = v_cache.astype(adt)
+
+    # cache part: entries strictly before this chunk
+    kpos = jnp.arange(C)[None, None, :]
+    mask_c = mask & (kpos < positions[:, :1, None])
+    qf = q.astype(adt).reshape(B, T, Hkv, G, D)
+    sc = jnp.einsum("bthgd,bchd->bhgtc", qf, kf,
+                    preferred_element_type=jnp.float32) * (D ** -0.5)
+    # in-chunk part: pairwise causal over the current rows
+    ss = jnp.einsum("bthgd,bshd->bhgts", qf, k.astype(adt),
+                    preferred_element_type=jnp.float32) * (D ** -0.5)
+    qp = positions
+    inm = (qp[:, :, None] >= qp[:, None, :]) & (qp[:, None, :] < C)
+    if cfg.swa_window > 0:
+        local_ok = inm & (qp[:, None, :] > qp[:, :, None] - cfg.swa_window)
+        if cfg.swa_pattern > 0:
+            inm = jnp.where(is_local > 0, local_ok, inm)
+        else:
+            inm = local_ok
+    if cfg.chunked_window > 0:
+        same = (qp[:, None, :] // cfg.chunked_window
+                == qp[:, :, None] // cfg.chunked_window)
+        inm = jnp.where(is_local > 0, inm & same, inm)
+
+    if cfg.attn_softcap > 0.0:
+        sc = cfg.attn_softcap * jnp.tanh(sc / cfg.attn_softcap)
+        ss = cfg.attn_softcap * jnp.tanh(ss / cfg.attn_softcap)
+    sc = jnp.where(mask_c[:, None, None, :, :], sc, NEG_INF)
+    ss = jnp.where(inm[:, None, None, :, :], ss, NEG_INF)
+    z = jnp.concatenate([sc, ss], axis=-1)
+    z = z - z.max(axis=-1, keepdims=True)
+    p = jnp.exp(z)
+    p = p / (p.sum(axis=-1, keepdims=True) + 1e-30)
+    pc, ps = p[..., :C], p[..., C:]
+    Dv = vf.shape[-1]
+    attn = (jnp.einsum("bhgtc,bchd->bthgd", pc.astype(adt), vf,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bhgts,bshd->bthgd", ps.astype(adt),
+                         v.astype(adt),
+                         preferred_element_type=jnp.float32)
+            ).reshape(B, T, H * Dv)
+
+    x = _layer_tail(x, lp, cfg, attn, lora_scales)
+    return x, rows
 
 
 def _moe_ffn(h, lp, cfg: ModelConfig):
@@ -446,7 +533,7 @@ def _flash_ok() -> bool:
 
 def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                cos, sin, kv_ks=None, kv_vs=None, flash_pos0=None,
-               mrope_pos=None, contig_pos0=None):
+               mrope_pos=None, contig_pos0=None, deferred_kv=False):
     """Scan the layer stack; returns (hidden, k_new, v_new, ks_new, vs_new)."""
     quant = kv_ks is not None
     lora_scales = params.get("lora_scales")
@@ -461,6 +548,14 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
         else:
             lp, k_c, v_c, loc = layer
             ks = vs = None
+        if deferred_kv:
+            x, rows = _attn_layer(x, lp, positions, k_c, v_c, mask,
+                                  cfg, cos, sin, ks, vs,
+                                  lora_scales=lora_scales, is_local=loc,
+                                  mrope_pos=mrope_pos, deferred_kv=True)
+            if cvec is not None:
+                x = x + cv.astype(x.dtype)
+            return x, rows
         x, k_c, v_c, ks, vs = _attn_layer(x, lp, positions, k_c, v_c, mask,
                                           cfg, cos, sin, ks, vs,
                                           flash_pos0=flash_pos0,
@@ -473,10 +568,46 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
             x = x + cv.astype(x.dtype)
         return x, ((k_c, v_c, ks, vs) if quant else (k_c, v_c))
 
+    def scatter_rows(rows):
+        """One fused write of every layer's new K/V rows into the cache
+        (rows pytree leaves are [L, B, T, ...]; position >= C drops)."""
+        L = kv_k.shape[0]
+        B, T = positions.shape
+        li = jnp.arange(L)[:, None, None]
+        bi = jnp.arange(B)[None, :, None]
+        pi = jnp.broadcast_to(positions[None], (L, B, T))
+        if quant:
+            kq, vq, ksr, vsr = rows
+            return (kv_k.at[li, bi, pi].set(kq, mode="drop"),
+                    kv_v.at[li, bi, pi].set(vq, mode="drop"),
+                    kv_ks.at[li, bi, pi].set(ksr, mode="drop"),
+                    kv_vs.at[li, bi, pi].set(vsr, mode="drop"))
+        kr, vr = rows
+        return (kv_k.at[li, bi, pi].set(kr, mode="drop"),
+                kv_v.at[li, bi, pi].set(vr, mode="drop"), None, None)
+
     def with_cv(xs, sl=None):
         if cvec is None:
             return xs
         return (*xs, cvec if sl is None else cvec[sl])
+
+    if "layer_groups" in params and deferred_kv:
+        off = 0
+        parts = []
+        for gp in params["layer_groups"]:
+            n = next(iter(gp.values())).shape[0] if not hasattr(
+                next(iter(gp.values())), "qs") else \
+                next(iter(gp.values())).qs.shape[0]
+            sl = slice(off, off + n)
+            xs = ((gp, kv_k[sl], kv_v[sl], kv_ks[sl], kv_vs[sl],
+                   is_local[sl]) if quant
+                  else (gp, kv_k[sl], kv_v[sl], is_local[sl]))
+            x, rows = jax.lax.scan(body, x, with_cv(xs, sl))
+            parts.append(rows)
+            off += n
+        rows = jax.tree.map(lambda *rs: jnp.concatenate(rs, 0), *parts)
+        k_new, v_new, ks_new, vs_new = scatter_rows(rows)
+        return x, k_new, v_new, ks_new, vs_new
 
     if "layer_groups" in params:
         # heterogeneous layers (deepseek2 dense+MoE): scan per group over
@@ -507,6 +638,12 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                     jnp.concatenate(vs_parts, 0))
         return x, k_new, v_new, None, None
 
+    if deferred_kv:
+        xs = ((params["layers"], kv_k, kv_v, kv_ks, kv_vs, is_local)
+              if quant else (params["layers"], kv_k, kv_v, is_local))
+        x, rows = jax.lax.scan(body, x, with_cv(xs))
+        k_new, v_new, ks_new, vs_new = scatter_rows(rows)
+        return x, k_new, v_new, ks_new, vs_new
     if quant:
         x, (k_new, v_new, ks_new, vs_new) = jax.lax.scan(
             body, x, with_cv((params["layers"], kv_k, kv_v, kv_ks, kv_vs,
@@ -580,7 +717,7 @@ def forward_impl(params, cfg: ModelConfig, tokens, positions, kv: KVCache,
     mask = _build_mask(cfg, positions, seq_lens, T, C)
     x, k_new, v_new, ks, vs = _run_stack(
         params, cfg, x, positions, kv.k, kv.v, mask, rope_cos, rope_sin,
-        kv.k_scale, kv.v_scale, mrope_pos=mrope_pos)
+        kv.k_scale, kv.v_scale, mrope_pos=mrope_pos, deferred_kv=True)
     return _output_logits(params, cfg, x), KVCache(k=k_new, v=v_new,
                                                    k_scale=ks, v_scale=vs)
 
