@@ -837,7 +837,7 @@ def prefill_batch_impl(params, cfg: ModelConfig, tokens, pos_base, n_valid,
     mask = _build_mask(cfg, positions, n_valid, T, C)
     x, k_new, v_new, ks, vs = _run_stack(
         params, cfg, x, positions, kv.k, kv.v, mask, rope_cos, rope_sin,
-        kv.k_scale, kv.v_scale)
+        kv.k_scale, kv.v_scale, deferred_kv=True)
     last = jnp.maximum(n_valid - 1, 0)
     x_last = jnp.take_along_axis(
         x, last[:, None, None].astype(jnp.int32).repeat(x.shape[-1], 2),
