@@ -147,49 +147,42 @@ def main():
 
     from functools import partial
 
-    K_CHAIN = 8   # decode steps chained per dispatch: amortizes the
-                   # host->device dispatch floor (~0.5ms via the tunnel)
-                   # so the measurement reflects device rate, like the
-                   # engine's continuous-batching loop under load
-
-    @partial(jax.jit, donate_argnums=(2, 4))
-    def step_k(params, tokens, kv, pos0, sstate, arrs, active, cos, sin):
-        seq_lens = active.astype(jnp.int32)
-
-        def body(carry, i):
-            tokens, kv, sstate = carry
-            positions = jnp.full((S, 1), pos0 + i, jnp.int32)
-            logits, kv = forward_impl(params, cfg, tokens, positions, kv,
-                                      seq_lens, cos, sin)
-            tok, ids, probs, sstate = sample_impl(logits[:, -1, :], sstate,
-                                                  arrs, active)
-            return (tok[:, None], kv, sstate), None
-
-        (tokens, kv, sstate), _ = jax.lax.scan(
-            body, (tokens, kv, sstate), jnp.arange(K_CHAIN, dtype=jnp.int32))
-        return tokens, kv, sstate
+    # Two-dispatch decode step matching the engine: forward/verify/sample
+    # (cache read-only) then the in-place row scatter. Dispatches pipeline
+    # through the tunnel, so sequential steps measure device rate as long
+    # as the FINAL sync is a host transfer (block_until_ready is an async
+    # no-op through the tunnel).
+    from llama_box_tpu.models.llama import apply_rows
+    from llama_box_tpu.server.engine import _decode_verify_rows
 
     def run(params):
         kv = init_kv_cache(cfg, S, C, dtype)
         sstate = init_sampler_state(S, V)
         active = jnp.ones((S,), bool)
+        n_draft = jnp.zeros((S,), jnp.int32)
         tokens = jnp.asarray(rng.integers(0, V, (S, 1)), jnp.int32)
         pos = C // 2  # half-full KV, representative decode state
-        n_disp = max(iters // K_CHAIN, 4)
-        for i in range(max(warmup // K_CHAIN, 2)):
-            tokens, kv, sstate = step_k(params, tokens, kv,
-                                        jnp.int32(pos + i * K_CHAIN),
-                                        sstate, arrs, active, cos, sin)
-        np.asarray(tokens)   # REAL sync: block_until_ready is an async
-        t0 = time.perf_counter()   # no-op through the axon tunnel
-        for i in range(n_disp):
-            tokens, kv, sstate = step_k(params, tokens, kv,
-                                        jnp.int32(pos + (2 + i) * K_CHAIN),
-                                        sstate, arrs, active, cos, sin)
+
+        def step(tokens, kv, sstate, p):
+            positions = jnp.full((S, 1), p, jnp.int32)
+            toks, n_em, ids, probs, lg0, rows, sstate = \
+                _decode_verify_rows(params, cfg, tokens, positions,
+                                    n_draft, kv, active, active, sstate,
+                                    arrs, cos, sin)
+            kv = apply_rows(kv, rows, positions)
+            return toks[:, :1], kv, sstate
+
+        for i in range(warmup):
+            tokens, kv, sstate = step(tokens, kv, sstate, pos + i)
+        np.asarray(tokens)
+        t0 = time.perf_counter()
+        for i in range(iters):
+            tokens, kv, sstate = step(tokens, kv, sstate,
+                                      pos + warmup + i)
         np.asarray(tokens)
         dt = time.perf_counter() - t0
         kv_bytes = kv.k.size * kv.k.dtype.itemsize * 2
-        return S * n_disp * K_CHAIN / dt, kv_bytes
+        return S * iters / dt, kv_bytes
 
     tok_s_bf16, kv_bytes = run(dense_params)
 

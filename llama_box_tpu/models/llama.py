@@ -533,7 +533,8 @@ def _flash_ok() -> bool:
 
 def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                cos, sin, kv_ks=None, kv_vs=None, flash_pos0=None,
-               mrope_pos=None, contig_pos0=None, deferred_kv=False):
+               mrope_pos=None, contig_pos0=None, deferred_kv=False,
+               emit_rows=False):
     """Scan the layer stack; returns (hidden, k_new, v_new, ks_new, vs_new)."""
     quant = kv_ks is not None
     lora_scales = params.get("lora_scales")
@@ -606,6 +607,8 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
             parts.append(rows)
             off += n
         rows = jax.tree.map(lambda *rs: jnp.concatenate(rs, 0), *parts)
+        if emit_rows:
+            return x, rows
         k_new, v_new, ks_new, vs_new = scatter_rows(rows)
         return x, k_new, v_new, ks_new, vs_new
 
@@ -642,6 +645,8 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
         xs = ((params["layers"], kv_k, kv_v, kv_ks, kv_vs, is_local)
               if quant else (params["layers"], kv_k, kv_v, is_local))
         x, rows = jax.lax.scan(body, x, with_cv(xs))
+        if emit_rows:
+            return x, rows
         k_new, v_new, ks_new, vs_new = scatter_rows(rows)
         return x, k_new, v_new, ks_new, vs_new
     if quant:
@@ -724,6 +729,51 @@ def forward_impl(params, cfg: ModelConfig, tokens, positions, kv: KVCache,
 
 forward = partial(jax.jit, static_argnames=("cfg",),
                   donate_argnames=("kv",))(forward_impl)
+
+
+def forward_rows_impl(params, cfg: ModelConfig, tokens, positions,
+                      kv: KVCache, seq_lens, rope_cos, rope_sin,
+                      mrope_pos=None):
+    """Decode forward WITHOUT cache writes: returns (logits, rows).
+    Pairs with apply_rows — splitting the step into two dispatches lets
+    the scatter run on a donated buffer whose ONLY use is the scatter,
+    which XLA updates in place (the fused single-program scatter copies
+    the whole cache because the layer scan also reads it)."""
+    B, T = tokens.shape
+    C = kv.capacity
+    x = _embed_tokens(params, cfg, tokens)
+    mask = _build_mask(cfg, positions, seq_lens, T, C)
+    x, rows = _run_stack(
+        params, cfg, x, positions, kv.k, kv.v, mask, rope_cos, rope_sin,
+        kv.k_scale, kv.v_scale, mrope_pos=mrope_pos, deferred_kv=True,
+        emit_rows=True)
+    return _output_logits(params, cfg, x), rows
+
+
+forward_rows = partial(jax.jit, static_argnames=("cfg",))(forward_rows_impl)
+
+
+def apply_rows_impl(kv: KVCache, rows, positions) -> KVCache:
+    """Scatter per-layer K/V rows (from forward_rows) into the cache.
+    kv is donated and only used by the scatters -> in-place update."""
+    L = kv.k.shape[0]
+    B, T = positions.shape
+    li = jnp.arange(L)[:, None, None]
+    bi = jnp.arange(B)[None, :, None]
+    pi = jnp.broadcast_to(positions[None], (L, B, T))
+    if kv.quantized:
+        kq, vq, ksr, vsr = rows
+        return KVCache(
+            k=kv.k.at[li, bi, pi].set(kq, mode="drop"),
+            v=kv.v.at[li, bi, pi].set(vq, mode="drop"),
+            k_scale=kv.k_scale.at[li, bi, pi].set(ksr, mode="drop"),
+            v_scale=kv.v_scale.at[li, bi, pi].set(vsr, mode="drop"))
+    kr, vr = rows
+    return KVCache(k=kv.k.at[li, bi, pi].set(kr, mode="drop"),
+                   v=kv.v.at[li, bi, pi].set(vr, mode="drop"))
+
+
+apply_rows = partial(jax.jit, donate_argnames=("kv",))(apply_rows_impl)
 
 
 def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,

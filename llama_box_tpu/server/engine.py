@@ -32,8 +32,9 @@ import numpy as np
 
 from ..models.config import ModelConfig
 from ..models.llama import (
-    KVCache, forward_embeddings, forward_impl, init_kv_cache, make_delta_rope,
-    make_rope, prefill, prefill_batch, prefill_embed, shift_kv,
+    KVCache, apply_rows, forward_embeddings, forward_impl,
+    forward_rows_impl, init_kv_cache, make_delta_rope, make_rope, prefill,
+    prefill_batch, prefill_embed, shift_kv,
 )
 from ..sampling import (
     RING_CAP, SamplerParams, init_sampler_state, make_sampler_arrays,
@@ -48,28 +49,45 @@ from .task import (BaseTask, CompletionsTask, EmbeddingsTask, ImagesTask,
 DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
-@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv", "sstate"))
-def _decode_verify_sample(params, cfg: ModelConfig, tokens, positions,
-                          n_draft, kv, fwd_active, samp_active, sstate, arrs,
-                          cos, sin, mrope_delta=None):
-    """Fused decode-forward + speculative verify + sampling over the full
-    slot batch. T=1 is plain decode (one token per slot); T=K+1 verifies K
-    drafted tokens and emits up to K+1. Only ids/probs leave the device.
+@partial(jax.jit, static_argnames=("cfg",), donate_argnames=("sstate",))
+def _decode_verify_rows(params, cfg: ModelConfig, tokens, positions,
+                        n_draft, kv, fwd_active, samp_active, sstate, arrs,
+                        cos, sin, mrope_delta=None):
+    """Decode-forward + speculative verify + sampling over the full slot
+    batch, WITHOUT cache writes: returns the new K/V rows for a separate
+    apply_rows dispatch (whose donated cache is used only by the scatter,
+    so it updates in place — the fused variant copied the whole cache).
+    T=1 is plain decode; T=K+1 verifies K drafted tokens.
 
     fwd_active covers every decoding slot; samp_active excludes
-    grammar-constrained slots, which are sampled host-side from the returned
-    first-position logits (their device sampler state must not advance)."""
+    grammar-constrained slots, which are sampled host-side from the
+    returned first-position logits (their device sampler state must not
+    advance)."""
     seq_lens = jnp.where(fwd_active, n_draft + 1, 0)
     mrope_pos = None
     if cfg.mrope_sections and mrope_delta is not None:
         mrope_pos = jnp.broadcast_to(
             (positions + mrope_delta[:, None])[None],
             (3,) + positions.shape)
-    logits, kv = forward_impl(params, cfg, tokens, positions, kv, seq_lens,
-                              cos, sin, mrope_pos=mrope_pos)
+    logits, rows = forward_rows_impl(params, cfg, tokens, positions, kv,
+                                     seq_lens, cos, sin,
+                                     mrope_pos=mrope_pos)
     toks, n_emitted, ids, probs, sstate = verify_impl(
         logits, tokens, n_draft, sstate, arrs, samp_active)
-    return toks, n_emitted, ids, probs, logits[:, 0], kv, sstate
+    return toks, n_emitted, ids, probs, logits[:, 0], rows, sstate
+
+
+def _decode_verify_sample(params, cfg, tokens, positions, n_draft, kv,
+                          fwd_active, samp_active, sstate, arrs, cos, sin,
+                          mrope_delta=None):
+    """Two-dispatch decode step: forward/verify/sample, then the in-place
+    row scatter (see _decode_verify_rows)."""
+    toks, n_emitted, ids, probs, logits0, rows, sstate = \
+        _decode_verify_rows(params, cfg, tokens, positions, n_draft, kv,
+                            fwd_active, samp_active, sstate, arrs, cos,
+                            sin, mrope_delta)
+    kv = apply_rows(kv, rows, positions)
+    return toks, n_emitted, ids, probs, logits0, kv, sstate
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
