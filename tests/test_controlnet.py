@@ -136,3 +136,72 @@ def test_canny_edges():
     # the edge column lights up, flat regions stay dark
     assert out[10, 15:17].max() == 1.0
     assert out[:, 3].max() == 0.0 and out[:, 28].max() == 0.0
+
+
+def test_http_images_edit_with_control(cn_setup):
+    """Multipart /v1/images/edits with a control image drives the
+    ControlNet-guided pipeline end to end."""
+    import asyncio
+    import base64
+    import io as _io
+    import socket
+    import threading
+
+    import requests
+    from PIL import Image
+
+    from llama_box_tpu.models.config import ModelConfig
+    from llama_box_tpu.server.engine import Engine, EngineConfig
+    from llama_box_tpu.server.http import HTTPServer, run_app
+
+    sd, cn = cn_setup
+    pl = build_sd_pipeline(sd, tokenizer=HashTokenizer(),
+                           control_net_path=cn)
+    eng = Engine(ModelConfig(), None, None,
+                 EngineConfig(n_slots=1, n_ctx=16), images_pipeline=pl)
+    eng.start()
+    server = HTTPServer(eng, model_name="sd-cn",
+                        capabilities={"image": True, "completion": False,
+                                      "embedding": False},
+                        image_defaults={"control_canny": True})
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def go():
+            await run_app(server, "127.0.0.1", port)
+            started.set()
+
+        loop.run_until_complete(go())
+        loop.run_forever()
+
+    threading.Thread(target=run, daemon=True).start()
+    assert started.wait(30)
+
+    def png_bytes(color):
+        img = Image.new("RGB", (64, 64), color)
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        buf.seek(0)
+        return buf
+
+    try:
+        r = requests.post(
+            f"http://127.0.0.1:{port}/v1/images/edits",
+            data={"prompt": "a house", "size": "64x64",
+                  "sample_steps": "2", "seed": "3"},
+            files={"image": ("i.png", png_bytes((40, 80, 120)), "image/png"),
+                   "control": ("c.png", png_bytes((0, 0, 0)), "image/png")},
+            timeout=300)
+        assert r.status_code == 200, r.text
+        png = base64.b64decode(r.json()["data"][0]["b64_json"])
+        assert Image.open(_io.BytesIO(png)).size == (64, 64)
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
+        eng.stop()
