@@ -136,17 +136,33 @@ def _layer_is_local(cfg: ModelConfig) -> jnp.ndarray:
 def make_delta_rope(cfg: ModelConfig, max_pos: int):
     """Pure-rotation cache for KV shifting: same interpolated frequencies but
     WITHOUT the YaRN mscale amplitude (a shift by -d must be a pure rotation;
-    the stored keys already carry mscale once)."""
+    the stored keys already carry mscale once). Stacked [2, P, half] like
+    make_rope when layers use different rotations (gemma3 dual bases,
+    llama4 nope layers) — pass _layer_is_local(cfg) as shift_kv's
+    layer_select to pick per layer."""
+    def pure(rp):
+        cos, sin = compute_rope_cache(
+            RopeParams(**{**rp.__dict__, "yarn_attn_factor": 1.0}), max_pos)
+        if rp.scaling_type == "yarn" and rp.freq_scale != 1.0:
+            # compute_rope_cache folds mscale into cos/sin; with
+            # attn_factor=1 the residual is 1 + 0.1*log(1/freq_scale)
+            import math
+            mscale = 1.0 + 0.1 * math.log(1.0 / rp.freq_scale)
+            cos = cos / mscale
+            sin = sin / mscale
+        return cos, sin
+
     rp = _rope_params(cfg)
-    cos, sin = compute_rope_cache(
-        RopeParams(**{**rp.__dict__, "yarn_attn_factor": 1.0}), max_pos)
-    if rp.scaling_type == "yarn" and rp.freq_scale != 1.0:
-        # compute_rope_cache folds mscale into cos/sin; with attn_factor=1 the
-        # residual mscale is 1 + 0.1*log(1/freq_scale) — divide it back out
-        import math
-        mscale = 1.0 + 0.1 * math.log(1.0 / rp.freq_scale)
-        cos = cos / mscale
-        sin = sin / mscale
+    cos, sin = pure(rp)
+    if cfg.nope_layer_step > 0:
+        # llama4: nope layers (layer_select 0) must not rotate on shift
+        return (jnp.stack([jnp.ones_like(cos), cos]),
+                jnp.stack([jnp.zeros_like(sin), sin]))
+    if cfg.swa_pattern > 0 and cfg.rope_freq_base_swa > 0:
+        import dataclasses as _dc
+        cos_l, sin_l = pure(_dc.replace(rp,
+                                        freq_base=cfg.rope_freq_base_swa))
+        return jnp.stack([cos, cos_l]), jnp.stack([sin, sin_l])
     return cos, sin
 
 
@@ -901,11 +917,13 @@ prefill_batch = partial(jax.jit, static_argnames=("cfg",),
 
 
 def shift_kv_impl(kv: KVCache, slot, n_keep, n_discard, delta_cos, delta_sin,
-                  rope_mode: str):
+                  rope_mode: str, layer_select=None):
     """Context shift one slot: entries [n_keep+n_discard, C) move down by
     n_discard and their keys are rotated by -n_discard positions (RoPE is
     additive in position at fixed frequency). Mirrors llama_memory_seq_rm +
-    seq_add (httpserver.hpp:3453-3537)."""
+    seq_add (httpserver.hpp:3453-3537). layer_select ([L] int32, with
+    stacked delta caches): per-layer rotation pick — gemma3 local layers
+    rotate at their own base, llama4 nope layers stay unrotated."""
     C = kv.capacity
     idx = jnp.arange(C, dtype=jnp.int32)
     src = jnp.where(idx < n_keep, idx, jnp.minimum(idx + n_discard, C - 1))
@@ -928,7 +946,14 @@ def shift_kv_impl(kv: KVCache, slot, n_keep, n_discard, delta_cos, delta_sin,
 
     # inverse rotation by n_discard: cos(dθ), -sin(dθ)
     d = jnp.full((C,), n_discard, jnp.int32)
-    k_rot = apply_rope(k_f, d, delta_cos, -delta_sin, rope_mode)
+    if layer_select is not None and delta_cos.ndim == 3:
+        cl = jnp.take(delta_cos, layer_select, axis=0)    # [L, P, half]
+        sl2 = jnp.take(delta_sin, layer_select, axis=0)
+        k_rot = jax.vmap(
+            lambda kf_l, c, s0: apply_rope(kf_l, d, c, -s0, rope_mode)
+        )(k_f, cl, sl2)
+    else:
+        k_rot = apply_rope(k_f, d, delta_cos, -delta_sin, rope_mode)
 
     if kv.quantized:
         k_rot_f = jnp.where(moved[None, :, None, None], k_rot, k_f)

@@ -142,7 +142,9 @@ def engine_ops(engine) -> dict[str, Callable]:
         engine.kv = shift_kv(engine.kv, jnp.int32(s["slot"]),
                              jnp.int32(s["keep"]), jnp.int32(s["discard"]),
                              engine.delta_cos, engine.delta_sin,
-                             engine.cfg.rope_mode)
+                             engine.cfg.rope_mode,
+                             layer_select=getattr(engine, "delta_select",
+                                                  None))
 
     def op_reset_slot(a, s):
         engine.sstate = reset_slot(engine.sstate, jnp.int32(s["slot"]),

@@ -176,6 +176,9 @@ class Engine:
             self.rope_cos, self.rope_sin = make_rope(cfg, self.slot_ctx)
             self.delta_cos, self.delta_sin = make_delta_rope(cfg,
                                                              self.slot_ctx)
+            from ..models.llama import _layer_is_local
+            self.delta_select = (_layer_is_local(cfg)
+                                 if self.delta_cos.ndim == 3 else None)
             self.sstate = init_sampler_state(S, cfg.vocab_size)
         else:
             # image-only server (the reference's sd-model dispatch,
@@ -836,7 +839,8 @@ class Engine:
                                                  "discard": n_discard})
         self.kv = shift_kv(self.kv, jnp.int32(s.idx), jnp.int32(n_keep),
                            jnp.int32(n_discard), self.delta_cos,
-                           self.delta_sin, self.cfg.rope_mode)
+                           self.delta_sin, self.cfg.rope_mode,
+                           layer_select=self.delta_select)
         del s.cache_tokens[n_keep:n_keep + n_discard]
         s.pos -= n_discard
         s.drafts = []

@@ -161,3 +161,54 @@ def test_bidir_span_prefill_embed(gemma):
     # and both modes respond to the perturbation (sanity)
     assert not np.allclose(log_a, log_b)
     assert not np.allclose(log_c, log_d)
+
+
+def test_gemma3_shift_uses_local_base():
+    """Context shift re-rotates each layer's keys at that layer's OWN rope
+    base (gemma3 local layers use rope_freq_base_swa): storing keys
+    rotated at position p and shifting by d must equal rotating the raw
+    keys at position p - d, per layer."""
+    import dataclasses
+
+    from llama_box_tpu.models.config import ModelConfig
+    from llama_box_tpu.models.llama import (
+        KVCache, _layer_is_local, make_delta_rope, make_rope, shift_kv,
+    )
+    from llama_box_tpu.ops.rope import apply_rope
+
+    cfg = ModelConfig(arch="gemma3", n_layers=2, n_embd=E, n_heads=HEADS,
+                      n_kv_heads=KV_HEADS, head_dim=HEAD_DIM, n_ff=FF,
+                      vocab_size=VOCAB, rope_dim=HEAD_DIM,
+                      rope_freq_base=1e6, rope_freq_base_swa=1e4,
+                      rope_mode="neox", swa_window=16, swa_pattern=2)
+    C, d = 32, 3
+    rng = np.random.default_rng(0)
+    cos, sin = make_rope(cfg, C)
+    assert cos.ndim == 3
+    sel = np.asarray(_layer_is_local(cfg))
+    assert sel.tolist() == [1, 0]   # layer0 local, layer1 global
+
+    raw = rng.standard_normal((2, C, KV_HEADS, HEAD_DIM)).astype(np.float32)
+    pos = jnp.arange(C, dtype=jnp.int32)
+    stored = jnp.stack([
+        apply_rope(jnp.asarray(raw[l]), pos, cos[sel[l]], sin[sel[l]],
+                   cfg.rope_mode)
+        for l in range(2)])
+    kv = KVCache(k=stored[:, None], v=jnp.zeros_like(stored)[:, None])
+
+    dc, ds = make_delta_rope(cfg, C)
+    assert dc.ndim == 3
+    kv2 = shift_kv(kv, jnp.int32(0), jnp.int32(0), jnp.int32(d), dc, ds,
+                   cfg.rope_mode, layer_select=jnp.asarray(sel))
+
+    # moved entry i now holds what was at i+d, re-rotated to position i
+    for l in range(2):
+        want = np.asarray(apply_rope(
+            jnp.asarray(raw[l]), pos, cos[sel[l]], sin[sel[l]],
+            cfg.rope_mode))[d:C]
+        # target rotation: positions shifted down by d
+        want = np.asarray(apply_rope(
+            jnp.asarray(raw[l][d:C]), pos[: C - d], cos[sel[l]],
+            sin[sel[l]], cfg.rope_mode))
+        got = np.asarray(kv2.k[l, 0, : C - d])
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
