@@ -165,7 +165,7 @@ def main():
 
         def step(tokens, kv, sstate, p):
             positions = jnp.full((S, 1), p, jnp.int32)
-            toks, n_em, ids, probs, lg0, rows, sstate = \
+            toks, n_em, ids, probs, tokps, lg0, rows, sstate = \
                 _decode_verify_rows(params, cfg, tokens, positions,
                                     n_draft, kv, active, active, sstate,
                                     arrs, cos, sin)

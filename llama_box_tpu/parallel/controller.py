@@ -136,7 +136,7 @@ def engine_ops(engine) -> dict[str, Callable]:
             jnp.asarray(a["positions"]), jnp.asarray(a["n_draft"]),
             engine.kv, jnp.asarray(a["active"]), jnp.asarray(a["samp_active"]),
             engine.sstate, engine.arrs, engine.rope_cos, engine.rope_sin)
-        engine.kv, engine.sstate = out[5], out[6]
+        engine.kv, engine.sstate = out[6], out[7]
 
     def op_shift(a, s):
         engine.kv = shift_kv(engine.kv, jnp.int32(s["slot"]),
@@ -157,7 +157,7 @@ def engine_ops(engine) -> dict[str, Callable]:
 
     def op_sample_one(a, s):
         from ..sampling import make_sampler_arrays
-        _, _, _, engine.sstate = sample_one(
+        _, _, _, _, engine.sstate = sample_one(
             jnp.asarray(a["logits"]), jnp.int32(s["slot"]), engine.sstate,
             engine.arrs)
 

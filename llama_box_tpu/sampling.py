@@ -339,7 +339,8 @@ def sample_impl(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
 
     active: [B] bool — slots actually decoding (state only advances there).
     Returns (tokens [B] i32, top_ids [B, N_PROBS] i32, top_probs [B, N_PROBS]
-    f32 — post-filter distribution for logprobs rendering, new state).
+    f32 — post-filter distribution for logprobs rendering, tok_prob [B] f32 —
+    the sampled token's own reported probability, new state).
     """
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
@@ -387,6 +388,7 @@ def sample_impl(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
                        jax.nn.softmax(cvals, axis=-1), probs)
     top_probs = report[:, :N_PROBS]
     top_ids = cidx[:, :N_PROBS]
+    tok_prob = jnp.take_along_axis(report, pick[:, None], -1)[:, 0]
 
     # advance penalty window + step on active slots
     def upd(c, r, l, tok, last_n, act):
@@ -402,7 +404,7 @@ def sample_impl(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
         step=state.step + active.astype(jnp.int32),
         keys=state.keys,
     )
-    return tokens, top_ids, top_probs, new_state
+    return tokens, top_ids, top_probs, tok_prob, new_state
 
 
 sample = partial(jax.jit, donate_argnames=("state",))(sample_impl)
@@ -420,24 +422,26 @@ def verify_impl(logits: jnp.ndarray, draft: jnp.ndarray, n_draft: jnp.ndarray,
             token; draft[:, 1:] are drafted continuations)
     n_draft: [B] number of drafted tokens per row (0 => plain decode)
     Returns (tokens [B, T], n_emitted [B], top_ids [B, T, N_PROBS],
-             top_probs [B, T, N_PROBS], new state). Row b emits
-    tokens[b, :n_emitted[b]]; n_emitted = accepted + 1.
+             top_probs [B, T, N_PROBS], tok_probs [B, T], new state). Row b
+    emits tokens[b, :n_emitted[b]]; n_emitted = accepted + 1.
     """
     B, T, V = logits.shape
 
     def body(carry, j):
         state, alive = carry
         act_j = active & alive & (j <= n_draft)
-        tok, ids, probs, state = sample_impl(logits[:, j], state, arrs, act_j)
+        tok, ids, probs, tokp, state = sample_impl(
+            logits[:, j], state, arrs, act_j)
         nxt = draft[:, jnp.minimum(j + 1, T - 1)]
         match = act_j & (j + 1 <= n_draft) & (tok == nxt)
-        return (state, alive & match), (tok, ids, probs)
+        return (state, alive & match), (tok, ids, probs, tokp)
 
-    (state, _), (toks, ids, probs) = jax.lax.scan(
+    (state, _), (toks, ids, probs, tokps) = jax.lax.scan(
         body, (state, jnp.ones_like(active)), jnp.arange(T))
     toks = toks.T                      # [B, T]
     ids = jnp.moveaxis(ids, 0, 1)      # [B, T, N_PROBS]
     probs = jnp.moveaxis(probs, 0, 1)
+    tokps = tokps.T                    # [B, T]
     # position j emitted iff every earlier position matched its draft; the
     # cumulative product is monotone, so later accidental equalities of
     # dead-position samples cannot resurrect a row
@@ -448,7 +452,7 @@ def verify_impl(logits: jnp.ndarray, draft: jnp.ndarray, n_draft: jnp.ndarray,
     alive = jnp.cumprod(match.astype(jnp.int32), axis=1)
     n_emitted = jnp.where(active, alive.sum(axis=1), 0)
     n_emitted = jnp.minimum(n_emitted, n_draft + 1)
-    return toks, n_emitted, ids, probs, state
+    return toks, n_emitted, ids, probs, tokps, state
 
 
 verify = partial(jax.jit, donate_argnames=("state",))(verify_impl)
@@ -554,8 +558,9 @@ class HostSampler:
     # -- the chain -----------------------------------------------------------
 
     def sample(self, logits: np.ndarray
-               ) -> tuple[int, np.ndarray, np.ndarray]:
-        """Returns (token, top_ids [N_PROBS], top_probs [N_PROBS])."""
+               ) -> tuple[int, np.ndarray, np.ndarray, float]:
+        """Returns (token, top_ids [N_PROBS], top_probs [N_PROBS],
+        tok_prob — the sampled token's own candidate-softmax probability)."""
         sp = self.sp
         logits = logits.astype(np.float64).copy()
         for tid, v in sp.logit_bias.items():
@@ -602,7 +607,16 @@ class HostSampler:
         z = cvals - cvals.max()
         p = np.exp(z)
         p /= p.sum()
-        return int(token), cand[:N_PROBS].astype(np.int64), p[:N_PROBS]
+        # sampled token's own probability in the same (candidate-softmax)
+        # view; grammar fallback may land outside the candidate set
+        hit = np.nonzero(cand == token)[0]
+        if hit.size:
+            tok_prob = float(p[hit[0]])
+        else:
+            tok_prob = float(np.exp(logits[token] - cvals.max())
+                             / np.exp(z).sum())
+        return (int(token), cand[:N_PROBS].astype(np.int64), p[:N_PROBS],
+                tok_prob)
 
     _DRY_BRK_CACHE: dict = {}   # (tokenizer id, breakers) -> frozenset
 

@@ -72,9 +72,9 @@ def _decode_verify_rows(params, cfg: ModelConfig, tokens, positions,
     logits, rows = forward_rows_impl(params, cfg, tokens, positions, kv,
                                      seq_lens, cos, sin,
                                      mrope_pos=mrope_pos)
-    toks, n_emitted, ids, probs, sstate = verify_impl(
+    toks, n_emitted, ids, probs, tokps, sstate = verify_impl(
         logits, tokens, n_draft, sstate, arrs, samp_active)
-    return toks, n_emitted, ids, probs, logits[:, 0], rows, sstate
+    return toks, n_emitted, ids, probs, tokps, logits[:, 0], rows, sstate
 
 
 def _decode_verify_sample(params, cfg, tokens, positions, n_draft, kv,
@@ -82,12 +82,12 @@ def _decode_verify_sample(params, cfg, tokens, positions, n_draft, kv,
                           mrope_delta=None):
     """Two-dispatch decode step: forward/verify/sample, then the in-place
     row scatter (see _decode_verify_rows)."""
-    toks, n_emitted, ids, probs, logits0, rows, sstate = \
+    toks, n_emitted, ids, probs, tokps, logits0, rows, sstate = \
         _decode_verify_rows(params, cfg, tokens, positions, n_draft, kv,
                             fwd_active, samp_active, sstate, arrs, cos,
                             sin, mrope_delta)
     kv = apply_rows(kv, rows, positions)
-    return toks, n_emitted, ids, probs, logits0, kv, sstate
+    return toks, n_emitted, ids, probs, tokps, logits0, kv, sstate
 
 
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv",))
@@ -505,17 +505,19 @@ class Engine:
         task = s.task
         hs = getattr(task, "host_sampler", None)
         if hs is not None:
-            first, ids_row, probs_row = hs.sample(np.asarray(last_logits))
+            first, ids_row, probs_row, tok_prob = hs.sample(
+                np.asarray(last_logits))
         else:
             self._refresh_arrs()
-            tok, ids, probs, self.sstate = sample_one(
+            tok, ids, probs, tokp, self.sstate = sample_one(
                 last_logits, jnp.int32(s.idx), self.sstate, self.arrs)
             first = int(tok[s.idx])
             ids_row = np.asarray(ids)[s.idx] if task.n_probs > 0 else None
             probs_row = np.asarray(probs)[s.idx] if task.n_probs > 0 else None
+            tok_prob = float(tokp[s.idx]) if task.n_probs > 0 else 0.0
         task.t_prefilled = time.monotonic()
         s.state = "decode"
-        self._accept_token(s, first, ids_row, probs_row)
+        self._accept_token(s, first, ids_row, probs_row, tok_prob)
 
     def _prefill_chunk(self, s: Slot) -> None:
         task = s.task
@@ -725,7 +727,7 @@ class Engine:
             mrope_delta = jnp.asarray(
                 [getattr(s.task, "mrope_delta", 0) if s.task else 0
                  for s in self.slots], jnp.int32)
-        toks, n_emitted, ids, probs, logits0, self.kv, self.sstate = \
+        toks, n_emitted, ids, probs, tokps, logits0, self.kv, self.sstate = \
             _decode_verify_sample(
                 self.params, self.cfg, jnp.asarray(tokens),
                 jnp.asarray(positions), jnp.asarray(n_draft), self.kv,
@@ -734,10 +736,11 @@ class Engine:
                 mrope_delta=mrope_delta)
         toks_h = np.asarray(toks)
         n_emitted_h = np.asarray(n_emitted)
-        ids_h = probs_h = None
+        ids_h = probs_h = tokps_h = None
         if any(s.task.n_probs > 0 for s in dec):
             ids_h = np.asarray(ids)
             probs_h = np.asarray(probs)
+            tokps_h = np.asarray(tokps)
         n_tok = int(n_emitted_h.sum())
         self.metrics.on_decode(n_tok, (time.monotonic() - t0) * 1e3)
 
@@ -748,8 +751,8 @@ class Engine:
                 s.cache_tokens.append(s.next_token)
                 s.pos += 1
                 row = np.asarray(logits0[s.idx])
-                token, top_ids, top_probs = hs.sample(row)
-                self._accept_token(s, token, top_ids, top_probs)
+                token, top_ids, top_probs, tok_prob = hs.sample(row)
+                self._accept_token(s, token, top_ids, top_probs, tok_prob)
                 continue
             n_em = int(n_emitted_h[s.idx])
             acc = n_em - 1
@@ -766,13 +769,16 @@ class Engine:
                 token = int(toks_h[s.idx, j])
                 row_ids = ids_h[s.idx, j] if ids_h is not None else None
                 row_probs = probs_h[s.idx, j] if probs_h is not None else None
-                self._accept_token(s, token, row_ids, row_probs)
+                row_tokp = (float(tokps_h[s.idx, j])
+                            if tokps_h is not None else 0.0)
+                self._accept_token(s, token, row_ids, row_probs, row_tokp)
                 if ngram is not None:
                     ngram.push(task.prompt_tokens + task.generated)
                 if s.task is None:  # finished/cancelled mid-emission
                     break
 
-    def _accept_token(self, s: Slot, token: int, ids_row, probs_row) -> None:
+    def _accept_token(self, s: Slot, token: int, ids_row, probs_row,
+                      tok_prob: float = 0.0) -> None:
         """Post-process one generated token on the host: budgets, EOG, stop
         words, stream emission (reference :4347-4684)."""
         task = s.task
@@ -793,7 +799,8 @@ class Engine:
                 text=self.tokenizer.decode([token], skip_leading_space=False)
                 if self.tokenizer else "",
                 top_ids=ids_row[:max(task.n_probs, 1)].tolist(),
-                top_probs=probs_row[:max(task.n_probs, 1)].tolist()))
+                top_probs=probs_row[:max(task.n_probs, 1)].tolist(),
+                prob=float(tok_prob)))
 
         finish = None
         if self.tokenizer is not None and self.tokenizer.is_eog(token):

@@ -293,7 +293,15 @@ class HTTPServer:
 
     # -- completions ---------------------------------------------------------
 
+    def _submit(self, task) -> None:
+        """Attach the asyncio result bridge BEFORE the engine can emit, then
+        hand the task to the reconcile thread."""
+        task.attach_aio(asyncio.get_event_loop(), asyncio.Queue())
+        self.engine.submit(task)
+
     async def _await_event(self, task, timeout: float = 600.0):
+        if task._aio_q is not None:
+            return await asyncio.wait_for(task._aio_q.get(), timeout)
         loop = asyncio.get_event_loop()
         return await loop.run_in_executor(None, task.result_q.get, True,
                                           timeout)
@@ -321,7 +329,7 @@ class HTTPServer:
             rate_bucket=self._request_rate_bucket(request),
             lora=parse_lora(body, self.engine.n_lora),
         )
-        self.engine.submit(task)
+        self._submit(task)
         if not so["stream"]:
             return await self._blocking_response(
                 task, lambda t: completion_json(t, self.model_name))
@@ -414,7 +422,7 @@ class HTTPServer:
             lora=parse_lora(body, self.engine.n_lora),
         )
         task.mrope_delta = mrope_delta
-        self.engine.submit(task)
+        self._submit(task)
         if not so["stream"]:
             def render(t):
                 extra = {}
@@ -596,7 +604,7 @@ class HTTPServer:
             raise bad_request("\"encoding_format\" must be \"float\" or "
                               "\"base64\"", "encoding_format")
         task = EmbeddingsTask(token_lists, rid=request["rid"])
-        self.engine.submit(task)
+        self._submit(task)
         kind, payload = await self._await_event(task)
         if kind == "error":
             raise RequestError(500, str(payload), err_type="server_error")
@@ -680,7 +688,7 @@ class HTTPServer:
 
     async def _images_response(self, request, task: ImagesTask):
         import base64 as _b64
-        self.engine.submit(task)
+        self._submit(task)
         created = int(time.time())
         if not task.stream:
             while True:
@@ -771,7 +779,7 @@ class HTTPServer:
             pairs.append(pair(query, "unknown"))  # query-unknown anchor
         task = RerankTask(pairs, n_documents=len(docs), normalize=normalize,
                           rid=request["rid"])
-        self.engine.submit(task)
+        self._submit(task)
         kind, payload = await self._await_event(task)
         if kind == "error":
             raise RequestError(500, str(payload), err_type="server_error")
@@ -861,6 +869,7 @@ def _images_task_from_body(body: dict, rid: str, init_image=None,
         import base64 as _b64
         import io as _io
 
+        import numpy as np
         from PIL import Image as _Image
         try:
             raw = _b64.b64decode(body["control_image"])

@@ -340,7 +340,7 @@ def logprobs_json_chat(task: CompletionsTask, tokenizer) -> dict | None:
         entry = {
             "token": tp.text,
             "logprob": _lp(tp.top_probs[tp.top_ids.index(tp.token)]
-                           if tp.token in tp.top_ids else 0.0),
+                           if tp.token in tp.top_ids else tp.prob),
             "bytes": list(b),
             "top_logprobs": [
                 {"token": tokenizer.decode([tid], skip_leading_space=False),

@@ -78,8 +78,24 @@ class BaseTask:
         self.cancelled = False
         self.error: Optional[Exception] = None
         self.t_submitted = time.monotonic()
+        # optional asyncio bridge: when the HTTP layer attaches (loop, queue),
+        # emit() forwards events there instead of blocking an executor thread
+        # per in-flight request on result_q.get (scales past the default
+        # ThreadPoolExecutor size)
+        self._aio_loop = None
+        self._aio_q = None
+
+    def attach_aio(self, loop, q) -> None:
+        self._aio_loop, self._aio_q = loop, q
 
     def emit(self, kind: str, payload: Any) -> None:
+        if self._aio_loop is not None:
+            try:
+                self._aio_loop.call_soon_threadsafe(
+                    self._aio_q.put_nowait, (kind, payload))
+                return
+            except RuntimeError:   # loop closed — fall back
+                pass
         self.result_q.put((kind, payload))
 
     def fail(self, exc: Exception) -> None:
@@ -93,6 +109,7 @@ class TokenProbs:
     text: str
     top_ids: list[int]
     top_probs: list[float]
+    prob: float = 0.0   # the sampled token's own probability
 
 
 class CompletionsTask(BaseTask):

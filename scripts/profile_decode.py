@@ -67,7 +67,7 @@ def chain(sample: bool, cap: int):
             logits, kv = forward_impl(params, cfg, tokens, positions, kv,
                                       jnp.ones((S,), jnp.int32), cs, sn)
             if sample:
-                tok, _, _, sstate = sample_impl(logits[:, -1, :], sstate,
+                tok, _, _, _, sstate = sample_impl(logits[:, -1, :], sstate,
                                                 arrs, active)
             else:
                 tok = jnp.argmax(logits[:, -1, :], -1).astype(jnp.int32)

@@ -92,7 +92,7 @@ def test_top_n_sigma_filters():
         penalty_repeat=1.0)])
     picks = set()
     for _ in range(20):
-        tok, _, _, state = sample_impl(jnp.asarray(logits), state, arrs,
+        tok, _, _, _, state = sample_impl(jnp.asarray(logits), state, arrs,
                                        jnp.asarray([True]))
         picks.add(int(tok[0]))
     # with n=1 sigma over the candidate set, only the tight top cluster
@@ -112,7 +112,7 @@ def test_dynatemp_greedy_when_peaked():
         temp=1.0, dynatemp_range=1.0, top_k=0, top_p=1.0, min_p=0.0,
         penalty_repeat=1.0)])
     for _ in range(10):
-        tok, _, _, state = sample_impl(jnp.asarray(logits), state, arrs,
+        tok, _, _, _, state = sample_impl(jnp.asarray(logits), state, arrs,
                                        jnp.asarray([True]))
         assert int(tok[0]) == 7
 

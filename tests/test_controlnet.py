@@ -138,17 +138,12 @@ def test_canny_edges():
     assert out[:, 3].max() == 0.0 and out[:, 28].max() == 0.0
 
 
-def test_http_images_edit_with_control(cn_setup):
-    """Multipart /v1/images/edits with a control image drives the
-    ControlNet-guided pipeline end to end."""
+def _spin_cn_server(cn_setup):
+    """Start an Engine + HTTP server over the tiny ControlNet pipeline;
+    returns (port, loop, engine)."""
     import asyncio
-    import base64
-    import io as _io
     import socket
     import threading
-
-    import requests
-    from PIL import Image
 
     from llama_box_tpu.models.config import ModelConfig
     from llama_box_tpu.server.engine import Engine, EngineConfig
@@ -183,14 +178,32 @@ def test_http_images_edit_with_control(cn_setup):
 
     threading.Thread(target=run, daemon=True).start()
     assert started.wait(30)
+    return port, loop, eng
 
-    def png_bytes(color):
-        img = Image.new("RGB", (64, 64), color)
-        buf = _io.BytesIO()
-        img.save(buf, format="PNG")
-        buf.seek(0)
-        return buf
 
+def _png_bytes(color):
+    import io as _io
+
+    from PIL import Image
+    img = Image.new("RGB", (64, 64), color)
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    buf.seek(0)
+    return buf
+
+
+def test_http_images_edit_with_control(cn_setup):
+    """Multipart /v1/images/edits with a control image drives the
+    ControlNet-guided pipeline end to end."""
+    import base64
+    import io as _io
+
+    import requests
+    from PIL import Image
+
+    port, loop, eng = _spin_cn_server(cn_setup)
+
+    png_bytes = _png_bytes
     try:
         r = requests.post(
             f"http://127.0.0.1:{port}/v1/images/edits",
@@ -202,6 +215,38 @@ def test_http_images_edit_with_control(cn_setup):
         assert r.status_code == 200, r.text
         png = base64.b64decode(r.json()["data"][0]["b64_json"])
         assert Image.open(_io.BytesIO(png)).size == (64, 64)
+    finally:
+        loop.call_soon_threadsafe(loop.stop)
+        eng.stop()
+
+
+def test_http_images_generations_control_image_json(cn_setup):
+    """JSON /v1/images/generations with a base64 control_image (the np-import
+    regression path, ADVICE r1)."""
+    import base64
+    import io as _io
+
+    import requests
+    from PIL import Image
+
+    port, loop, eng = _spin_cn_server(cn_setup)
+    try:
+        ctl_b64 = base64.b64encode(_png_bytes((0, 0, 0)).read()).decode()
+        r = requests.post(
+            f"http://127.0.0.1:{port}/v1/images/generations",
+            json={"prompt": "a house", "size": "64x64", "sample_steps": 2,
+                  "seed": 3, "control_image": ctl_b64},
+            timeout=300)
+        assert r.status_code == 200, r.text
+        png = base64.b64decode(r.json()["data"][0]["b64_json"])
+        assert Image.open(_io.BytesIO(png)).size == (64, 64)
+        # malformed base64 is a 400, not a 500
+        r = requests.post(
+            f"http://127.0.0.1:{port}/v1/images/generations",
+            json={"prompt": "a house", "size": "64x64",
+                  "control_image": "not-base64!!"},
+            timeout=60)
+        assert r.status_code == 400, r.text
     finally:
         loop.call_soon_threadsafe(loop.stop)
         eng.stop()

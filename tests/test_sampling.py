@@ -65,7 +65,7 @@ def run_sample(logits_rows, params, prev_tokens=None, steps=1):
     active = jnp.ones((B,), bool)
     outs = []
     for _ in range(steps):
-        tok, ids, probs, state = sample(
+        tok, ids, probs, _, state = sample(
             jnp.asarray(logits_rows, jnp.float32), state, arrs, active)
         outs.append(np.asarray(tok))
     return outs, np.asarray(ids), np.asarray(probs)
@@ -77,6 +77,32 @@ def test_greedy_is_argmax():
     params = [SamplerParams(temp=0.0, seed=1)] * 3
     (tok,), _, _ = run_sample(logits, params)
     np.testing.assert_array_equal(tok, logits.argmax(-1))
+
+
+def test_tok_prob_is_sampled_tokens_own_probability():
+    """The 4th return of sample_impl carries the sampled token's reported
+    probability even when the token falls outside the top-N_PROBS view
+    (logprobs rendering, ADVICE r1)."""
+    from llama_box_tpu.sampling import (init_sampler_state,
+                                        make_sampler_arrays, sample_impl)
+    rng = np.random.default_rng(3)
+    logits = rng.normal(size=(2, V)).astype(np.float32)
+    # greedy row: tok_prob must equal top_probs[0]
+    params = [SamplerParams(temp=0.0, seed=1),
+              SamplerParams(temp=2.0, top_k=0, top_p=1.0, min_p=0.0, seed=9)]
+    state = init_sampler_state(2, V)
+    arrs = make_sampler_arrays(params)
+    tok, ids, probs, tokp, _ = sample_impl(
+        jnp.asarray(logits), state, arrs, jnp.ones((2,), bool))
+    tok, ids, probs, tokp = (np.asarray(tok), np.asarray(ids),
+                             np.asarray(probs), np.asarray(tokp))
+    assert np.isclose(tokp[0], probs[0, 0])
+    # sampled row: if the token is in the top view, probs must agree; either
+    # way the reported prob is a real probability
+    if tok[1] in ids[1]:
+        assert np.isclose(tokp[1], probs[1, list(ids[1]).index(tok[1])],
+                          atol=1e-6)
+    assert 0.0 < tokp[1] <= 1.0
 
 
 def test_same_seed_reproducible_and_diff_seed_diverges():
@@ -197,7 +223,7 @@ def test_mirostat_host_sampler():
     logits = rng.normal(scale=2.0, size=V).astype(np.float32)
     mus = []
     for _ in range(10):
-        t, _, _ = hs.sample(logits)
+        t, _, _, _ = hs.sample(logits)
         hs.accept(t)
         mus.append(hs._mu)
         assert 0 <= t < V
@@ -221,5 +247,5 @@ def test_dry_penalizes_repeats():
     logits = np.zeros(V, np.float32)
     logits[3] = 1.0
     logits[4] = 0.9
-    t, _, _ = hs.sample(logits)
+    t, _, _, _ = hs.sample(logits)
     assert t == 4  # 3 was penalized below 4

@@ -40,7 +40,7 @@ def test_verify_accepts_matching_drafts():
     for b in range(2):
         state = reset_slot(state, jnp.int32(b), jnp.uint32(b + 1))
     arrs = make_sampler_arrays([SamplerParams(temp=0.0)] * B)
-    toks, n_em, ids, probs, state = verify_impl(
+    toks, n_em, ids, probs, _, state = verify_impl(
         jnp.asarray(logits), jnp.asarray(draft), jnp.asarray(n_draft),
         state, arrs, jnp.ones((B,), bool))
     toks = np.asarray(toks)
@@ -61,7 +61,7 @@ def test_verify_plain_decode_t1():
     for b in range(2):
         state = reset_slot(state, jnp.int32(b), jnp.uint32(5))
     arrs = make_sampler_arrays([SamplerParams(temp=0.0)] * 2)
-    toks, n_em, _, _, state = verify_impl(
+    toks, n_em, _, _, _, state = verify_impl(
         jnp.asarray(logits), jnp.zeros((2, 1), jnp.int32),
         jnp.zeros((2,), jnp.int32), state, arrs, jnp.ones((2,), bool))
     assert np.asarray(n_em).tolist() == [1, 1]
