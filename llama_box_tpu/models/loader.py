@@ -85,10 +85,11 @@ def _quantizable(info, shape) -> bool:
 
 
 def _stack_qtensors(qts: list[QTensor]) -> QTensor:
+    stk = np.stack if isinstance(qts[0].qs, np.ndarray) else jnp.stack
     return QTensor(
-        qs=jnp.stack([q.qs for q in qts]),
-        scales=jnp.stack([q.scales for q in qts]),
-        mins=(jnp.stack([q.mins for q in qts])
+        qs=stk([q.qs for q in qts]),
+        scales=stk([q.scales for q in qts]),
+        mins=(stk([q.mins for q in qts])
               if qts[0].mins is not None else None),
         in_dim=qts[0].in_dim, group=qts[0].group, packed4=qts[0].packed4,
         w8a8=qts[0].w8a8)
@@ -128,13 +129,11 @@ def load_model(
 
     shard_fn(name, shape) -> optional jax Sharding for multi-chip placement
     (parallel/mesh.py provides the tensor-parallel policy). Quantized
-    residency currently requires shard_fn=None (single-chip); multi-chip
-    uses dense weights.
+    weights shard too: packing happens on the host, layers stack in numpy,
+    and each QTensor leaf is device_put once with its NamedSharding —
+    the TPU-native equivalent of the reference splitting quantized GGUF
+    tensors across devices (--tensor-split, engine_param.hpp:286-293).
     """
-    if quantized and shard_fn is not None:
-        SRV_WRN("load_model", "quantized residency is single-chip for now; "
-                "falling back to dense for sharded load")
-        quantized = False
     g = GGUFFile(path)
     if metadata_overrides:
         for k, v in metadata_overrides.items():
@@ -156,18 +155,35 @@ def load_model(
         return x.T if (transpose is True and x.ndim == 2) else x
 
     def fetch_maybe_q(name: str, transpose: bool):
-        """Return QTensor (packed) or dense numpy array."""
+        """Return QTensor (packed; host numpy leaves when sharding) or
+        dense numpy array."""
         info = g.tensors[name]
         if quantized and transpose and _quantizable(info, info.shape):
             raw = g.tensor_raw(name)
             rt = repack(info.ggml_type, raw, info.n_elements)
             out_dim, in_dim = info.shape
-            return pack_repacked(rt, (in_dim, out_dim))
+            return pack_repacked(rt, (in_dim, out_dim),
+                                 device=shard_fn is None)
         return fetch(name, transpose)
+
+    def put_qtensor(name: str, q: QTensor) -> QTensor:
+        """device_put each packed leaf with its NamedSharding (shard_fn
+        addresses QTensor leaves as '<param>.qs'/'.scales'/'.mins')."""
+        def leaf(suffix, x):
+            sh = shard_fn(f"{name}.{suffix}", x.shape)
+            return jax.device_put(jnp.asarray(x), sh)
+
+        return QTensor(
+            qs=leaf("qs", q.qs), scales=leaf("scales", q.scales),
+            mins=leaf("mins", q.mins) if q.mins is not None else None,
+            in_dim=q.in_dim, group=q.group, packed4=q.packed4,
+            w8a8=q.w8a8, sharded=True)
 
     def put(name: str, x):
         if isinstance(x, QTensor):
-            return x  # already device arrays
+            if shard_fn is None:
+                return x  # already device arrays
+            return put_qtensor(name, x)
         sh = shard_fn(name, x.shape) if shard_fn else None
         return _to_device(x, dtype, sh)
 
@@ -244,7 +260,7 @@ def load_model(
         for key in group[0]:
             vals = [d[key] for d in group]
             if isinstance(vals[0], QTensor):
-                out[key] = _stack_qtensors(vals)
+                out[key] = put(f"layers.{key}", _stack_qtensors(vals))
             else:
                 out[key] = put(f"layers.{key}", np.stack(vals))
         return out

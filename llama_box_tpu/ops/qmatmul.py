@@ -39,10 +39,18 @@ class QTensor:
 
     w8a8: per-COLUMN int8 weights + f32 column scales; matmuls quantize
     the activations per row and run s8xs8->s32 on the MXU (half the HBM
-    bytes of bf16 AND double the matmul rate — measured 2.0x on v5e)."""
+    bytes of bf16 AND double the matmul rate — measured 2.0x on v5e).
+
+    sharded: the tensor's leaves carry NamedShardings over a device mesh
+    (the TPU-native equivalent of the reference's --tensor-split over
+    quantized tensors, engine_param.hpp:286-293). It lives in the pytree
+    AUX data so jit retraces when it changes: sharded grouped/packed
+    tensors take the pure-XLA matmul path, which GSPMD partitions (the
+    Pallas kernel is a single custom call the partitioner can't split);
+    the default w8a8 path is pure XLA already and shards natively."""
 
     def __init__(self, qs, scales, mins, in_dim: int, group: int,
-                 packed4: bool, w8a8: bool = False):
+                 packed4: bool, w8a8: bool = False, sharded: bool = False):
         self.qs = qs
         self.scales = scales
         self.mins = mins
@@ -50,6 +58,7 @@ class QTensor:
         self.group = group
         self.packed4 = packed4
         self.w8a8 = w8a8
+        self.sharded = sharded
 
     @property
     def out_dim(self) -> int:
@@ -57,7 +66,8 @@ class QTensor:
 
     def tree_flatten(self):
         return (self.qs, self.scales, self.mins), (self.in_dim, self.group,
-                                                   self.packed4, self.w8a8)
+                                                   self.packed4, self.w8a8,
+                                                   self.sharded)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -67,10 +77,11 @@ class QTensor:
     def __repr__(self):
         return (f"QTensor(in={self.in_dim}, out={self.qs.shape[-1]}, "
                 f"group={self.group}, packed4={self.packed4}, "
-                f"w8a8={self.w8a8})")
+                f"w8a8={self.w8a8}, sharded={self.sharded})")
 
 
-def pack_repacked(rt, shape_in_out: tuple[int, int]) -> QTensor:
+def pack_repacked(rt, shape_in_out: tuple[int, int],
+                  device: bool = True) -> QTensor:
     """RepackedTensor (flat, GGUF [out, in] row-major order) -> QTensor
     device arrays in [in, out] layout.
 
@@ -85,17 +96,24 @@ def pack_repacked(rt, shape_in_out: tuple[int, int]) -> QTensor:
     Default residency is W8A8 (per-column int8 + int8 activations on the
     MXU): 1 byte/weight and s8xs8->s32 matmuls, measured 2x bf16 decode.
     LLAMA_BOX_TPU_PACKED4=1 opts into the 0.5 byte/weight nibble-packed
-    kernel when HBM capacity is the binding constraint."""
+    kernel when HBM capacity is the binding constraint.
+
+    device=False keeps leaves as host numpy arrays (ml_dtypes bfloat16 for
+    scales) so the loader can stack layers on the host and device_put once
+    with a NamedSharding (pack-then-shard for multi-chip)."""
     import os
 
     if not (os.environ.get("LLAMA_BOX_TPU_PACKED4")
             or os.environ.get("LLAMA_BOX_TPU_Q4_INT8")
             or os.environ.get("LLAMA_BOX_TPU_Q4_F32SCALES")):
-        return pack_w8a8(rt, shape_in_out)
+        return pack_w8a8(rt, shape_in_out, device=device)
+
+    import ml_dtypes
 
     from ..gguf.repack import RepackedTensor  # noqa: F401 (doc)
-    sdt = (jnp.float32 if os.environ.get("LLAMA_BOX_TPU_Q4_F32SCALES")
-           else jnp.bfloat16)
+    sdt = (np.float32 if os.environ.get("LLAMA_BOX_TPU_Q4_F32SCALES")
+           else ml_dtypes.bfloat16)
+    arr = jnp.asarray if device else np.ascontiguousarray
     out_dim, in_dim = shape_in_out[1], shape_in_out[0]
     # rt.q is flat in GGUF (out, in) order
     q = rt.q.reshape(out_dim, in_dim).T                      # [in, out]
@@ -106,20 +124,22 @@ def pack_repacked(rt, shape_in_out: tuple[int, int]) -> QTensor:
         half = in_dim // 2
         packed = (q[:half].astype(np.uint8)
                   | (q[half:].astype(np.uint8) << 4)).astype(np.int8)
-        qs = jnp.asarray(packed)
+        qs = arr(packed)
         packed4 = True
     else:
-        qs = jnp.asarray(q.astype(np.int8))
+        qs = arr(q.astype(np.int8))
         packed4 = False
-    return QTensor(qs, jnp.asarray(scales.copy(), sdt),
-                   jnp.asarray(mins.copy(), sdt) if mins is not None
+    return QTensor(qs, arr(scales.astype(sdt)),
+                   arr(mins.astype(sdt)) if mins is not None
                    else None, in_dim, rt.group, packed4)
 
 
-def pack_w8a8(rt, shape_in_out: tuple[int, int]) -> QTensor:
+def pack_w8a8(rt, shape_in_out: tuple[int, int],
+              device: bool = True) -> QTensor:
     """RepackedTensor -> per-column int8 residency (W8A8). The group
     quantization is dequantized exactly, then requantized symmetric int8
     per output column."""
+    arr = jnp.asarray if device else np.ascontiguousarray
     out_dim, in_dim = shape_in_out[1], shape_in_out[0]
     q = rt.q.reshape(out_dim, in_dim).astype(np.float32)
     scales = np.repeat(rt.scales.reshape(out_dim, in_dim // rt.group),
@@ -131,7 +151,7 @@ def pack_w8a8(rt, shape_in_out: tuple[int, int]) -> QTensor:
     wf = wf.T                                         # [in, out]
     col = np.maximum(np.abs(wf).max(axis=0), 1e-12) / 127.0   # [out]
     q8 = np.clip(np.round(wf / col), -127, 127).astype(np.int8)
-    return QTensor(jnp.asarray(q8), jnp.asarray(col, jnp.float32), None,
+    return QTensor(arr(q8), arr(col.astype(np.float32)), None,
                    in_dim, in_dim, packed4=False, w8a8=True)
 
 
@@ -342,7 +362,7 @@ def mm(x: jnp.ndarray, w) -> jnp.ndarray:
         return _w8a8_matmul(xf, w).reshape(*lead, w.out_dim).astype(x.dtype)
     B = xf.shape[0]
     pad = (-B) % 8
-    if _on_tpu():
+    if _on_tpu() and not w.sharded:
         if pad:
             xf = jnp.pad(xf, ((0, pad), (0, 0)))
         out = q_matmul_pallas(xf, w)

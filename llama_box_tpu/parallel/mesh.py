@@ -67,6 +67,34 @@ _LAYER_SPECS = {
     "w_down": P(None, "tp", None),
     "attn_norm": P(None, None),
     "ffn_norm": P(None, None),
+    # attention biases follow their column-parallel projections
+    "bq": P(None, "tp"),
+    "bk": P(None, "tp"),
+    "bv": P(None, "tp"),
+    # per-head / sandwich norms: tiny, replicate
+    "q_norm": P(),
+    "k_norm": P(),
+    "attn_post_norm": P(),
+    "ffn_post_norm": P(),
+    # deepseek2 MLA: skinny low-rank A projections replicated; the fat B
+    # projections column-parallel over heads
+    "wq_a": P(),
+    "q_a_norm": P(),
+    "wq_b": P(None, None, "tp"),
+    "wkv_a": P(),
+    "kv_a_norm": P(),
+    "wkv_b": P(None, None, "tp"),
+    # MoE [L, X, E, FF] expert stacks: shard the FF axis over tp (tensor
+    # parallel WITHIN every expert — the router stays replicated so no
+    # token redistribution collective is needed); down is row-parallel
+    "w_gate_inp": P(),
+    "w_gate_exps": P(None, None, None, "tp"),
+    "w_up_exps": P(None, None, None, "tp"),
+    "w_down_exps": P(None, None, "tp", None),
+    "w_gate_shexp": P(None, None, "tp"),
+    "w_up_shexp": P(None, None, "tp"),
+    "w_down_shexp": P(None, "tp", None),
+    "w_gate_inp_shexp": P(),
 }
 
 _TOP_SPECS = {
@@ -76,11 +104,28 @@ _TOP_SPECS = {
 }
 
 
-def param_pspec(name: str) -> P:
-    """PartitionSpec for a parameter by its tree path name."""
+def param_pspec(name: str, shape: tuple | None = None) -> P:
+    """PartitionSpec for a parameter by its tree path name.
+
+    QTensor leaves address as '<param>.qs' / '.scales' / '.mins':
+    qs keeps the dense weight's spec (same [.., in, out] layout; packed4's
+    halved byte-row dim still shards along the same axis). Grouped scales/
+    mins are [.., in/group, out] — also the dense spec. w8a8 per-column
+    scales are [.., out] (one dim short): the `in` axis is dropped from
+    the spec so the column shard survives."""
+    leaf = None
+    for s in (".qs", ".scales", ".mins"):
+        if name.endswith(s):
+            leaf, name = s[1:], name[: -len(s)]
+            break
     if name.startswith("layers."):
-        return _LAYER_SPECS.get(name.split(".", 1)[1], P())
-    return _TOP_SPECS.get(name, P())
+        spec = _LAYER_SPECS.get(name.split(".", 1)[1], P())
+    else:
+        spec = _TOP_SPECS.get(name, P())
+    if (leaf in ("scales", "mins") and shape is not None and len(spec)
+            and len(shape) == len(spec) - 1):
+        spec = P(*(list(spec[:-2]) + [spec[-1]]))
+    return spec
 
 
 def fit_spec(mesh: Mesh, spec: P, shape: tuple) -> NamedSharding:
@@ -97,20 +142,46 @@ def fit_spec(mesh: Mesh, spec: P, shape: tuple) -> NamedSharding:
 
 
 def make_shard_fn(mesh: Mesh):
-    """shard_fn(name, shape) for models/loader.py."""
+    """shard_fn(name, shape) for models/loader.py (QTensor leaves address
+    as '<param>.qs'/'.scales'/'.mins')."""
     def fn(name: str, shape: tuple) -> NamedSharding:
-        return fit_spec(mesh, param_pspec(name), shape)
+        return fit_spec(mesh, param_pspec(name, shape), shape)
+    fn.mesh = mesh
     return fn
 
 
-def shard_params(mesh: Mesh, params: dict) -> dict:
-    """device_put the param tree with the tensor-parallel policy."""
-    def put(name, x):
-        return jax.device_put(x, NamedSharding(mesh, param_pspec(name)))
+def _put_named(mesh: Mesh, name: str, x):
+    """device_put one value (array or QTensor) under the policy."""
+    from ..ops.qmatmul import QTensor
 
-    out = {k: put(k, v) for k, v in params.items() if k != "layers"}
-    out["layers"] = {k: put(f"layers.{k}", v)
-                     for k, v in params["layers"].items()}
+    def leaf(n, v):
+        return jax.device_put(v, fit_spec(mesh, param_pspec(n, v.shape),
+                                          v.shape))
+
+    if isinstance(x, QTensor):
+        return QTensor(
+            qs=leaf(f"{name}.qs", x.qs),
+            scales=leaf(f"{name}.scales", x.scales),
+            mins=(leaf(f"{name}.mins", x.mins)
+                  if x.mins is not None else None),
+            in_dim=x.in_dim, group=x.group, packed4=x.packed4,
+            w8a8=x.w8a8, sharded=True)
+    return leaf(name, x)
+
+
+def shard_params(mesh: Mesh, params: dict) -> dict:
+    """device_put the param tree (dense arrays AND QTensors, incl.
+    heterogeneous layer_groups) with the tensor-parallel policy."""
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = {kk: _put_named(mesh, f"layers.{kk}", vv)
+                      for kk, vv in v.items()}
+        elif k == "layer_groups":
+            out[k] = [{kk: _put_named(mesh, f"layers.{kk}", vv)
+                       for kk, vv in grp.items()} for grp in v]
+        else:
+            out[k] = _put_named(mesh, k, v)
     return out
 
 

@@ -86,9 +86,8 @@ def test_parse_mesh_spec():
         parse_mesh_spec("dp=4,tp=4", 8)
 
 
-def test_engine_on_mesh_matches_single(tmp_path):
-    """Full engine (reconcile loop) over a tp=4 mesh produces identical
-    greedy output to the single-device engine."""
+def _engine_greedy(path, mesh, quantized=False, max_tokens=8):
+    """Run one greedy completion through a full Engine; returns token ids."""
     import jax.numpy as jnp
     from llama_box_tpu.gguf import GGUFFile
     from llama_box_tpu.models import load_model
@@ -97,35 +96,123 @@ def test_engine_on_mesh_matches_single(tmp_path):
     from llama_box_tpu.server import CompletionsTask, Engine, EngineConfig
     from llama_box_tpu.tokenizer import Tokenizer
 
+    shard_fn = make_shard_fn(mesh) if mesh is not None else None
+    cfg, params = load_model(path, dtype=jnp.float32, shard_fn=shard_fn,
+                             quantized=quantized)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=2, n_ctx=128, n_ubatch=32),
+                 mesh=mesh)
+    eng.start()
+    try:
+        t = CompletionsTask(tok.encode("a b c d"),
+                            SamplerParams(temp=0.0, seed=0),
+                            tokenizer=tok, max_tokens=max_tokens,
+                            stream=False)
+        eng.submit(t)
+        while True:
+            kind, payload = t.result_q.get(timeout=120)
+            if kind == "final":
+                return payload.generated
+            if kind == "error":
+                raise payload
+    finally:
+        eng.stop()
+
+
+def test_engine_on_mesh_matches_single(tmp_path):
+    """Full engine (reconcile loop) over a tp=4 mesh produces identical
+    greedy output to the single-device engine."""
     from .fixtures.make_tiny_model import write_tiny_model
 
     path = str(tmp_path / "tiny.gguf")
     write_tiny_model(path)
-
-    def run(mesh):
-        shard_fn = make_shard_fn(mesh) if mesh is not None else None
-        cfg, params = load_model(path, dtype=jnp.float32, shard_fn=shard_fn)
-        with GGUFFile(path) as g:
-            tok = Tokenizer.from_gguf(g)
-        eng = Engine(cfg, params, tok,
-                     EngineConfig(n_slots=2, n_ctx=128, n_ubatch=32),
-                     mesh=mesh)
-        eng.start()
-        try:
-            t = CompletionsTask(tok.encode("a b c d"),
-                                SamplerParams(temp=0.0, seed=0),
-                                tokenizer=tok, max_tokens=8, stream=False)
-            eng.submit(t)
-            while True:
-                kind, payload = t.result_q.get(timeout=120)
-                if kind == "final":
-                    return payload.generated
-                if kind == "error":
-                    raise payload
-        finally:
-            eng.stop()
-
-    single = run(None)
-    mesh = make_mesh(MeshConfig(dp=1, tp=4))
-    sharded = run(mesh)
+    single = _engine_greedy(path, None)
+    sharded = _engine_greedy(path, make_mesh(MeshConfig(dp=1, tp=4)))
     assert sharded == single
+
+
+@pytest.mark.parametrize("mode", ["w8a8", "grouped", "packed4"])
+def test_engine_on_mesh_matches_single_quantized(tmp_path, monkeypatch, mode):
+    """Quantized residency shards over the mesh (VERDICT r1 #1: the
+    reference splits QUANTIZED tensors across devices, --tensor-split
+    engine_param.hpp:286-293): greedy output of the sharded quantized
+    engine is identical to the single-device quantized engine, for every
+    residency mode (w8a8 default, grouped int8+scales, nibble-packed4)."""
+    from llama_box_tpu.gguf import GGMLType
+
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    if mode == "grouped":
+        monkeypatch.setenv("LLAMA_BOX_TPU_Q4_F32SCALES", "1")
+    elif mode == "packed4":
+        monkeypatch.setenv("LLAMA_BOX_TPU_PACKED4", "1")
+    path = str(tmp_path / "tiny_q.gguf")
+    write_tiny_model(path, quant=GGMLType.Q4_K)
+    single = _engine_greedy(path, None, quantized=True)
+    sharded = _engine_greedy(path, make_mesh(MeshConfig(dp=1, tp=4)),
+                             quantized=True)
+    assert sharded == single
+
+
+def test_quantized_shard_placement(tmp_path):
+    """Quantized load with a shard_fn yields QTensor leaves carrying tp
+    NamedShardings (no dense fallback), with w8a8 column scales sharded
+    alongside their columns."""
+    import jax.numpy as jnp
+    from llama_box_tpu.gguf import GGMLType
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.ops.qmatmul import QTensor
+    from llama_box_tpu.parallel import make_shard_fn
+
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    path = str(tmp_path / "tiny_q.gguf")
+    write_tiny_model(path, quant=GGMLType.Q4_K)
+    mesh = make_mesh(MeshConfig(dp=1, tp=4))
+    cfg, params = load_model(path, dtype=jnp.float32,
+                             shard_fn=make_shard_fn(mesh), quantized=True)
+    wq = params["layers"]["wq"]
+    assert isinstance(wq, QTensor) and wq.sharded
+    assert "tp" in str(wq.qs.sharding.spec)       # columns sharded
+    assert "tp" in str(wq.scales.sharding.spec)   # w8a8 [L, out] scales too
+    # row-parallel projection: byte rows sharded, per-column scales
+    # replicated (vocab=287 keeps `output` dense — not 64-divisible)
+    wd = params["layers"]["w_down"]
+    assert isinstance(wd, QTensor) and wd.sharded
+    assert "tp" in str(wd.qs.sharding.spec)
+
+
+def test_sharded_moe_forward_matches(tmp_path):
+    """MoE expert stacks shard over tp (not replicated) and the sharded
+    forward matches the single-device forward."""
+    import jax.numpy as jnp
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.parallel import make_shard_fn
+
+    from .test_moe import write_tiny_moe
+
+    path = str(tmp_path / "moe.gguf")
+    write_tiny_moe(path)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    S, C, T = 2, 32, 6
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(0, cfg.vocab_size, size=(S, T)).astype(np.int32)
+    positions = np.tile(np.arange(T, dtype=np.int32), (S, 1))
+    seq_lens = np.full((S,), T, np.int32)
+    cos, sin = make_rope(cfg, C)
+    ref_logits, _ = forward(params, cfg, tokens, positions,
+                            init_kv_cache(cfg, S, C, jnp.float32),
+                            seq_lens, cos, sin)
+
+    mesh = make_mesh(MeshConfig(dp=1, tp=4))
+    cfg2, p_sh = load_model(path, dtype=jnp.float32,
+                            shard_fn=make_shard_fn(mesh))
+    exps = p_sh["layers"]["w_gate_exps"]
+    assert "tp" in str(exps.sharding.spec), "expert stack must shard"
+    kv_sh = shard_kv(mesh, init_kv_cache(cfg2, S, C, jnp.float32))
+    out_logits, _ = forward(p_sh, cfg2, tokens, positions, kv_sh,
+                            seq_lens, cos, sin)
+    np.testing.assert_allclose(np.asarray(out_logits), np.asarray(ref_logits),
+                               rtol=2e-4, atol=2e-4)
