@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import NEG_INF
-from ..ops.flash_attention import flash_attention_prefill
+from ..ops.flash_prefill import flash_prefill_batched
 from ..ops.norm import rms_norm
 from ..ops.qmatmul import mm
 from ..ops.rope import (RopeParams, apply_mrope, apply_rope,
@@ -66,9 +66,6 @@ def init_kv_cache(cfg: ModelConfig, n_slots: int, capacity: int,
     return KVCache(k=jnp.zeros(kshape, dtype), v=jnp.zeros(vshape, dtype))
 
 
-def C_cap(cache):
-    """Cache capacity along the position axis ([B, C, H, D])."""
-    return cache.shape[1]
 
 
 def _kv_quantize(x):
@@ -180,13 +177,13 @@ def _lora_delta(h, lp, key, lora_scales):
 
 
 def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
-                cos, sin, k_scale=None, v_scale=None, flash_pos0=None,
+                cos, sin, k_scale=None, v_scale=None,
                 lora_scales=None, is_local=jnp.int32(0), mrope_pos=None,
-                contig_pos0=None, deferred_kv=False):
+                deferred_kv=False, flash_meta=None):
     """x: [B,T,E]; k_cache/v_cache: [B,C,Hkv,D]; mask: [B,T,C] True=attend.
     k_scale/v_scale: [B,C,Hkv] when the cache is int8-quantized.
-    flash_pos0: absolute position of x[:, 0] when the chunk is contiguous
-    (prefill) — enables the flash kernel instead of the masked einsum."""
+    flash_meta: [B,4] (pos0, n_valid, bidir_st, bidir_en) when the chunk
+    is contiguous (prefill) — enables the batched flash kernel."""
     B, T, E = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -246,27 +243,18 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         q = q * f[:, :, None, None].astype(q.dtype)
 
     if deferred_kv:
-        # decode/verify: the cache stays READ-ONLY inside the layer scan
-        # (carrying updated caches through scan outputs forces a full
-        # cache copy per layer — profiled at ~600us/step); attention runs
-        # against cache entries strictly before the chunk plus an explicit
-        # in-chunk causal part, and the new rows are returned for ONE
-        # fused scatter after the scan.
+        # decode/verify/prefill: the cache stays READ-ONLY inside the
+        # layer scan (carrying updated caches through scan outputs forces
+        # a full cache copy per layer — profiled at ~600us/step);
+        # attention runs against cache entries strictly before the chunk
+        # plus an explicit in-chunk causal part, and the new rows are
+        # returned for ONE fused write after the scan.
         return _attn_deferred(x, lp, positions, k_cache, v_cache, mask,
                               cfg, q, k, v, is_local, k_scale, v_scale,
-                              lora_scales)
+                              lora_scales, flash_meta=flash_meta)
 
-    # write current K/V into the cache. Prefill chunks are contiguous
-    # (flash_pos0 = chunk start): dynamic_update_slice is a straight DMA,
-    # far cheaper than a scatter; the scatter path (with the position>=C
-    # sentinel dropping pad rows) covers batched decode/verify. A chunk
-    # whose BUCKET would spill past capacity falls back to the scatter
-    # (dynamic_update_slice clamps its start, which would corrupt earlier
-    # entries). Pad rows written by the contiguous path land at positions
-    # the mask never exposes until they are overwritten by later chunks.
-    if contig_pos0 is None:
-        contig_pos0 = flash_pos0
-    contig = contig_pos0 is not None and B == 1
+    # non-deferred path (embeddings forward: cache == chunk, bidirectional
+    # masks): scatter current K/V in, then attend the whole cache
     if k_scale is not None:
         kq, ks = _kv_quantize(k.astype(jnp.float32))
         vq, vs = _kv_quantize(v.astype(jnp.float32))
@@ -282,23 +270,8 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
             scale = scale.at[bidx, positions].set(sval, mode="drop")
         return cache, scale
 
-    def _contig(cache, scale, val, sval):
-        cache = jax.lax.dynamic_update_slice_in_dim(
-            cache, val, contig_pos0, axis=1)
-        if scale is not None:
-            scale = jax.lax.dynamic_update_slice_in_dim(
-                scale, sval, contig_pos0, axis=1)
-        return cache, scale
-
-    if contig:
-        safe = (contig_pos0 + T) <= C_cap(k_cache)
-        k_cache, k_scale = jax.lax.cond(
-            safe, _contig, _scatter, k_cache, k_scale, *vals[0])
-        v_cache, v_scale = jax.lax.cond(
-            safe, _contig, _scatter, v_cache, v_scale, *vals[1])
-    else:
-        k_cache, k_scale = _scatter(k_cache, k_scale, *vals[0])
-        v_cache, v_scale = _scatter(v_cache, v_scale, *vals[1])
+    k_cache, k_scale = _scatter(k_cache, k_scale, *vals[0])
+    v_cache, v_scale = _scatter(v_cache, v_scale, *vals[1])
 
     # attention compute dtype: bf16 when the cache is bf16/int8 (halves
     # the materialized cache traffic; MXU still accumulates f32 via
@@ -313,33 +286,19 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         vf = v_cache.astype(adt)
 
     G = H // Hkv
-    use_flash = (flash_pos0 is not None and B == 1 and T >= 64
-                 and kf.shape[-1] == vf.shape[-1] and _flash_ok())
-    if use_flash:
-        # [1,T,H,D] -> [Hkv,G,T,D]; cache [1,C,Hkv,D] -> [Hkv,C,D]
-        qg = q[0].reshape(T, Hkv, G, D).transpose(1, 2, 0, 3)
-        kg = kf[0].transpose(1, 0, 2)
-        vg = vf[0].transpose(1, 0, 2)
-        o = flash_attention_prefill(
-            qg.astype(jnp.bfloat16), kg.astype(jnp.bfloat16),
-            vg.astype(jnp.bfloat16), flash_pos0,
-            swa=cfg.swa_window, softcap=cfg.attn_softcap,
-            interpret=not _flash_on_tpu())
-        attn = o.transpose(2, 0, 1, 3).reshape(1, T, H * D)
-    else:
-        qf = q.astype(adt).reshape(B, T, Hkv, G, D)
-        scores = jnp.einsum("bthgd,bchd->bhgtc", qf, kf,
-                            preferred_element_type=jnp.float32) * (D ** -0.5)
-        if cfg.attn_softcap > 0.0:
-            scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
-        scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
-        scores = scores - scores.max(axis=-1, keepdims=True)
-        probs = jnp.exp(scores)
-        probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-30)
-        Dv = vf.shape[-1]
-        attn = jnp.einsum("bhgtc,bchd->bthgd", probs.astype(adt), vf,
-                          preferred_element_type=jnp.float32) \
-            .reshape(B, T, H * Dv)
+    qf = q.astype(adt).reshape(B, T, Hkv, G, D)
+    scores = jnp.einsum("bthgd,bchd->bhgtc", qf, kf,
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+    if cfg.attn_softcap > 0.0:
+        scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    scores = scores - scores.max(axis=-1, keepdims=True)
+    probs = jnp.exp(scores)
+    probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-30)
+    Dv = vf.shape[-1]
+    attn = jnp.einsum("bhgtc,bchd->bthgd", probs.astype(adt), vf,
+                      preferred_element_type=jnp.float32) \
+        .reshape(B, T, H * Dv)
 
     x = _layer_tail(x, lp, cfg, attn, lora_scales)
     return x, k_cache, v_cache, k_scale, v_scale
@@ -409,10 +368,15 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales):
 
 
 def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
-                   is_local, k_scale, v_scale, lora_scales):
-    """Read-only-cache attention for the batched decode/verify step.
+                   is_local, k_scale, v_scale, lora_scales,
+                   flash_meta=None):
+    """Read-only-cache attention for the batched decode/verify step AND
+    (via the flash kernel) batched prefill.
     Returns (x_out, rows) where rows are the new K/V entries (quantized
-    when the cache is int8) for a post-scan scatter."""
+    when the cache is int8) for a post-scan scatter.
+    flash_meta: [B, 4] int32 (pos0, n_valid, bidir_st, bidir_en) when the
+    chunk rows are contiguous (prefill) — enables the batched flash
+    kernel (int8 caches are dequantized inside it, block by block)."""
     B, T = positions.shape
     C = k_cache.shape[1]
     H = q.shape[2]
@@ -425,10 +389,36 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         kq_r, ks_r = _kv_quantize(k.astype(jnp.float32))
         vq_r, vs_r = _kv_quantize(v.astype(jnp.float32))
         rows = (kq_r, vq_r, ks_r, vs_r)
+    else:
+        rows = (k.astype(k_cache.dtype), v.astype(v_cache.dtype))
+
+    if flash_meta is not None and T >= 64 and _flash_ok() \
+            and (_flash_on_tpu() or _flash_forced()):
+        # per-layer window/chunk scalars: one compiled kernel serves the
+        # alternating local/global layer patterns
+        w = jnp.int32(0)
+        cw = jnp.int32(0)
+        if cfg.swa_window > 0:
+            w = (jnp.where(is_local > 0, cfg.swa_window, 0)
+                 if cfg.swa_pattern > 0 else jnp.int32(cfg.swa_window))
+        if cfg.chunked_window > 0:
+            cw = jnp.where(is_local > 0, cfg.chunked_window, 0)
+        win = jnp.stack([jnp.asarray(w, jnp.int32),
+                         jnp.asarray(cw, jnp.int32)])
+        qg = (q.astype(adt).reshape(B, T, Hkv, G, D)
+              .transpose(0, 2, 3, 1, 4))               # [B,Hkv,G,T,D]
+        o = flash_prefill_batched(
+            qg, k_cache, v_cache, k.astype(adt), v.astype(adt),
+            flash_meta, win, k_scale=k_scale, v_scale=v_scale,
+            softcap=cfg.attn_softcap, interpret=not _flash_on_tpu())
+        Dv = v_cache.shape[-1]
+        attn = o.transpose(0, 3, 1, 2, 4).reshape(B, T, H * Dv)
+        return _layer_tail(x, lp, cfg, attn, lora_scales), rows
+
+    if k_scale is not None:
         kf = k_cache.astype(adt) * k_scale.astype(adt)[..., None]
         vf = v_cache.astype(adt) * v_scale.astype(adt)[..., None]
     else:
-        rows = (k.astype(k_cache.dtype), v.astype(v_cache.dtype))
         kf = k_cache.astype(adt)
         vf = v_cache.astype(adt)
 
@@ -453,6 +443,13 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         same = (qp[:, None, :] // cfg.chunked_window
                 == qp[:, :, None] // cfg.chunked_window)
         inm = jnp.where(is_local > 0, inm & same, inm)
+    if flash_meta is not None:
+        # bidirectional span (gemma3 vision): rows whose absolute position
+        # falls in [st, en) are visible to every valid query row
+        st = flash_meta[:, 2][:, None, None]
+        en = flash_meta[:, 3][:, None, None]
+        kp_in = qp[:, None, :]
+        inm = inm | ((kp_in >= st) & (kp_in < en) & (kp_in < C))
 
     if cfg.attn_softcap > 0.0:
         sc = cfg.attn_softcap * jnp.tanh(sc / cfg.attn_softcap)
@@ -547,10 +544,16 @@ def _flash_ok() -> bool:
     return not os.environ.get("LLAMA_BOX_TPU_NO_FLASH")
 
 
+def _flash_forced() -> bool:
+    """Run the flash kernel in interpret mode off-TPU (tests)."""
+    import os
+    return bool(os.environ.get("LLAMA_BOX_TPU_FORCE_FLASH"))
+
+
 def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
-               cos, sin, kv_ks=None, kv_vs=None, flash_pos0=None,
-               mrope_pos=None, contig_pos0=None, deferred_kv=False,
-               emit_rows=False):
+               cos, sin, kv_ks=None, kv_vs=None,
+               mrope_pos=None, deferred_kv=False,
+               emit_rows=False, flash_meta=None):
     """Scan the layer stack; returns (hidden, k_new, v_new, ks_new, vs_new)."""
     quant = kv_ks is not None
     lora_scales = params.get("lora_scales")
@@ -569,16 +572,15 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
             x, rows = _attn_layer(x, lp, positions, k_c, v_c, mask,
                                   cfg, cos, sin, ks, vs,
                                   lora_scales=lora_scales, is_local=loc,
-                                  mrope_pos=mrope_pos, deferred_kv=True)
+                                  mrope_pos=mrope_pos, deferred_kv=True,
+                                  flash_meta=flash_meta)
             if cvec is not None:
                 x = x + cv.astype(x.dtype)
             return x, rows
         x, k_c, v_c, ks, vs = _attn_layer(x, lp, positions, k_c, v_c, mask,
                                           cfg, cos, sin, ks, vs,
-                                          flash_pos0=flash_pos0,
                                           lora_scales=lora_scales,
-                                          is_local=loc, mrope_pos=mrope_pos,
-                                          contig_pos0=contig_pos0)
+                                          is_local=loc, mrope_pos=mrope_pos)
         if cvec is not None:
             # control vector: steer the residual stream at this layer's
             # output (reference llama_apply_adapter_cvec semantics)
@@ -796,6 +798,10 @@ def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
                   pos_base, n_valid, rope_cos, rope_sin, mrope_pos=None,
                   bidir_span=None):
     """Shared prefill body: run a [1, T, E] chunk into one slot's KV slice.
+
+    Deferred-KV design: the slot's cache slice stays READ-ONLY through the
+    layer scan (attention = flash kernel over cache blocks + the chunk's
+    own rows) and the new rows land in ONE contiguous write afterwards.
     mrope_pos: optional [3, T] grid position streams (qwen2-vl).
     bidir_span: optional (start, end) absolute positions — queries may
     attend cache entries in [start, end) regardless of causality (gemma3
@@ -819,33 +825,76 @@ def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
     seq_lens = jnp.full((1,), n_valid, jnp.int32)
 
     mask = _build_mask(cfg, positions, seq_lens, T, C)
+    st = en = jnp.int32(0)
     if bidir_span is not None:
         st, en = bidir_span
         kpos = jnp.arange(C)[None, None, :]
         qvalid = (offs < n_valid)[None, :, None]
         extra = (kpos >= st) & (kpos < en) & qvalid
         mask = mask | (extra[None] if mask.ndim == 4 else extra)
-    flash_ok = (ks_slot is None and cfg.swa_pattern == 0
-                and not cfg.mrope_sections and bidir_span is None
-                and cfg.nope_layer_step == 0)
+    meta = jnp.stack([pos_base, n_valid, jnp.asarray(st, jnp.int32),
+                      jnp.asarray(en, jnp.int32)])[None, :]       # [1, 4]
     mp = mrope_pos[:, None, :] if mrope_pos is not None else None  # [3,1,T]
-    x, k_new, v_new, ks_new, vs_new = _run_stack(
+    x, rows = _run_stack(
         params, cfg, x, positions, k_slot, v_slot, mask, rope_cos, rope_sin,
-        ks_slot, vs_slot,
-        flash_pos0=(pos_base if flash_ok else None), mrope_pos=mp,
-        contig_pos0=pos_base)
+        ks_slot, vs_slot, mrope_pos=mp, deferred_kv=True, emit_rows=True,
+        flash_meta=meta)
     last = jnp.maximum(n_valid - 1, 0)
     logits = _output_logits(params, cfg,
                             jax.lax.dynamic_slice_in_dim(x[0], last, 1, 0))[0]
-    kv = KVCache(
-        k=jax.lax.dynamic_update_slice_in_dim(kv.k, k_new, slot, axis=1),
-        v=jax.lax.dynamic_update_slice_in_dim(kv.v, v_new, slot, axis=1),
-        k_scale=(jax.lax.dynamic_update_slice_in_dim(
-            kv.k_scale, ks_new, slot, axis=1) if kv.quantized else None),
-        v_scale=(jax.lax.dynamic_update_slice_in_dim(
-            kv.v_scale, vs_new, slot, axis=1) if kv.quantized else None),
-    )
-    return logits, kv
+    return logits, _write_slot_rows(kv, rows, slot, positions, pos_base)
+
+
+def _write_slot_rows(kv: KVCache, rows, slot, positions, pos_base):
+    """Write one slot's per-layer prefill rows ([L, 1, T, ...]) into the
+    cache. Contiguous chunks use one dynamic_update_slice (a straight
+    DMA); a chunk whose BUCKET would spill past capacity falls back to a
+    position scatter (dynamic_update_slice clamps its start, which would
+    corrupt earlier entries; the position>=C sentinel drops pad rows).
+    Pad rows written by the contiguous path land at positions the mask
+    never exposes until they are overwritten by later chunks."""
+    L = kv.k.shape[0]
+    T = positions.shape[1]
+    C = kv.capacity
+    leaves = (rows if kv.quantized
+              else (*rows, None, None))  # kq, vq, ks, vs
+
+    def contig(kv_k, kv_v, kv_ks, kv_vs):
+        def upd(cache, val):
+            if cache is None:
+                return None
+            zeros = (0,) * (cache.ndim - 3)
+            return jax.lax.dynamic_update_slice(
+                cache, val.astype(cache.dtype),
+                (0, slot, pos_base) + zeros)
+        kq, vq, ksr, vsr = leaves
+        return (upd(kv_k, kq), upd(kv_v, vq),
+                upd(kv_ks, ksr) if kv_ks is not None else kv_ks,
+                upd(kv_vs, vsr) if kv_vs is not None else kv_vs)
+
+    def scatter(kv_k, kv_v, kv_ks, kv_vs):
+        li = jnp.arange(L)[:, None]
+        pi = jnp.broadcast_to(positions[0][None, :], (L, T))
+
+        def upd(cache, val):
+            if cache is None:
+                return None
+            return cache.at[li, slot, pi].set(
+                val[:, 0].astype(cache.dtype), mode="drop")
+        kq, vq, ksr, vsr = leaves
+        return (upd(kv_k, kq), upd(kv_v, vq),
+                upd(kv_ks, ksr) if kv_ks is not None else kv_ks,
+                upd(kv_vs, vsr) if kv_vs is not None else kv_vs)
+
+    safe = (pos_base + T) <= C
+    if kv.quantized:
+        k_n, v_n, ks_n, vs_n = jax.lax.cond(
+            safe, contig, scatter, kv.k, kv.v, kv.k_scale, kv.v_scale)
+        return KVCache(k=k_n, v=v_n, k_scale=ks_n, v_scale=vs_n)
+    k_n, v_n, _, _ = jax.lax.cond(
+        safe, lambda a, b: contig(a, b, None, None),
+        lambda a, b: scatter(a, b, None, None), kv.k, kv.v)
+    return KVCache(k=k_n, v=v_n)
 
 
 def prefill_impl(params, cfg: ModelConfig, tokens, kv: KVCache, slot,
@@ -901,9 +950,11 @@ def prefill_batch_impl(params, cfg: ModelConfig, tokens, pos_base, n_valid,
                           pos_base[:, None] + offs, C)
     x = _embed_tokens(params, cfg, tokens)
     mask = _build_mask(cfg, positions, n_valid, T, C)
+    zero = jnp.zeros((S,), jnp.int32)
+    meta = jnp.stack([pos_base, n_valid, zero, zero], axis=1)  # [S, 4]
     x, k_new, v_new, ks, vs = _run_stack(
         params, cfg, x, positions, kv.k, kv.v, mask, rope_cos, rope_sin,
-        kv.k_scale, kv.v_scale, deferred_kv=True)
+        kv.k_scale, kv.v_scale, deferred_kv=True, flash_meta=meta)
     last = jnp.maximum(n_valid - 1, 0)
     x_last = jnp.take_along_axis(
         x, last[:, None, None].astype(jnp.int32).repeat(x.shape[-1], 2),

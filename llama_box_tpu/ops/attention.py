@@ -1,7 +1,7 @@
 """Attention — XLA reference implementation (GQA, causal, batched decode).
 
 This is the correctness baseline; the Pallas flash/paged kernels in
-flash_attention.py are validated against it. Kept in float32 accumulation
+flash_prefill.py is validated against it. Kept in float32 accumulation
 with bfloat16 inputs (MXU-friendly).
 """
 

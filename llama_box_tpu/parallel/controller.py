@@ -13,6 +13,14 @@ execute the SAME jitted programs with the SAME host-side inputs, so:
   so XLA's collectives do the actual cross-host work; the plan only
   carries tiny host metadata — tokens, positions, flags).
 
+Liveness (reference equivalent: rpcserver.hpp:240-318 retry/diagnose and
+the :797-814 handshake): workers PUSH acks back on a second socket —
+"hello" on join, one ack per executed plan, "err" on failure. Host 0
+waits for every worker's hello AND a ping-ack (proving its SUB pipe is
+actually receiving — zmq slow-joiner) before serving, and each reconcile
+pass checks ack progress so a dead worker fails tasks instead of hanging
+the collective.
+
 Replaces: ggml-RPC's GRAPH_COMPUTE/SET_TENSOR protocol (rpcserver.hpp) —
 there is no tensor wire traffic at all; weights load from a local GGUF
 copy per host (the RPC tensor cache's job, SURVEY.md §5) and activations
@@ -23,13 +31,15 @@ from __future__ import annotations
 
 import io
 import threading
+import time
 from typing import Callable
 
 import numpy as np
 
-from ..utils.logging import SRV_ERR, SRV_INF
+from ..utils.logging import SRV_ERR, SRV_INF, SRV_WRN
 
 OP_STOP = "__stop__"
+OP_PING = "__ping__"
 
 
 def _pack(op: str, seq: int, arrays: dict, scalars: dict) -> bytes:
@@ -48,10 +58,25 @@ def _unpack(data: bytes):
     return head["op"], head["seq"], arrays, head["scalars"]
 
 
-class ControlPlane:
-    """Host-0 side: PUB socket broadcasting step plans."""
+def ack_addr(plan_addr: str) -> str:
+    """Ack channel address = plan address with port+1 (tcp://host:18182 ->
+    tcp://host:18183); ipc:// addresses get an \"-ack\" suffix."""
+    if plan_addr.startswith("ipc://"):
+        return plan_addr + "-ack"
+    host, _, port = plan_addr.rpartition(":")
+    return f"{host}:{int(port) + 1}"
 
-    def __init__(self, bind: str = "tcp://*:18182", n_workers: int = 0):
+
+class WorkerDied(RuntimeError):
+    pass
+
+
+class ControlPlane:
+    """Host-0 side: PUB socket broadcasting step plans + PULL socket
+    collecting worker hellos/acks/errors."""
+
+    def __init__(self, bind: str = "tcp://*:18182", n_workers: int = 0,
+                 ack_timeout: float = 60.0):
         import zmq
         self._ctx = zmq.Context.instance()
         self._pub = self._ctx.socket(zmq.PUB)
@@ -59,49 +84,146 @@ class ControlPlane:
         self._seq = 0
         self._lock = threading.Lock()
         self.n_workers = n_workers
-        SRV_INF("control", "control plane PUB on %s", bind)
+        self.ack_timeout = ack_timeout
+        # worker id -> {"seq": last acked, "seen": monotonic, "err": str}
+        self._workers: dict[int, dict] = {}
+        self._werr: str | None = None
+        self._stop_listener = threading.Event()
+        self._pull = self._ctx.socket(zmq.PULL)
+        self._pull.bind(ack_addr(bind))
+        self._pull.setsockopt(zmq.RCVTIMEO, 200)
+        self._listener = threading.Thread(target=self._listen, daemon=True,
+                                          name="control-acks")
+        self._listener.start()
+        SRV_INF("control", "control plane PUB on %s, acks on %s", bind,
+                ack_addr(bind))
+
+    def _listen(self) -> None:
+        import msgpack
+        import zmq
+        while not self._stop_listener.is_set():
+            try:
+                msg = msgpack.unpackb(self._pull.recv())
+            except zmq.Again:
+                continue
+            except zmq.ZMQError:
+                return
+            wid = int(msg.get("worker", -1))
+            st = self._workers.setdefault(wid, {"seq": 0, "seen": 0.0,
+                                                "err": None})
+            st["seen"] = time.monotonic()
+            kind = msg.get("type")
+            if kind == "ack":
+                st["seq"] = max(st["seq"], int(msg.get("seq", 0)))
+            elif kind == "err":
+                st["err"] = str(msg.get("msg", "unknown worker error"))
+                self._werr = f"worker {wid}: {st['err']}"
+                SRV_ERR("control", "worker %d reported: %s", wid, st["err"])
 
     def broadcast(self, op: str, arrays: dict | None = None,
-                  scalars: dict | None = None) -> None:
+                  scalars: dict | None = None) -> int:
         with self._lock:
             self._seq += 1
             self._pub.send(_pack(op, self._seq, arrays or {}, scalars or {}))
+            return self._seq
+
+    def wait_ready(self, timeout: float = 120.0) -> None:
+        """Block until all n_workers have joined AND acked a ping — a hello
+        alone proves the PUSH pipe, not that the SUB pipe is receiving
+        (zmq slow-joiner drops plans sent before SUB connects)."""
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            self.broadcast(OP_PING)
+            time.sleep(0.1)
+            # any ack at all proves the worker's SUB pipe is receiving
+            live = [w for w, st in self._workers.items()
+                    if st["seq"] >= 1 and st["err"] is None]
+            if len(live) >= self.n_workers:
+                SRV_INF("control", "%d worker(s) ready", len(live))
+                return
+        raise WorkerDied(
+            f"only {len(self._workers)}/{self.n_workers} workers joined "
+            f"within {timeout}s")
+
+    def check_health(self) -> None:
+        """Raise WorkerDied if a worker reported an error or stopped acking
+        while plans are outstanding. Call once per reconcile pass so tasks
+        fail instead of the next collective hanging forever."""
+        if self._werr:
+            raise WorkerDied(self._werr)
+        now = time.monotonic()
+        with self._lock:
+            cur = self._seq
+        for wid, st in self._workers.items():
+            if st["seq"] < cur and now - st["seen"] > self.ack_timeout:
+                raise WorkerDied(
+                    f"worker {wid} stopped acking (last seq {st['seq']}/"
+                    f"{cur}, silent {now - st['seen']:.0f}s)")
 
     def stop(self) -> None:
         self.broadcast(OP_STOP)
+        self._stop_listener.set()
+        self._listener.join(timeout=2)
         self._pub.close(0)
+        self._pull.close(0)
 
 
 class WorkerLoop:
-    """Worker side: executes the op stream against an op registry."""
+    """Worker side: executes the op stream against an op registry and acks
+    every executed plan back to host 0."""
 
-    def __init__(self, connect: str, ops: dict[str, Callable]):
+    def __init__(self, connect: str, ops: dict[str, Callable],
+                 worker_id: int = 1, ack_connect: str | None = None):
         import zmq
         self._ctx = zmq.Context.instance()
         self._sub = self._ctx.socket(zmq.SUB)
         self._sub.connect(connect)
         self._sub.setsockopt(zmq.SUBSCRIBE, b"")
+        self._push = self._ctx.socket(zmq.PUSH)
+        self._push.connect(ack_connect or ack_addr(connect))
         self.ops = ops
+        self.worker_id = worker_id
         self._last_seq = 0
 
+    def _send(self, kind: str, **kw) -> None:
+        import msgpack
+        self._push.send(msgpack.packb({"type": kind,
+                                       "worker": self.worker_id, **kw}))
+
     def run_forever(self) -> None:
-        SRV_INF("control", "worker loop started")
+        SRV_INF("control", "worker %d loop started", self.worker_id)
+        self._send("hello")
         while True:
             op, seq, arrays, scalars = _unpack(self._sub.recv())
             if op == OP_STOP:
                 SRV_INF("control", "worker loop stopping")
+                self._send("ack", seq=seq)
                 return
             if seq <= self._last_seq:
                 continue  # replay guard
+            if op == OP_PING:
+                # handshake/liveness probe: joins are allowed to start
+                # mid-stream here (first real plan resyncs _last_seq)
+                self._last_seq = seq
+                self._send("ack", seq=seq)
+                continue
             if seq != self._last_seq + 1 and self._last_seq:
-                SRV_ERR("control", "missed plans %d..%d — desync, aborting",
-                        self._last_seq + 1, seq - 1)
+                msg = (f"missed plans {self._last_seq + 1}..{seq - 1} — "
+                       "desync")
+                SRV_ERR("control", "%s, aborting", msg)
+                self._send("err", msg=msg)
                 raise RuntimeError("control-plane desync")
             self._last_seq = seq
             fn = self.ops.get(op)
             if fn is None:
+                self._send("err", msg=f"unknown control op {op!r}")
                 raise RuntimeError(f"unknown control op {op!r}")
-            fn(arrays, scalars)
+            try:
+                fn(arrays, scalars)
+            except Exception as exc:  # noqa: BLE001 — report then die
+                self._send("err", msg=f"op {op!r} failed: {exc!r}")
+                raise
+            self._send("ack", seq=seq)
 
 
 def engine_ops(engine) -> dict[str, Callable]:
@@ -110,15 +232,21 @@ def engine_ops(engine) -> dict[str, Callable]:
     inputs so the global jitted program executes collectively."""
     import jax.numpy as jnp
 
-    from ..models.llama import prefill, prefill_embed, shift_kv
+    from ..models.llama import (prefill, prefill_batch, prefill_embed,
+                                shift_kv)
     from ..sampling import push_tokens, reset_slot, sample_one
 
     def op_prefill(a, s):
-        from ..server import engine as eng_mod
         logits, engine.kv = prefill(
             engine.params, engine.cfg, jnp.asarray(a["tokens"]), engine.kv,
             jnp.int32(s["slot"]), jnp.int32(s["pos"]), jnp.int32(s["n"]),
             engine.rope_cos, engine.rope_sin)
+
+    def op_prefill_batch(a, s):
+        logits, engine.kv = prefill_batch(
+            engine.params, engine.cfg, jnp.asarray(a["tokens"]),
+            jnp.asarray(a["pos_base"]), jnp.asarray(a["n_valid"]),
+            engine.kv, engine.rope_cos, engine.rope_sin)
 
     def op_prefill_embed(a, s):
         bidir = None
@@ -156,7 +284,6 @@ def engine_ops(engine) -> dict[str, Callable]:
                                     jnp.int32(s["n"]), jnp.int32(s["last_n"]))
 
     def op_sample_one(a, s):
-        from ..sampling import make_sampler_arrays
         _, _, _, _, engine.sstate = sample_one(
             jnp.asarray(a["logits"]), jnp.int32(s["slot"]), engine.sstate,
             engine.arrs)
@@ -168,6 +295,7 @@ def engine_ops(engine) -> dict[str, Callable]:
 
     return {
         "prefill": op_prefill,
+        "prefill_batch": op_prefill_batch,
         "prefill_embed": op_prefill_embed,
         "decode": op_decode,
         "shift": op_shift,
