@@ -752,13 +752,17 @@ def main(argv: list[str] | None = None) -> int:
         # TPU-native RPC replacement); no HTTP, no scheduler thread
         from .parallel.controller import WorkerLoop, engine_ops
         addr = args.control_connect or "tcp://localhost:18182"
-        WorkerLoop(addr, engine_ops(engine)).run_forever()
+        WorkerLoop(addr, engine_ops(engine),
+                   worker_id=max(1, args.host_id)).run_forever()
         return 0
 
     if args.num_hosts > 1:
         from .parallel.controller import ControlPlane
         engine.control = ControlPlane(args.control_bind,
                                       n_workers=args.num_hosts - 1)
+        # block until every worker has loaded its model replica and its
+        # SUB pipe is provably receiving (zmq slow-joiner)
+        engine.control.wait_ready(timeout=600.0)
     engine.start()
 
     defaults = _default_sampling(args)

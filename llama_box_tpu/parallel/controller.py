@@ -145,6 +145,27 @@ class ControlPlane:
             f"only {len(self._workers)}/{self.n_workers} workers joined "
             f"within {timeout}s")
 
+    def wait_acked(self, seq: int | None = None,
+                   timeout: float = 60.0) -> None:
+        """Block until every worker has acked plan `seq` (default: the
+        latest broadcast). Raises WorkerDied on a reported error or
+        timeout — used by Engine.verify_replicas and the shutdown path."""
+        if seq is None:
+            with self._lock:
+                seq = self._seq
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if self._werr:
+                raise WorkerDied(self._werr)
+            done = [w for w, st in self._workers.items()
+                    if st["seq"] >= seq]
+            if len(done) >= self.n_workers:
+                return
+            time.sleep(0.02)
+        raise WorkerDied(
+            f"workers did not ack plan {seq} within {timeout}s "
+            f"(progress: { {w: st['seq'] for w, st in self._workers.items()} })")
+
     def check_health(self) -> None:
         """Raise WorkerDied if a worker reported an error or stopped acking
         while plans are outstanding. Call once per reconcile pass so tasks
@@ -226,6 +247,43 @@ class WorkerLoop:
             self._send("ack", seq=seq)
 
 
+def state_digest(engine) -> str:
+    """Deterministic digest of an engine replica's device state (KV cache +
+    sampler state). Replicas executing the same op stream on the same
+    backend must agree bitwise; host 0 broadcasts its digest periodically
+    (Engine.verify_replicas) and any worker that diverged reports err —
+    the TPU-native analogue of the reference RPC server's graph-hash
+    consistency checks (rpcserver.hpp:1339-1393)."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.sha256()
+    for path, digest in state_leaf_digests(engine).items():
+        h.update(path.encode())
+        h.update(digest.encode())
+    return h.hexdigest()
+
+
+def state_leaf_digests(engine) -> dict:
+    """Per-leaf digests (tree path -> sha256) — lets a diverged worker
+    name WHICH piece of state differs."""
+    import hashlib
+
+    import jax
+
+    out = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(
+            (engine.kv, engine.sstate))[0]:
+        a = np.asarray(leaf)
+        h = hashlib.sha256()
+        h.update(str(a.shape).encode())
+        h.update(str(a.dtype).encode())
+        h.update(a.tobytes())
+        out[jax.tree_util.keystr(path)] = h.hexdigest()
+    return out
+
+
 def engine_ops(engine) -> dict[str, Callable]:
     """Op registry mapping step plans onto an Engine replica's device calls.
     Each op mirrors one host-0 call site; the worker passes the same numpy
@@ -288,6 +346,19 @@ def engine_ops(engine) -> dict[str, Callable]:
             jnp.asarray(a["logits"]), jnp.int32(s["slot"]), engine.sstate,
             engine.arrs)
 
+    def op_check_digest(a, s):
+        mine = state_digest(engine)
+        if mine != s["digest"]:
+            bad = "?"
+            theirs = s.get("leaves")
+            if theirs:
+                ours = state_leaf_digests(engine)
+                bad = ", ".join(p for p, d in theirs.items()
+                                if ours.get(p) != d) or "leaf set differs"
+            raise RuntimeError(
+                f"replica state diverged: host-0 digest {s['digest'][:12]}…"
+                f" != local {mine[:12]}… (leaves: {bad})")
+
     def op_set_arrs(a, s):
         from ..sampling import SamplerArrays
         engine.arrs = SamplerArrays(**{k: jnp.asarray(v)
@@ -303,4 +374,5 @@ def engine_ops(engine) -> dict[str, Callable]:
         "push_tokens": op_push_tokens,
         "sample_one": op_sample_one,
         "set_arrs": op_set_arrs,
+        "check_digest": op_check_digest,
     }

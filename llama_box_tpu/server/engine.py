@@ -261,6 +261,23 @@ class Engine:
         self.metrics.n_requests += 1
         self.queue.put(task)
 
+    def verify_replicas(self, timeout: float = 60.0) -> None:
+        """Multi-host consistency check: broadcast host 0's device-state
+        digest; every worker recomputes its own and reports err on
+        divergence. Blocks until all workers ack (i.e. have fully drained
+        the plan stream and match). No-op without a control plane.
+        Call while the engine is quiescent (no in-flight passes): a plan
+        broadcast between the digest snapshot and its broadcast would
+        mismatch spuriously."""
+        if self.control is None:
+            return
+        from ..parallel.controller import state_digest, state_leaf_digests
+        seq = self.control.broadcast(
+            "check_digest", {},
+            {"digest": state_digest(self),
+             "leaves": state_leaf_digests(self)})
+        self.control.wait_acked(seq, timeout)
+
     # -- reconcile loop ------------------------------------------------------
 
     def _loop(self) -> None:
@@ -270,6 +287,9 @@ class Engine:
             except Exception as exc:  # noqa: BLE001 — keep serving
                 SRV_ERR("reconcile", "pass failed: %r", exc)
                 self._fail_all(exc)
+                # don't spin when the failure is persistent (e.g. a dead
+                # worker fails every pass until it rejoins)
+                self._stop.wait(0.2)
 
     def _fail_all(self, exc: Exception) -> None:
         for s in self.slots:
@@ -278,6 +298,10 @@ class Engine:
                 self._release(s)
 
     def _reconcile(self) -> None:
+        if self.control is not None:
+            # fail tasks on a dead/diverged worker instead of hanging the
+            # next collective (reference: rpcserver retry/diagnose loop)
+            self.control.check_health()
         self._admit()
         images_busy = self._images_pass()
         pre = [s for s in self.slots if s.state == "prefill"]
@@ -509,6 +533,10 @@ class Engine:
                 np.asarray(last_logits))
         else:
             self._refresh_arrs()
+            if self.control is not None:
+                self.control.broadcast(
+                    "sample_one", {"logits": np.asarray(last_logits)},
+                    {"slot": s.idx})
             tok, ids, probs, tokp, self.sstate = sample_one(
                 last_logits, jnp.int32(s.idx), self.sstate, self.arrs)
             first = int(tok[s.idx])
