@@ -62,6 +62,8 @@ class GGMLType(enum.IntEnum):
     F64 = 28
     IQ1_M = 29
     BF16 = 30
+    TQ1_0 = 34
+    TQ2_0 = 35
 
 
 QK_K = 256
@@ -90,6 +92,19 @@ GGML_BLOCK_SIZES: dict[GGMLType, tuple[int, int]] = {
     GGMLType.Q8_K: (QK_K, 4 + QK_K + QK_K // 16 * 2),
     GGMLType.IQ4_NL: (32, 2 + 16),
     GGMLType.IQ4_XS: (QK_K, 2 + 2 + QK_K // 64 + QK_K // 2),
+    # ternary (TriLM / BitNet b1.58); reference llama.cpp ggml-common.h
+    # block_tq1_0 / block_tq2_0
+    GGMLType.TQ1_0: (QK_K, (QK_K - 4 * QK_K // 64) // 5 + QK_K // 64 + 2),
+    GGMLType.TQ2_0: (QK_K, QK_K // 4 + 2),
+    # codebook ("importance") quants; layouts per ggml-common.h
+    GGMLType.IQ2_XXS: (QK_K, 2 + QK_K // 8 * 2),
+    GGMLType.IQ2_XS: (QK_K, 2 + QK_K // 8 * 2 + QK_K // 32),
+    GGMLType.IQ2_S: (QK_K, 2 + QK_K // 4 + QK_K // 16),
+    GGMLType.IQ3_XXS: (QK_K, 2 + QK_K // 4 + QK_K // 8),
+    GGMLType.IQ3_S: (QK_K, 2 + QK_K // 4 + QK_K // 8 + QK_K // 32
+                     + QK_K // 64),
+    GGMLType.IQ1_S: (QK_K, 2 + QK_K // 8 + QK_K // 16),
+    GGMLType.IQ1_M: (QK_K, QK_K // 8 + QK_K // 16 + QK_K // 32),
 }
 
 GGML_TYPE_SIZES = {t: bb for t, (_, bb) in GGML_BLOCK_SIZES.items()}

@@ -614,6 +614,275 @@ def dequantize_iq4_xs(raw, n):
 
 
 # ----------------------------------------------------------------------------
+# ternary (TriLM / BitNet b1.58) — reference block_tq1_0/block_tq2_0,
+# llama.cpp ggml-common.h. Values are {-1, 0, +1} * d; the formats are
+# fully analytic (no codebook), so dequant here is exact.
+# ----------------------------------------------------------------------------
+
+_POW3 = np.array([1, 3, 9, 27, 81, 243], dtype=np.uint16)
+
+
+def dequantize_tq1_0(raw, n):
+    # layout: qs[48] (5 trits/byte) | qh[4] (4 trits/byte) | d f16.
+    # trit k of byte q decodes as ((uint8)(q * 3^k) * 3) >> 8 — the byte
+    # stores ceil(v * 256 / 3^T) where v is the base-3 big-endian value.
+    b = _blocks(raw, 54)
+    d = _f16(b[:, 52:54])[:, None]
+    nb = b.shape[0]
+    out = np.empty((nb, 256), dtype=np.float32)
+    qs0 = b[:, 0:32].astype(np.uint16)       # elems 0..160: stride 32
+    qs1 = b[:, 32:48].astype(np.uint16)      # elems 160..240: stride 16
+    qh = b[:, 48:52].astype(np.uint16)       # elems 240..256: stride 4
+    for k in range(5):
+        t = (((qs0 * _POW3[k]) & 0xFF) * 3) >> 8
+        out[:, 32 * k:32 * (k + 1)] = t.astype(np.float32) - 1.0
+    for k in range(5):
+        t = (((qs1 * _POW3[k]) & 0xFF) * 3) >> 8
+        out[:, 160 + 16 * k:160 + 16 * (k + 1)] = t.astype(np.float32) - 1.0
+    for k in range(4):
+        t = (((qh * _POW3[k]) & 0xFF) * 3) >> 8
+        out[:, 240 + 4 * k:240 + 4 * (k + 1)] = t.astype(np.float32) - 1.0
+    return (out * d).reshape(-1)[:n]
+
+
+def quantize_tq1_0(x: np.ndarray) -> bytes:
+    x = x.astype(np.float32).reshape(-1, 256)
+    d = np.abs(x).max(axis=1)
+    id_ = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    t = (np.rint(x * id_[:, None]).astype(np.int32) + 1).astype(np.uint32)
+
+    def pack(cols, base):  # big-endian base-3, ceil-scaled to a byte
+        v = np.zeros(cols.shape[:-1], np.uint32)
+        for k in range(cols.shape[-1]):
+            v = v * 3 + cols[..., k]
+        return ((v * 256 + base - 1) // base).astype(np.uint8)
+
+    nb = x.shape[0]
+    out = np.empty((nb, 54), np.uint8)
+    g0 = t[:, :160].reshape(nb, 5, 32).transpose(0, 2, 1)    # [nb, 32, 5]
+    out[:, 0:32] = pack(g0, 243)
+    g1 = t[:, 160:240].reshape(nb, 5, 16).transpose(0, 2, 1)
+    out[:, 32:48] = pack(g1, 243)
+    g2 = t[:, 240:256].reshape(nb, 4, 4).transpose(0, 2, 1)
+    out[:, 48:52] = pack(g2, 81)
+    out[:, 52:54] = d.astype("<f2").view(np.uint8).reshape(-1, 2)
+    return out.tobytes()
+
+
+def dequantize_tq2_0(raw, n):
+    # layout: qs[64] (2 bits/elem) | d f16; 32-byte chunks, bit-plane-major
+    b = _blocks(raw, 66)
+    d = _f16(b[:, 64:66])[:, None]
+    nb = b.shape[0]
+    out = np.empty((nb, 256), dtype=np.float32)
+    for c in range(2):                        # 32-byte chunk -> 128 elems
+        qs = b[:, 32 * c:32 * (c + 1)]
+        for l in range(4):
+            t = (qs >> (2 * l)) & 3
+            out[:, 128 * c + 32 * l:128 * c + 32 * (l + 1)] = \
+                t.astype(np.float32) - 1.0
+    return (out * d).reshape(-1)[:n]
+
+
+def quantize_tq2_0(x: np.ndarray) -> bytes:
+    x = x.astype(np.float32).reshape(-1, 256)
+    d = np.abs(x).max(axis=1)
+    id_ = np.where(d > 0, 1.0 / np.where(d > 0, d, 1.0), 0.0)
+    t = (np.rint(x * id_[:, None]).astype(np.int32) + 1).astype(np.uint8)
+    nb = x.shape[0]
+    out = np.empty((nb, 66), np.uint8)
+    for c in range(2):
+        acc = np.zeros((nb, 32), np.uint8)
+        for l in range(4):
+            acc |= t[:, 128 * c + 32 * l:128 * c + 32 * (l + 1)] << (2 * l)
+        out[:, 32 * c:32 * (c + 1)] = acc
+    out[:, 64:66] = d.astype("<f2").view(np.uint8).reshape(-1, 2)
+    return out.tobytes()
+
+
+# ----------------------------------------------------------------------------
+# IQ codebook quants (IQ1/IQ2/IQ3 families). The block layouts, scale
+# packing and sign scheme below follow the published GGUF formats
+# (llama.cpp ggml-common.h / ggml-quants.c dequantize_row_iq*). The sign
+# table is analytic (7 explicit sign bits + 1 even-parity bit), but the
+# lattice codebooks (iq2xxs_grid &c.) are trained constant tables that are
+# NOT derivable and are not present in this build. Drop any ggml-common.h
+# (or an .npz with the named arrays) next to the model or point
+# LLAMA_BOX_TPU_IQ_GRIDS at one to enable these formats.
+# ----------------------------------------------------------------------------
+
+# ksigns_iq2xs[i] = i with bit 7 = odd parity of i (total popcount even)
+_KSIGNS = np.arange(128, dtype=np.uint8)
+_KSIGNS |= ((np.unpackbits(_KSIGNS[:, None], axis=1).sum(1) & 1)
+            .astype(np.uint8) << 7)
+
+_IQ_GRID_SPECS = {
+    # name: (entries, dtype, values-per-entry, bits-per-value)
+    "iq2xxs_grid": (256, np.uint64, 8),
+    "iq2xs_grid": (512, np.uint64, 8),
+    "iq2s_grid": (1024, np.uint64, 8),
+    "iq3xxs_grid": (256, np.uint32, 4),
+    "iq3s_grid": (512, np.uint32, 4),
+    "iq1s_grid": (2048, np.uint64, 8),
+}
+_iq_grids: dict | None = None
+
+
+def _load_iq_grids() -> dict:
+    """Load the trained IQ codebooks from LLAMA_BOX_TPU_IQ_GRIDS (a
+    ggml-common.h-style C source or an .npz). Returns {} when absent."""
+    global _iq_grids
+    if _iq_grids is not None:
+        return _iq_grids
+    import os
+    import re
+    path = os.environ.get("LLAMA_BOX_TPU_IQ_GRIDS")
+    grids: dict = {}
+    if path and path.endswith(".npz"):
+        with np.load(path) as z:
+            grids = {k: np.asarray(z[k]) for k in z.files}
+    elif path:
+        with open(path, "r", errors="ignore") as f:
+            src = f.read()
+        for name, (n_ent, dt, _) in _IQ_GRID_SPECS.items():
+            m = re.search(name + r"\s*\[\s*\d*\s*\]\s*=\s*\{([^}]*)\}", src)
+            if not m:
+                continue
+            vals = [int(v, 0) for v in
+                    re.findall(r"0[xX][0-9a-fA-F]+|\d+", m.group(1))]
+            if len(vals) == n_ent:
+                grids[name] = np.asarray(vals, dt)
+    for name, (n_ent, dt, npb) in _IQ_GRID_SPECS.items():
+        if name in grids:
+            g = grids[name].astype(dt)
+            # unpack packed-byte entries -> [n_ent, npb] int8 magnitudes
+            grids[name] = np.stack(
+                [(g >> (8 * k)).astype(np.uint8) for k in range(npb)],
+                axis=1).astype(np.int8)
+    _iq_grids = grids
+    return grids
+
+
+def _need_grid(name: str) -> np.ndarray:
+    g = _load_iq_grids().get(name)
+    if g is None:
+        raise NotImplementedError(
+            f"{name} codebook unavailable: the IQ formats need llama.cpp's "
+            "trained lattice tables, which this build does not vendor. "
+            "Set LLAMA_BOX_TPU_IQ_GRIDS to a ggml-common.h or .npz "
+            "containing them.")
+    return g
+
+
+def _signs8(bits7: np.ndarray) -> np.ndarray:
+    """[...,] 7-bit sign selector -> [..., 8] +-1.0 via the parity table."""
+    ks = _KSIGNS[bits7]
+    return 1.0 - 2.0 * ((ks[..., None] >> np.arange(8)) & 1)
+
+
+def dequantize_iq2_xxs(raw, n):
+    grid = _need_grid("iq2xxs_grid")          # [256, 8] magnitudes
+    b = _blocks(raw, 66)
+    d = _f16(b[:, 0:2])
+    q16 = np.ascontiguousarray(b[:, 2:66]).view("<u2").reshape(-1, 8, 4)
+    aux0 = q16[..., 0].astype(np.uint32) | (q16[..., 1].astype(np.uint32) << 16)
+    aux1 = q16[..., 2].astype(np.uint32) | (q16[..., 3].astype(np.uint32) << 16)
+    db = d[:, None] * (0.5 + (aux1 >> 28)) * 0.25          # [nb, 8]
+    idx = np.stack([(aux0 >> (8 * l)) & 0xFF for l in range(4)], -1)
+    sgn = np.stack([(aux1 >> (7 * l)) & 127 for l in range(4)], -1)
+    vals = grid[idx].astype(np.float32)                    # [nb, 8, 4, 8]
+    vals = vals * _signs8(sgn)
+    out = vals * db[..., None, None]
+    return out.reshape(len(b), 256).reshape(-1)[:n]
+
+
+def dequantize_iq2_xs(raw, n):
+    grid = _need_grid("iq2xs_grid")           # [512, 8]
+    b = _blocks(raw, 74)
+    d = _f16(b[:, 0:2])
+    q16 = np.ascontiguousarray(b[:, 2:66]).view("<u2").reshape(-1, 8, 4)
+    scales = b[:, 66:74]                                   # [nb, 8]
+    ls = np.stack([scales & 0xF, scales >> 4], -1).astype(np.float32)
+    db = d[:, None, None] * (0.5 + ls) * 0.25              # [nb, 8, 2]
+    db = np.repeat(db, 2, axis=2)                          # per-l scale
+    vals = grid[q16 & 511].astype(np.float32)              # [nb, 8, 4, 8]
+    vals = vals * _signs8((q16 >> 9).astype(np.uint8))
+    out = vals * db[..., None]
+    return out.reshape(len(b), 256).reshape(-1)[:n]
+
+
+def dequantize_iq2_s(raw, n):
+    grid = _need_grid("iq2s_grid")            # [1024, 8]
+    b = _blocks(raw, 82)
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:34].reshape(-1, 8, 4)                      # grid low bytes
+    signs = b[:, 34:66].reshape(-1, 8, 4)                  # explicit signs
+    qh = b[:, 66:74]                                       # [nb, 8]
+    scales = b[:, 74:82]
+    ls = np.stack([scales & 0xF, scales >> 4], -1).astype(np.float32)
+    db = np.repeat(d[:, None, None] * (0.5 + ls) * 0.25, 2, axis=2)
+    hi = np.stack([((qh.astype(np.uint16) << (8 - 2 * l)) & 0x300)
+                   for l in range(4)], -1)
+    vals = grid[qs.astype(np.uint16) | hi].astype(np.float32)
+    sg = 1.0 - 2.0 * ((signs[..., None] >> np.arange(8)) & 1)
+    out = vals * sg * db[..., None]
+    return out.reshape(len(b), 256).reshape(-1)[:n]
+
+
+def dequantize_iq3_xxs(raw, n):
+    grid = _need_grid("iq3xxs_grid")          # [256, 4]
+    b = _blocks(raw, 98)
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:66].reshape(-1, 8, 8)                      # 8 grid bytes/ib32
+    aux = np.ascontiguousarray(b[:, 66:98]).view("<u4").reshape(-1, 8)
+    db = d[:, None] * (0.5 + (aux >> 28)) * 0.5            # [nb, 8]
+    sgn = np.stack([(aux >> (7 * l)) & 127 for l in range(4)], -1)
+    vals = grid[qs].astype(np.float32).reshape(len(b), 8, 4, 8)
+    vals = vals * _signs8(sgn)
+    out = vals * db[..., None, None]
+    return out.reshape(len(b), 256).reshape(-1)[:n]
+
+
+def dequantize_iq3_s(raw, n):
+    grid = _need_grid("iq3s_grid")            # [512, 4]
+    b = _blocks(raw, 110)
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:66].reshape(-1, 8, 8)
+    qh = b[:, 66:74]                                       # [nb, 8]
+    signs = b[:, 74:106].reshape(-1, 8, 4)
+    scales = b[:, 106:110]                                 # [nb, 4]
+    ls = np.stack([scales & 0xF, scales >> 4], -1).astype(np.float32)
+    db = d[:, None] * (1.0 + 2.0 * ls.reshape(len(b), 8))  # [nb, 8]
+    hi = np.stack([((qh.astype(np.uint16) << (8 - l)) & 256)
+                   for l in range(8)], -1)
+    vals = grid[qs.astype(np.uint16) | hi].astype(np.float32) \
+        .reshape(len(b), 8, 4, 8)
+    sg = 1.0 - 2.0 * ((signs[..., None] >> np.arange(8)) & 1)
+    out = vals * sg.reshape(len(b), 8, 4, 8) * db[..., None, None]
+    return out.reshape(len(b), 256).reshape(-1)[:n]
+
+
+IQ1S_DELTA = 0.125
+
+
+def dequantize_iq1_s(raw, n):
+    grid = _need_grid("iq1s_grid")            # [2048, 8] of 2-bit {0,1,2}
+    b = _blocks(raw, 50)
+    d = _f16(b[:, 0:2])
+    qs = b[:, 2:34].reshape(-1, 8, 4)
+    qh = np.ascontiguousarray(b[:, 34:50]).view("<u2").reshape(-1, 8)
+    dl = d[:, None] * (2 * ((qh >> 12) & 7) + 1)           # [nb, 8]
+    delta = np.where(qh & 0x8000, -IQ1S_DELTA, IQ1S_DELTA)
+    hi = np.stack([((qh.astype(np.uint32) >> (3 * l)) & 7) << 8
+                   for l in range(4)], -1)
+    vals = grid[qs.astype(np.uint32) | hi].astype(np.float32)
+    # grid entries store {0,1,2} biased magnitudes -> {-1,0,+1}
+    vals = vals - 1.0
+    out = (vals + delta[..., None, None]) * dl[..., None, None]
+    return out.reshape(len(b), 256).reshape(-1)[:n]
+
+
+# ----------------------------------------------------------------------------
 # registries
 # ----------------------------------------------------------------------------
 
@@ -640,6 +909,14 @@ DEQUANTIZERS = {
     GGMLType.Q8_K: dequantize_q8_k,
     GGMLType.IQ4_NL: dequantize_iq4_nl,
     GGMLType.IQ4_XS: dequantize_iq4_xs,
+    GGMLType.TQ1_0: dequantize_tq1_0,
+    GGMLType.TQ2_0: dequantize_tq2_0,
+    GGMLType.IQ2_XXS: dequantize_iq2_xxs,
+    GGMLType.IQ2_XS: dequantize_iq2_xs,
+    GGMLType.IQ2_S: dequantize_iq2_s,
+    GGMLType.IQ3_XXS: dequantize_iq3_xxs,
+    GGMLType.IQ3_S: dequantize_iq3_s,
+    GGMLType.IQ1_S: dequantize_iq1_s,
 }
 
 QUANTIZERS = {
@@ -659,6 +936,8 @@ QUANTIZERS = {
     GGMLType.Q5_K: quantize_q5_k,
     GGMLType.Q6_K: quantize_q6_k,
     GGMLType.IQ4_NL: quantize_iq4_nl,
+    GGMLType.TQ1_0: quantize_tq1_0,
+    GGMLType.TQ2_0: quantize_tq2_0,
 }
 
 
