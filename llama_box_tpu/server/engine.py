@@ -167,6 +167,7 @@ class Engine:
         self.upscaler = upscaler           # ESRGAN x4 (diffusion/esrgan.py)
         self.upscale_repeats = upscale_repeats
         self.image_tasks: list[ImagesTask] = []
+        self.embed_tasks: list = []   # embeddings/rerank, chunked per pass
 
         S = self.ecfg.n_slots
         self.slot_ctx = max(16, self.ecfg.n_ctx // S)
@@ -304,6 +305,7 @@ class Engine:
             self.control.check_health()
         self._admit()
         images_busy = self._images_pass()
+        embed_busy = self._embed_pass()
         pre = [s for s in self.slots if s.state == "prefill"]
         if pre:
             self._prefill_pass(pre)
@@ -312,7 +314,7 @@ class Engine:
         if dec:
             self._decode_pass(dec)
             return
-        if images_busy:
+        if images_busy or embed_busy:
             return
         # nothing active: block briefly for work
         try:
@@ -343,9 +345,12 @@ class Engine:
             if isinstance(task, CompletionsTask):
                 self._admit_completion(task)
             elif isinstance(task, EmbeddingsTask):
-                self._run_embeddings(task)
+                self._admit_embed(task, task.inputs,
+                                  self.cfg.pooling
+                                  if self.cfg.pooling not in ("none", "rank")
+                                  else "mean")
             elif isinstance(task, RerankTask):
-                self._run_rerank(task)
+                self._admit_embed(task, task.pairs, "rank")
             elif isinstance(task, ImagesTask):
                 self._admit_images(task)
             else:
@@ -991,14 +996,36 @@ class Engine:
                                   self.rope_cos, self.rope_sin,
                                   pooling=pooling)
 
-    def _embed_batch(self, token_lists: list[list[int]], pooling: str):
-        """Pack token lists into bucketed batches and run the non-causal
-        embedding forward; returns [N, E] float32 numpy."""
-        out = [None] * len(token_lists)
-        order = sorted(range(len(token_lists)), key=lambda i: len(token_lists[i]))
-        i = 0
-        while i < len(order):
-            group = order[i:i + self.ecfg.max_embed_batch]
+    def _admit_embed(self, task, token_lists: list[list[int]],
+                     pooling: str) -> None:
+        """Queue an embeddings/rerank task as bucketed groups; _embed_pass
+        runs ONE group per reconcile pass so decode slots keep streaming
+        while a large batch embeds (reference interleaves via reconcile
+        passes, httpserver.hpp:4095-4149)."""
+        order = sorted(range(len(token_lists)),
+                       key=lambda i: len(token_lists[i]))
+        nb = self.ecfg.max_embed_batch
+        task._groups = [order[i:i + nb] for i in range(0, len(order), nb)]
+        task._token_lists = token_lists
+        task._pooling = pooling
+        task._results = [None] * len(token_lists)
+        task._t0 = time.monotonic()
+        self.embed_tasks.append(task)
+
+    def _embed_pass(self) -> bool:
+        """Run ONE bucket group of the oldest queued embeddings/rerank
+        task (mirrors _images_pass granularity)."""
+        while self.embed_tasks and (self.embed_tasks[0].cancelled
+                                    or not self.embed_tasks[0]._groups):
+            t = self.embed_tasks.pop(0)
+            if not t.cancelled:
+                self._finish_embed(t)
+        if not self.embed_tasks:
+            return False
+        task = self.embed_tasks[0]
+        group = task._groups.pop(0)
+        try:
+            token_lists = task._token_lists
             T = self._bucket(max(len(token_lists[j]) for j in group))
             B = len(group)
             toks = np.zeros((B, T), np.int32)
@@ -1007,31 +1034,37 @@ class Engine:
                 seq = token_lists[j][:T]
                 toks[b, :len(seq)] = seq
                 lens[b] = len(seq)
-            emb = self._embed_forward(jnp.asarray(toks), jnp.asarray(lens),
-                                      pooling)
-            emb_h = np.asarray(emb)
+            emb_h = np.asarray(self._embed_forward(
+                jnp.asarray(toks), jnp.asarray(lens), task._pooling))
             for b, j in enumerate(group):
-                out[j] = emb_h[b]
-            i += B
-        return out
+                task._results[j] = emb_h[b]
+            if not task._groups:
+                self.embed_tasks.pop(0)
+                self._finish_embed(task)
+        except Exception as exc:  # noqa: BLE001
+            SRV_ERR("embed", "task %s failed: %r", task.rid, exc)
+            task.fail(exc)
+            if task in self.embed_tasks:
+                self.embed_tasks.remove(task)
+        return bool(self.embed_tasks)
 
-    def _run_embeddings(self, task: EmbeddingsTask) -> None:
-        t0 = time.monotonic()
-        pooling = self.cfg.pooling if self.cfg.pooling not in ("none", "rank") \
-            else "mean"
-        embs = self._embed_batch(task.inputs, pooling)
-        for e in embs:
+    def _finish_embed(self, task) -> None:
+        if isinstance(task, RerankTask):
+            self._finish_rerank(task)
+            return
+        for e in task._results:
             v = e.astype(np.float64)
             if task.normalize:
                 n = np.linalg.norm(v)
                 v = v / n if n > 0 else v
             task.embeddings.append(v.tolist())
-        self.metrics.on_prefill(task.n_prompt, (time.monotonic() - t0) * 1e3)
+        self.metrics.on_prefill(task.n_prompt,
+                                (time.monotonic() - task._t0) * 1e3)
         task.emit("final", task)
 
-    def _run_rerank(self, task: RerankTask) -> None:
-        t0 = time.monotonic()
-        embs = self._embed_batch(task.pairs, "rank")
+    def _finish_rerank(self, task: RerankTask) -> None:
+        t0 = task._t0
+        embs = task._results
         scores = [float(np.asarray(e).reshape(-1)[0]) for e in embs]
         if task.normalize and len(scores) >= task.n_documents + 2:
             doc_scores = scores[:task.n_documents]

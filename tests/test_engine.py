@@ -3,6 +3,7 @@ reference lacks): continuous batching, prefix cache, context shift, stop
 words, budgets, embeddings — all on the tiny CPU model."""
 
 import queue
+import time
 
 import numpy as np
 import pytest
@@ -249,5 +250,71 @@ def test_mixed_workload_interleaving(tmp_path):
                                tokenizer=tok, max_tokens=12, stream=False)
         fs, _ = run_task(eng, solo)
         assert fs.generated == f.generated
+    finally:
+        eng.stop()
+
+
+def test_decode_streams_during_large_embed_batch(tmp_path):
+    """A large embeddings batch must NOT stall decoding slots: embed groups
+    run one per reconcile pass (VERDICT r1 item 10). Asserts stream deltas
+    for a concurrent completion arrive BEFORE the embed batch finishes."""
+    from llama_box_tpu.gguf import GGUFFile
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.tokenizer import Tokenizer
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=2, n_ctx=128, n_ubatch=16,
+                              max_embed_batch=2))
+    eng.start()
+    try:
+        # 12 inputs / max_embed_batch 2 = 6 groups = 6+ reconcile passes
+        big = EmbeddingsTask([tok.encode(f"input number {i} padding words")
+                              for i in range(12)])
+        comp = CompletionsTask(tok.encode("a b c"), greedy(),
+                               tokenizer=tok, max_tokens=6, stream=True)
+        eng.submit(big)
+        eng.submit(comp)
+
+        deltas_before_embed_done = 0
+        comp_deltas = comp_final = big_final = 0
+        deadline = time.monotonic() + 120
+        while (not comp_final or not big_final) \
+                and time.monotonic() < deadline:
+            progressed = False
+            try:
+                kind, payload = comp.result_q.get_nowait()
+                progressed = True
+                if kind == "delta":
+                    comp_deltas += 1
+                    if not big_final:
+                        deltas_before_embed_done += 1
+                elif kind == "final":
+                    comp_final = 1
+                elif kind == "error":
+                    raise payload
+            except queue.Empty:
+                pass
+            try:
+                kind, payload = big.result_q.get_nowait()
+                progressed = True
+                if kind == "final":
+                    big_final = 1
+                    assert len(payload.embeddings) == 12
+                elif kind == "error":
+                    raise payload
+            except queue.Empty:
+                pass
+            if not progressed:
+                time.sleep(0.01)
+        assert comp_final and big_final
+        assert comp_deltas >= 6
+        # decode progressed while embed groups were still queued
+        assert deltas_before_embed_done >= 2, deltas_before_embed_done
     finally:
         eng.stop()
