@@ -212,6 +212,12 @@ class Engine:
                 self.draft_kv = shard_kv(mesh, self.draft_kv)
             self.draft_cos, self.draft_sin = make_rope(self.draft_cfg,
                                                        self.slot_ctx)
+            self.draft_delta_cos, self.draft_delta_sin = make_delta_rope(
+                self.draft_cfg, self.slot_ctx)
+            from ..models.llama import _layer_is_local
+            self.draft_delta_select = (
+                _layer_is_local(self.draft_cfg)
+                if self.draft_delta_cos.ndim == 3 else None)
 
         self.buckets = tuple(b for b in DEFAULT_BUCKETS
                              if b <= max(self.ecfg.n_ubatch, 16))
@@ -884,7 +890,19 @@ class Engine:
         del s.cache_tokens[n_keep:n_keep + n_discard]
         s.pos -= n_discard
         s.drafts = []
-        s.draft_pos = 0  # draft KV re-catches-up after a shift
+        if self.draft_kv is not None and s.draft_pos >= n_keep + n_discard:
+            # shift the draft context alongside the target instead of
+            # re-prefilling the whole history (reference shifts the draft
+            # ctx too, httpserver.hpp:3508-3524); a draft KV that hasn't
+            # reached the discard window keeps its [0, n_keep) prefix
+            self.draft_kv = shift_kv(
+                self.draft_kv, jnp.int32(s.idx), jnp.int32(n_keep),
+                jnp.int32(n_discard), self.draft_delta_cos,
+                self.draft_delta_sin, self.draft_cfg.rope_mode,
+                layer_select=self.draft_delta_select)
+            s.draft_pos -= n_discard
+        else:
+            s.draft_pos = min(s.draft_pos, n_keep)
         if task:
             task.n_shifted += 1
         SRV_DBG("shift", "slot %d keep=%d discard=%d pos=%d",

@@ -151,17 +151,25 @@ def chain_mlp():
     return jax.jit(run), (x0,)
 
 
+PARTS = __import__("sys").argv[1:] or ["sampler", "outmm", "mlp"]
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend(), flush=True)
-    fn, args = chain_engine(C, True)
-    timed("full", fn, *args)
-    fn, args = chain_engine(C, False)
-    timed("fwd_argmax", fn, *args)
-    fn, args = chain_engine(128, False)
-    timed("fwd_c128", fn, *args)
-    fn, args = chain_sampler()
-    timed("sampler", fn, *args)
-    fn, args = chain_outmm()
-    timed("outmm", fn, *args)
-    fn, args = chain_mlp()
-    timed("mlp", fn, *args)
+    if "full" in PARTS:
+        fn, args = chain_engine(C, True)
+        timed("full", fn, *args)
+    if "fwd" in PARTS:
+        fn, args = chain_engine(C, False)
+        timed("fwd_argmax", fn, *args)
+    if "fwd128" in PARTS:
+        fn, args = chain_engine(128, False)
+        timed("fwd_c128", fn, *args)
+    if "sampler" in PARTS:
+        fn, args = chain_sampler()
+        timed("sampler", fn, *args)
+    if "outmm" in PARTS:
+        fn, args = chain_outmm()
+        timed("outmm", fn, *args)
+    if "mlp" in PARTS:
+        fn, args = chain_mlp()
+        timed("mlp", fn, *args)
