@@ -4,8 +4,8 @@ The reference gets audio via clip.patch's split vision/audio contexts
 (`tokenize_audio`, z_multimodal.hpp:198-247). Here: WAV bytes -> log-mel
 spectrogram (whisper frontend: 16 kHz, n_fft 400, hop 160) -> 2x strided
 conv -> sinusoidal positions -> pre-LN transformer -> projector into the
-LM embedding space. MP3 decode is not available in this environment
-(the reference vendors minimp3); WAV input only for now.
+LM embedding space. WAV parses natively; MP3 decodes through the platform
+mpg123 codec (utils/mp3.py).
 """
 
 from __future__ import annotations
@@ -27,15 +27,18 @@ HOP = 160
 
 
 def decode_wav(data: bytes) -> np.ndarray:
-    """WAV bytes -> mono f32 waveform at 16 kHz (naive resample).
+    """WAV or MP3 bytes -> mono f32 waveform at 16 kHz (naive resample).
 
-    The reference also decodes mp3 (miniaudio, httpserver input_audio
-    format "mp3"); this image has no mp3 codec, so reject it with a
-    clear message instead of a wave-module parse error."""
-    if data[:3] == b"ID3" or (len(data) > 1 and data[0] == 0xFF
-                              and (data[1] & 0xE0) == 0xE0):
-        raise ValueError("mp3 input_audio is not supported by this build; "
-                         "please send WAV")
+    The reference accepts both formats (httpserver.hpp:1076-1078); mp3
+    rides the platform mpg123 codec (utils/mp3.py)."""
+    from ..utils import mp3
+    if mp3.looks_like_mp3(data):
+        x, sr = mp3.decode_mp3(data)
+        if sr != SAMPLE_RATE:
+            t = np.linspace(0, len(x) - 1,
+                            int(len(x) * SAMPLE_RATE / sr))
+            x = np.interp(t, np.arange(len(x)), x).astype(np.float32)
+        return x
     with wave.open(io.BytesIO(data)) as w:
         sr = w.getframerate()
         n = w.getnframes()

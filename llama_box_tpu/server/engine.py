@@ -783,14 +783,25 @@ class Engine:
         n_tok = int(n_emitted_h.sum())
         self.metrics.on_decode(n_tok, (time.monotonic() - t0) * 1e3)
 
+        # host-sampled (grammar/mirostat/DRY) slots: ONE batched gather +
+        # device->host transfer for all of them — a per-slot np.asarray
+        # paid a full tunnel round-trip (~250us) per slot per token
+        hs_slots = [s for s in dec
+                    if getattr(s.task, "host_sampler", None) is not None]
+        hs_rows = {}
+        if hs_slots:
+            idxs = [s.idx for s in hs_slots]
+            batch = np.asarray(jnp.take(logits0, jnp.asarray(idxs), axis=0))
+            hs_rows = {i: batch[k] for k, i in enumerate(idxs)}
+
         for s in dec:
             task = s.task
             hs = getattr(task, "host_sampler", None)
             if hs is not None:
                 s.cache_tokens.append(s.next_token)
                 s.pos += 1
-                row = np.asarray(logits0[s.idx])
-                token, top_ids, top_probs, tok_prob = hs.sample(row)
+                token, top_ids, top_probs, tok_prob = hs.sample(
+                    hs_rows[s.idx])
                 self._accept_token(s, token, top_ids, top_probs, tok_prob)
                 continue
             n_em = int(n_emitted_h[s.idx])

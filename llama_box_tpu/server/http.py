@@ -499,10 +499,15 @@ class HTTPServer:
                             and self.mp.supports_audio:
                         ia = p.get("input_audio") or {}
                         fmt = ia.get("format", "wav")
-                        if fmt != "wav":
+                        ok_fmts = ("wav",)
+                        from ..utils import mp3 as _mp3
+                        if _mp3.available():
+                            ok_fmts = ("wav", "mp3")
+                        if fmt not in ok_fmts:
                             raise bad_request(
                                 f"messages[{i}] audio format \"{fmt}\" is "
-                                "not supported (wav only)", "messages")
+                                f"not supported ({'/'.join(ok_fmts)} only)",
+                                "messages")
                         import base64 as _b64
                         try:
                             images.append(("audio",

@@ -103,7 +103,7 @@ def chain_sampler():
             x = base + tok[:, None].astype(jnp.float32) * 1e-6
             return (x, sstate), None
         (x, sstate), _ = jax.lax.scan(body, (x, sstate),
-                                      jnp.arange(K, jnp.int32))
+                                      jnp.arange(K, dtype=jnp.int32))
         return x
 
     return jax.jit(run, donate_argnums=(1,)), (base, init_sampler_state(S, V))
@@ -118,7 +118,7 @@ def chain_outmm():
             y = mm(x, w)                       # [S, V]
             x = y[:, :E].astype(jnp.bfloat16) * 1e-3
             return x, None
-        x, _ = jax.lax.scan(body, x, jnp.arange(K, jnp.int32))
+        x, _ = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
         return x
 
     return jax.jit(run), (x0,)
@@ -145,7 +145,7 @@ def chain_mlp():
                 layer, x, (lw["wq"], lw["wk"], lw["wv"], lw["wo"],
                            lw["w_gate"], lw["w_up"], lw["w_down"]))
             return x, None
-        x, _ = jax.lax.scan(body, x0, jnp.arange(K, jnp.int32))
+        x, _ = jax.lax.scan(body, x0, jnp.arange(K, dtype=jnp.int32))
         return x
 
     return jax.jit(run), (x0,)
