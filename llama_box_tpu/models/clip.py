@@ -313,18 +313,26 @@ def _apply_vit_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
     return jnp.concatenate([x0 * c - x1 * s, x0 * s + x1 * c], axis=-1)
 
 
-def encode_image_qwen2vl_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
+def encode_image_qwen2vl_impl(params, cfg: ClipConfig, pixels: jnp.ndarray,
+                              grid_hw: tuple[int, int] | None = None
                               ) -> jnp.ndarray:
     """Qwen2-VL ViT: temporal patch conv, NO learned positions, 2D rotary
-    attention, 2x2 merger MLP. pixels: [H, W, 3] -> [n_merged, proj]."""
+    attention, 2x2 merger MLP. pixels: [gh*P, gw*P, 3] -> [n_merged, proj].
+
+    grid_hw = (gh, gw) patch grid — the tower runs at the image's NATIVE
+    grid-quantized resolution (the reference sizes the ViT per image via
+    the max_image_size hparams, patches/llama.cpp/clip.patch:67-91);
+    None = the trained square (back-compat)."""
     P = cfg.patch_size
-    S = cfg.n_patches_side
+    if grid_hw is None:
+        grid_hw = (cfg.n_patches_side, cfg.n_patches_side)
+    GH, GW = grid_hw
     E = cfg.n_embd
     H = cfg.n_heads
     D = E // H
 
-    patches = pixels.reshape(S, P, S, P, 3).transpose(0, 2, 4, 1, 3)
-    patches = patches.reshape(S * S, 3 * P * P)
+    patches = pixels.reshape(GH, P, GW, P, 3).transpose(0, 2, 4, 1, 3)
+    patches = patches.reshape(GH * GW, 3 * P * P)
     w = params["patch_embd"].reshape(E, 3 * P * P)
     if params.get("patch_embd_1") is not None:
         # temporal kernel: static images repeat the frame, so the two
@@ -334,7 +342,7 @@ def encode_image_qwen2vl_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
     if params.get("patch_embd_b") is not None:
         x = x + params["patch_embd_b"]
 
-    ang = _vit_2d_rope_angles(S, S, D)
+    ang = _vit_2d_rope_angles(GH, GW, D)
     cos = jnp.asarray(np.cos(ang), x.dtype)
     sin = jnp.asarray(np.sin(ang), x.dtype)
 
@@ -350,9 +358,9 @@ def encode_image_qwen2vl_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
     # window_index reorder — attention is permutation-invariant)
     if cfg.wa_pattern > 0:
         win = 8
-        rows = jnp.arange(S * S) // S
-        cols = jnp.arange(S * S) % S
-        wid = (rows // win) * S + (cols // win)
+        rows = jnp.arange(GH * GW) // GW
+        cols = jnp.arange(GH * GW) % GW
+        wid = (rows // win) * GW + (cols // win)
         mask_w = (wid[:, None] == wid[None, :])
     else:
         mask_w = None
@@ -390,8 +398,8 @@ def encode_image_qwen2vl_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
     if params.get("post_ln") is not None:
         x = _ln(x, params["post_ln"], params.get("post_ln_b"), cfg.eps)
     m = max(cfg.merge_size, 1)
-    x = x.reshape(S // m, m, S // m, m, E).transpose(0, 2, 1, 3, 4)
-    x = x.reshape((S // m) * (S // m), m * m * E)
+    x = x.reshape(GH // m, m, GW // m, m, E).transpose(0, 2, 1, 3, 4)
+    x = x.reshape((GH // m) * (GW // m), m * m * E)
     x = x @ params["mm_0_weight"] + params.get("mm_0_bias", 0.0)
     x = jax.nn.gelu(x, approximate=False)
     x = x @ params["mm_2_weight"] + params.get("mm_2_bias", 0.0)
@@ -399,7 +407,48 @@ def encode_image_qwen2vl_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
 
 
 encode_image_qwen2vl = jax.jit(encode_image_qwen2vl_impl,
-                               static_argnames=("cfg",))
+                               static_argnames=("cfg", "grid_hw"))
+
+
+def qwen2vl_smart_resize(w: int, h: int, cfg: ClipConfig,
+                         max_side: int = 0) -> tuple[int, int]:
+    """Pick the native grid-quantized pixel size (W, H) for an image:
+    aspect-preserving, rounded to PIXEL_QUANT multiples, area clamped to
+    [min, max] pixels (the published Qwen2-VL smart_resize; the reference
+    exposes the cap as clip.patch max_image_size hparams). Pixel sizes are
+    quantized to 2 merged tokens (2*merge*patch px) per side to bound the
+    number of distinct XLA compiles."""
+    P = cfg.patch_size
+    m = max(cfg.merge_size, 1)
+    factor = 2 * P * m                       # compile-shape quantization
+    max_px = cfg.image_size * cfg.image_size * 4
+    if max_side and max_side > 0:
+        max_px = min(max_px, max_side * max_side)
+    min_px = factor * factor
+
+    def rnd(v):
+        return max(factor, int(round(v / factor)) * factor)
+
+    W, H = rnd(w), rnd(h)
+    if W * H > max_px:
+        s = (max_px / (w * h)) ** 0.5
+        W = max(factor, int(w * s / factor) * factor)
+        H = max(factor, int(h * s / factor) * factor)
+    elif W * H < min_px:
+        s = (min_px / (w * h)) ** 0.5
+        W, H = rnd(w * s), rnd(h * s)
+    return W, H
+
+
+def preprocess_image_native(img, cfg: ClipConfig, size_wh: tuple[int, int]
+                            ) -> np.ndarray:
+    """PIL image -> normalized [H, W, 3] f32 at an explicit pixel size."""
+    from PIL import Image
+    img = img.convert("RGB").resize(size_wh, Image.BICUBIC)
+    x = np.asarray(img, np.float32) / 255.0
+    mean = np.asarray(cfg.image_mean, np.float32)
+    std = np.asarray(cfg.image_std, np.float32)
+    return (x - mean) / std
 
 
 def preprocess_image(img, cfg: ClipConfig) -> np.ndarray:

@@ -55,7 +55,12 @@ class MultimodalProcessor:
         self.max_cache = max_cache
         self.max_image_size = 0   # --visual-max-image-size (0 = unlimited)
         self._cache: OrderedDict[int, np.ndarray] = OrderedDict()
+        self._grids: dict[int, tuple[int, int]] = {}  # qwen2vl token grids
         self._lock = threading.Lock()  # clip encode is mutex'd (ref :3385)
+
+    def image_grid(self, h: int) -> tuple[int, int] | None:
+        """(h_tokens, w_tokens) of a cached qwen2vl image (M-RoPE grid)."""
+        return self._grids.get(h)
 
     @property
     def supports_audio(self) -> bool:
@@ -81,19 +86,35 @@ class MultimodalProcessor:
         if self.max_image_size > 0 and max(img.size) > self.max_image_size:
             img.thumbnail((self.max_image_size, self.max_image_size),
                           Image.BICUBIC)
-        pixels = preprocess_image(img, self.cfg)
+        qwen2 = "qwen2" in self.cfg.projector
+        if qwen2:                               # qwen2vl + qwen2.5vl
+            # dynamic resolution: run the tower at the image's native
+            # grid-quantized size (reference clip.patch max_image_size)
+            from ..models.clip import (encode_image_qwen2vl,
+                                       preprocess_image_native,
+                                       qwen2vl_smart_resize)
+            W, H = qwen2vl_smart_resize(*img.size, self.cfg,
+                                        self.max_image_size)
+            pixels = preprocess_image_native(img, self.cfg, (W, H))
+            P = self.cfg.patch_size
+            gh, gw = H // P, W // P
+        else:
+            pixels = preprocess_image(img, self.cfg)
         with self._lock:
             if h not in self._cache:
-                if "qwen2" in self.cfg.projector:   # qwen2vl + qwen2.5vl
+                if qwen2:
                     from ..models.clip import encode_image_qwen2vl
                     emb = np.asarray(encode_image_qwen2vl(
-                        self.params, self.cfg, pixels))
+                        self.params, self.cfg, pixels, grid_hw=(gh, gw)))
+                    m = max(self.cfg.merge_size, 1)
+                    self._grids[h] = (gh // m, gw // m)
                 else:
                     emb = np.asarray(encode_image(self.params, self.cfg,
                                                   pixels))
                 self._cache[h] = emb
                 while len(self._cache) > self.max_cache:
-                    self._cache.popitem(last=False)
+                    old_h, _ = self._cache.popitem(last=False)
+                    self._grids.pop(old_h, None)
                 SRV_INF("multimodal", "encoded image hash=%x -> %d tokens",
                         h, emb.shape[0])
             return self._cache[h], h
@@ -329,7 +350,11 @@ def build_chunks_mrope(prompt: str, media: list, tokenizer, mp,
             emb, h = (mp.encode_audio(data) if kind == "audio"
                       else mp.encode(data))
             n = emb.shape[0]
-            gh, gw = grids[i] if i < len(grids) else (1, n)
+            # dynamic-resolution towers record the true token grid per
+            # image; the caller-supplied grids are the fixed-size fallback
+            g = (getattr(mp, "image_grid", lambda _h: None)(h)
+                 if kind == "image" else None)
+            gh, gw = g if g else (grids[i] if i < len(grids) else (1, n))
             pos3 = np.zeros((3, n), np.int32)
             idx = np.arange(n)
             pos3[0] = nxt                      # temporal

@@ -309,3 +309,150 @@ def test_qwen25vl_vit_window_attention(tmp_path):
     assert np.isfinite(ow).all()
     # same weights, different attention topology -> different outputs
     assert not np.allclose(ow, of)
+
+
+def _write_qwen2vl_mmproj(path, rng, VE=32, VFF=64, VL=2, VH=4, P=4,
+                          IMG=16, PROJ=64):
+    from llama_box_tpu.gguf.writer import GGUFWriter
+    w = GGUFWriter(path, architecture="clip")
+
+    def rand(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    w.add_kv("clip.projector_type", "qwen2vl_merger")
+    w.add_kv("clip.vision.image_size", IMG)
+    w.add_kv("clip.vision.patch_size", P)
+    w.add_kv("clip.vision.embedding_length", VE)
+    w.add_kv("clip.vision.feed_forward_length", VFF)
+    w.add_kv("clip.vision.block_count", VL)
+    w.add_kv("clip.vision.attention.head_count", VH)
+    w.add_kv("clip.vision.projection_dim", PROJ)
+    w.add_tensor("v.patch_embd.weight", rand(VE, 3, P, P))
+    w.add_tensor("v.patch_embd.weight.1", rand(VE, 3, P, P))
+    w.add_tensor("v.patch_embd.bias", rand(VE))
+    w.add_tensor("v.post_ln.weight", 1.0 + rand(VE))
+    w.add_tensor("v.post_ln.bias", rand(VE))
+    for i in range(VL):
+        p = f"v.blk.{i}."
+        w.add_tensor(p + "ln1.weight", 1.0 + rand(VE))
+        w.add_tensor(p + "ln1.bias", rand(VE))
+        for nm in ("attn_q", "attn_k", "attn_v", "attn_out"):
+            w.add_tensor(p + nm + ".weight", rand(VE, VE))
+            w.add_tensor(p + nm + ".bias", rand(VE))
+        w.add_tensor(p + "ln2.weight", 1.0 + rand(VE))
+        w.add_tensor(p + "ln2.bias", rand(VE))
+        w.add_tensor(p + "ffn_up.weight", rand(VFF, VE))
+        w.add_tensor(p + "ffn_up.bias", rand(VFF))
+        w.add_tensor(p + "ffn_down.weight", rand(VE, VFF))
+        w.add_tensor(p + "ffn_down.bias", rand(VE))
+    w.add_tensor("mm.0.weight", rand(PROJ, 4 * VE))
+    w.add_tensor("mm.0.bias", rand(PROJ))
+    w.add_tensor("mm.2.weight", rand(PROJ, PROJ))
+    w.add_tensor("mm.2.bias", rand(PROJ))
+    w.write()
+
+
+def test_qwen2vl_dynamic_resolution(tmp_path):
+    """The ViT runs at the image's native patch grid: a non-square image
+    yields grid-shaped merged tokens, and the square grid matches the
+    fixed-size path exactly (VERDICT r1 item 8; reference
+    clip.patch:67-91 max_image_size hparams)."""
+    from llama_box_tpu.models.clip import encode_image_qwen2vl, load_clip
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "mm.gguf")
+    _write_qwen2vl_mmproj(path, rng)
+    ccfg, cparams = load_clip(path)
+    P, PROJ = 4, 64
+
+    # non-square: 2x6 patch grid -> (2/2)*(6/2) = 3 merged tokens
+    pixels = rng.uniform(-1, 1, (2 * P, 6 * P, 3)).astype(np.float32)
+    out = encode_image_qwen2vl(cparams, ccfg, jnp.asarray(pixels),
+                               grid_hw=(2, 6))
+    assert out.shape == (3, PROJ)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # square at the trained size == the default fixed path, bit-for-bit
+    sq = rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+    a = np.asarray(encode_image_qwen2vl(cparams, ccfg, jnp.asarray(sq)))
+    b = np.asarray(encode_image_qwen2vl(cparams, ccfg, jnp.asarray(sq),
+                                        grid_hw=(4, 4)))
+    np.testing.assert_array_equal(a, b)
+
+    # the wide grid is NOT just the square rope reused: same pixel
+    # content placed in a different grid geometry encodes differently
+    wide = rng.uniform(-1, 1, (2 * P, 4 * P, 3)).astype(np.float32)
+    tall = np.ascontiguousarray(wide.reshape(4 * P, 2 * P, 3))
+    ow = np.asarray(encode_image_qwen2vl(cparams, ccfg, jnp.asarray(wide),
+                                         grid_hw=(2, 4)))
+    ot = np.asarray(encode_image_qwen2vl(cparams, ccfg, jnp.asarray(tall),
+                                         grid_hw=(4, 2)))
+    assert ow.shape == ot.shape == (2, PROJ)
+    assert not np.allclose(ow, ot)
+
+
+def test_qwen2vl_smart_resize(tmp_path):
+    from llama_box_tpu.models.clip import load_clip, qwen2vl_smart_resize
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "mm.gguf")
+    _write_qwen2vl_mmproj(path, rng)
+    ccfg, _ = load_clip(path)
+    factor = 2 * ccfg.patch_size * ccfg.merge_size  # 16
+
+    W, H = qwen2vl_smart_resize(300, 100, ccfg)
+    assert W % factor == 0 and H % factor == 0
+    # area cap = 4x the trained square (16*16*4 = 1024 px)
+    assert W * H <= ccfg.image_size ** 2 * 4
+    assert W > H  # aspect preserved
+
+    # tiny images are scaled UP to at least one factor block
+    W, H = qwen2vl_smart_resize(5, 5, ccfg)
+    assert W >= factor and H >= factor
+
+    # explicit max_side wins when tighter
+    W, H = qwen2vl_smart_resize(2000, 2000, ccfg, max_side=factor)
+    assert W * H <= factor * factor
+
+
+def test_qwen2vl_processor_grid_flows_to_mrope(tmp_path):
+    """Processor records the native token grid; build_chunks_mrope uses
+    it for the (t, y, x) position streams."""
+    import io
+
+    from PIL import Image
+
+    from llama_box_tpu.models.clip import load_clip
+    from llama_box_tpu.server.multimodal import (MTMD_MARKER,
+                                                 MultimodalProcessor,
+                                                 build_chunks_mrope)
+
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "mm.gguf")
+    _write_qwen2vl_mmproj(path, rng)
+    ccfg, cparams = load_clip(path)
+    mp = MultimodalProcessor(ccfg, cparams)
+
+    # a wide image: native grid should be wider than tall
+    img = Image.fromarray((rng.uniform(0, 255, (40, 120, 3))
+                           ).astype(np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    emb, h = mp.encode(buf.getvalue())
+    g = mp.image_grid(h)
+    assert g is not None and g[1] > g[0]
+    assert emb.shape[0] == g[0] * g[1]
+
+    class _Tok:
+        add_bos = False
+        bos_id = None
+
+        def encode(self, s, **kw):
+            return [1] * len(s.split())
+
+    flat, chunks, delta = build_chunks_mrope(
+        "look " + MTMD_MARKER + " end", [buf.getvalue()], _Tok(), mp, [])
+    kind, emb2, dummies, pos3 = [c for c in chunks if c[0] == "embed"][0]
+    # width stream advances gw times per row
+    assert pos3[2].max() - pos3[2].min() == g[1] - 1
+    assert pos3[1].max() - pos3[1].min() == g[0] - 1
