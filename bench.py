@@ -95,6 +95,84 @@ def make_q4_params(rng, L, E, H, HKV, D, FF, V, group=32,
     }
 
 
+class _BenchTokenizer:
+    """Minimal tokenizer stub for the serving-path bench (random weights,
+    no real vocab): engine + tasks only touch these members."""
+
+    def __init__(self, n_vocab: int):
+        self.n_vocab = n_vocab
+        self.add_bos = False
+        self.bos_id = 1
+        self.eog_ids: list = []     # never stop early
+
+    def token_bytes(self, i: int) -> bytes:
+        return b"x"
+
+    def is_eog(self, i: int) -> bool:
+        return False
+
+    def encode(self, s, **kw):
+        return [1]
+
+    def decode(self, ids, **kw):
+        return "x" * len(ids)
+
+
+def serve_bench(cfg, params, V, n_req: int = 4, prompt_len: int = 512,
+                gen_len: int = 128):
+    """Engine-path throughput: N concurrent requests through the REAL
+    reconcile loop (continuous batching, per-step host sync — the
+    reference measures live per-request usage, httpserver.hpp:2313-2335).
+    Returns {"ttft_ms_p50": ..., "decode_tok_s": ...}."""
+    import queue as _q
+
+    from llama_box_tpu.sampling import SamplerParams
+    from llama_box_tpu.server import CompletionsTask, Engine, EngineConfig
+    rng = np.random.default_rng(7)
+    eng = Engine(cfg, params, _BenchTokenizer(V),
+                 EngineConfig(n_slots=n_req, n_ctx=1024 * n_req,
+                              n_ubatch=512, prompt_cache=False))
+    eng.start()
+    try:
+        def submit_all():
+            tasks = []
+            for _ in range(n_req):
+                toks = [int(t) for t in rng.integers(3, V, prompt_len)]
+                t = CompletionsTask(toks, SamplerParams(temp=0.8, seed=1),
+                                    tokenizer=eng.tokenizer,
+                                    max_tokens=gen_len, stream=False)
+                eng.submit(t)
+                tasks.append(t)
+            outs = []
+            for t in tasks:
+                while True:
+                    kind, payload = t.result_q.get(timeout=1800)
+                    if kind == "final":
+                        outs.append(payload)
+                        break
+                    if kind == "error":
+                        raise payload
+            return outs
+
+        submit_all()                     # warmup: all jit compiles
+        t0 = time.perf_counter()
+        outs = submit_all()
+        wall = time.perf_counter() - t0
+        ttfts = sorted(o.timings()["time_to_first_token_ms"] for o in outs)
+        n_gen = sum(len(o.generated) for o in outs)
+        # decode rate excludes the prefill phase: total generated over the
+        # window from the LAST first-token to the end
+        t_decode = wall - ttfts[-1] / 1e3
+        return {
+            "ttft_ms_p50": round(ttfts[len(ttfts) // 2], 1),
+            "decode_tok_s": round(n_gen / max(t_decode, 1e-9), 1),
+            "e2e_tok_s": round(n_gen / wall, 1),
+            "n_req": n_req, "prompt_len": prompt_len, "gen_len": gen_len,
+        }
+    finally:
+        eng.stop()
+
+
 def main():
     from llama_box_tpu.models.config import ModelConfig
     from llama_box_tpu.models.llama import forward_impl, init_kv_cache, make_rope
@@ -236,8 +314,19 @@ def main():
             qbytes = sum(x.size * x.dtype.itemsize
                          for x in jax.tree.leaves(qp8))
 
+    serving = None
+    if on_tpu:
+        import sys
+        try:
+            serving = serve_bench(cfg, qp8 if tok_s_w8 else dense_params, V)
+            print(f"# serving: {serving}", file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001 — serving bench is additive
+            print(f"# serving bench failed: {exc!r}", file=sys.stderr,
+                  flush=True)
+
     pbytes = sum(x.size * x.dtype.itemsize
                  for x in jax.tree.leaves(dense_params))
+    extra = {"serving": serving} if serving else {}
     if tok_s_q4 > tok_s_bf16:
         sol_steps = hbm_bw / (qbytes + kv_bytes)
         print(json.dumps({
@@ -245,6 +334,7 @@ def main():
             "value": round(tok_s_q4, 2),
             "unit": "tok/s",
             "vs_baseline": round(tok_s_q4 / (sol_steps * S), 4),
+            **extra,
         }))
     else:
         sol_steps = hbm_bw / (pbytes + kv_bytes)
@@ -253,6 +343,7 @@ def main():
             "value": round(tok_s_bf16, 2),
             "unit": "tok/s",
             "vs_baseline": round(tok_s_bf16 / (sol_steps * S), 4),
+            **extra,
         }))
 
 

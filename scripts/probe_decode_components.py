@@ -63,7 +63,7 @@ def timed(label, fn, *args, n=6):
 def chain_engine(cap, with_sampler):
     cos, sin = make_rope(cfg, cap)
 
-    def run(tokens, kv, sstate):
+    def run(params, tokens, kv, sstate):
         def body(carry, i):
             tokens, kv, sstate = carry
             positions = jnp.full((S, 1), cap // 2 + i, jnp.int32)
@@ -85,11 +85,11 @@ def chain_engine(cap, with_sampler):
             body, (tokens, kv, sstate), jnp.arange(K, dtype=jnp.int32))
         return tokens
 
-    jf = jax.jit(run, donate_argnums=(1, 2))
+    jf = jax.jit(run, donate_argnums=(2, 3))
     kv0 = init_kv_cache(cfg, S, cap, jnp.bfloat16)
     ss0 = init_sampler_state(S, V)
     toks = jnp.asarray(rng.integers(0, V, (S, 1)), jnp.int32)
-    return jf, (toks, kv0, ss0)
+    return jf, (params, toks, kv0, ss0)
 
 
 def chain_sampler():
@@ -111,9 +111,8 @@ def chain_sampler():
 
 def chain_outmm():
     x0 = jnp.asarray(rng.normal(size=(S, E)), jnp.bfloat16)
-    w = params["output"]
 
-    def run(x):
+    def run(w, x):
         def body(x, i):
             y = mm(x, w)                       # [S, V]
             x = y[:, :E].astype(jnp.bfloat16) * 1e-3
@@ -121,14 +120,13 @@ def chain_outmm():
         x, _ = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
         return x
 
-    return jax.jit(run), (x0,)
+    return jax.jit(run), (params["output"], x0)
 
 
 def chain_mlp():
     x0 = jnp.asarray(rng.normal(size=(S, E)), jnp.bfloat16)
-    lw = params["layers"]
 
-    def run(x):
+    def run(lw, x):
         def body(x, i):
             def layer(x, lp):
                 wq, wk, wv, wo, g, u, d = lp
@@ -145,10 +143,10 @@ def chain_mlp():
                 layer, x, (lw["wq"], lw["wk"], lw["wv"], lw["wo"],
                            lw["w_gate"], lw["w_up"], lw["w_down"]))
             return x, None
-        x, _ = jax.lax.scan(body, x0, jnp.arange(K, dtype=jnp.int32))
+        x, _ = jax.lax.scan(body, x, jnp.arange(K, dtype=jnp.int32))
         return x
 
-    return jax.jit(run), (x0,)
+    return jax.jit(run), (params["layers"], x0)
 
 
 PARTS = __import__("sys").argv[1:] or ["sampler", "outmm", "mlp"]
