@@ -317,7 +317,7 @@ class HTTPServer:
         sparams = parse_sampling(body, self.defaults, tok.n_vocab,
                                  default_grammar=self.default_grammar)
         so = parse_stream_options(body)
-        mt = parse_max_tokens(body)
+        mt = parse_max_tokens(body, self.engine.slot_ctx)
         task = CompletionsTask(
             prompt_tokens, sparams, tokenizer=tok,
             max_tokens=mt if mt > 0 else self.default_max_tokens,
@@ -392,7 +392,7 @@ class HTTPServer:
             reasoning = ReasoningSplitter(*self.reasoning_markers,
                                           force_open=prompt.rstrip().endswith(
                                               self.reasoning_markers[0]))
-        mt = parse_max_tokens(body)
+        mt = parse_max_tokens(body, self.engine.slot_ctx)
         if use_tools and sparams.grammar is None:
             tg = tools_grammar(tools, self.chat.alias)
             if tg is not None:
@@ -523,6 +523,11 @@ class HTTPServer:
                             "supported by this model", "messages")
                 content = "".join(parts)
             elif content is None:
+                if m.get("tool_calls") is None:
+                    # reference: httpserver.hpp:1155-1157
+                    raise bad_request(
+                        f"messages[{i}] is missing 'content' or "
+                        "'tool_calls'", "messages")
                 content = ""
             elif not isinstance(content, str):
                 raise bad_request(f"messages[{i}].content is invalid",

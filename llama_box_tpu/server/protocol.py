@@ -100,9 +100,17 @@ def parse_sampling(body: dict, defaults: SamplerParams | None = None,
             if n_vocab and not (0 <= tid < n_vocab):
                 raise bad_request(f"\"logit_bias\" token {tid} out of range",
                                   "logit_bias")
-            if not isinstance(v, (int, float)) or isinstance(v, bool):
-                raise bad_request("\"logit_bias\" values must be numbers",
-                                  "logit_bias")
+            if isinstance(v, bool):
+                # reference semantics: boolean false bans the token
+                # (httpserver.hpp:1186-1190)
+                logit_bias[tid] = -1e9 if not v else 0.0
+                continue
+            if not isinstance(v, (int, float)):
+                raise bad_request("\"logit_bias\" values must be a number "
+                                  "or boolean", "logit_bias")
+            if not (-100.0 <= float(v) <= 100.0):
+                raise bad_request("\"logit_bias\" values must be in the "
+                                  "range [-100, 100]", "logit_bias")
             logit_bias[tid] = float(v)
 
     n_probs = 0
@@ -112,7 +120,12 @@ def parse_sampling(body: dict, defaults: SamplerParams | None = None,
             if lp:
                 n_probs = get_ranged(body, "top_logprobs", 1, 0, 20, int)
         else:
-            n_probs = get_ranged(body, "logprobs", 0, 0, 20, int)
+            # completions-style int logprobs caps at 5 (reference
+            # httpserver.hpp:749-751)
+            n_probs = get_ranged(body, "logprobs", 0, 0, 5, int)
+    elif body.get("top_logprobs") is not None:
+        raise bad_request("\"top_logprobs\" must be used with "
+                          "\"logprobs\"", "top_logprobs")
 
     grammar = parse_grammar(body)
     if grammar is None and default_grammar:
@@ -196,8 +209,13 @@ def parse_grammar(body: dict) -> Grammar | None:
             gbnf = (json_schema_to_grammar(schema) if schema
                     else JSON_OBJECT_GRAMMAR)
         elif rtype == "json_schema":
-            js = rf.get("json_schema", {})
-            schema = js.get("schema") if isinstance(js, dict) else None
+            js = rf.get("json_schema")
+            if not isinstance(js, dict):
+                # reference: httpserver.hpp:1346-1348
+                raise bad_request("using json schema response format must "
+                                  "contain \"json_schema\"",
+                                  "response_format")
+            schema = js.get("schema")
             try:
                 gbnf = json_schema_to_grammar(schema)
             except (GrammarError, ValueError, TypeError) as exc:
@@ -300,13 +318,18 @@ def parse_stream_options(body: dict) -> dict:
             "include_usage": bool(opts.get("include_usage", False))}
 
 
-def parse_max_tokens(body: dict) -> int:
+def parse_max_tokens(body: dict, n_ctx: int = 0) -> int:
     mt = body.get("max_completion_tokens", body.get("max_tokens"))
     if mt is None:
         return -1
     if not isinstance(mt, int) or isinstance(mt, bool) or mt < 0:
         raise bad_request("\"max_tokens\" must be a non-negative integer",
                           "max_tokens")
+    if n_ctx and mt > n_ctx:
+        # reference: httpserver.hpp:1212-1215
+        raise bad_request("\"max_completion_tokens\" or \"max_tokens\" must "
+                          "be less than or equal to the model's context "
+                          "length", "max_tokens")
     return mt
 
 

@@ -224,13 +224,25 @@ class ToolCallScanner:
 def migrate_functions(body: dict) -> tuple[list | None, object]:
     """OpenAI legacy functions/function_call -> tools/tool_choice
     (httpserver.hpp:1260-1337)."""
+    from .protocol import bad_request
     tools = body.get("tools")
-    if tools is None and body.get("functions"):
+    if tools is not None and not isinstance(tools, list):
+        raise bad_request("\"tools\" must be an array", "tools")
+    if tools is None and body.get("functions") is not None:
+        if not isinstance(body["functions"], list):
+            raise bad_request("\"functions\" must be an array", "functions")
         tools = [{"type": "function", "function": f}
                  for f in body["functions"]]
     tool_choice = body.get("tool_choice")
+    if tool_choice is not None \
+            and not isinstance(tool_choice, (str, dict)):
+        raise bad_request("\"tool_choice\" must be a string or an object",
+                          "tool_choice")
     if tool_choice is None and body.get("function_call") is not None:
         fc = body["function_call"]
+        if not isinstance(fc, (str, dict)):
+            raise bad_request("\"function_call\" must be a string or an "
+                              "object", "function_call")
         if isinstance(fc, dict) and "name" in fc:
             tool_choice = {"type": "function",
                            "function": {"name": fc["name"]}}

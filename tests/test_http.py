@@ -248,3 +248,95 @@ def test_models_param_counts(base_url):
     m = requests.get(base_url + "/v1/models").json()["data"][0]
     assert m["meta"]["n_params"] > 0
     assert m["meta"]["size"] > 0
+
+
+# -- strictness matrix (reference validation semantics,
+#    httpserver.hpp:486-2041) ------------------------------------------------
+
+def _bad(base_url, path, body, param=None, match=None):
+    r = requests.post(base_url + path, json=body)
+    assert r.status_code == 400, (path, body, r.status_code, r.text[:200])
+    err = r.json()["error"]
+    assert err["type"] == "invalid_request_error"
+    if param is not None:
+        assert err.get("param") == param, (err, param)
+    if match is not None:
+        assert match in err["message"], (err["message"], match)
+    return err
+
+
+def test_strict_completions(base_url):
+    # stop: must be a string or list of strings
+    _bad(base_url, "/v1/completions",
+         {"prompt": "x", "stop": [1, 2]}, match="stop")
+    _bad(base_url, "/v1/completions",
+         {"prompt": "x", "stop": {"a": 1}}, match="stop")
+    # logit_bias: map, integer-string keys, values in [-100, 100]
+    _bad(base_url, "/v1/completions",
+         {"prompt": "x", "logit_bias": [1, 2]}, param="logit_bias")
+    _bad(base_url, "/v1/completions",
+         {"prompt": "x", "logit_bias": {"abc": 1}}, param="logit_bias")
+    _bad(base_url, "/v1/completions",
+         {"prompt": "x", "logit_bias": {"1": 500}}, param="logit_bias")
+    # max_tokens must fit the context
+    _bad(base_url, "/v1/completions",
+         {"prompt": "x", "max_tokens": 1 << 24}, match="context")
+    # completions-style logprobs is an int in [0, 5]
+    _bad(base_url, "/v1/completions",
+         {"prompt": "x", "logprobs": 99}, param="logprobs")
+
+
+def test_strict_chat(base_url):
+    # top_logprobs requires logprobs:true and range [0, 20]
+    _bad(base_url, "/v1/chat/completions",
+         {"messages": [{"role": "user", "content": "x"}],
+          "logprobs": True, "top_logprobs": 50}, param="top_logprobs")
+    _bad(base_url, "/v1/chat/completions",
+         {"messages": [{"role": "user", "content": "x"}],
+          "top_logprobs": 5}, match="logprobs")
+    # tools must be an array; tool_choice string or object
+    _bad(base_url, "/v1/chat/completions",
+         {"messages": [{"role": "user", "content": "x"}],
+          "tools": {"a": 1}}, match="tools")
+    _bad(base_url, "/v1/chat/completions",
+         {"messages": [{"role": "user", "content": "x"}],
+          "tools": [{"type": "function",
+                     "function": {"name": "f", "parameters": {}}}],
+          "tool_choice": 42}, match="tool_choice")
+    # response_format type gate
+    _bad(base_url, "/v1/chat/completions",
+         {"messages": [{"role": "user", "content": "x"}],
+          "response_format": {"type": "yaml"}}, match="response_format")
+    _bad(base_url, "/v1/chat/completions",
+         {"messages": [{"role": "user", "content": "x"}],
+          "response_format": {"type": "json_schema"}},
+         match="json_schema")
+    # content list items need a type; unknown types rejected
+    _bad(base_url, "/v1/chat/completions",
+         {"messages": [{"role": "user", "content": [{"no_type": 1}]}]},
+         match="type")
+    _bad(base_url, "/v1/chat/completions",
+         {"messages": [{"role": "user",
+                        "content": [{"type": "video_url",
+                                     "video_url": {"url": "x"}}]}]})
+    # message without content or tool_calls
+    _bad(base_url, "/v1/chat/completions",
+         {"messages": [{"role": "assistant"}]})
+
+
+def test_strict_embeddings_rerank(base_url):
+    _bad(base_url, "/v1/embeddings", {}, match="input")
+    _bad(base_url, "/v1/embeddings",
+         {"input": "x", "encoding_format": "hex"},
+         match="encoding_format")
+    r = requests.post(base_url + "/v1/rerank",
+                      json={"documents": ["a"]})
+    if r.status_code != 404:   # rerank is capability-gated
+        assert r.status_code == 400
+        r = requests.post(base_url + "/v1/rerank",
+                          json={"query": "q", "documents": []})
+        assert r.status_code == 400
+        r = requests.post(base_url + "/v1/rerank",
+                          json={"query": "q", "documents": ["a"],
+                                "top_n": 0})
+        assert r.status_code == 400
