@@ -234,6 +234,8 @@ def main():
     from llama_box_tpu.server.engine import _decode_verify_rows
 
     def run(params):
+        from llama_box_tpu.models.loader import fuse_projections
+        params = fuse_projections(params, cfg)
         kv = init_kv_cache(cfg, S, C, dtype)
         sstate = init_sampler_state(S, V)
         active = jnp.ones((S,), bool)

@@ -752,6 +752,7 @@ def main(argv: list[str] | None = None) -> int:
         # TPU-native RPC replacement); no HTTP, no scheduler thread
         from .parallel.controller import WorkerLoop, engine_ops
         addr = args.control_connect or "tcp://localhost:18182"
+        engine.fuse_params()   # same fused program as host 0
         WorkerLoop(addr, engine_ops(engine),
                    worker_id=max(1, args.host_id)).run_forever()
         return 0

@@ -194,6 +194,25 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         q, k, v = _mla_qkv(h, lp, cfg)
         Hkv = H  # MLA expands to per-head K/V in this (non-compressed) cache
         D = cfg.head_dim
+    elif "wqkv" in lp:
+        # load-time fused q/k/v projection (loader.fuse_projections):
+        # one [E, (H+2*Hkv)*D] matmul; per-column contraction keeps the
+        # split outputs bitwise identical to the separate matmuls
+        qkv = mm(h, lp["wqkv"])
+        nq, nk = H * D, Hkv * D
+        q = qkv[..., :nq] + _lora_delta(h, lp, "wq", lora_scales)
+        k = qkv[..., nq:nq + nk] + _lora_delta(h, lp, "wk", lora_scales)
+        v = qkv[..., nq + nk:] + _lora_delta(h, lp, "wv", lora_scales)
+        if "bq" in lp:
+            q = q + lp["bq"]
+            k = k + lp["bk"]
+            v = v + lp["bv"]
+        q = q.reshape(B, T, H, D)
+        k = k.reshape(B, T, Hkv, D)
+        v = v.reshape(B, T, Hkv, D)
+        if "q_norm" in lp:
+            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     else:
         q = mm(h, lp["wq"]) + _lora_delta(h, lp, "wq", lora_scales)
         k = mm(h, lp["wk"]) + _lora_delta(h, lp, "wk", lora_scales)
@@ -351,9 +370,15 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales):
     if "w_gate_inp" in lp:
         x = x + _moe_ffn(h, lp, cfg).astype(x.dtype)
     else:
-        gate = mm(h, lp["w_gate"]) + _lora_delta(h, lp, "w_gate",
-                                                 lora_scales)
-        up = mm(h, lp["w_up"]) + _lora_delta(h, lp, "w_up", lora_scales)
+        if "w_gateup" in lp:   # load-time fused gate|up (fuse_projections)
+            gu = mm(h, lp["w_gateup"])
+            ff = gu.shape[-1] // 2
+            gate = gu[..., :ff] + _lora_delta(h, lp, "w_gate", lora_scales)
+            up = gu[..., ff:] + _lora_delta(h, lp, "w_up", lora_scales)
+        else:
+            gate = mm(h, lp["w_gate"]) + _lora_delta(h, lp, "w_gate",
+                                                     lora_scales)
+            up = mm(h, lp["w_up"]) + _lora_delta(h, lp, "w_up", lora_scales)
         gate = gate.astype(jnp.float32)
         gact = (jax.nn.gelu(gate, approximate=True) if cfg.act_fn == "gelu"
                 else jax.nn.silu(gate))

@@ -234,9 +234,28 @@ class Engine:
     # -- lifecycle -----------------------------------------------------------
 
     def start(self) -> None:
+        self.fuse_params()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="reconcile")
         self._thread.start()
+
+    def fuse_params(self) -> None:
+        """Single-device decode-bandwidth optimization: fuse per-layer
+        q/k/v and gate/up projections into single matmuls (bitwise
+        identical outputs; see loader.fuse_projections). Runs at start()
+        so static-LoRA merges and dynamic-LoRA stacking (which index the
+        unfused keys) happen first. Worker mode calls this explicitly
+        (cli) so replicas execute the same fused program as host 0."""
+        if self.mesh is not None or self.params is None:
+            return
+        from ..models.bert import BERT_ARCHS
+        if self.cfg.arch in BERT_ARCHS:
+            return  # the BERT encoder forward uses the unfused keys
+        from ..models.loader import fuse_projections
+        self.params = fuse_projections(self.params, self.cfg)
+        if self.draft_params is not None:
+            self.draft_params = fuse_projections(self.draft_params,
+                                                 self.draft_cfg)
 
     def stop(self) -> None:
         self._stop.set()
