@@ -131,7 +131,8 @@ def serve_bench(cfg, params, V, n_req: int = 4, prompt_len: int = 512,
     rng = np.random.default_rng(7)
     eng = Engine(cfg, params, _BenchTokenizer(V),
                  EngineConfig(n_slots=n_req, n_ctx=1024 * n_req,
-                              n_ubatch=512, prompt_cache=False))
+                              n_ubatch=512, prompt_cache=False,
+                              decode_chain=8))
     eng.start()
     try:
         def submit_all():
@@ -225,13 +226,13 @@ def main():
 
     from functools import partial
 
-    # Two-dispatch decode step matching the engine: forward/verify/sample
-    # (cache read-only) then the in-place row scatter. Dispatches pipeline
-    # through the tunnel, so sequential steps measure device rate as long
-    # as the FINAL sync is a host transfer (block_until_ready is an async
-    # no-op through the tunnel).
-    from llama_box_tpu.models.llama import apply_rows
-    from llama_box_tpu.server.engine import _decode_verify_rows
+    # The engine's chained decode program (K sampled tokens per dispatch,
+    # read-only cache + per-layer row accumulator, ONE post-chain scatter)
+    # — the same jit the serving decode path runs. The final sync is a
+    # real host transfer (block_until_ready is an async no-op through the
+    # tunnel).
+    from llama_box_tpu.server.engine import _decode_chain
+    KCH = 8
 
     def run(params):
         from llama_box_tpu.models.loader import fuse_projections
@@ -239,30 +240,30 @@ def main():
         kv = init_kv_cache(cfg, S, C, dtype)
         sstate = init_sampler_state(S, V)
         active = jnp.ones((S,), bool)
-        n_draft = jnp.zeros((S,), jnp.int32)
-        tokens = jnp.asarray(rng.integers(0, V, (S, 1)), jnp.int32)
+        tokens = jnp.asarray(rng.integers(0, V, (S,)), jnp.int32)
         pos = C // 2  # half-full KV, representative decode state
 
         def step(tokens, kv, sstate, p):
-            positions = jnp.full((S, 1), p, jnp.int32)
-            toks, n_em, ids, probs, tokps, lg0, rows, sstate = \
-                _decode_verify_rows(params, cfg, tokens, positions,
-                                    n_draft, kv, active, active, sstate,
-                                    arrs, cos, sin)
-            kv = apply_rows(kv, rows, positions)
-            return toks[:, :1], kv, sstate
+            pos0 = jnp.full((S,), p, jnp.int32)
+            toks, _, _, _, kv, sstate = _decode_chain(
+                params, cfg, tokens, pos0, kv, sstate, arrs, active,
+                cos, sin, n_steps=KCH)
+            return toks[:, -1], kv, sstate
+
+        n_wrap = max(1, (C - KCH - pos) // KCH)  # keep positions in range
 
         for i in range(warmup):
-            tokens, kv, sstate = step(tokens, kv, sstate, pos + i)
+            tokens, kv, sstate = step(tokens, kv, sstate,
+                                      pos + (i % n_wrap) * KCH)
         np.asarray(tokens)
         t0 = time.perf_counter()
         for i in range(iters):
             tokens, kv, sstate = step(tokens, kv, sstate,
-                                      pos + warmup + i)
+                                      pos + ((warmup + i) % n_wrap) * KCH)
         np.asarray(tokens)
         dt = time.perf_counter() - t0
         kv_bytes = kv.k.size * kv.k.dtype.itemsize * 2
-        return S * iters / dt, kv_bytes
+        return S * iters * KCH / dt, kv_bytes
 
     tok_s_bf16, kv_bytes = run(dense_params)
 

@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default=512)
     g.add_argument("-b", "--batch-size", dest="n_batch", type=int,
                    default=2048)
+    g.add_argument("--decode-chain", dest="decode_chain", type=int,
+                   default=8,
+                   help="tokens sampled per device dispatch on the plain "
+                        "decode path (amortizes dispatch + host-sync "
+                        "cost; tokens still stream, in bursts; 1 = "
+                        "per-token dispatch like the reference)")
     g.add_argument("-ctk", "--cache-type-k", default="bf16",
                    choices=["f32", "f16", "bf16", "q8_0", "int8"])
     g.add_argument("-ctv", "--cache-type-v", default="bf16",
@@ -738,6 +744,7 @@ def main(argv: list[str] | None = None) -> int:
         draft_max=args.draft_max,
         draft_min=args.draft_min,
         draft_p_min=args.draft_p_min,
+        decode_chain=max(1, args.decode_chain),
         lookup_ngram_min=args.lookup_ngram_min,
     )
     engine = Engine(cfg, params, tokenizer, ecfg, draft=draft, mesh=mesh)

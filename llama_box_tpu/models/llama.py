@@ -179,7 +179,7 @@ def _lora_delta(h, lp, key, lora_scales):
 def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
                 cos, sin, k_scale=None, v_scale=None,
                 lora_scales=None, is_local=jnp.int32(0), mrope_pos=None,
-                deferred_kv=False, flash_meta=None):
+                deferred_kv=False, flash_meta=None, chain=None):
     """x: [B,T,E]; k_cache/v_cache: [B,C,Hkv,D]; mask: [B,T,C] True=attend.
     k_scale/v_scale: [B,C,Hkv] when the cache is int8-quantized.
     flash_meta: [B,4] (pos0, n_valid, bidir_st, bidir_en) when the chunk
@@ -270,7 +270,8 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         # returned for ONE fused write after the scan.
         return _attn_deferred(x, lp, positions, k_cache, v_cache, mask,
                               cfg, q, k, v, is_local, k_scale, v_scale,
-                              lora_scales, flash_meta=flash_meta)
+                              lora_scales, flash_meta=flash_meta,
+                              chain=chain)
 
     # non-deferred path (embeddings forward: cache == chunk, bidirectional
     # masks): scatter current K/V in, then attend the whole cache
@@ -394,14 +395,20 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales):
 
 def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
                    is_local, k_scale, v_scale, lora_scales,
-                   flash_meta=None):
+                   flash_meta=None, chain=None):
     """Read-only-cache attention for the batched decode/verify step AND
     (via the flash kernel) batched prefill.
     Returns (x_out, rows) where rows are the new K/V entries (quantized
     when the cache is int8) for a post-scan scatter.
     flash_meta: [B, 4] int32 (pos0, n_valid, bidir_st, bidir_en) when the
     chunk rows are contiguous (prefill) — enables the batched flash
-    kernel (int8 caches are dequantized inside it, block by block)."""
+    kernel (int8 caches are dequantized inside it, block by block).
+    chain: (ck [B,Kc,Hkv,D], cv [B,Kc,Hkv,Dv], cks, cvs, nc) — rows of
+    the CURRENT multi-step decode chain not yet scattered into the cache
+    (chain step nc queries attend the nc prior chain rows here, at
+    absolute positions qpos-nc .. qpos-1; cache entries at those
+    positions are stale and get masked out). Stored in cache dtype so
+    chained output is bit-comparable to step-by-step decode."""
     B, T = positions.shape
     C = k_cache.shape[1]
     H = q.shape[2]
@@ -447,9 +454,11 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         kf = k_cache.astype(adt)
         vf = v_cache.astype(adt)
 
-    # cache part: entries strictly before this chunk
+    # cache part: entries strictly before this chunk (and before the
+    # chain window, whose rows live in the chain operand instead)
+    nc = chain[4] if chain is not None else 0
     kpos = jnp.arange(C)[None, None, :]
-    mask_c = mask & (kpos < positions[:, :1, None])
+    mask_c = mask & (kpos < positions[:, :1, None] - nc)
     qf = q.astype(adt).reshape(B, T, Hkv, G, D)
     sc = jnp.einsum("bthgd,bchd->bhgtc", qf, kf,
                     preferred_element_type=jnp.float32) * (D ** -0.5)
@@ -476,23 +485,57 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         kp_in = qp[:, None, :]
         inm = inm | ((kp_in >= st) & (kp_in < en) & (kp_in < C))
 
+    s3 = m3 = cvf = None
+    if chain is not None:
+        ck, cv, cks, cvs, _ = chain
+        Kc = ck.shape[1]
+        if cks is not None:
+            ckf = ck.astype(adt) * cks.astype(adt)[..., None]
+            cvf = cv.astype(adt) * cvs.astype(adt)[..., None]
+        else:
+            ckf = ck.astype(adt)
+            cvf = cv.astype(adt)
+        s3 = jnp.einsum("bthgd,bshd->bhgts", qf, ckf,
+                        preferred_element_type=jnp.float32) * (D ** -0.5)
+        # chain row i holds absolute position qpos - (nc - i)
+        ci = jnp.arange(Kc)[None, None, :]
+        kpos3 = positions[:, :, None] - (nc - ci)            # [B, T, Kc]
+        m3 = (ci < nc) & (kpos3 >= 0)
+        if cfg.swa_window > 0:
+            local3 = m3 & (kpos3 > positions[:, :, None] - cfg.swa_window)
+            m3 = jnp.where(is_local > 0, local3, m3) \
+                if cfg.swa_pattern > 0 else local3
+        if cfg.chunked_window > 0:
+            same3 = (kpos3 // cfg.chunked_window
+                     == positions[:, :, None] // cfg.chunked_window)
+            m3 = jnp.where(is_local > 0, m3 & same3, m3)
+
     if cfg.attn_softcap > 0.0:
         sc = cfg.attn_softcap * jnp.tanh(sc / cfg.attn_softcap)
         ss = cfg.attn_softcap * jnp.tanh(ss / cfg.attn_softcap)
+        if s3 is not None:
+            s3 = cfg.attn_softcap * jnp.tanh(s3 / cfg.attn_softcap)
     sc = jnp.where(mask_c[:, None, None, :, :], sc, NEG_INF)
     ss = jnp.where(inm[:, None, None, :, :], ss, NEG_INF)
-    z = jnp.concatenate([sc, ss], axis=-1)
+    blocks = [sc, ss]
+    if s3 is not None:
+        blocks.append(jnp.where(m3[:, None, None, :, :], s3, NEG_INF))
+    z = jnp.concatenate(blocks, axis=-1)
     z = z - z.max(axis=-1, keepdims=True)
     p = jnp.exp(z)
     p = p / (p.sum(axis=-1, keepdims=True) + 1e-30)
-    pc, ps = p[..., :C], p[..., C:]
+    pc, ps = p[..., :C], p[..., C:C + T]
     Dv = vf.shape[-1]
     attn = (jnp.einsum("bhgtc,bchd->bthgd", pc.astype(adt), vf,
                        preferred_element_type=jnp.float32)
             + jnp.einsum("bhgts,bshd->bthgd", ps.astype(adt),
                          v.astype(adt),
-                         preferred_element_type=jnp.float32)
-            ).reshape(B, T, H * Dv)
+                         preferred_element_type=jnp.float32))
+    if s3 is not None:
+        attn = attn + jnp.einsum("bhgts,bshd->bthgd",
+                                 p[..., C + T:].astype(adt), cvf,
+                                 preferred_element_type=jnp.float32)
+    attn = attn.reshape(B, T, H * Dv)
 
     x = _layer_tail(x, lp, cfg, attn, lora_scales)
     return x, rows
@@ -578,16 +621,27 @@ def _flash_forced() -> bool:
 def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                cos, sin, kv_ks=None, kv_vs=None,
                mrope_pos=None, deferred_kv=False,
-               emit_rows=False, flash_meta=None):
-    """Scan the layer stack; returns (hidden, k_new, v_new, ks_new, vs_new)."""
+               emit_rows=False, flash_meta=None, chain=None):
+    """Scan the layer stack; returns (hidden, k_new, v_new, ks_new, vs_new).
+    chain: per-layer decode-chain row accumulators
+    (ck [L,B,Kc,Hkv,D], cv, cks|None, cvs|None, nc) — see _attn_deferred."""
     quant = kv_ks is not None
     lora_scales = params.get("lora_scales")
     is_local = _layer_is_local(cfg)
     cvec = params.get("cvec")   # [L, E] control-vector deltas (optional)
+    nc = chain[4] if chain is not None else None
 
     def body(x, layer):
         if cvec is not None:
             *layer, cv = layer
+        lchain = None
+        if chain is not None:
+            if quant:
+                *layer, ck_l, cv_l, cks_l, cvs_l = layer
+                lchain = (ck_l, cv_l, cks_l, cvs_l, nc)
+            else:
+                *layer, ck_l, cv_l = layer
+                lchain = (ck_l, cv_l, None, None, nc)
         if quant:
             lp, k_c, v_c, ks, vs, loc = layer
         else:
@@ -598,7 +652,7 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                                   cfg, cos, sin, ks, vs,
                                   lora_scales=lora_scales, is_local=loc,
                                   mrope_pos=mrope_pos, deferred_kv=True,
-                                  flash_meta=flash_meta)
+                                  flash_meta=flash_meta, chain=lchain)
             if cvec is not None:
                 x = x + cv.astype(x.dtype)
             return x, rows
@@ -636,6 +690,8 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
         return (*xs, cvec if sl is None else cvec[sl])
 
     if "layer_groups" in params and deferred_kv:
+        assert chain is None, "decode chaining not supported with " \
+            "heterogeneous layer groups"
         off = 0
         parts = []
         for gp in params["layer_groups"]:
@@ -687,6 +743,9 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
     if deferred_kv:
         xs = ((params["layers"], kv_k, kv_v, kv_ks, kv_vs, is_local)
               if quant else (params["layers"], kv_k, kv_v, is_local))
+        if chain is not None:
+            xs = xs + ((chain[0], chain[1], chain[2], chain[3]) if quant
+                       else (chain[0], chain[1]))
         x, rows = jax.lax.scan(body, x, with_cv(xs))
         if emit_rows:
             return x, rows
@@ -776,7 +835,7 @@ forward = partial(jax.jit, static_argnames=("cfg",),
 
 def forward_rows_impl(params, cfg: ModelConfig, tokens, positions,
                       kv: KVCache, seq_lens, rope_cos, rope_sin,
-                      mrope_pos=None):
+                      mrope_pos=None, chain=None):
     """Decode forward WITHOUT cache writes: returns (logits, rows).
     Pairs with apply_rows — splitting the step into two dispatches lets
     the scatter run on a donated buffer whose ONLY use is the scatter,
@@ -789,7 +848,7 @@ def forward_rows_impl(params, cfg: ModelConfig, tokens, positions,
     x, rows = _run_stack(
         params, cfg, x, positions, kv.k, kv.v, mask, rope_cos, rope_sin,
         kv.k_scale, kv.v_scale, mrope_pos=mrope_pos, deferred_kv=True,
-        emit_rows=True)
+        emit_rows=True, chain=chain)
     return _output_logits(params, cfg, x), rows
 
 

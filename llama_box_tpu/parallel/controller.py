@@ -324,6 +324,17 @@ def engine_ops(engine) -> dict[str, Callable]:
             engine.sstate, engine.arrs, engine.rope_cos, engine.rope_sin)
         engine.kv, engine.sstate = out[6], out[7]
 
+    def op_decode_chain(a, s):
+        from ..server.engine import _decode_chain
+        md = a.get("mrope_delta")
+        out = _decode_chain(
+            engine.params, engine.cfg, jnp.asarray(a["token0"]),
+            jnp.asarray(a["pos0"]), engine.kv, engine.sstate, engine.arrs,
+            jnp.asarray(a["active"]), engine.rope_cos, engine.rope_sin,
+            n_steps=int(s["k"]),
+            mrope_delta=jnp.asarray(md) if md is not None else None)
+        engine.kv, engine.sstate = out[4], out[5]
+
     def op_shift(a, s):
         engine.kv = shift_kv(engine.kv, jnp.int32(s["slot"]),
                              jnp.int32(s["keep"]), jnp.int32(s["discard"]),
@@ -365,6 +376,7 @@ def engine_ops(engine) -> dict[str, Callable]:
                                        for k, v in a.items()})
 
     return {
+        "decode_chain": op_decode_chain,
         "prefill": op_prefill,
         "prefill_batch": op_prefill_batch,
         "prefill_embed": op_prefill_embed,

@@ -77,6 +77,94 @@ def _decode_verify_rows(params, cfg: ModelConfig, tokens, positions,
     return toks, n_emitted, ids, probs, tokps, logits[:, 0], rows, sstate
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+         donate_argnames=("kv", "sstate"))
+def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
+                  arrs, active, cos, sin, n_steps: int,
+                  mrope_delta=None):
+    """Chained multi-step decode: n_steps sequential forward+sample steps
+    in ONE dispatch. The cache stays READ-ONLY through the whole chain —
+    each step's K/V rows land in a tiny per-layer accumulator (the
+    `chain` operand of _attn_deferred, stored in cache dtype so results
+    are bit-comparable to step-by-step decode) and ONE scatter writes all
+    n_steps rows at the end. Amortizes both dispatch overhead and the
+    device->host sync across n_steps tokens (through the axon tunnel one
+    sync costs ~30 ms — the serving path is sync-bound without this).
+
+    token0/pos0: [S] each slot's next token and its position. active: [S].
+    Returns (tokens [S,K], ids [S,K,NP], probs [S,K,NP], tokps [S,K],
+    kv, sstate). Slots that hit EOG mid-chain keep generating; the host
+    discards the tail (their sampler state is reset at next dispatch and
+    stale KV rows beyond the accepted position are unreachable by mask).
+    """
+    from ..models.llama import (_build_mask, _embed_tokens, _kv_quantize,
+                                _output_logits, _run_stack)
+    from ..sampling import sample_impl
+    S = token0.shape[0]
+    L = kv.k.shape[0]
+    C = kv.capacity
+    Hkv, Dk = kv.k.shape[-2], kv.k.shape[-1]
+    Dv = kv.v.shape[-1]
+    Kc = n_steps
+    quant = kv.quantized
+    acc = (jnp.zeros((L, S, Kc, Hkv, Dk), kv.k.dtype),
+           jnp.zeros((L, S, Kc, Hkv, Dv), kv.v.dtype))
+    if quant:
+        acc += (jnp.zeros((L, S, Kc, Hkv), kv.k_scale.dtype),
+                jnp.zeros((L, S, Kc, Hkv), kv.v_scale.dtype))
+
+    def step(carry, j):
+        tok, acc, sstate = carry
+        positions = jnp.where(active, pos0 + j, C)[:, None]      # [S,1]
+        seq_lens = jnp.where(active, 1, 0)
+        x = _embed_tokens(params, cfg, tok[:, None])
+        mask = _build_mask(cfg, positions, seq_lens, 1, C)
+        mrope_pos = None
+        if cfg.mrope_sections and mrope_delta is not None:
+            mrope_pos = jnp.broadcast_to(
+                (positions + mrope_delta[:, None])[None],
+                (3,) + positions.shape)
+        chain = (acc[0], acc[1], acc[2] if quant else None,
+                 acc[3] if quant else None, j)
+        x, rows = _run_stack(
+            params, cfg, x, positions, kv.k, kv.v, mask, cos, sin,
+            kv.k_scale, kv.v_scale, mrope_pos=mrope_pos,
+            deferred_kv=True, emit_rows=True, chain=chain)
+        logits = _output_logits(params, cfg, x[:, -1])            # [S,V]
+        tok2, ids, probs, tokp, sstate = sample_impl(
+            logits, sstate, arrs, active)
+        # store this step's rows at chain index j (leaves [L,S,1,...])
+        acc = tuple(
+            jax.lax.dynamic_update_slice(
+                a, r.astype(a.dtype),
+                (0, 0, j) + (0,) * (a.ndim - 3))
+            for a, r in zip(acc, rows))
+        return (tok2, acc, sstate), (tok2, ids, probs, tokp)
+
+    (_, acc, sstate), ys = jax.lax.scan(
+        step, (token0, acc, sstate), jnp.arange(Kc, dtype=jnp.int32))
+    toks, ids, probs, tokps = ys                   # [K, S, ...]
+
+    # one scatter of the whole chain into the cache (inactive slots write
+    # to the position >= C sentinel and drop)
+    positions = jnp.where(active[:, None],
+                          pos0[:, None] + jnp.arange(Kc)[None, :], C)
+    li = jnp.arange(L)[:, None, None]
+    bi = jnp.arange(S)[None, :, None]
+    pi = jnp.broadcast_to(positions[None], (L, S, Kc))
+    if quant:
+        kv = KVCache(
+            k=kv.k.at[li, bi, pi].set(acc[0], mode="drop"),
+            v=kv.v.at[li, bi, pi].set(acc[1], mode="drop"),
+            k_scale=kv.k_scale.at[li, bi, pi].set(acc[2], mode="drop"),
+            v_scale=kv.v_scale.at[li, bi, pi].set(acc[3], mode="drop"))
+    else:
+        kv = KVCache(k=kv.k.at[li, bi, pi].set(acc[0], mode="drop"),
+                     v=kv.v.at[li, bi, pi].set(acc[1], mode="drop"))
+    swap = lambda a: jnp.swapaxes(a, 0, 1)  # noqa: E731 — [K,S]->[S,K]
+    return (swap(toks), swap(ids), swap(probs), swap(tokps), kv, sstate)
+
+
 def _decode_verify_sample(params, cfg, tokens, positions, n_draft, kv,
                           fwd_active, samp_active, sstate, arrs, cos, sin,
                           mrope_delta=None):
@@ -123,6 +211,9 @@ class EngineConfig:
     lookup_ngram_min: int = 0     # n-gram prompt-lookup drafting; 0 = off
     draft_p_min: float = 0.75     # stop drafting below this draft prob
     draft_min: int = 1            # discard draft runs shorter than this
+    # chained decode: sample this many tokens per device dispatch when no
+    # draft/grammar/rate-limit path needs per-token host control (1 = off)
+    decode_chain: int = 1
 
 
 class Slot:
@@ -739,6 +830,19 @@ class Engine:
             s.draft_pos = s.pos + 1  # next_token now in the draft KV
 
     def _decode_pass(self, dec: list) -> None:
+        # chained decode: K tokens per dispatch when no per-token host
+        # control is needed this pass (drafts/grammar/rate buckets)
+        K = self.ecfg.decode_chain
+        if K > 1 and self.draft_params is None \
+                and self.ecfg.lookup_ngram_min == 0 \
+                and "layer_groups" not in self.params \
+                and all(getattr(s.task, "host_sampler", None) is None
+                        and s.task.rate_bucket is None
+                        and s.pos + K <= s.capacity for s in dec):
+            # (slots near capacity fall through to per-token passes so the
+            # context shift fires at exactly the unchained boundary)
+            self._decode_pass_chain(dec, K)
+            return
         # room check: each slot needs space for 1 + its drafts; shift first
         if self.draft_params is not None:
             self._draft_model_pass(dec)
@@ -845,6 +949,65 @@ class Engine:
                     ngram.push(task.prompt_tokens + task.generated)
                 if s.task is None:  # finished/cancelled mid-emission
                     break
+
+    def _decode_pass_chain(self, dec: list, K: int) -> None:
+        """K sequential decode steps in ONE device dispatch + ONE host
+        sync (see _decode_chain). Tokens a slot generates past its own
+        finish point are discarded host-side; its device sampler state is
+        reset on next dispatch and the stale KV rows sit beyond the
+        accepted position (unreachable by mask, overwritten later)."""
+        self._refresh_arrs()
+        t0 = time.monotonic()
+        S = len(self.slots)
+        token0 = np.zeros((S,), np.int32)
+        pos0 = np.full((S,), self.slot_ctx, np.int32)
+        active = np.zeros((S,), bool)
+        for s in dec:
+            token0[s.idx] = s.next_token
+            pos0[s.idx] = s.pos
+            active[s.idx] = True
+        mrope_delta = None
+        arrays = {"token0": token0, "pos0": pos0, "active": active}
+        if self.cfg.mrope_sections:
+            mrope_delta = np.asarray(
+                [getattr(s.task, "mrope_delta", 0) if s.task else 0
+                 for s in self.slots], np.int32)
+            arrays["mrope_delta"] = mrope_delta
+            mrope_delta = jnp.asarray(mrope_delta)
+        if self.control is not None:
+            self.control.broadcast("decode_chain", arrays, {"k": K})
+        toks, ids, probs, tokps, self.kv, self.sstate = _decode_chain(
+            self.params, self.cfg, jnp.asarray(token0), jnp.asarray(pos0),
+            self.kv, self.sstate, self.arrs, jnp.asarray(active),
+            self.rope_cos, self.rope_sin, n_steps=K,
+            mrope_delta=mrope_delta)
+        toks_h = np.asarray(toks)
+        want_probs = any(s.task.n_probs > 0 for s in dec)
+        ids_h = np.asarray(ids) if want_probs else None
+        probs_h = np.asarray(probs) if want_probs else None
+        tokps_h = np.asarray(tokps) if want_probs else None
+
+        n_tok = 0
+        for s in dec:
+            inp = s.next_token
+            ngram = getattr(s.task, "ngram", None)
+            for j in range(K):
+                if s.task is None:   # finished/cancelled mid-chain
+                    break
+                s.cache_tokens.append(inp)
+                s.pos += 1
+                tok = int(toks_h[s.idx, j])
+                row_ids = ids_h[s.idx, j] if ids_h is not None else None
+                row_probs = (probs_h[s.idx, j]
+                             if probs_h is not None else None)
+                row_tokp = (float(tokps_h[s.idx, j])
+                            if tokps_h is not None else 0.0)
+                n_tok += 1
+                self._accept_token(s, tok, row_ids, row_probs, row_tokp)
+                if ngram is not None and s.task is not None:
+                    ngram.push(s.task.prompt_tokens + s.task.generated)
+                inp = tok
+        self.metrics.on_decode(n_tok, (time.monotonic() - t0) * 1e3)
 
     def _accept_token(self, s: Slot, token: int, ids_row, probs_row,
                       tok_prob: float = 0.0) -> None:

@@ -318,3 +318,86 @@ def test_decode_streams_during_large_embed_batch(tmp_path):
         assert deltas_before_embed_done >= 2, deltas_before_embed_done
     finally:
         eng.stop()
+
+
+def _chain_engine(path, chain, **ecfg_kw):
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=2, n_ctx=64, n_ubatch=16,
+                              decode_chain=chain, **ecfg_kw))
+    eng.start()
+    return eng
+
+
+def test_decode_chain_identity(tmp_path):
+    """Chained decode (K tokens per dispatch) must match per-token decode
+    exactly: greedy AND seeded sampling, concurrent slots, stop words
+    firing mid-chain, n_probs payloads, context shift."""
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+    e1 = _chain_engine(path, 1)
+    e4 = _chain_engine(path, 4)
+    try:
+        cases = [
+            dict(prompt="a b c d", sp=greedy(), n=11),
+            dict(prompt="x y z", sp=SamplerParams(temp=0.9, seed=123), n=9),
+            dict(prompt="a b", sp=greedy(n_probs=3), n=6, n_probs=3),
+            # runs past slot capacity (32) -> context shift mid-stream
+            dict(prompt="a", sp=greedy(), n=40),
+        ]
+        for c in cases:
+            outs = []
+            for eng in (e1, e4):
+                t = CompletionsTask(eng.tokenizer.encode(c["prompt"]),
+                                    c["sp"], tokenizer=eng.tokenizer,
+                                    max_tokens=c["n"], stream=False,
+                                    n_probs=c.get("n_probs", 0))
+                f, _ = run_task(eng, t, timeout=120)
+                outs.append(f)
+            assert outs[0].generated == outs[1].generated, c
+            if c.get("n_probs"):
+                for p1, p4 in zip(outs[0].probs, outs[1].probs):
+                    assert p1.top_ids == p4.top_ids
+                    np.testing.assert_allclose(p1.top_probs, p4.top_probs,
+                                               rtol=1e-6)
+
+        # stop-word mid-chain: sampled freely, stop on space
+        for eng_pair in [(e1, e4)]:
+            texts = []
+            for eng in eng_pair:
+                t = CompletionsTask(eng.tokenizer.encode("a b"),
+                                    SamplerParams(temp=1.0, seed=5),
+                                    tokenizer=eng.tokenizer, max_tokens=64,
+                                    stream=False, stop_words=[" "])
+                f, _ = run_task(eng, t, timeout=120)
+                texts.append(f.text)
+            assert texts[0] == texts[1]
+
+        # concurrent slots chained together
+        tasks = []
+        for i, p in enumerate(["a b c", "x y"]):
+            t = CompletionsTask(e4.tokenizer.encode(p), greedy(i),
+                                tokenizer=e4.tokenizer, max_tokens=7,
+                                stream=False)
+            e4.submit(t)
+            tasks.append(t)
+        outs4 = []
+        for t in tasks:
+            while True:
+                kind, payload = t.result_q.get(timeout=120)
+                if kind == "final":
+                    outs4.append(payload.generated)
+                    break
+                if kind == "error":
+                    raise payload
+        for i, p in enumerate(["a b c", "x y"]):
+            t = CompletionsTask(e1.tokenizer.encode(p), greedy(i),
+                                tokenizer=e1.tokenizer, max_tokens=7,
+                                stream=False)
+            f, _ = run_task(e1, t)
+            assert f.generated == outs4[i], p
+    finally:
+        e1.stop()
+        e4.stop()
