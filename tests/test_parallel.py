@@ -250,3 +250,47 @@ def test_engine_on_mesh_spec_decode_and_shift(tmp_path):
     sharded = _engine_greedy(path, make_mesh(MeshConfig(dp=1, tp=4)), **kw)
     assert sharded == single
     assert len(single) >= 8  # generated across the shift (or hit EOG late)
+
+
+def test_engine_on_mesh_decode_chain(tmp_path):
+    """Chained decode under tp sharding: identical to the single-device
+    chained engine AND to the unchained single-device engine."""
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+
+    def run(mesh, chain):
+        import jax.numpy as jnp
+        from llama_box_tpu.gguf import GGUFFile
+        from llama_box_tpu.models import load_model
+        from llama_box_tpu.parallel import make_shard_fn
+        from llama_box_tpu.sampling import SamplerParams
+        from llama_box_tpu.server import (CompletionsTask, Engine,
+                                          EngineConfig)
+        from llama_box_tpu.tokenizer import Tokenizer
+        shard_fn = make_shard_fn(mesh) if mesh is not None else None
+        cfg, params = load_model(path, dtype=jnp.float32, shard_fn=shard_fn)
+        with GGUFFile(path) as g:
+            tok = Tokenizer.from_gguf(g)
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(n_slots=2, n_ctx=128, n_ubatch=32,
+                                  decode_chain=chain), mesh=mesh)
+        eng.start()
+        try:
+            t = CompletionsTask(tok.encode("a b c d"),
+                                SamplerParams(temp=0.0, seed=0),
+                                tokenizer=tok, max_tokens=9, stream=False)
+            eng.submit(t)
+            while True:
+                kind, payload = t.result_q.get(timeout=120)
+                if kind == "final":
+                    return payload.generated
+                if kind == "error":
+                    raise payload
+        finally:
+            eng.stop()
+
+    base = run(None, 1)
+    assert run(None, 4) == base
+    assert run(make_mesh(MeshConfig(dp=1, tp=4)), 4) == base
