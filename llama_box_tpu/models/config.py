@@ -11,6 +11,19 @@ from typing import Any
 
 # architectures using neox-style (half-split) rope rotation; llama-family
 # GGUFs are converted with permuted q/k for 'norm' (adjacent-pair) rotation.
+_LN_ARCHS = {
+    # LayerNorm (optionally biased) instead of RMSNorm
+    "falcon", "gptneox", "phi2", "stablelm", "starcoder2", "command-r",
+    "nemotron",
+}
+_PARALLEL_ARCHS = {
+    # x + attn(norm(x)) + ffn(norm(x)) parallel-residual blocks
+    "falcon", "phi2", "command-r",
+}
+_UNGATED_FFN_ARCHS = {
+    # act(up) @ down, no gate projection
+    "falcon", "gptneox", "phi2", "starcoder2", "nemotron",
+}
 _NEOX_ROPE_ARCHS = {
     "qwen2", "qwen2moe", "qwen3", "qwen3moe", "falcon", "gemma", "gemma2",
     "gemma3", "phi2", "phi3", "stablelm", "gptneox", "starcoder2", "olmo2",
@@ -66,8 +79,14 @@ class ModelConfig:
     attn_temp_floor: float = 8192.0
     qk_l2_norm: bool = False         # weightless per-head L2 norm (llama4)
     moe_weight_before_ffn: bool = False  # llama4: scale expert INPUT
-    act_fn: str = "silu"   # FFN gate activation (gemma: gelu)
+    act_fn: str = "silu"   # FFN gate activation (gemma: gelu; relu2)
     embd_scale: float = 1.0  # embedding multiplier (gemma: sqrt(n_embd))
+    norm_style: str = "rms"  # rms | ln (LayerNorm, optional bias tensors)
+    parallel_residual: bool = False  # x + attn(h) + ffn(h) (falcon/gptneox)
+    ffn_gated: bool = True   # False: act(up) @ down (gptneox/phi2/falcon)
+    residual_scale: float = 1.0   # granite residual multiplier
+    logit_scale: float = 1.0      # command-r / granite logits multiplier
+    attn_scale: float = 0.0       # score scale override (0 = 1/sqrt(D))
     rope_freq_base_swa: float = 0.0  # local-layer rope base (gemma3)
     extra: dict = dataclasses.field(default_factory=dict, compare=False, hash=False)
 
@@ -145,11 +164,20 @@ class ModelConfig:
                                {"gemma2": 2, "gemma3": 6}.get(arch, 0))
                             or 0) if arch.startswith("gemma") else 0,
             act_fn="gelu" if arch.startswith("gemma") else "silu",
-            embd_scale=(float(n_embd) ** 0.5
-                        if arch.startswith("gemma") else 1.0),
+            embd_scale=float(kv("embedding_scale",
+                                float(n_embd) ** 0.5
+                                if arch.startswith("gemma") else 1.0)
+                             or 1.0),
             rope_freq_base_swa=float(
                 kv("rope.local_freq_base",
                    10000.0 if arch == "gemma3" else 0.0) or 0.0),
             logit_softcap=float(kv("final_logit_softcapping", 0.0) or 0.0),
             attn_softcap=float(kv("attn_logit_softcapping", 0.0) or 0.0),
+            norm_style="ln" if arch in _LN_ARCHS else "rms",
+            parallel_residual=bool(
+                kv("use_parallel_residual", arch in _PARALLEL_ARCHS)),
+            ffn_gated=arch not in _UNGATED_FFN_ARCHS,
+            residual_scale=float(kv("residual_scale", 1.0) or 1.0),
+            logit_scale=float(kv("logit_scale", 1.0) or 1.0),
+            attn_scale=float(kv("attention.scale", 0.0) or 0.0),
         )

@@ -187,7 +187,7 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     B, T, E = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
-    h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+    h = _pre_norm(x, lp, "attn_norm", cfg)
     if "wkv_a" in lp:
         # deepseek2 MLA: low-rank q/kv projections; rope dims stored FIRST
         # within each head so the plain rope/shift machinery applies
@@ -211,8 +211,14 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, D)
         if "q_norm" in lp:
-            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
-            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+            if lp["q_norm"].shape[-1] == D:   # per-head QK norm (qwen3)
+                q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+                k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+            else:                              # whole-row norm (olmo2)
+                q = rms_norm(q.reshape(B, T, -1), lp["q_norm"],
+                             cfg.rms_eps).reshape(B, T, H, D)
+                k = rms_norm(k.reshape(B, T, -1), lp["k_norm"],
+                             cfg.rms_eps).reshape(B, T, Hkv, D)
     else:
         q = mm(h, lp["wq"]) + _lora_delta(h, lp, "wq", lora_scales)
         k = mm(h, lp["wk"]) + _lora_delta(h, lp, "wk", lora_scales)
@@ -224,9 +230,15 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         q = q.reshape(B, T, H, D)
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, D)
-        if "q_norm" in lp:  # qwen3/gemma3-style per-head QK norm
-            q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
-            k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+        if "q_norm" in lp:
+            if lp["q_norm"].shape[-1] == D:   # per-head QK norm (qwen3)
+                q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+                k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
+            else:                              # whole-row norm (olmo2)
+                q = rms_norm(q.reshape(B, T, -1), lp["q_norm"],
+                             cfg.rms_eps).reshape(B, T, H, D)
+                k = rms_norm(k.reshape(B, T, -1), lp["k_norm"],
+                             cfg.rms_eps).reshape(B, T, Hkv, D)
 
     if cos.ndim == 3:  # stacked global/local rope (gemma3)
         cos = jax.lax.select(is_local > 0, cos[1], cos[0])
@@ -308,7 +320,7 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     G = H // Hkv
     qf = q.astype(adt).reshape(B, T, Hkv, G, D)
     scores = jnp.einsum("bthgd,bchd->bhgtc", qf, kf,
-                        preferred_element_type=jnp.float32) * (D ** -0.5)
+                        preferred_element_type=jnp.float32) * (cfg.attn_scale or D ** -0.5)
     if cfg.attn_softcap > 0.0:
         scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
@@ -358,39 +370,104 @@ def _mla_qkv(h, lp, cfg: ModelConfig):
     return q, k, v
 
 
+def _norm_any(x, w, b, cfg: ModelConfig):
+    """rms or LayerNorm (biased) per cfg.norm_style."""
+    if cfg.norm_style == "ln":
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + cfg.rms_eps)
+        y = y * w.astype(jnp.float32)
+        if b is not None:
+            y = y + b.astype(jnp.float32)
+        return y.astype(x.dtype)
+    return rms_norm(x, w, cfg.rms_eps)
+
+
+def _pre_norm(x, lp, key, cfg: ModelConfig):
+    """Input norm; absent tensor = identity (olmo2 post-norm-only blocks)."""
+    if key not in lp:
+        return x
+    return _norm_any(x, lp[key], lp.get(key + "_b"), cfg)
+
+
+def _act(gate, cfg: ModelConfig):
+    if cfg.act_fn == "gelu":
+        return jax.nn.gelu(gate, approximate=True)
+    if cfg.act_fn == "relu2":
+        return jnp.square(jax.nn.relu(gate))
+    return jax.nn.silu(gate)
+
+
+def _ffn_block(h, lp, cfg: ModelConfig, lora_scales, dtype):
+    if "w_gate_inp" in lp:
+        return _moe_ffn(h, lp, cfg).astype(dtype)
+    if not cfg.ffn_gated:
+        # up -> act -> down (falcon/gptneox/phi2/starcoder2), with biases
+        up = mm(h, lp["w_up"]) + _lora_delta(h, lp, "w_up", lora_scales)
+        if "b_up" in lp:
+            up = up + lp["b_up"]
+        act = _act(up.astype(jnp.float32), cfg).astype(dtype)
+        out = mm(act, lp["w_down"]) + _lora_delta(act, lp, "w_down",
+                                                  lora_scales)
+        if "b_down" in lp:
+            out = out + lp["b_down"]
+        return out.astype(dtype)
+    if "w_gateup" in lp:   # load-time fused gate|up (fuse_projections)
+        gu = mm(h, lp["w_gateup"])
+        ff = gu.shape[-1] // 2
+        gate = gu[..., :ff] + _lora_delta(h, lp, "w_gate", lora_scales)
+        up = gu[..., ff:] + _lora_delta(h, lp, "w_up", lora_scales)
+    else:
+        gate = mm(h, lp["w_gate"]) + _lora_delta(h, lp, "w_gate",
+                                                 lora_scales)
+        up = mm(h, lp["w_up"]) + _lora_delta(h, lp, "w_up", lora_scales)
+    gate = gate.astype(jnp.float32)
+    act = (_act(gate, cfg) * up.astype(jnp.float32)).astype(dtype)
+    out = mm(act, lp["w_down"]) + _lora_delta(act, lp, "w_down",
+                                              lora_scales)
+    if "b_down" in lp:
+        out = out + lp["b_down"]
+    return out.astype(dtype)
+
+
 def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales):
-    """Shared post-attention tail: output proj (+post norm) + FFN/MoE."""
+    """Shared post-attention tail: output proj (+post norm) + FFN/MoE.
+    Sequential residual by default; parallel_residual archs
+    (falcon/phi2/command-r) add attn and FFN of the SAME normed input."""
     ao = attn.astype(x.dtype)
     attn_out = (mm(ao, lp["wo"])
                 + _lora_delta(ao, lp, "wo", lora_scales)).astype(x.dtype)
-    if "attn_post_norm" in lp:  # gemma2/3 sandwich norm
-        attn_out = rms_norm(attn_out, lp["attn_post_norm"], cfg.rms_eps)
-    x = x + attn_out
+    if "bo" in lp:
+        attn_out = attn_out + lp["bo"].astype(x.dtype)
+    if "attn_post_norm" in lp:  # gemma2/3 sandwich, olmo2 post-norm
+        attn_out = _norm_any(attn_out, lp["attn_post_norm"],
+                             lp.get("attn_post_norm_b"), cfg)
 
-    h = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
-    if "w_gate_inp" in lp:
-        x = x + _moe_ffn(h, lp, cfg).astype(x.dtype)
-    else:
-        if "w_gateup" in lp:   # load-time fused gate|up (fuse_projections)
-            gu = mm(h, lp["w_gateup"])
-            ff = gu.shape[-1] // 2
-            gate = gu[..., :ff] + _lora_delta(h, lp, "w_gate", lora_scales)
-            up = gu[..., ff:] + _lora_delta(h, lp, "w_up", lora_scales)
+    rs = cfg.residual_scale
+    if cfg.parallel_residual:
+        # the FFN input: a second norm of x when present (falcon-40b
+        # attn_norm_2), else the shared attention-input norm
+        if "attn_norm_2" in lp:
+            h = _norm_any(x, lp["attn_norm_2"], lp.get("attn_norm_2_b"),
+                          cfg)
+        elif "ffn_norm" in lp:
+            h = _pre_norm(x, lp, "ffn_norm", cfg)
         else:
-            gate = mm(h, lp["w_gate"]) + _lora_delta(h, lp, "w_gate",
-                                                     lora_scales)
-            up = mm(h, lp["w_up"]) + _lora_delta(h, lp, "w_up", lora_scales)
-        gate = gate.astype(jnp.float32)
-        gact = (jax.nn.gelu(gate, approximate=True) if cfg.act_fn == "gelu"
-                else jax.nn.silu(gate))
-        act = (gact * up.astype(jnp.float32)).astype(x.dtype)
-        ffn_out = (mm(act, lp["w_down"])
-                   + _lora_delta(act, lp, "w_down",
-                                 lora_scales)).astype(x.dtype)
+            h = _pre_norm(x, lp, "attn_norm", cfg)
+        ffn_out = _ffn_block(h, lp, cfg, lora_scales, x.dtype)
         if "ffn_post_norm" in lp:
-            ffn_out = rms_norm(ffn_out, lp["ffn_post_norm"], cfg.rms_eps)
-        x = x + ffn_out
-    return x
+            ffn_out = _norm_any(ffn_out, lp["ffn_post_norm"],
+                                lp.get("ffn_post_norm_b"), cfg)
+        return x + (attn_out + ffn_out) * rs
+
+    x = x + attn_out * rs
+    h = _pre_norm(x, lp, "ffn_norm", cfg)
+    ffn_out = _ffn_block(h, lp, cfg, lora_scales, x.dtype)
+    if "ffn_post_norm" in lp:
+        ffn_out = _norm_any(ffn_out, lp["ffn_post_norm"],
+                            lp.get("ffn_post_norm_b"), cfg)
+    return x + ffn_out * rs
 
 
 def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
@@ -442,7 +519,9 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         o = flash_prefill_batched(
             qg, k_cache, v_cache, k.astype(adt), v.astype(adt),
             flash_meta, win, k_scale=k_scale, v_scale=v_scale,
-            softcap=cfg.attn_softcap, interpret=not _flash_on_tpu())
+            softcap=cfg.attn_softcap,
+            scale=(cfg.attn_scale or None),
+            interpret=not _flash_on_tpu())
         Dv = v_cache.shape[-1]
         attn = o.transpose(0, 3, 1, 2, 4).reshape(B, T, H * Dv)
         return _layer_tail(x, lp, cfg, attn, lora_scales), rows
@@ -461,10 +540,10 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
     mask_c = mask & (kpos < positions[:, :1, None] - nc)
     qf = q.astype(adt).reshape(B, T, Hkv, G, D)
     sc = jnp.einsum("bthgd,bchd->bhgtc", qf, kf,
-                    preferred_element_type=jnp.float32) * (D ** -0.5)
+                    preferred_element_type=jnp.float32) * (cfg.attn_scale or D ** -0.5)
     # in-chunk part: pairwise causal over the current rows
     ss = jnp.einsum("bthgd,bshd->bhgts", qf, k.astype(adt),
-                    preferred_element_type=jnp.float32) * (D ** -0.5)
+                    preferred_element_type=jnp.float32) * (cfg.attn_scale or D ** -0.5)
     qp = positions
     inm = (qp[:, :, None] >= qp[:, None, :]) & (qp[:, None, :] < C)
     if cfg.swa_window > 0:
@@ -496,7 +575,7 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
             ckf = ck.astype(adt)
             cvf = cv.astype(adt)
         s3 = jnp.einsum("bthgd,bshd->bhgts", qf, ckf,
-                        preferred_element_type=jnp.float32) * (D ** -0.5)
+                        preferred_element_type=jnp.float32) * (cfg.attn_scale or D ** -0.5)
         # chain row i holds absolute position qpos - (nc - i)
         ci = jnp.arange(Kc)[None, None, :]
         kpos3 = positions[:, :, None] - (nc - ci)            # [B, T, Kc]
@@ -762,12 +841,17 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
 
 
 def _output_logits(params, cfg: ModelConfig, x):
-    x = rms_norm(x, params["output_norm"], cfg.rms_eps)
+    x = _norm_any(x, params["output_norm"], params.get("output_norm_b"),
+                  cfg)
     out_w = params.get("output")
     if out_w is None:  # tied word embeddings
         logits = x @ params["tok_embd"].T.astype(x.dtype)
     else:
         logits = mm(x, out_w)
+    if params.get("output_b") is not None:
+        logits = logits + params["output_b"]
+    if cfg.logit_scale != 1.0:   # command-r / granite
+        logits = logits * cfg.logit_scale
     if cfg.logit_softcap > 0.0:
         logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
     return logits.astype(jnp.float32)

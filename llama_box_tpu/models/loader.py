@@ -28,12 +28,10 @@ from ..utils.logging import SRV_INF, SRV_WRN
 from .config import ModelConfig
 
 _LAYER_WEIGHTS = {
-    "attn_norm": ("blk.{i}.attn_norm.weight", False),
     "wq": ("blk.{i}.attn_q.weight", True),
     "wk": ("blk.{i}.attn_k.weight", True),
     "wv": ("blk.{i}.attn_v.weight", True),
     "wo": ("blk.{i}.attn_output.weight", True),
-    "ffn_norm": ("blk.{i}.ffn_norm.weight", False),
     "w_gate": ("blk.{i}.ffn_gate.weight", True),
     "w_up": ("blk.{i}.ffn_up.weight", True),
     "w_down": ("blk.{i}.ffn_down.weight", True),
@@ -41,6 +39,20 @@ _LAYER_WEIGHTS = {
 
 # optional per-layer tensors (qwen2 attention biases etc.)
 _LAYER_OPTIONAL = {
+    # norms are optional: olmo2 blocks are post-norm-only, falcon/gptneox
+    # norms carry biases, falcon-40b has a second input norm for the
+    # parallel FFN branch
+    "attn_norm": ("blk.{i}.attn_norm.weight", False),
+    "attn_norm_b": ("blk.{i}.attn_norm.bias", False),
+    "attn_norm_2": ("blk.{i}.attn_norm_2.weight", False),
+    "attn_norm_2_b": ("blk.{i}.attn_norm_2.bias", False),
+    "ffn_norm": ("blk.{i}.ffn_norm.weight", False),
+    "ffn_norm_b": ("blk.{i}.ffn_norm.bias", False),
+    "attn_post_norm_b": ("blk.{i}.post_attention_norm.bias", False),
+    "ffn_post_norm_b": ("blk.{i}.post_ffw_norm.bias", False),
+    "bo": ("blk.{i}.attn_output.bias", False),
+    "b_up": ("blk.{i}.ffn_up.bias", False),
+    "b_down": ("blk.{i}.ffn_down.bias", False),
     "bq": ("blk.{i}.attn_q.bias", False),
     "bk": ("blk.{i}.attn_k.bias", False),
     "bv": ("blk.{i}.attn_v.bias", False),
@@ -190,10 +202,15 @@ def load_model(
     params: dict = {}
     params["tok_embd"] = put("tok_embd", fetch("token_embd.weight", False))
     params["output_norm"] = put("output_norm", fetch("output_norm.weight", False))
+    if "output_norm.bias" in g.tensors:   # LN archs (falcon/gptneox/phi2)
+        params["output_norm_b"] = put("output_norm_b",
+                                      fetch("output_norm.bias", False))
     if "output.weight" in g.tensors:
         params["output"] = put("output", fetch_maybe_q("output.weight", True))
     else:
         SRV_INF("load_model", "output.weight absent -> tied embeddings")
+    if "output.bias" in g.tensors:        # phi2
+        params["output_b"] = put("output_b", fetch("output.bias", False))
 
     def split_qkv(i: int) -> dict | None:
         """phi3/gptneox-style fused blk.N.attn_qkv.weight -> wq/wk/wv."""

@@ -327,7 +327,7 @@ def _top_candidates(logits: jnp.ndarray, kcap: int):
     # 0.994 @ top-40, 0.955 @ top-128. The true argmax is a bucket max by
     # construction, so greedy stays bit-exact.
     B, V = logits.shape
-    nb = max(kcap // 2, 1)
+    nb = max((kcap + 1) // 2, 1)               # 2*nb survivors >= kcap
     bs = -(-V // nb)                           # bucket size (ceil)
     pad = bs * nb - V
     lg = jnp.pad(logits, ((0, 0), (0, pad)), constant_values=NEG_INF) \

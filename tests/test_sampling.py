@@ -249,3 +249,22 @@ def test_dry_penalizes_repeats():
     logits[4] = 0.9
     t, _, _, _ = hs.sample(logits)
     assert t == 4  # 3 was penalized below 4
+
+
+def test_bucketed_candidates_odd_vocab(monkeypatch):
+    """The TPU bucketed top-2 path must handle kcap == V and odd vocab
+    sizes (regression: k=287 on [4,286] top_k crash found by a live
+    server drive)."""
+    import unittest.mock as um
+
+    import llama_box_tpu.sampling as S
+    for V in (287, 101, 3, 512):
+        lg = jnp.asarray(np.random.default_rng(0).normal(size=(4, V)) * 3,
+                         jnp.float32)
+        kcap = min(512, V)
+        with um.patch.object(S.jax, "default_backend", lambda: "tpu"):
+            bv, bi = S._top_candidates(lg, kcap)
+        ev, ei = jax.lax.top_k(lg, kcap)
+        assert bv.shape == (4, kcap) and bi.shape == (4, kcap)
+        np.testing.assert_array_equal(np.asarray(bi[:, 0]),
+                                      np.asarray(ei[:, 0]))  # greedy exact
