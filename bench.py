@@ -243,14 +243,19 @@ def main():
         tokens = jnp.asarray(rng.integers(0, V, (S,)), jnp.int32)
         pos = C // 2  # half-full KV, representative decode state
 
+        # ranged attention at the representative half-full fill level:
+        # the engine reads only the occupied region (256-bucketed), like
+        # the reference's graphs computing over n_kv cells
+        AL = min(C, -(-(C // 2 + 16 * KCH) // 256) * 256)
+
         def step(tokens, kv, sstate, p):
             pos0 = jnp.full((S,), p, jnp.int32)
             toks, _, _, _, kv, sstate = _decode_chain(
                 params, cfg, tokens, pos0, kv, sstate, arrs, active,
-                cos, sin, n_steps=KCH)
+                cos, sin, n_steps=KCH, attn_len=AL)
             return toks[:, -1], kv, sstate
 
-        n_wrap = max(1, (C - KCH - pos) // KCH)  # keep positions in range
+        n_wrap = 15   # positions cycle within [C/2, C/2 + 15*KCH + KCH)
 
         for i in range(warmup):
             tokens, kv, sstate = step(tokens, kv, sstate,

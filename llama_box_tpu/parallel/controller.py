@@ -331,7 +331,7 @@ def engine_ops(engine) -> dict[str, Callable]:
             engine.params, engine.cfg, jnp.asarray(a["token0"]),
             jnp.asarray(a["pos0"]), engine.kv, engine.sstate, engine.arrs,
             jnp.asarray(a["active"]), engine.rope_cos, engine.rope_sin,
-            n_steps=int(s["k"]),
+            n_steps=int(s["k"]), attn_len=int(s.get("attn_len", 0)),
             mrope_delta=jnp.asarray(md) if md is not None else None)
         engine.kv, engine.sstate = out[4], out[5]
 

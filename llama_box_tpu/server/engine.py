@@ -77,11 +77,11 @@ def _decode_verify_rows(params, cfg: ModelConfig, tokens, positions,
     return toks, n_emitted, ids, probs, tokps, logits[:, 0], rows, sstate
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_len"),
          donate_argnames=("kv", "sstate"))
 def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
                   arrs, active, cos, sin, n_steps: int,
-                  mrope_delta=None):
+                  mrope_delta=None, attn_len: int = 0):
     """Chained multi-step decode: n_steps sequential forward+sample steps
     in ONE dispatch. The cache stays READ-ONLY through the whole chain —
     each step's K/V rows land in a tiny per-layer accumulator (the
@@ -96,6 +96,12 @@ def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
     kv, sstate). Slots that hit EOG mid-chain keep generating; the host
     discards the tail (their sampler state is reset at next dispatch and
     stale KV rows beyond the accepted position are unreachable by mask).
+
+    attn_len (static, 0 = full capacity): attention reads only cache
+    positions [0, attn_len) — RANGED attention over the occupied region,
+    like the reference's ggml graphs computing over n_kv cells rather
+    than the whole cache. The engine buckets max(pos)+K up to a 256
+    multiple so a handful of program variants cover every fill level.
     """
     from ..models.llama import (_build_mask, _embed_tokens, _kv_quantize,
                                 _output_logits, _run_stack)
@@ -113,12 +119,22 @@ def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
         acc += (jnp.zeros((L, S, Kc, Hkv), kv.k_scale.dtype),
                 jnp.zeros((L, S, Kc, Hkv), kv.v_scale.dtype))
 
+    AL = min(attn_len or C, C)
+    kv_k = kv.k if AL == C else jax.lax.slice_in_dim(kv.k, 0, AL, axis=2)
+    kv_v = kv.v if AL == C else jax.lax.slice_in_dim(kv.v, 0, AL, axis=2)
+    kv_ks = kv_vs = None
+    if quant:
+        kv_ks = kv.k_scale if AL == C else \
+            jax.lax.slice_in_dim(kv.k_scale, 0, AL, axis=2)
+        kv_vs = kv.v_scale if AL == C else \
+            jax.lax.slice_in_dim(kv.v_scale, 0, AL, axis=2)
+
     def step(carry, j):
         tok, acc, sstate = carry
         positions = jnp.where(active, pos0 + j, C)[:, None]      # [S,1]
         seq_lens = jnp.where(active, 1, 0)
         x = _embed_tokens(params, cfg, tok[:, None])
-        mask = _build_mask(cfg, positions, seq_lens, 1, C)
+        mask = _build_mask(cfg, positions, seq_lens, 1, AL)
         mrope_pos = None
         if cfg.mrope_sections and mrope_delta is not None:
             mrope_pos = jnp.broadcast_to(
@@ -127,8 +143,8 @@ def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
         chain = (acc[0], acc[1], acc[2] if quant else None,
                  acc[3] if quant else None, j)
         x, rows = _run_stack(
-            params, cfg, x, positions, kv.k, kv.v, mask, cos, sin,
-            kv.k_scale, kv.v_scale, mrope_pos=mrope_pos,
+            params, cfg, x, positions, kv_k, kv_v, mask, cos, sin,
+            kv_ks, kv_vs, mrope_pos=mrope_pos,
             deferred_kv=True, emit_rows=True, chain=chain)
         logits = _output_logits(params, cfg, x[:, -1])            # [S,V]
         tok2, ids, probs, tokp, sstate = sample_impl(
@@ -974,13 +990,18 @@ class Engine:
                  for s in self.slots], np.int32)
             arrays["mrope_delta"] = mrope_delta
             mrope_delta = jnp.asarray(mrope_delta)
+        # ranged attention: read only the occupied cache region, bucketed
+        # to 256 so a few program variants cover every fill level
+        need = max(s.pos for s in dec) + K
+        AL = min(self.slot_ctx, -(-need // 256) * 256)
         if self.control is not None:
-            self.control.broadcast("decode_chain", arrays, {"k": K})
+            self.control.broadcast("decode_chain", arrays,
+                                   {"k": K, "attn_len": AL})
         toks, ids, probs, tokps, self.kv, self.sstate = _decode_chain(
             self.params, self.cfg, jnp.asarray(token0), jnp.asarray(pos0),
             self.kv, self.sstate, self.arrs, jnp.asarray(active),
             self.rope_cos, self.rope_sin, n_steps=K,
-            mrope_delta=mrope_delta)
+            mrope_delta=mrope_delta, attn_len=AL)
         toks_h = np.asarray(toks)
         want_probs = any(s.task.n_probs > 0 for s in dec)
         ids_h = np.asarray(ids) if want_probs else None
