@@ -282,14 +282,16 @@ def main():
         kvp = init_kv_cache(cfg, S, C, dtype)
         ptoks = jnp.asarray(rng.integers(0, V, (P,)), jnp.int32)
         lg, kvp = prefill(dense_params, cfg, ptoks, kvp, jnp.int32(0),
-                          jnp.int32(0), jnp.int32(P), cos, sin)
+                          jnp.int32(0), jnp.int32(P), cos, sin,
+                          attn_len=256)
         np.asarray(lg[:1])
         ts = []
         for _ in range(10):
             kvp = init_kv_cache(cfg, S, C, dtype)
             t0 = time.perf_counter()
             lg, kvp = prefill(dense_params, cfg, ptoks, kvp, jnp.int32(0),
-                              jnp.int32(0), jnp.int32(P), cos, sin)
+                              jnp.int32(0), jnp.int32(P), cos, sin,
+                              attn_len=256)
             np.asarray(lg[:1])
             ts.append(time.perf_counter() - t0)
         ts.sort()

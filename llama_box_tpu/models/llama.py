@@ -964,7 +964,7 @@ apply_rows = partial(jax.jit, donate_argnames=("kv",))(apply_rows_impl)
 
 def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
                   pos_base, n_valid, rope_cos, rope_sin, mrope_pos=None,
-                  bidir_span=None):
+                  bidir_span=None, attn_len: int = 0):
     """Shared prefill body: run a [1, T, E] chunk into one slot's KV slice.
 
     Deferred-KV design: the slot's cache slice stays READ-ONLY through the
@@ -981,22 +981,31 @@ def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
             params["lora_scales"], slot, 1, axis=0)
     T = x.shape[1]
     C = kv.capacity
-    k_slot = jax.lax.dynamic_slice_in_dim(kv.k, slot, 1, axis=1)
-    v_slot = jax.lax.dynamic_slice_in_dim(kv.v, slot, 1, axis=1)
+    # ranged attention: the cache holds nothing at/after pos_base (the
+    # chunk's own rows ride the flash kernel's rows operand), so reading
+    # only [0, attn_len) is exact; the engine buckets attn_len from the
+    # chunk start (256 multiples -> few program variants)
+    AL = min(attn_len or C, C)
+
+    def slot_view(cache):
+        v = jax.lax.dynamic_slice_in_dim(cache, slot, 1, axis=1)
+        return v if AL == C else jax.lax.slice_in_dim(v, 0, AL, axis=2)
+    k_slot = slot_view(kv.k)
+    v_slot = slot_view(kv.v)
     ks_slot = vs_slot = None
     if kv.quantized:
-        ks_slot = jax.lax.dynamic_slice_in_dim(kv.k_scale, slot, 1, axis=1)
-        vs_slot = jax.lax.dynamic_slice_in_dim(kv.v_scale, slot, 1, axis=1)
+        ks_slot = slot_view(kv.k_scale)
+        vs_slot = slot_view(kv.v_scale)
 
     offs = jnp.arange(T, dtype=jnp.int32)
     positions = jnp.where(offs < n_valid, pos_base + offs, C)[None, :]
     seq_lens = jnp.full((1,), n_valid, jnp.int32)
 
-    mask = _build_mask(cfg, positions, seq_lens, T, C)
+    mask = _build_mask(cfg, positions, seq_lens, T, AL)
     st = en = jnp.int32(0)
     if bidir_span is not None:
         st, en = bidir_span
-        kpos = jnp.arange(C)[None, None, :]
+        kpos = jnp.arange(AL)[None, None, :]
         qvalid = (offs < n_valid)[None, :, None]
         extra = (kpos >= st) & (kpos < en) & qvalid
         mask = mask | (extra[None] if mask.ndim == 4 else extra)
@@ -1066,7 +1075,8 @@ def _write_slot_rows(kv: KVCache, rows, slot, positions, pos_base):
 
 
 def prefill_impl(params, cfg: ModelConfig, tokens, kv: KVCache, slot,
-                 pos_base, n_valid, rope_cos, rope_sin, mrope_pos=None):
+                 pos_base, n_valid, rope_cos, rope_sin, mrope_pos=None,
+                 attn_len: int = 0):
     """Prefill one bucketed prompt chunk into a single slot's KV slice.
 
     tokens: [T] int32 chunk (padded to a bucket size)
@@ -1077,16 +1087,16 @@ def prefill_impl(params, cfg: ModelConfig, tokens, kv: KVCache, slot,
     """
     x = _embed_tokens(params, cfg, tokens[None, :])
     return _prefill_core(params, cfg, x, kv, slot, pos_base, n_valid,
-                         rope_cos, rope_sin, mrope_pos)
+                         rope_cos, rope_sin, mrope_pos, attn_len=attn_len)
 
 
-prefill = partial(jax.jit, static_argnames=("cfg",),
+prefill = partial(jax.jit, static_argnames=("cfg", "attn_len"),
                   donate_argnames=("kv",))(prefill_impl)
 
 
 def prefill_embed_impl(params, cfg: ModelConfig, embeds, kv: KVCache, slot,
                        pos_base, n_valid, rope_cos, rope_sin,
-                       mrope_pos=None, bidir_span=None):
+                       mrope_pos=None, bidir_span=None, attn_len: int = 0):
     """Prefill a chunk of PRE-COMPUTED embeddings (vision/audio tokens from
     the multimodal projector; reference multimodal prefill §2.1 #11).
     bidir_span: (start, end) scalars — non-causal window over the image''s
@@ -1094,15 +1104,16 @@ def prefill_embed_impl(params, cfg: ModelConfig, embeds, kv: KVCache, slot,
     x = embeds[None, :, :].astype(params["tok_embd"].dtype)
     return _prefill_core(params, cfg, x, kv, slot, pos_base, n_valid,
                          rope_cos, rope_sin, mrope_pos,
-                         bidir_span=bidir_span)
+                         bidir_span=bidir_span, attn_len=attn_len)
 
 
-prefill_embed = partial(jax.jit, static_argnames=("cfg",),
+prefill_embed = partial(jax.jit, static_argnames=("cfg", "attn_len"),
                         donate_argnames=("kv",))(prefill_embed_impl)
 
 
 def prefill_batch_impl(params, cfg: ModelConfig, tokens, pos_base, n_valid,
-                       kv: KVCache, rope_cos, rope_sin):
+                       kv: KVCache, rope_cos, rope_sin,
+                       attn_len: int = 0):
     """Batched prefill: one chunk per SLOT in a single fused program (the
     reference packs multiple prefilling tasks into one llama_decode).
 
@@ -1113,25 +1124,46 @@ def prefill_batch_impl(params, cfg: ModelConfig, tokens, pos_base, n_valid,
     """
     S, T = tokens.shape
     C = kv.capacity
+    AL = min(attn_len or C, C)
     offs = jnp.arange(T, dtype=jnp.int32)[None, :]
     positions = jnp.where(offs < n_valid[:, None],
                           pos_base[:, None] + offs, C)
     x = _embed_tokens(params, cfg, tokens)
-    mask = _build_mask(cfg, positions, n_valid, T, C)
+    mask = _build_mask(cfg, positions, n_valid, T, AL)
     zero = jnp.zeros((S,), jnp.int32)
     meta = jnp.stack([pos_base, n_valid, zero, zero], axis=1)  # [S, 4]
-    x, k_new, v_new, ks, vs = _run_stack(
-        params, cfg, x, positions, kv.k, kv.v, mask, rope_cos, rope_sin,
-        kv.k_scale, kv.v_scale, deferred_kv=True, flash_meta=meta)
+
+    def view(cache):
+        return (cache if cache is None or AL == C
+                else jax.lax.slice_in_dim(cache, 0, AL, axis=2))
+    x, rows = _run_stack(
+        params, cfg, x, positions, view(kv.k), view(kv.v), mask, rope_cos,
+        rope_sin, view(kv.k_scale), view(kv.v_scale), deferred_kv=True,
+        emit_rows=True, flash_meta=meta)
+    L = kv.k.shape[0]
+    li = jnp.arange(L)[:, None, None]
+    bi = jnp.arange(S)[None, :, None]
+    pi = jnp.broadcast_to(positions[None], (L, S, T))
+    if kv.quantized:
+        kq, vq, ksr, vsr = rows
+        kv = KVCache(
+            k=kv.k.at[li, bi, pi].set(kq, mode="drop"),
+            v=kv.v.at[li, bi, pi].set(vq, mode="drop"),
+            k_scale=kv.k_scale.at[li, bi, pi].set(ksr, mode="drop"),
+            v_scale=kv.v_scale.at[li, bi, pi].set(vsr, mode="drop"))
+    else:
+        kr, vr = rows
+        kv = KVCache(k=kv.k.at[li, bi, pi].set(kr, mode="drop"),
+                     v=kv.v.at[li, bi, pi].set(vr, mode="drop"))
     last = jnp.maximum(n_valid - 1, 0)
     x_last = jnp.take_along_axis(
         x, last[:, None, None].astype(jnp.int32).repeat(x.shape[-1], 2),
         axis=1)[:, 0]                                   # [S, E]
     logits = _output_logits(params, cfg, x_last)
-    return logits, KVCache(k=k_new, v=v_new, k_scale=ks, v_scale=vs)
+    return logits, kv
 
 
-prefill_batch = partial(jax.jit, static_argnames=("cfg",),
+prefill_batch = partial(jax.jit, static_argnames=("cfg", "attn_len"),
                         donate_argnames=("kv",))(prefill_batch_impl)
 
 

@@ -298,7 +298,8 @@ def engine_ops(engine) -> dict[str, Callable]:
         logits, engine.kv = prefill(
             engine.params, engine.cfg, jnp.asarray(a["tokens"]), engine.kv,
             jnp.int32(s["slot"]), jnp.int32(s["pos"]), jnp.int32(s["n"]),
-            engine.rope_cos, engine.rope_sin)
+            engine.rope_cos, engine.rope_sin,
+            attn_len=int(s.get("attn_len", 0)))
 
     def op_prefill_batch(a, s):
         logits, engine.kv = prefill_batch(
@@ -313,7 +314,8 @@ def engine_ops(engine) -> dict[str, Callable]:
         logits, engine.kv = prefill_embed(
             engine.params, engine.cfg, jnp.asarray(a["embeds"]), engine.kv,
             jnp.int32(s["slot"]), jnp.int32(s["pos"]), jnp.int32(s["n"]),
-            engine.rope_cos, engine.rope_sin, None, bidir_span=bidir)
+            engine.rope_cos, engine.rope_sin, None, bidir_span=bidir,
+            attn_len=int(s.get("attn_len", 0)))
 
     def op_decode(a, s):
         from ..server.engine import _decode_verify_sample

@@ -647,10 +647,11 @@ class Engine:
             tokens[s.idx, :n] = s.task.prompt_tokens[s.cursor:s.cursor + n]
             pos_base[s.idx] = s.pos
             n_valid[s.idx] = n
+        AL = min(self.slot_ctx, -(-max(int(pos_base.max()), 1) // 256) * 256)
         logits, self.kv = prefill_batch(
             self.params, self.cfg, jnp.asarray(tokens),
             jnp.asarray(pos_base), jnp.asarray(n_valid), self.kv,
-            self.rope_cos, self.rope_sin)
+            self.rope_cos, self.rope_sin, attn_len=AL)
         total = int(sum(chunks.values()))
         for s in slots:
             n = chunks[s.idx]
@@ -704,20 +705,23 @@ class Engine:
         if ch[0] == "tokens":
             buf = np.zeros(bucket, np.int32)
             buf[:chunk] = ch[1][off:off + chunk]
+            AL = min(s.capacity, -(-max(s.pos, 1) // 256) * 256)
             if self.control is not None:
                 self.control.broadcast("prefill", {"tokens": buf},
                                        {"slot": s.idx, "pos": s.pos,
-                                        "n": chunk})
+                                        "n": chunk, "attn_len": AL})
             logits, self.kv = prefill(
                 self.params, self.cfg, jnp.asarray(buf), self.kv,
                 jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
-                self.rope_cos, self.rope_sin, mrope_pos)
+                self.rope_cos, self.rope_sin, mrope_pos, attn_len=AL)
         else:  # embedding chunk (vision/audio); §2.1 #11
             emb = ch[1][off:off + chunk]
             buf = np.zeros((bucket, emb.shape[1]), np.float32)
             buf[:chunk] = emb
+            AL = min(s.capacity, -(-max(s.pos, 1) // 256) * 256)
             if self.control is not None:
-                meta = {"slot": s.idx, "pos": s.pos, "n": chunk}
+                meta = {"slot": s.idx, "pos": s.pos, "n": chunk,
+                        "attn_len": AL}
                 if self.cfg.arch == "gemma3":
                     meta["bidir0"] = s.pos - off
                     meta["bidir1"] = s.pos + chunk
@@ -732,7 +736,7 @@ class Engine:
                 self.params, self.cfg, jnp.asarray(buf), self.kv,
                 jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
                 self.rope_cos, self.rope_sin, mrope_pos,
-                bidir_span=bidir)
+                bidir_span=bidir, attn_len=AL)
         s.cache_tokens.extend(
             task.prompt_tokens[s.cursor:s.cursor + chunk])
         s.cursor += chunk
