@@ -492,6 +492,14 @@ class Engine:
             task.fail(exc)
 
     def _admit_completion(self, task: CompletionsTask) -> None:
+        if not task.prompt_tokens:
+            # an empty tokenization degrades to [BOS] like the reference's
+            # llama_tokenize(add_special=true); without a BOS it's an error
+            bos = self.tokenizer.bos_id if self.tokenizer else None
+            if bos is None:
+                task.fail(ValueError("prompt tokenized to zero tokens"))
+                return
+            task.prompt_tokens = [bos]
         idle = [s for s in self.slots if s.state == "idle"]
         if not idle:
             # re-queue (and clear the duplicate guard so the retry passes)

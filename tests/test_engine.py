@@ -401,3 +401,12 @@ def test_decode_chain_identity(tmp_path):
     finally:
         e1.stop()
         e4.stop()
+
+
+def test_empty_prompt_degrades_to_bos(engine):
+    """A prompt that tokenizes to nothing serves as [BOS] (reference
+    add_special semantics) instead of crashing the reconcile pass."""
+    task = CompletionsTask([], greedy(), tokenizer=engine.tokenizer,
+                           max_tokens=3, stream=False)
+    final, _ = run_task(engine, task)
+    assert 1 <= len(final.generated) <= 3

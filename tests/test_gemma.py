@@ -212,3 +212,43 @@ def test_gemma3_shift_uses_local_base():
             sin[sel[l]], cfg.rope_mode))
         got = np.asarray(kv2.k[l, 0, : C - d])
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_gemma_decode_chain_identity(tmp_path):
+    """Chained decode must respect alternating SWA windows in the chain
+    block: greedy identity with the per-token engine on a gemma3-style
+    model (local/global layer pattern + dual rope bases)."""
+    from llama_box_tpu.gguf import GGUFFile
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.sampling import SamplerParams
+    from llama_box_tpu.server import Engine, EngineConfig
+    from llama_box_tpu.server.task import CompletionsTask
+    from llama_box_tpu.tokenizer import Tokenizer
+
+    path = str(tmp_path / "g.gguf")
+    write_tiny_gemma(path)
+
+    def run(chain):
+        cfg, params = load_model(path, dtype=jnp.float32)
+        assert cfg.swa_window > 0
+        with GGUFFile(path) as g:
+            tok = Tokenizer.from_gguf(g)
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(n_slots=2, n_ctx=64, n_ubatch=16,
+                                  decode_chain=chain))
+        eng.start()
+        try:
+            t = CompletionsTask([3, 5, 7, 9, 11],
+                                SamplerParams(temp=0.0, seed=0),
+                                tokenizer=tok, max_tokens=12, stream=False)
+            eng.submit(t)
+            while True:
+                kind, payload = t.result_q.get(timeout=120)
+                if kind == "final":
+                    return payload.generated
+                if kind == "error":
+                    raise payload
+        finally:
+            eng.stop()
+
+    assert run(4) == run(1)
