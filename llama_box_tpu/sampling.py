@@ -35,7 +35,13 @@ import jax.numpy as jnp
 import numpy as np
 
 NEG_INF = -1e30
-N_CAND = 512     # static candidate-set width for the filtering chain
+import os as _os
+N_CAND = int(_os.environ.get("LLAMA_BOX_TPU_NCAND", "256"))
+# static candidate-set width for the filtering chain. The chain is exact
+# for any top_k <= N_CAND; the reference's default chain truncates to
+# top_k=40 before top-p anyway, so 256 is generous headroom (and +2.5%
+# decode vs 512 — the chain ops run on [B, N_CAND]). LLAMA_BOX_TPU_NCAND
+# widens it for heavy-tail sampling studies.
 N_PROBS = 16     # top-probs returned for logprobs rendering
 RING_CAP = 256   # static penalty-window cap (penalty_last_n clamps to this)
 BIAS_CAP = 64    # static per-request logit-bias slots
