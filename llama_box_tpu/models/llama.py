@@ -179,7 +179,8 @@ def _lora_delta(h, lp, key, lora_scales):
 def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
                 cos, sin, k_scale=None, v_scale=None,
                 lora_scales=None, is_local=jnp.int32(0), mrope_pos=None,
-                deferred_kv=False, flash_meta=None, chain=None):
+                deferred_kv=False, flash_meta=None, chain=None,
+                rope_pre=False):
     """x: [B,T,E]; k_cache/v_cache: [B,C,Hkv,D]; mask: [B,T,C] True=attend.
     k_scale/v_scale: [B,C,Hkv] when the cache is int8-quantized.
     flash_meta: [B,4] (pos0, n_valid, bidir_st, bidir_en) when the chunk
@@ -240,7 +241,10 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
                 k = rms_norm(k.reshape(B, T, -1), lp["k_norm"],
                              cfg.rms_eps).reshape(B, T, Hkv, D)
 
-    if cos.ndim == 3:  # stacked global/local rope (gemma3)
+    if cos.ndim == 3 and rope_pre:
+        # pre-gathered per-position tables (hoisted out of the layer scan)
+        pass
+    elif cos.ndim == 3:  # stacked global/local rope (gemma3)
         cos = jax.lax.select(is_local > 0, cos[1], cos[0])
         sin = jax.lax.select(is_local > 0, sin[1], sin[0])
     if mask.ndim == 4:  # stacked global/local masks (alternating SWA)
@@ -255,8 +259,9 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         q = apply_mrope(q, pos3, cos, sin, cfg.mrope_sections)
         k = apply_mrope(k, pos3, cos, sin, cfg.mrope_sections)
     else:
-        q = apply_rope(q, positions, cos, sin, cfg.rope_mode)
-        k = apply_rope(k, positions, cos, sin, cfg.rope_mode)
+        rp = None if rope_pre else positions
+        q = apply_rope(q, rp, cos, sin, cfg.rope_mode)
+        k = apply_rope(k, rp, cos, sin, cfg.rope_mode)
     if cfg.qk_l2_norm:  # llama4: weightless per-head L2 norm after rope
         q = q * jax.lax.rsqrt(
             jnp.sum(jnp.square(q.astype(jnp.float32)), -1,
@@ -709,6 +714,14 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
     is_local = _layer_is_local(cfg)
     cvec = params.get("cvec")   # [L, E] control-vector deltas (optional)
     nc = chain[4] if chain is not None else None
+    # hoist the rope table gather out of the layer scan (single-table
+    # models without M-RoPE or dual bases; gemma keeps per-layer select)
+    rope_pre = False
+    if cos is not None and cos.ndim == 2 and mrope_pos is None \
+            and not cfg.mrope_sections and cfg.nope_layer_step == 0:
+        cos = jnp.take(cos, positions, axis=0, mode="clip")
+        sin = jnp.take(sin, positions, axis=0, mode="clip")
+        rope_pre = True
 
     def body(x, layer):
         if cvec is not None:
@@ -731,7 +744,8 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                                   cfg, cos, sin, ks, vs,
                                   lora_scales=lora_scales, is_local=loc,
                                   mrope_pos=mrope_pos, deferred_kv=True,
-                                  flash_meta=flash_meta, chain=lchain)
+                                  flash_meta=flash_meta, chain=lchain,
+                                  rope_pre=rope_pre)
             if cvec is not None:
                 x = x + cv.astype(x.dtype)
             return x, rows

@@ -119,11 +119,17 @@ def apply_mrope(x: jnp.ndarray, positions3, cos: jnp.ndarray,
 
 def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, cos: jnp.ndarray,
                sin: jnp.ndarray, mode: str = "norm") -> jnp.ndarray:
-    """x: [..., T, H, D]; positions: broadcastable to [..., T] int32."""
+    """x: [..., T, H, D]; positions: broadcastable to [..., T] int32,
+    or None when cos/sin are already gathered per position ([..., T, half]
+    — the layer scan hoists the gather out of the 22-layer loop)."""
     rot_dim = cos.shape[-1] * 2
     d = x.shape[-1]
-    c = jnp.take(cos, positions, axis=0, mode="clip")[..., None, :]
-    s = jnp.take(sin, positions, axis=0, mode="clip")[..., None, :]
+    if positions is None:
+        c = cos[..., None, :]
+        s = sin[..., None, :]
+    else:
+        c = jnp.take(cos, positions, axis=0, mode="clip")[..., None, :]
+        s = jnp.take(sin, positions, axis=0, mode="clip")[..., None, :]
     xr = x[..., :rot_dim].astype(jnp.float32)
     if mode == "norm":
         x0 = xr[..., 0::2]
