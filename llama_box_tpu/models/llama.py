@@ -531,6 +531,49 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         attn = o.transpose(0, 3, 1, 2, 4).reshape(B, T, H * Dv)
         return _layer_tail(x, lp, cfg, attn, lora_scales), rows
 
+    if chain is not None and k_scale is not None and T == 1 \
+            and D == v_cache.shape[-1] and _flash_ok() \
+            and (_flash_on_tpu() or _flash_forced()):
+        # int8-KV chained decode through the flash kernel: the cache
+        # dequantizes block-by-block in VMEM instead of materializing a
+        # full dequantized copy per layer (the einsum path's cost). The
+        # chain rows ride the kernel's chunk-rows operand: dequantized
+        # acc rows 0..nc-1 plus the current row at index nc, with
+        # n_valid = nc+1 and pos0 = the chain start.
+        ck, cv, cks, cvs, nc_t = chain
+        Kc = ck.shape[1]
+        ckf = ck.astype(adt) * cks.astype(adt)[..., None]
+        cvf0 = cv.astype(adt) * cvs.astype(adt)[..., None]
+        onehot = (jnp.arange(Kc) == nc_t)[None, :, None, None]
+        kr = jnp.where(onehot, k.astype(adt)[:, :1], ckf)
+        vr = jnp.where(onehot, v.astype(adt)[:, :1], cvf0)
+        qcur = (q.astype(adt).reshape(B, 1, Hkv, G, D)
+                .transpose(0, 2, 3, 1, 4))          # [B,Hkv,G,1,D]
+        qg = jnp.zeros((B, Hkv, G, Kc, D), adt)
+        qg = jax.lax.dynamic_update_slice(qg, qcur, (0, 0, 0, nc_t, 0))
+        pos0c = positions[:, 0] - nc_t
+        meta = jnp.stack([pos0c, jnp.broadcast_to(nc_t + 1, (B,)),
+                          jnp.zeros((B,), jnp.int32),
+                          jnp.zeros((B,), jnp.int32)], axis=1)
+        w = jnp.int32(0)
+        cw = jnp.int32(0)
+        if cfg.swa_window > 0:
+            w = (jnp.where(is_local > 0, cfg.swa_window, 0)
+                 if cfg.swa_pattern > 0 else jnp.int32(cfg.swa_window))
+        if cfg.chunked_window > 0:
+            cw = jnp.where(is_local > 0, cfg.chunked_window, 0)
+        win = jnp.stack([jnp.asarray(w, jnp.int32),
+                         jnp.asarray(cw, jnp.int32)])
+        o = flash_prefill_batched(
+            qg, k_cache, v_cache, kr, vr, meta, win,
+            k_scale=k_scale, v_scale=v_scale,
+            scale=(cfg.attn_scale or None), softcap=cfg.attn_softcap,
+            interpret=not _flash_on_tpu())
+        Dv = v_cache.shape[-1]
+        attn = jax.lax.dynamic_slice_in_dim(o, nc_t, 1, axis=3)
+        attn = attn.transpose(0, 3, 1, 2, 4).reshape(B, 1, H * Dv)
+        return _layer_tail(x, lp, cfg, attn, lora_scales), rows
+
     if k_scale is not None:
         kf = k_cache.astype(adt) * k_scale.astype(adt)[..., None]
         vf = v_cache.astype(adt) * v_scale.astype(adt)[..., None]

@@ -279,3 +279,51 @@ def test_model_prefill_flash_bidir_span(monkeypatch):
     got_out, _ = _run_prefills(cfg, params, jnp.float32, False, span=(16, 48))
     for r, g in zip(ref_out, got_out):
         np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-4)
+
+
+def test_int8_kv_chain_flash_matches_einsum(tmp_path, monkeypatch):
+    """Chained decode with an int8 KV cache through the flash kernel
+    (interpret mode) matches the einsum dequant path: greedy tokens
+    identical on the tiny fixture."""
+    import jax.numpy as jnp
+
+    from llama_box_tpu.gguf import GGUFFile
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.sampling import SamplerParams
+    from llama_box_tpu.server import Engine, EngineConfig
+    from llama_box_tpu.server.task import CompletionsTask
+    from llama_box_tpu.tokenizer import Tokenizer
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+
+    def run(force_flash):
+        if force_flash:
+            monkeypatch.setenv("LLAMA_BOX_TPU_FORCE_FLASH", "1")
+        else:
+            monkeypatch.delenv("LLAMA_BOX_TPU_FORCE_FLASH", raising=False)
+        cfg, params = load_model(path, dtype=jnp.float32)
+        with GGUFFile(path) as g:
+            tok = Tokenizer.from_gguf(g)
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(n_slots=2, n_ctx=64, n_ubatch=16,
+                                  kv_dtype="int8", decode_chain=4))
+        eng.start()
+        try:
+            t = CompletionsTask(tok.encode("a b c d"),
+                                SamplerParams(temp=0.0, seed=0),
+                                tokenizer=tok, max_tokens=10, stream=False)
+            eng.submit(t)
+            while True:
+                kind, payload = t.result_q.get(timeout=180)
+                if kind == "final":
+                    return payload.generated
+                if kind == "error":
+                    raise payload
+        finally:
+            eng.stop()
+
+    base = run(False)
+    flash = run(True)
+    assert flash == base
