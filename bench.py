@@ -132,7 +132,7 @@ def serve_bench(cfg, params, V, n_req: int = 4, prompt_len: int = 512,
     eng = Engine(cfg, params, _BenchTokenizer(V),
                  EngineConfig(n_slots=n_req, n_ctx=1024 * n_req,
                               n_ubatch=512, prompt_cache=False,
-                              decode_chain=16))
+                              decode_chain=32))
     eng.start()
     try:
         def submit_all():

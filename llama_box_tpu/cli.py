@@ -60,7 +60,7 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("-b", "--batch-size", dest="n_batch", type=int,
                    default=2048)
     g.add_argument("--decode-chain", dest="decode_chain", type=int,
-                   default=16,
+                   default=32,
                    help="tokens sampled per device dispatch on the plain "
                         "decode path (amortizes dispatch + host-sync "
                         "cost; tokens still stream, in bursts; 1 = "

@@ -199,7 +199,17 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         # load-time fused q/k/v projection (loader.fuse_projections):
         # one [E, (H+2*Hkv)*D] matmul; per-column contraction keeps the
         # split outputs bitwise identical to the separate matmuls
-        qkv = mm(h, lp["wqkv"])
+        if _fuse_qkv_ok(cfg, lp, lora_scales, x):
+            # decode hot path: norm + act-quantize fused into the matmul
+            # (ops/fused_decode) — same rounding as the unfused sequence
+            from ..ops.fused_decode import fused_norm_qmm
+            xr, R = _pad8(x.reshape(B * T, E))
+            qkv = fused_norm_qmm(xr, lp["attn_norm"], lp["wqkv"].qs,
+                                 lp["wqkv"].scales, eps=cfg.rms_eps,
+                                 interpret=not _flash_on_tpu())
+            qkv = qkv[:R].reshape(B, T, -1).astype(x.dtype)
+        else:
+            qkv = mm(h, lp["wqkv"])
         nq, nk = H * D, Hkv * D
         q = qkv[..., :nq] + _lora_delta(h, lp, "wq", lora_scales)
         k = qkv[..., nq:nq + nk] + _lora_delta(h, lp, "wk", lora_scales)
@@ -440,6 +450,19 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales):
     """Shared post-attention tail: output proj (+post norm) + FFN/MoE.
     Sequential residual by default; parallel_residual archs
     (falcon/phi2/command-r) add attn and FFN of the SAME normed input."""
+    if _fuse_tail_ok(cfg, lp, lora_scales, x):
+        # decode hot path: wo + residual + ffn_norm + gate|up + act +
+        # down + residual as ONE Pallas program (ops/fused_decode)
+        from ..ops.fused_decode import fused_layer_tail
+        B, T, E = x.shape
+        ao, R = _pad8(attn.astype(jnp.bfloat16).reshape(B * T, -1))
+        xr, _ = _pad8(x.reshape(B * T, E))
+        out = fused_layer_tail(
+            ao, xr, lp["wo"].qs, lp["wo"].scales, lp["ffn_norm"],
+            lp["w_gateup"].qs, lp["w_gateup"].scales, lp["w_down"].qs,
+            lp["w_down"].scales, eps=cfg.rms_eps, rs=cfg.residual_scale,
+            act_fn=cfg.act_fn, interpret=not _flash_on_tpu())
+        return out[:R].reshape(B, T, E).astype(x.dtype)
     ao = attn.astype(x.dtype)
     attn_out = (mm(ao, lp["wo"])
                 + _lora_delta(ao, lp, "wo", lora_scales)).astype(x.dtype)
@@ -745,6 +768,54 @@ def _flash_forced() -> bool:
     return bool(os.environ.get("LLAMA_BOX_TPU_FORCE_FLASH"))
 
 
+# -- fused w8a8 decode-layer dispatch (ops/fused_decode) ----------------------
+
+
+def _fused_on() -> bool:
+    import os
+    if os.environ.get("LLAMA_BOX_TPU_NO_FUSED"):
+        return False
+    return _flash_on_tpu() or bool(os.environ.get("LLAMA_BOX_TPU_FORCE_FUSED"))
+
+
+def _w8(w) -> bool:
+    from ..ops.qmatmul import QTensor
+    return isinstance(w, QTensor) and w.w8a8 and not w.sharded
+
+
+def _pad8(a):
+    r = a.shape[0]
+    pad = (-r) % 8
+    return (jnp.pad(a, ((0, pad), (0, 0))) if pad else a), r
+
+
+def _fuse_qkv_ok(cfg: ModelConfig, lp, lora_scales, x) -> bool:
+    from ..ops.fused_decode import _MAX_ROWS, _pick_tile
+    R = x.shape[0] * x.shape[1]
+    return (_fused_on() and R <= _MAX_ROWS and x.dtype == jnp.bfloat16
+            and cfg.norm_style == "rms" and lora_scales is None
+            and "attn_norm" in lp and "attn_norm_b" not in lp
+            and "bq" not in lp and _w8(lp.get("wqkv"))
+            and _pick_tile(lp["wqkv"].out_dim) != 0)
+
+
+def _fuse_tail_ok(cfg: ModelConfig, lp, lora_scales, x) -> bool:
+    from ..ops.fused_decode import _MAX_ROWS, _pick_tile
+    R = x.shape[0] * x.shape[1]
+    return (_fused_on() and R <= _MAX_ROWS and x.dtype == jnp.bfloat16
+            and cfg.norm_style == "rms" and lora_scales is None
+            and not cfg.parallel_residual and cfg.ffn_gated
+            and cfg.act_fn in ("silu", "gelu", "relu2")
+            and _w8(lp.get("wo")) and _w8(lp.get("w_gateup"))
+            and _w8(lp.get("w_down"))
+            and "ffn_norm" in lp and "ffn_norm_b" not in lp
+            and "bo" not in lp and "b_down" not in lp
+            and "attn_post_norm" not in lp and "ffn_post_norm" not in lp
+            and "w_gate_inp" not in lp
+            and _pick_tile(x.shape[-1], (256, 128)) != 0
+            and _pick_tile(lp["w_down"].in_dim, (512, 256, 128)) != 0)
+
+
 def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                cos, sin, kv_ks=None, kv_vs=None,
                mrope_pos=None, deferred_kv=False,
@@ -898,9 +969,30 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
 
 
 def _output_logits(params, cfg: ModelConfig, x):
+    out_w = params.get("output")
+    from ..ops.fused_decode import _MAX_ROWS, _pick_tile
+    lead = x.shape[:-1]
+    R = 1
+    for _d in lead:
+        R *= _d
+    if (_fused_on() and _w8(out_w) and R <= _MAX_ROWS
+            and x.dtype == jnp.bfloat16 and cfg.norm_style == "rms"
+            and "output_norm_b" not in params
+            and params.get("output_b") is None
+            and _pick_tile(out_w.out_dim) != 0):
+        from ..ops.fused_decode import fused_norm_qmm
+        xr, r = _pad8(x.reshape(R, x.shape[-1]))
+        logits = fused_norm_qmm(xr, params["output_norm"], out_w.qs,
+                                out_w.scales, eps=cfg.rms_eps,
+                                interpret=not _flash_on_tpu())
+        logits = logits[:r].reshape(*lead, out_w.out_dim)
+        if cfg.logit_scale != 1.0:
+            logits = logits * cfg.logit_scale
+        if cfg.logit_softcap > 0.0:
+            logits = cfg.logit_softcap * jnp.tanh(logits / cfg.logit_softcap)
+        return logits.astype(jnp.float32)
     x = _norm_any(x, params["output_norm"], params.get("output_norm_b"),
                   cfg)
-    out_w = params.get("output")
     if out_w is None:  # tied word embeddings
         logits = x @ params["tok_embd"].T.astype(x.dtype)
     else:
