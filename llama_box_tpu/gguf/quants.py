@@ -882,6 +882,36 @@ def dequantize_iq1_s(raw, n):
     return out.reshape(len(b), 256).reshape(-1)[:n]
 
 
+def dequantize_iq1_m(raw, n):
+    """IQ1_M (reference block_iq1_m, llama.cpp ggml-quants.c
+    dequantize_row_iq1_m): same iq1s_grid codebook as IQ1_S but the block
+    f16 super-scale is scattered over the top 4 bits of the four scale
+    u16s, each 32-group carries two 3-bit sub-scales (one per 16-element
+    half), and each 8-element group has its own +-IQ1S_DELTA shift bit."""
+    grid = _need_grid("iq1s_grid")            # [2048, 8] of {0,1,2}
+    b = _blocks(raw, 56)
+    qs = b[:, 0:32].reshape(-1, 8, 4)                      # [nb, ib32, 4]
+    qh = b[:, 32:48].reshape(-1, 8, 2)
+    sc = np.ascontiguousarray(b[:, 48:56]).view("<u2").reshape(-1, 4)
+    d16 = ((sc[:, 0] >> 12) | ((sc[:, 1] >> 8) & 0x00F0)
+           | ((sc[:, 2] >> 4) & 0x0F00) | (sc[:, 3] & 0xF000))
+    d = d16.astype(np.uint16).view(np.float16).astype(np.float32)
+    ib = np.arange(8)
+    six = (sc[:, ib // 2] >> (6 * (ib % 2))).astype(np.int32)  # [nb, 8]
+    dl1 = d[:, None] * (2 * (six & 7) + 1).astype(np.float32)
+    dl2 = d[:, None] * (2 * ((six >> 3) & 7) + 1).astype(np.float32)
+    qh0 = qh[..., 0].astype(np.uint16)
+    qh1 = qh[..., 1].astype(np.uint16)
+    hi = np.stack([(qh0 << 8) & 0x700, (qh0 << 4) & 0x700,
+                   (qh1 << 8) & 0x700, (qh1 << 4) & 0x700], -1)
+    vals = grid[qs.astype(np.uint16) | hi].astype(np.float32) - 1.0
+    dbit = np.stack([qh0 & 0x08, qh0 & 0x80, qh1 & 0x08, qh1 & 0x80], -1)
+    delta = np.where(dbit != 0, -IQ1S_DELTA, IQ1S_DELTA).astype(np.float32)
+    dl = np.stack([dl1, dl1, dl2, dl2], -1)                # [nb, 8, 4]
+    out = dl[..., None] * (vals + delta[..., None])
+    return out.reshape(len(b), 256).reshape(-1)[:n]
+
+
 # ----------------------------------------------------------------------------
 # registries
 # ----------------------------------------------------------------------------
@@ -917,6 +947,7 @@ DEQUANTIZERS = {
     GGMLType.IQ3_XXS: dequantize_iq3_xxs,
     GGMLType.IQ3_S: dequantize_iq3_s,
     GGMLType.IQ1_S: dequantize_iq1_s,
+    GGMLType.IQ1_M: dequantize_iq1_m,
 }
 
 QUANTIZERS = {

@@ -230,6 +230,39 @@ def test_iq1_s_layout(tmp_path, monkeypatch):
     quants._iq_grids = None
 
 
+def test_iq1_m_layout(tmp_path, monkeypatch):
+    """IQ1_M: scattered f16 super-scale, paired 3-bit sub-scales, per-group
+    delta bits (reference dequantize_row_iq1_m)."""
+    path, raws = _fake_grids(tmp_path)
+    monkeypatch.setenv("LLAMA_BOX_TPU_IQ_GRIDS", path)
+    quants._iq_grids = None
+
+    d = np.float16(1.0)
+    d16 = int(np.array([d], "<f2").view("<u2")[0])
+    blk = np.zeros(56, np.uint8)
+    blk[0] = 5                                   # qs[0] of ib32=0
+    # qh[0]: high-3 bits for group 0 -> idx 5|0x100; group-0 delta bit set
+    blk[32] = 0b1 | 0x08
+    # scales: ib32=0 sub-scales ls1=2, ls2=4; f16 d spread over top nibbles
+    sc = np.zeros(4, "<u2")
+    sc[0] = (2 | (4 << 3)) | ((d16 & 0x000F) << 12)
+    sc[1] = ((d16 & 0x00F0) << 8)
+    sc[2] = ((d16 & 0x0F00) << 4)
+    sc[3] = (d16 & 0xF000)
+    blk[48:56] = sc.view(np.uint8)
+
+    y = quants.dequantize_iq1_m(blk, 256)
+    g = raws["iq1s_grid"][5 | (1 << 8)].astype(np.float32) - 1.0
+    # group 0: dl1 = d*(2*2+1), negative delta
+    np.testing.assert_allclose(y[:8], 5.0 * (g - quants.IQ1S_DELTA),
+                               rtol=1e-3)
+    # group 2 (third 8): dl2 = d*(2*4+1), positive delta, grid idx 0
+    g0 = raws["iq1s_grid"][0].astype(np.float32) - 1.0
+    np.testing.assert_allclose(y[16:24], 9.0 * (g0 + quants.IQ1S_DELTA),
+                               rtol=1e-3)
+    quants._iq_grids = None
+
+
 def test_iq_grid_loader_c_source(tmp_path, monkeypatch):
     """The loader parses ggml-common.h-style tables."""
     src = tmp_path / "common.h"
