@@ -143,9 +143,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="server default JSON schema (converted to GBNF)")
     g.add_argument("--samplers", "--sampling-seq", dest="samplers",
                    default=None,
-                   help="sampler order, ';'-separated; the TPU chain is "
-                        "compiled in the default order — a different order "
-                        "logs a warning")
+                   help="sampler selection + order, ';'-separated; a "
+                        "non-canonical order is honored via host-side "
+                        "sampling (the fused TPU chain covers the default)")
     g.add_argument("-r", "--reverse-prompt", action="append", default=[],
                    help="stop strings added to every request")
     g.add_argument("-sp", "--special", action="store_true", default=False,
@@ -513,7 +513,13 @@ def _default_sampling(args) -> SamplerParams:
         brks = ("\n", ":", "\"", "*")
     elif brks == ["none"]:
         brks = ()
+    samplers = ()
+    if args.samplers:
+        from .sampling import sampler_types_from_names
+        samplers = sampler_types_from_names(
+            args.samplers.replace(",", ";").split(";"))
     return SamplerParams(
+        samplers=samplers,
         temp=args.temp, top_k=args.top_k, top_p=args.top_p,
         min_p=args.min_p, typ_p=args.typ_p,
         penalty_repeat=args.repeat_penalty,
@@ -576,11 +582,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.no_flash_attn:
         import os as _os
         _os.environ["LLAMA_BOX_TPU_NO_FLASH"] = "1"
-    if args.samplers and args.samplers.replace(" ", "") not in (
-            _DEFAULT_SAMPLER_ORDER, _DEFAULT_SAMPLER_ORDER.replace(";", ",")):
-        SRV_WRN("main", "--samplers: the TPU chain is compiled in the "
-                "default order (%s); custom order is ignored",
-                _DEFAULT_SAMPLER_ORDER)
+    if args.samplers:
+        from .sampling import (sampler_types_from_names,
+                               samplers_order_canonical)
+        _order = sampler_types_from_names(
+            args.samplers.replace(",", ";").split(";"))
+        if not samplers_order_canonical(_order):
+            SRV_WRN("main", "--samplers: order differs from the fused TPU "
+                    "chain (%s); every request will sample host-side to "
+                    "honor it", _DEFAULT_SAMPLER_ORDER)
     if args.rpc_server_host:
         SRV_WRN("main", "--rpc-server-*: the TPU replacement is mesh "
                 "worker mode (--control-connect, SURVEY.md §2.3)")

@@ -81,6 +81,12 @@ class SamplerParams:
     dynatemp_range: float = 0.0           # entropy-scaled temperature
     dynatemp_exponent: float = 1.0
     top_n_sigma: float = -1.0             # keep logits >= max - n*std
+    # requested sampler chain (reference `samplers` field /--samplers flag,
+    # httpserver.hpp:162-172): () = server default chain. Selection is
+    # honored by neutralizing excluded knobs at parse time
+    # (restrict_to_samplers); a non-canonical ORDER routes the request to
+    # the host sampler, which applies the truncation ops in this order.
+    samplers: tuple = ()
 
     @property
     def is_greedy(self) -> bool:
@@ -89,9 +95,92 @@ class SamplerParams:
     @property
     def needs_host_sampler(self) -> bool:
         """True when this request must take the host sampling path
-        (grammar constraints, mirostat, or DRY)."""
+        (grammar constraints, mirostat, DRY, or a reordered chain)."""
         return (self.grammar is not None or self.mirostat > 0
-                or self.dry_multiplier > 0.0)
+                or self.dry_multiplier > 0.0
+                or (bool(self.samplers)
+                    and not samplers_order_canonical(self.samplers)))
+
+
+# -- sampler chain selection (reference common_sampler_types_from_names /
+#    _from_chars; llama-box parses both forms at httpserver.hpp:162-172) ------
+
+# canonical application order of the fused device chain (penalties and DRY
+# run on full logits before candidate selection; the rest filter/scale the
+# candidate view in this order)
+CHAIN_ORDER = ("penalties", "dry", "top_n_sigma", "top_k", "top_p",
+               "min_p", "typ_p", "xtc", "temperature")
+
+_SAMPLER_CHARS = {"e": "penalties", "d": "dry", "s": "top_n_sigma",
+                  "k": "top_k", "p": "top_p", "m": "min_p", "y": "typ_p",
+                  "x": "xtc", "t": "temperature"}
+_SAMPLER_ALIASES = {"temp": "temperature", "typical_p": "typ_p",
+                    "typical": "typ_p", "typ-p": "typ_p", "typ": "typ_p",
+                    "top-k": "top_k", "top-p": "top_p", "min-p": "min_p",
+                    "top-n-sigma": "top_n_sigma", "nsigma": "top_n_sigma"}
+
+
+def sampler_types_from_names(names) -> tuple[str, ...]:
+    """Normalize a list of sampler names; unknown names are skipped
+    (llama.cpp common_sampler_types_from_names semantics)."""
+    out = []
+    for raw in names:
+        if not isinstance(raw, str):
+            continue
+        name = raw.strip().lower()
+        name = _SAMPLER_ALIASES.get(name, name)
+        if name in CHAIN_ORDER and name not in out:
+            out.append(name)
+    return tuple(out)
+
+
+def sampler_types_from_chars(chars: str) -> tuple[str, ...]:
+    """Single-char chain spec ('kpt' = top_k;top_p;temperature); unknown
+    chars are skipped (llama.cpp common_sampler_types_from_chars)."""
+    out = []
+    for c in chars.strip().lower():
+        name = _SAMPLER_CHARS.get(c)
+        if name and name not in out:
+            out.append(name)
+    return tuple(out)
+
+
+def samplers_order_canonical(samplers) -> bool:
+    """True when the requested order matches the fused device chain's
+    relative order (then selection alone suffices; no host fallback)."""
+    idx = [CHAIN_ORDER.index(s) for s in samplers if s in CHAIN_ORDER]
+    return all(a <= b for a, b in zip(idx, idx[1:]))
+
+
+def restrict_to_samplers(sp: "SamplerParams") -> "SamplerParams":
+    """Neutralize the knobs of samplers excluded from sp.samplers — the
+    reference builds the chain only from the listed samplers, so an unlisted
+    sampler never runs no matter what its parameters say."""
+    if not sp.samplers:
+        return sp
+    s = set(sp.samplers)
+    kw = {}
+    if "penalties" not in s:
+        kw.update(penalty_repeat=1.0, penalty_freq=0.0, penalty_present=0.0)
+    if "dry" not in s:
+        kw["dry_multiplier"] = 0.0
+    if "top_n_sigma" not in s:
+        kw["top_n_sigma"] = -1.0
+    if "top_k" not in s:
+        kw["top_k"] = 0
+    if "top_p" not in s:
+        kw["top_p"] = 1.0
+    if "min_p" not in s:
+        kw["min_p"] = 0.0
+    if "typ_p" not in s:
+        kw["typ_p"] = 1.0
+    if "xtc" not in s:
+        kw["xtc_probability"] = 0.0
+    if "temperature" not in s and sp.temp > 0.0:
+        # unlisted temperature = no logit scaling (greedy temp<=0 is kept:
+        # the reference swaps the final dist sampler for greedy regardless)
+        kw.update(temp=1.0, dynatemp_range=0.0)
+    return dataclasses.replace(sp, **kw) if kw else sp
 
 
 class SamplerState(NamedTuple):
@@ -716,20 +805,22 @@ class HostSampler:
         return int(cand[idx])
 
     def _pick(self, cand, cvals, grammar_mask) -> int:
+        """Filter/scale the candidate view and draw.
+
+        Ops run in sp.samplers order (reference: the chain is built from
+        the listed samplers in order); the default is the device chain's
+        canonical order. penalties/DRY always run on the full logits
+        before candidate selection (their canonical slot) — only the
+        candidate-view ops reorder here.
+        """
         sp = self.sp
         if sp.mirostat > 0 and grammar_mask is None:
             return self._mirostat_pick(cand, cvals)
         K = len(cand)
+        cvals = cvals.copy()
         keep = np.ones(K, bool)
         if grammar_mask is not None:
             keep &= grammar_mask
-        if sp.top_n_sigma > 0.0:
-            keep &= cvals >= cvals.max() - sp.top_n_sigma * cvals.std()
-            keep[0] = True
-        if sp.top_k > 0:
-            kk = np.zeros(K, bool)
-            kk[np.nonzero(keep)[0][:sp.top_k]] = True
-            keep &= kk
 
         def probs_of(keep):
             z = np.where(keep, cvals, NEG_INF)
@@ -737,50 +828,63 @@ class HostSampler:
             e = np.exp(z) * keep
             return e / max(e.sum(), 1e-30)
 
-        p = probs_of(keep)
-        if sp.top_p < 1.0:
-            cum = np.cumsum(p)
-            keep &= (cum - p) < sp.top_p
-            keep[np.nonzero(p)[0][:1]] = True
-        if sp.min_p > 0.0:
-            p = probs_of(keep)
-            keep &= (p >= sp.min_p * p.max()) | (np.arange(K) == p.argmax())
-        if sp.typ_p < 1.0:
-            p = probs_of(keep)
-            nlp = -np.log(p + 1e-30)
-            H = float((p * nlp).sum())
-            shift = np.where(keep, np.abs(nlp - H), np.inf)
-            order = np.argsort(shift, kind="stable")
-            ps = p[order]
-            cs = np.cumsum(ps)
-            k2 = (cs - ps) < sp.typ_p
-            k2[0] = True
-            kt = np.zeros(K, bool)
-            kt[order[k2]] = True
-            keep &= kt
-        if sp.xtc_probability > 0.0 and self.rng.random() < sp.xtc_probability:
-            p = probs_of(keep)
-            above = p > sp.xtc_threshold
-            if above.sum() >= 2:
-                last = np.nonzero(above)[0][-1]
-                drop = above.copy()
-                drop[last] = False
-                keep &= ~drop
+        for op in (sp.samplers or CHAIN_ORDER):
+            if op == "top_n_sigma" and sp.top_n_sigma > 0.0:
+                keep &= cvals >= cvals.max() - sp.top_n_sigma * cvals.std()
+                keep[0] = True
+            elif op == "top_k" and sp.top_k > 0:
+                kk = np.zeros(K, bool)
+                kk[np.nonzero(keep)[0][:sp.top_k]] = True
+                keep &= kk
+            elif op == "top_p" and sp.top_p < 1.0:
+                p = probs_of(keep)
+                cum = np.cumsum(p)
+                keep &= (cum - p) < sp.top_p
+                keep[np.nonzero(p)[0][:1]] = True
+            elif op == "min_p" and sp.min_p > 0.0:
+                p = probs_of(keep)
+                keep &= ((p >= sp.min_p * p.max())
+                         | (np.arange(K) == p.argmax()))
+            elif op == "typ_p" and sp.typ_p < 1.0:
+                p = probs_of(keep)
+                nlp = -np.log(p + 1e-30)
+                H = float((p * nlp).sum())
+                shift = np.where(keep, np.abs(nlp - H), np.inf)
+                order = np.argsort(shift, kind="stable")
+                ps = p[order]
+                cs = np.cumsum(ps)
+                k2 = (cs - ps) < sp.typ_p
+                k2[0] = True
+                kt = np.zeros(K, bool)
+                kt[order[k2]] = True
+                keep &= kt
+            elif op == "xtc" and sp.xtc_probability > 0.0 \
+                    and self.rng.random() < sp.xtc_probability:
+                p = probs_of(keep)
+                above = p > sp.xtc_threshold
+                if above.sum() >= 2:
+                    last = np.nonzero(above)[0][-1]
+                    drop = above.copy()
+                    drop[last] = False
+                    keep &= ~drop
+            elif op == "temperature" and sp.temp > 0.0:
+                temp = sp.temp
+                if sp.dynatemp_range > 0.0:
+                    p = probs_of(keep)
+                    ent = float(-(p * np.log(p + 1e-30)).sum())
+                    n_kept = max(int(keep.sum()), 2)
+                    norm = min(max(ent / np.log(n_kept), 0.0), 1.0)
+                    t_min = max(temp - sp.dynatemp_range, 0.0)
+                    t_max = temp + sp.dynatemp_range
+                    temp = t_min + (t_max - t_min) * norm ** sp.dynatemp_exponent
+                # scale the surviving logits; later ops see the scaled view
+                cvals = cvals / max(temp, 1e-4)
+
         if sp.temp <= 0.0:
+            # greedy replaces the final dist draw (reference swaps in a
+            # greedy sampler when temp<=0 regardless of chain position)
             return int(cand[np.nonzero(keep)[0][0]])
-        temp = sp.temp
-        if sp.dynatemp_range > 0.0:
-            p = probs_of(keep)
-            ent = float(-(p * np.log(p + 1e-30)).sum())
-            n_kept = max(int(keep.sum()), 2)
-            norm = min(max(ent / np.log(n_kept), 0.0), 1.0)
-            t_min = max(temp - sp.dynatemp_range, 0.0)
-            t_max = temp + sp.dynatemp_range
-            temp = t_min + (t_max - t_min) * norm ** sp.dynatemp_exponent
-        z = np.where(keep, cvals / max(temp, 1e-4), NEG_INF)
-        z = z - z.max()
-        e = np.exp(z) * keep
-        p = e / e.sum()
+        p = probs_of(keep)
         return int(self.rng.choice(cand, p=p))
 
 

@@ -135,7 +135,22 @@ def parse_sampling(body: dict, defaults: SamplerParams | None = None,
             raise bad_request(f"server default grammar is invalid: {exc}",
                               "grammar")
 
-    return SamplerParams(
+    # per-request sampler chain (reference httpserver.hpp:162-172: array of
+    # names -> from_names, string -> from_chars); unknown entries skipped
+    samplers = d.samplers
+    if "samplers" in body:
+        from ..sampling import (sampler_types_from_chars,
+                                sampler_types_from_names)
+        sv = body["samplers"]
+        if isinstance(sv, list):
+            samplers = sampler_types_from_names(sv)
+        elif isinstance(sv, str):
+            samplers = sampler_types_from_chars(sv)
+        else:
+            raise bad_request("\"samplers\" must be an array of sampler "
+                              "names or a string", "samplers")
+
+    sp = SamplerParams(
         seed=seed,
         grammar=grammar,
         temp=get_ranged(body, "temperature", d.temp, 0.0, None),
@@ -180,7 +195,10 @@ def parse_sampling(body: dict, defaults: SamplerParams | None = None,
                                      d.dynatemp_exponent, 0.0, None),
         top_n_sigma=get_ranged(body, "top_n_sigma", d.top_n_sigma,
                                -1.0, None),
+        samplers=samplers,
     )
+    from ..sampling import restrict_to_samplers
+    return restrict_to_samplers(sp)
 
 
 def parse_grammar(body: dict) -> Grammar | None:

@@ -268,3 +268,68 @@ def test_bucketed_candidates_odd_vocab(monkeypatch):
         assert bv.shape == (4, kcap) and bi.shape == (4, kcap)
         np.testing.assert_array_equal(np.asarray(bi[:, 0]),
                                       np.asarray(ei[:, 0]))  # greedy exact
+
+
+def test_samplers_selection_and_order():
+    """`samplers` parity (reference httpserver.hpp:162-172): selection
+    neutralizes unlisted knobs; only a non-canonical order needs the host
+    path; from_chars parses the single-char spec."""
+    from llama_box_tpu.sampling import (restrict_to_samplers,
+                                        sampler_types_from_chars,
+                                        sampler_types_from_names,
+                                        samplers_order_canonical)
+
+    assert sampler_types_from_chars("kpt") == ("top_k", "top_p",
+                                               "temperature")
+    assert sampler_types_from_names(["typical", "temp", "nope", "min-p"]) \
+        == ("typ_p", "temperature", "min_p")
+
+    # canonical subset: stays on the device chain
+    sp = SamplerParams(samplers=("top_k", "temperature"), top_p=0.4,
+                       min_p=0.3, penalty_repeat=1.5, temp=0.7)
+    assert samplers_order_canonical(sp.samplers)
+    assert not sp.needs_host_sampler
+    r = restrict_to_samplers(sp)
+    assert r.top_p == 1.0 and r.min_p == 0.0 and r.penalty_repeat == 1.0
+    assert r.top_k == sp.top_k and r.temp == 0.7
+
+    # reordered chain routes host-side
+    sp2 = SamplerParams(samplers=("temperature", "top_k"), temp=0.7)
+    assert not samplers_order_canonical(sp2.samplers)
+    assert sp2.needs_host_sampler
+
+    # temperature excluded -> no scaling (temp 1.0), greedy preserved
+    r3 = restrict_to_samplers(SamplerParams(samplers=("top_k",), temp=0.6))
+    assert r3.temp == 1.0
+    r4 = restrict_to_samplers(SamplerParams(samplers=("top_k",), temp=0.0))
+    assert r4.temp == 0.0
+
+
+def test_host_sampler_honors_order():
+    """temperature-before-top_p keeps more mass than the canonical order
+    (scaled logits flatten the distribution before the cutoff)."""
+    from llama_box_tpu.sampling import HostSampler
+
+    class FakeTok:
+        eog_ids = set()
+        def is_eog(self, t): return False
+        def is_control(self, t): return False
+        def token_bytes(self, t, render_special=False): return b"x"
+
+    logits = np.zeros(V, np.float32)
+    logits[:4] = [5.0, 4.0, 3.0, 2.0]
+
+    def kept_tokens(samplers):
+        sp = SamplerParams(samplers=samplers, temp=4.0, top_p=0.9,
+                           top_k=0, min_p=0.0, penalty_repeat=1.0, seed=1)
+        hs = HostSampler(sp, None, FakeTok())
+        picks = set()
+        for _ in range(300):
+            t, _, _, _ = hs.sample(logits)
+            picks.add(t)
+        return picks
+
+    canonical = kept_tokens(("top_p", "temperature"))
+    reordered = kept_tokens(("temperature", "top_p"))
+    # temp=4 first flattens: top_p=0.9 then keeps far more tokens
+    assert len(reordered) > len(canonical)
