@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--metrics", action="store_true", default=True)
     g.add_argument("--no-prompt-cache", dest="prompt_cache",
                    action="store_false", default=True)
+    g.add_argument("--prompt-cache-share-min", type=int, default=32,
+                   help="cross-slot prefix sharing: copy KV rows from any "
+                        "slot sharing this many more prefix tokens than "
+                        "the chosen slot's own cache (-1 disables)")
     g.add_argument("-tps", "--tokens-per-second", type=float, default=0.0,
                    help="max decode rate per request; -1 probes at startup")
     g.add_argument("-a", "--alias", "--model-alias", dest="alias",
@@ -751,6 +755,7 @@ def main(argv: list[str] | None = None) -> int:
                   "q8_0": "int8", "int8": "int8"}[args.cache_type_k],
         n_keep_default=args.n_keep,
         prompt_cache=args.prompt_cache,
+        cache_share_min=args.prompt_cache_share_min,
         draft_max=args.draft_max,
         draft_min=args.draft_min,
         draft_p_min=args.draft_p_min,

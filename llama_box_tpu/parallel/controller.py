@@ -290,8 +290,8 @@ def engine_ops(engine) -> dict[str, Callable]:
     inputs so the global jitted program executes collectively."""
     import jax.numpy as jnp
 
-    from ..models.llama import (prefill, prefill_batch, prefill_embed,
-                                shift_kv)
+    from ..models.llama import (copy_kv_prefix, prefill, prefill_batch,
+                                prefill_embed, shift_kv)
     from ..sampling import push_tokens, reset_slot, sample_one
 
     def op_prefill(a, s):
@@ -345,6 +345,10 @@ def engine_ops(engine) -> dict[str, Callable]:
                              layer_select=getattr(engine, "delta_select",
                                                   None))
 
+    def op_copy_kv_prefix(a, s):
+        engine.kv = copy_kv_prefix(engine.kv, jnp.int32(s["src"]),
+                                   jnp.int32(s["dst"]), jnp.int32(s["n"]))
+
     def op_reset_slot(a, s):
         engine.sstate = reset_slot(engine.sstate, jnp.int32(s["slot"]),
                                    jnp.uint32(s["seed"]))
@@ -384,6 +388,7 @@ def engine_ops(engine) -> dict[str, Callable]:
         "prefill_embed": op_prefill_embed,
         "decode": op_decode,
         "shift": op_shift,
+        "copy_kv_prefix": op_copy_kv_prefix,
         "reset_slot": op_reset_slot,
         "push_tokens": op_push_tokens,
         "sample_one": op_sample_one,

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..models.config import ModelConfig
 from ..models.llama import (
-    KVCache, apply_rows, forward_embeddings, forward_impl,
+    KVCache, apply_rows, copy_kv_prefix, forward_embeddings, forward_impl,
     forward_rows_impl, init_kv_cache, make_delta_rope, make_rope, prefill,
     prefill_batch, prefill_embed, shift_kv,
 )
@@ -220,6 +220,11 @@ class EngineConfig:
     kv_dtype: str = "bfloat16"
     n_keep_default: int = 0
     prompt_cache: bool = True     # prefix cache (--no-prompt-cache disables)
+    # cross-slot prefix sharing: device-copy KV rows from any slot whose
+    # cache shares >= this many MORE prefix tokens than the chosen slot's
+    # own cache (-1 disables; beyond reference parity — its prompt cache
+    # is per-slot only)
+    cache_share_min: int = 32
     defrag_headroom: int = 4      # free positions to leave after prompt squeeze
     max_embed_batch: int = 8
     # speculative decoding (reference §2.1 #10)
@@ -532,6 +537,33 @@ class Engine:
             reuse = 0
         if self.cfg.swa_window > 0 and reuse < len(task.prompt_tokens) - 1:
             reuse = 0  # partial reuse would dip below the SWA window
+
+        # cross-slot shared-prefix reuse: another slot (typically a sibling
+        # decoding the same system prompt) may share a much longer prefix —
+        # device-copy its rows instead of recomputing them
+        share_min = self.ecfg.cache_share_min
+        if (self.ecfg.prompt_cache and share_min >= 0
+                and self.cfg.swa_window <= 0):
+            donor, donor_l = None, reuse
+            for t in self.slots:
+                if t is best:
+                    continue
+                l = min(longest_common_prefix(t.cache_tokens,
+                                              task.prompt_tokens),
+                        len(task.prompt_tokens) - 1, t.pos)
+                if l > donor_l and l - reuse >= share_min:
+                    donor, donor_l = t, l
+            if donor is not None:
+                if self.control is not None:
+                    self.control.broadcast(
+                        "copy_kv_prefix", {},
+                        {"src": donor.idx, "dst": best.idx, "n": donor_l})
+                self.kv = copy_kv_prefix(self.kv, jnp.int32(donor.idx),
+                                         jnp.int32(best.idx),
+                                         jnp.int32(donor_l))
+                reuse = donor_l
+                SRV_DBG("admit", "slot %d shares %d prefix rows from "
+                        "slot %d", best.idx, donor_l, donor.idx)
 
         s = best
         s.task = task

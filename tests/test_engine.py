@@ -410,3 +410,82 @@ def test_empty_prompt_degrades_to_bos(engine):
                            max_tokens=3, stream=False)
     final, _ = run_task(engine, task)
     assert 1 <= len(final.generated) <= 3
+
+
+def test_cross_slot_prefix_share(tmp_path):
+    """A new request sharing a long prefix with a BUSY sibling slot reuses
+    that slot's KV rows via device copy (cross-slot sharing — beyond the
+    reference's per-slot prompt cache) with greedy output identical to a
+    cold run."""
+    import jax.numpy as jnp
+    from llama_box_tpu.gguf import GGUFFile
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.tokenizer import Tokenizer
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+
+    shared = tok.encode("the quick brown fox jumps over the lazy dog and")
+    tail_a = tok.encode("runs far")
+    tail_b = tok.encode("sleeps here")
+
+    # cold reference: B's prompt alone on a fresh single-slot engine
+    eng0 = Engine(cfg, params, tok, EngineConfig(n_slots=1, n_ctx=64))
+    eng0.start()
+    try:
+        cold, _ = run_task(eng0, CompletionsTask(
+            shared + tail_b, greedy(), tokenizer=tok, max_tokens=6,
+            stream=False))
+    finally:
+        eng0.stop()
+
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=2, n_ctx=128, cache_share_min=4))
+    eng.start()
+    try:
+        ta = CompletionsTask(shared + tail_a, greedy(), tokenizer=tok,
+                             max_tokens=24, stream=True)
+        eng.submit(ta)
+        # wait until A is decoding (its prefix rows are written)
+        kind, _ = ta.result_q.get(timeout=60)
+        assert kind in ("delta", "final")
+
+        tb = CompletionsTask(shared + tail_b, greedy(), tokenizer=tok,
+                             max_tokens=6, stream=False)
+        fb, _ = run_task(eng, tb)
+        # B reused the shared prefix from A's busy slot
+        assert fb.n_cached >= len(shared) - 1, fb.n_cached
+        assert fb.generated == cold.generated
+        while True:  # drain A
+            kind, payload = ta.result_q.get(timeout=60)
+            if kind == "final":
+                break
+            if kind == "error":
+                raise payload
+    finally:
+        eng.stop()
+
+
+def test_copy_kv_prefix_exactness():
+    """copy_kv_prefix moves exactly rows [0, n) of src into dst."""
+    import jax.numpy as jnp
+    from llama_box_tpu.models.llama import KVCache, copy_kv_prefix
+
+    rng = np.random.default_rng(0)
+    k = jnp.asarray(rng.normal(size=(2, 3, 8, 2, 4)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(2, 3, 8, 2, 4)), jnp.float32)
+    ks = jnp.asarray(rng.normal(size=(2, 3, 8, 2)), jnp.float32)
+    kv = KVCache(k=k, v=v, k_scale=ks, v_scale=ks + 1)
+    k_h, v_h, ks_h = (np.asarray(x).copy() for x in (k, v, ks))
+    want_k = k_h.copy()
+    want_k[:, 2, :5] = k_h[:, 0, :5]
+    want_ks = ks_h.copy()
+    want_ks[:, 2, :5] = ks_h[:, 0, :5]
+    out = copy_kv_prefix(kv, jnp.int32(0), jnp.int32(2), jnp.int32(5))
+    np.testing.assert_array_equal(np.asarray(out.k), want_k)
+    np.testing.assert_array_equal(np.asarray(out.k_scale), want_ks)
+    np.testing.assert_array_equal(np.asarray(out.v)[:, 1], v_h[:, 1])
