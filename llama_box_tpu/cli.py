@@ -825,8 +825,12 @@ def main(argv: list[str] | None = None) -> int:
         capabilities={"reranking": args.rerank or
                       (is_bert and cfg.pooling == "rank"),
                       "completion": not is_bert and not args.embeddings,
-                      "speculative": draft is not None
-                      or args.lookup_ngram_min > 0},
+                      # recurrent (mamba) models: no embeddings forward,
+                      # no speculative decoding (engine gates both)
+                      "embedding": not cfg.recurrent,
+                      "speculative": (draft is not None
+                                      or args.lookup_ngram_min > 0)
+                      and not cfg.recurrent},
         max_tps=max_tps,
         multimodal=multimodal,
         default_max_tokens=args.n_predict,

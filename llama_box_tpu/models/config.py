@@ -88,11 +88,22 @@ class ModelConfig:
     logit_scale: float = 1.0      # command-r / granite logits multiplier
     attn_scale: float = 0.0       # score scale override (0 = 1/sqrt(D))
     rope_freq_base_swa: float = 0.0  # local-layer rope base (gemma3)
+    # recurrent (mamba) state-space hyperparameters (models/mamba.py)
+    ssm_d_conv: int = 0      # depthwise conv kernel width
+    ssm_d_inner: int = 0     # mixer inner width (0 = not recurrent)
+    ssm_d_state: int = 0     # SSM state dimension per channel
+    ssm_dt_rank: int = 0     # dt low-rank projection width
+    ssm_dt_b_c_rms: bool = False  # falcon-mamba: RMS-norm dt/B/C
     extra: dict = dataclasses.field(default_factory=dict, compare=False, hash=False)
 
     @property
     def n_gqa_groups(self) -> int:
         return self.n_heads // max(1, self.n_kv_heads)
+
+    @property
+    def recurrent(self) -> bool:
+        """Constant-memory recurrent state instead of a KV cache."""
+        return self.ssm_d_inner > 0
 
     @classmethod
     def from_gguf(cls, g) -> "ModelConfig":
@@ -180,4 +191,9 @@ class ModelConfig:
             residual_scale=float(kv("residual_scale", 1.0) or 1.0),
             logit_scale=float(kv("logit_scale", 1.0) or 1.0),
             attn_scale=float(kv("attention.scale", 0.0) or 0.0),
+            ssm_d_conv=int(kv("ssm.conv_kernel", 0) or 0),
+            ssm_d_inner=int(kv("ssm.inner_size", 0) or 0),
+            ssm_d_state=int(kv("ssm.state_size", 0) or 0),
+            ssm_dt_rank=int(kv("ssm.time_step_rank", 0) or 0),
+            ssm_dt_b_c_rms=bool(kv("ssm.dt_b_c_rms", False)),
         )

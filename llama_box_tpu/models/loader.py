@@ -35,6 +35,11 @@ _LAYER_WEIGHTS = {
     "w_gate": ("blk.{i}.ffn_gate.weight", True),
     "w_up": ("blk.{i}.ffn_up.weight", True),
     "w_down": ("blk.{i}.ffn_down.weight", True),
+    # mamba mixer projections (models/mamba.py); quantized residency OK
+    "ssm_in": ("blk.{i}.ssm_in.weight", True),
+    "ssm_x": ("blk.{i}.ssm_x.weight", True),
+    "ssm_dt": ("blk.{i}.ssm_dt.weight", True),
+    "ssm_out": ("blk.{i}.ssm_out.weight", True),
 }
 
 # optional per-layer tensors (qwen2 attention biases etc.)
@@ -79,6 +84,12 @@ _LAYER_OPTIONAL = {
     "w_up_shexp": ("blk.{i}.ffn_up_shexp.weight", True),
     "w_down_shexp": ("blk.{i}.ffn_down_shexp.weight", True),
     "w_gate_inp_shexp": ("blk.{i}.ffn_gate_inp_shexp.weight", True),
+    # mamba mixer smalls (conv kernel / biases / A / D stay dense f32)
+    "ssm_conv_w": ("blk.{i}.ssm_conv1d.weight", False),
+    "ssm_conv_b": ("blk.{i}.ssm_conv1d.bias", False),
+    "ssm_dt_b": ("blk.{i}.ssm_dt.bias", False),
+    "ssm_a": ("blk.{i}.ssm_a.weight", False),
+    "ssm_d": ("blk.{i}.ssm_d.weight", False),
 }
 
 

@@ -1,0 +1,297 @@
+"""Mamba (selective state-space) model family — the recurrent branch of
+the model zoo.
+
+The reference serves mamba GGUFs through llama.cpp's ssm_conv/ssm_scan
+graph ops (constant-memory recurrent state instead of a KV cache). This
+module is the TPU-native equivalent:
+
+- Prefill runs the selective scan as a PARALLEL prefix scan
+  (`jax.lax.associative_scan`) over the token axis — the recurrence
+  h_t = dA_t * h_{t-1} + dBx_t is associative, so a T-token prompt costs
+  O(log T) sweeps of MXU/VPU-friendly elementwise work instead of T
+  sequential steps. The depthwise causal conv is a static unrolled sum of
+  shifted slices (d_conv is 4).
+- Decode carries (conv_state, ssm_state) through `lax.scan` exactly like
+  the attention decode chain (engine `_decode_chain`), sampling fused on
+  device; K tokens per dispatch, one host sync per chain.
+- Per-slot state lives in `RecCache` ([L, S, ...] leaves) — the analogue
+  of KVCache with O(1) memory per slot. Inactive slots are preserved by
+  feeding the scan identity elements (dA=1, dBx=0), so one fused program
+  serves mixed batches with no gather/scatter.
+
+Semantics follow the published Mamba formulation (Gu & Dao 2023, the
+`state-spaces/mamba` reference implementation) and the GGUF conversion
+conventions (ssm_a stores -exp(A_log); x_proj output order dt|B|C; in_proj
+output order x|z). Numerics: state math in f32 (llama.cpp keeps ssm
+states f32), matmuls in the model dtype, QTensor residency supported for
+the four projections.
+
+Engine integration notes (server/engine.py): recurrent slots cannot
+context-shift (state is cumulative — the reference refuses too) and
+prefix reuse is exact-extension-only: the state corresponds to ALL cached
+tokens, so reuse ∈ {0, len(cache_tokens)}. Speculative decoding is gated
+off (no cheap rollback without state checkpoints).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.norm import rms_norm
+from ..ops.qmatmul import mm
+from .config import ModelConfig
+
+
+class RecCache(NamedTuple):
+    """Per-slot recurrent state: conv tail + SSM state, layer-stacked."""
+    conv: jnp.ndarray   # [L, S, d_conv-1, d_inner] f32
+    ssm: jnp.ndarray    # [L, S, d_inner, d_state] f32
+
+    @property
+    def capacity(self) -> int:
+        # positions are bookkeeping only — state memory is O(1) per slot
+        return 1 << 30
+
+    @property
+    def quantized(self) -> bool:
+        return False
+
+
+def init_rec_cache(cfg: ModelConfig, n_slots: int) -> RecCache:
+    L, dc, di, ds = (cfg.n_layers, cfg.ssm_d_conv, cfg.ssm_d_inner,
+                     cfg.ssm_d_state)
+    return RecCache(
+        conv=jnp.zeros((L, n_slots, dc - 1, di), jnp.float32),
+        ssm=jnp.zeros((L, n_slots, di, ds), jnp.float32))
+
+
+def _softplus(x):
+    return jnp.logaddexp(x, 0.0)
+
+
+def _mixer(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
+    """One mamba mixer block over a [S, T, E] chunk.
+
+    conv0 [S, dc-1, di] / ssm0 [S, di, ds]: entering states. seq_lens [S]:
+    valid tokens per row; rows at/after seq_len feed identity elements so
+    the returned states equal the states at position seq_len-1 (and rows
+    with seq_len == 0 pass their states through untouched).
+    Returns (out [S, T, E], conv1, ssm1)."""
+    S, T, _ = r.shape
+    di = cfg.ssm_d_inner
+    ds = cfg.ssm_d_state
+    dtr = cfg.ssm_dt_rank
+    dc = cfg.ssm_d_conv
+
+    xz = mm(r, lp["ssm_in"])                       # [S, T, 2*di]
+    xc = xz[..., :di].astype(jnp.float32)
+    z = xz[..., di:].astype(jnp.float32)
+
+    # depthwise causal conv over time: prepend the carried tail, then a
+    # static sum of shifted slices (d_conv static; no gather, no pad op)
+    ext = jnp.concatenate([conv0, xc], axis=1)     # [S, dc-1+T, di]
+    w = lp["ssm_conv_w"].astype(jnp.float32)       # [di, dc]
+    conv = sum(ext[:, k:k + T, :] * w[:, k][None, None, :]
+               for k in range(dc))
+    if lp.get("ssm_conv_b") is not None:
+        conv = conv + lp["ssm_conv_b"].astype(jnp.float32)
+    x_act = jax.nn.silu(conv)                      # [S, T, di]
+
+    xdb = mm(x_act.astype(r.dtype), lp["ssm_x"])   # [S, T, dtr+2*ds]
+    dt_in = xdb[..., :dtr]
+    B = xdb[..., dtr:dtr + ds].astype(jnp.float32)
+    C = xdb[..., dtr + ds:].astype(jnp.float32)
+    if cfg.ssm_dt_b_c_rms:                         # falcon-mamba
+        dt_in = rms_norm(dt_in, jnp.ones((dtr,), jnp.float32), cfg.rms_eps)
+        B = rms_norm(B, jnp.ones((ds,), jnp.float32), cfg.rms_eps)
+        C = rms_norm(C, jnp.ones((ds,), jnp.float32), cfg.rms_eps)
+    dt = mm(dt_in, lp["ssm_dt"]).astype(jnp.float32)
+    if lp.get("ssm_dt_b") is not None:
+        dt = dt + lp["ssm_dt_b"].astype(jnp.float32)
+    dt = _softplus(dt)                             # [S, T, di]
+
+    A = lp["ssm_a"].astype(jnp.float32)            # [di, ds], negative
+    dA = jnp.exp(dt[..., None] * A[None, None])    # [S, T, di, ds]
+    dBx = (dt * x_act)[..., None] * B[:, :, None, :]
+
+    valid = (jnp.arange(T)[None, :] < seq_lens[:, None])[..., None, None]
+    dA = jnp.where(valid, dA, 1.0)
+    dBx = jnp.where(valid, dBx, 0.0)
+    # fold the entering state into element 0: h_0 = dA_0*ssm0 + dBx_0
+    dBx = dBx.at[:, 0].add(dA[:, 0] * ssm0)
+
+    def combine(a, b):
+        a1, b1 = a
+        a2, b2 = b
+        return a2 * a1, a2 * b1 + b2
+
+    _, h = jax.lax.associative_scan(combine, (dA, dBx), axis=1)
+    # identity elements beyond seq_len-1 freeze h, so h[:, -1] is the
+    # state at the last valid token (or ssm0 when seq_len == 0)
+    ssm1 = h[:, -1]
+
+    y = (h * C[:, :, None, :]).sum(-1)             # [S, T, di]
+    y = y + lp["ssm_d"].astype(jnp.float32) * x_act
+    y = y * jax.nn.silu(z)
+    out = mm(y.astype(r.dtype), lp["ssm_out"])     # [S, T, E]
+
+    # conv tail = the last dc-1 VALID inputs: rows [seq_len, seq_len+dc-2]
+    # of ext (ext row seq_len+j is xc row seq_len-(dc-1)+j; short/empty
+    # chunks naturally pick up the carried tail rows)
+    idx = seq_lens[:, None] + jnp.arange(dc - 1)[None, :]     # [S, dc-1]
+    conv1 = jnp.take_along_axis(ext, idx[:, :, None], axis=1)
+    return out, conv1, ssm1
+
+
+def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens):
+    """Scan the mamba layer stack; returns (hidden [S,T,E], new cache)."""
+
+    def body(x, inp):
+        lp, conv0, ssm0 = inp
+        r = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+        out, conv1, ssm1 = _mixer(lp, r, conv0, ssm0, seq_lens, cfg)
+        return x + out.astype(x.dtype), (conv1, ssm1)
+
+    x, (conv_n, ssm_n) = jax.lax.scan(
+        body, x, (params["layers"], cache.conv, cache.ssm))
+    return x, RecCache(conv=conv_n, ssm=ssm_n)
+
+
+def _rec_logits(params, cfg: ModelConfig, x):
+    from .llama import _output_logits
+    return _output_logits(params, cfg, x)
+
+
+def _embed(params, cfg: ModelConfig, tokens):
+    from .llama import _embed_tokens
+    return _embed_tokens(params, cfg, tokens)
+
+
+# -- prefill ------------------------------------------------------------------
+
+def rec_prefill_impl(params, cfg: ModelConfig, tokens, cache: RecCache,
+                     slot, pos_base, n_valid, rope_cos=None, rope_sin=None,
+                     mrope_pos=None, attn_len: int = 0):
+    """Single-slot chunk prefill (signature mirrors llama.prefill_impl;
+    rope/attn_len args accepted and ignored — state IS the history).
+    Returns (last-valid-token logits [V], new cache)."""
+    del pos_base, rope_cos, rope_sin, mrope_pos, attn_len
+    x = _embed(params, cfg, tokens[None, :])               # [1, T, E]
+    conv0 = jax.lax.dynamic_slice_in_dim(cache.conv, slot, 1, axis=1)
+    ssm0 = jax.lax.dynamic_slice_in_dim(cache.ssm, slot, 1, axis=1)
+    view = RecCache(conv=conv0, ssm=ssm0)      # leaves [L, 1, ...]
+    seq_lens = jnp.full((1,), n_valid, jnp.int32)
+    x, new = _run_rec_stack(params, cfg, x, view, seq_lens)
+    last = jnp.maximum(n_valid - 1, 0)
+    logits = _rec_logits(params, cfg,
+                         jax.lax.dynamic_slice_in_dim(x[0], last, 1, 0))[0]
+    cache = RecCache(
+        conv=jax.lax.dynamic_update_slice_in_dim(cache.conv, new.conv,
+                                                 slot, axis=1),
+        ssm=jax.lax.dynamic_update_slice_in_dim(cache.ssm, new.ssm,
+                                                slot, axis=1))
+    return logits, cache
+
+
+rec_prefill = partial(jax.jit, static_argnames=("cfg", "attn_len"),
+                      donate_argnames=("cache",))(rec_prefill_impl)
+
+
+def rec_prefill_batch_impl(params, cfg: ModelConfig, tokens, pos_base,
+                           n_valid, cache: RecCache, rope_cos=None,
+                           rope_sin=None, attn_len: int = 0):
+    """Batched prefill: one chunk per slot in one program. Rows with
+    n_valid == 0 pass their states through untouched (identity masking).
+    Returns (last-token logits [S, V], new cache)."""
+    del pos_base, rope_cos, rope_sin, attn_len
+    x = _embed(params, cfg, tokens)                        # [S, T, E]
+    x, cache = _run_rec_stack(params, cfg, x, cache, n_valid)
+    last = jnp.maximum(n_valid - 1, 0)
+    x_last = jnp.take_along_axis(
+        x, last[:, None, None].astype(jnp.int32).repeat(x.shape[-1], 2),
+        axis=1)[:, 0]
+    return _rec_logits(params, cfg, x_last), cache
+
+
+rec_prefill_batch = partial(jax.jit, static_argnames=("cfg", "attn_len"),
+                            donate_argnames=("cache",))(
+                                rec_prefill_batch_impl)
+
+
+# -- decode -------------------------------------------------------------------
+
+def rec_decode_verify_sample(params, cfg: ModelConfig, tokens, positions,
+                             n_draft, cache: RecCache, fwd_active,
+                             samp_active, sstate, arrs, rope_cos=None,
+                             rope_sin=None, mrope_delta=None):
+    """T=1 decode + fused sampling over the slot batch (mirror of the
+    engine's _decode_verify_sample; speculative verify is gated off for
+    recurrent models, so n_draft is always 0)."""
+    return _rec_decode_one(params, cfg, tokens, cache, fwd_active,
+                           samp_active, sstate, arrs)
+
+
+@partial(jax.jit, static_argnames=("cfg",),
+         donate_argnames=("cache", "sstate"))
+def _rec_decode_one(params, cfg: ModelConfig, tokens, cache, fwd_active,
+                    samp_active, sstate, arrs):
+    from ..sampling import verify_impl
+    seq_lens = jnp.where(fwd_active, 1, 0)
+    x = _embed(params, cfg, tokens[:, :1])                 # [S, 1, E]
+    x, cache = _run_rec_stack(params, cfg, x, cache, seq_lens)
+    logits = _rec_logits(params, cfg, x[:, 0])[:, None]    # [S, 1, V]
+    zero = jnp.zeros_like(seq_lens)
+    toks, n_emitted, ids, probs, tokps, sstate = verify_impl(
+        logits, tokens[:, :1], zero, sstate, arrs, samp_active)
+    return (toks, n_emitted, ids, probs, tokps, logits[:, 0], cache,
+            sstate)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_len"),
+         donate_argnames=("cache", "sstate"))
+def rec_decode_chain(params, cfg: ModelConfig, token0, pos0, cache,
+                     sstate, arrs, active, rope_cos=None, rope_sin=None,
+                     n_steps: int = 8, mrope_delta=None, attn_len: int = 0):
+    """Chained multi-step recurrent decode: K sequential forward+sample
+    steps in ONE dispatch, carrying (token, conv, ssm, sampler) through
+    lax.scan — one host sync per K tokens (mirror of _decode_chain).
+    Inactive slots' states are frozen by identity masking."""
+    del pos0, rope_cos, rope_sin, mrope_delta, attn_len
+    from ..sampling import sample_impl
+    seq_lens = jnp.where(active, 1, 0)
+
+    def step(carry, _):
+        tok, cache, sstate = carry
+        x = _embed(params, cfg, tok[:, None])
+        x, cache = _run_rec_stack(params, cfg, x, cache, seq_lens)
+        logits = _rec_logits(params, cfg, x[:, 0])         # [S, V]
+        tok2, ids, probs, tokp, sstate = sample_impl(
+            logits, sstate, arrs, active)
+        return (tok2, cache, sstate), (tok2, ids, probs, tokp)
+
+    (_, cache, sstate), ys = jax.lax.scan(
+        step, (token0, cache, sstate), None, length=n_steps)
+    toks, ids, probs, tokps = ys                           # [K, S, ...]
+    swap = lambda a: jnp.swapaxes(a, 0, 1)  # noqa: E731
+    return (swap(toks), swap(ids), swap(probs), swap(tokps), cache, sstate)
+
+
+@partial(jax.jit, donate_argnames=("cache",))
+def reset_rec_slot(cache: RecCache, slot) -> RecCache:
+    """Zero one slot's recurrent state (fresh-prompt admission)."""
+    return RecCache(
+        conv=cache.conv.at[:, slot].set(0.0),
+        ssm=cache.ssm.at[:, slot].set(0.0))
+
+
+@partial(jax.jit, donate_argnames=("cache",))
+def copy_rec_state(cache: RecCache, src, dst) -> RecCache:
+    """Copy slot src's full state into dst (cross-slot reuse when the
+    donor's ENTIRE token history is a prefix of the new prompt)."""
+    return RecCache(
+        conv=cache.conv.at[:, dst].set(cache.conv[:, src]),
+        ssm=cache.ssm.at[:, dst].set(cache.ssm[:, src]))

@@ -294,7 +294,17 @@ def engine_ops(engine) -> dict[str, Callable]:
                                 prefill_embed, shift_kv)
     from ..sampling import push_tokens, reset_slot, sample_one
 
+    rec = bool(getattr(engine, "rec", False))
+    if rec:
+        from ..models import mamba as _mamba
+
     def op_prefill(a, s):
+        if rec:
+            logits, engine.kv = _mamba.rec_prefill(
+                engine.params, engine.cfg, jnp.asarray(a["tokens"]),
+                engine.kv, jnp.int32(s["slot"]), jnp.int32(s["pos"]),
+                jnp.int32(s["n"]))
+            return
         logits, engine.kv = prefill(
             engine.params, engine.cfg, jnp.asarray(a["tokens"]), engine.kv,
             jnp.int32(s["slot"]), jnp.int32(s["pos"]), jnp.int32(s["n"]),
@@ -318,8 +328,12 @@ def engine_ops(engine) -> dict[str, Callable]:
             attn_len=int(s.get("attn_len", 0)))
 
     def op_decode(a, s):
-        from ..server.engine import _decode_verify_sample
-        out = _decode_verify_sample(
+        if rec:
+            fn = _mamba.rec_decode_verify_sample
+        else:
+            from ..server.engine import _decode_verify_sample
+            fn = _decode_verify_sample
+        out = fn(
             engine.params, engine.cfg, jnp.asarray(a["tokens"]),
             jnp.asarray(a["positions"]), jnp.asarray(a["n_draft"]),
             engine.kv, jnp.asarray(a["active"]), jnp.asarray(a["samp_active"]),
@@ -327,9 +341,13 @@ def engine_ops(engine) -> dict[str, Callable]:
         engine.kv, engine.sstate = out[6], out[7]
 
     def op_decode_chain(a, s):
-        from ..server.engine import _decode_chain
+        if rec:
+            fn = _mamba.rec_decode_chain
+        else:
+            from ..server.engine import _decode_chain
+            fn = _decode_chain
         md = a.get("mrope_delta")
-        out = _decode_chain(
+        out = fn(
             engine.params, engine.cfg, jnp.asarray(a["token0"]),
             jnp.asarray(a["pos0"]), engine.kv, engine.sstate, engine.arrs,
             jnp.asarray(a["active"]), engine.rope_cos, engine.rope_sin,
@@ -348,6 +366,13 @@ def engine_ops(engine) -> dict[str, Callable]:
     def op_copy_kv_prefix(a, s):
         engine.kv = copy_kv_prefix(engine.kv, jnp.int32(s["src"]),
                                    jnp.int32(s["dst"]), jnp.int32(s["n"]))
+
+    def op_copy_rec_state(a, s):
+        engine.kv = _mamba.copy_rec_state(engine.kv, jnp.int32(s["src"]),
+                                          jnp.int32(s["dst"]))
+
+    def op_reset_rec_slot(a, s):
+        engine.kv = _mamba.reset_rec_slot(engine.kv, jnp.int32(s["slot"]))
 
     def op_reset_slot(a, s):
         engine.sstate = reset_slot(engine.sstate, jnp.int32(s["slot"]),
@@ -389,6 +414,8 @@ def engine_ops(engine) -> dict[str, Callable]:
         "decode": op_decode,
         "shift": op_shift,
         "copy_kv_prefix": op_copy_kv_prefix,
+        "copy_rec_state": op_copy_rec_state,
+        "reset_rec_slot": op_reset_rec_slot,
         "reset_slot": op_reset_slot,
         "push_tokens": op_push_tokens,
         "sample_one": op_sample_one,

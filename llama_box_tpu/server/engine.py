@@ -40,7 +40,7 @@ from ..sampling import (
     RING_CAP, SamplerParams, init_sampler_state, make_sampler_arrays,
     push_tokens, reset_slot, sample_impl, sample_one, verify_impl,
 )
-from ..utils.logging import SRV_DBG, SRV_ERR, SRV_INF
+from ..utils.logging import SRV_DBG, SRV_ERR, SRV_INF, SRV_WRN
 from ..utils.text import longest_common_prefix
 from .metrics import Metrics
 from .task import (BaseTask, CompletionsTask, EmbeddingsTask, ImagesTask,
@@ -239,7 +239,8 @@ class EngineConfig:
 
 class Slot:
     __slots__ = ("idx", "capacity", "task", "cache_tokens", "pos", "state",
-                 "cursor", "next_token", "last_used", "drafts", "draft_pos")
+                 "cursor", "next_token", "last_used", "drafts", "draft_pos",
+                 "rec_dirty")
 
     def __init__(self, idx: int, capacity: int):
         self.idx = idx
@@ -253,6 +254,10 @@ class Slot:
         self.last_used = 0.0
         self.drafts: list[int] = []         # drafted tokens for next verify
         self.draft_pos = 0                  # draft-model KV progress
+        # recurrent models only: the slot's state advanced past
+        # cache_tokens (a decode chain discarded tail tokens) — the state
+        # no longer corresponds to any token prefix, so it can't be reused
+        self.rec_dirty = False
 
 
 class Engine:
@@ -283,7 +288,27 @@ class Engine:
 
         S = self.ecfg.n_slots
         self.slot_ctx = max(16, self.ecfg.n_ctx // S)
-        if params is not None:
+        self.rec = bool(cfg is not None and getattr(cfg, "recurrent", False))
+        if self.rec and params is not None:
+            # recurrent (mamba) family: O(1) per-slot state, no KV cache;
+            # context shift and speculative decoding are structurally
+            # unsupported (state is cumulative — the reference refuses
+            # shifts for recurrent models too)
+            if draft is not None:
+                raise ValueError("speculative decoding is not supported "
+                                 "for recurrent (mamba) models")
+            if self.ecfg.lookup_ngram_min > 0:
+                SRV_WRN("engine", "n-gram lookup drafting disabled for "
+                        "recurrent model")
+                self.ecfg = dataclasses.replace(self.ecfg,
+                                                lookup_ngram_min=0)
+            from ..models.mamba import init_rec_cache
+            self.kv = init_rec_cache(cfg, S)
+            self.rope_cos = self.rope_sin = jnp.zeros((1,), jnp.float32)
+            self.delta_cos = self.delta_sin = None
+            self.delta_select = None
+            self.sstate = init_sampler_state(S, cfg.vocab_size)
+        elif params is not None:
             kv_dtype = jnp.dtype(self.ecfg.kv_dtype)
             self.kv = init_kv_cache(cfg, S, self.slot_ctx, kv_dtype)
             self.rope_cos, self.rope_sin = make_rope(cfg, self.slot_ctx)
@@ -306,7 +331,8 @@ class Engine:
 
         if mesh is not None:
             from ..parallel import shard_kv, shard_sampler_state
-            self.kv = shard_kv(mesh, self.kv)
+            if not self.rec:   # recurrent state stays replicated for now
+                self.kv = shard_kv(mesh, self.kv)
             self.sstate = shard_sampler_state(mesh, self.sstate)
 
         self.draft_cfg = self.draft_params = None
@@ -358,7 +384,7 @@ class Engine:
         so static-LoRA merges and dynamic-LoRA stacking (which index the
         unfused keys) happen first. Worker mode calls this explicitly
         (cli) so replicas execute the same fused program as host 0."""
-        if self.mesh is not None or self.params is None:
+        if self.mesh is not None or self.params is None or self.rec:
             return
         from ..models.bert import BERT_ARCHS
         if self.cfg.arch in BERT_ARCHS:
@@ -537,12 +563,17 @@ class Engine:
             reuse = 0
         if self.cfg.swa_window > 0 and reuse < len(task.prompt_tokens) - 1:
             reuse = 0  # partial reuse would dip below the SWA window
+        if self.rec and (best.rec_dirty
+                         or reuse != len(best.cache_tokens)):
+            # recurrent state corresponds to ALL cached tokens — reuse is
+            # exact-extension-only (no per-position state checkpoints)
+            reuse = 0
 
         # cross-slot shared-prefix reuse: another slot (typically a sibling
         # decoding the same system prompt) may share a much longer prefix —
         # device-copy its rows instead of recomputing them
         share_min = self.ecfg.cache_share_min
-        if (self.ecfg.prompt_cache and share_min >= 0
+        if (self.ecfg.prompt_cache and share_min >= 0 and not self.rec
                 and self.cfg.swa_window <= 0):
             donor, donor_l = None, reuse
             for t in self.slots:
@@ -568,6 +599,19 @@ class Engine:
         s = best
         s.task = task
         s.state = "prefill"
+        if self.rec:
+            s.rec_dirty = False
+            if reuse == 0:
+                from ..models.mamba import reset_rec_slot
+                if self.control is not None:
+                    self.control.broadcast("reset_rec_slot", {},
+                                           {"slot": s.idx})
+                self.kv = reset_rec_slot(self.kv, jnp.int32(s.idx))
+            # no context shift for recurrent state: cap generation so the
+            # request finishes with "length" at the slot boundary instead
+            cap = s.capacity - len(task.prompt_tokens)
+            task.max_tokens = (cap if task.max_tokens <= 0
+                               else min(task.max_tokens, cap))
         s.cache_tokens = task.prompt_tokens[:reuse]
         s.pos = reuse
         s.cursor = reuse
@@ -688,10 +732,16 @@ class Engine:
             pos_base[s.idx] = s.pos
             n_valid[s.idx] = n
         AL = min(self.slot_ctx, -(-max(int(pos_base.max()), 1) // 256) * 256)
-        logits, self.kv = prefill_batch(
-            self.params, self.cfg, jnp.asarray(tokens),
-            jnp.asarray(pos_base), jnp.asarray(n_valid), self.kv,
-            self.rope_cos, self.rope_sin, attn_len=AL)
+        if self.rec:
+            from ..models.mamba import rec_prefill_batch
+            logits, self.kv = rec_prefill_batch(
+                self.params, self.cfg, jnp.asarray(tokens),
+                jnp.asarray(pos_base), jnp.asarray(n_valid), self.kv)
+        else:
+            logits, self.kv = prefill_batch(
+                self.params, self.cfg, jnp.asarray(tokens),
+                jnp.asarray(pos_base), jnp.asarray(n_valid), self.kv,
+                self.rope_cos, self.rope_sin, attn_len=AL)
         total = int(sum(chunks.values()))
         for s in slots:
             n = chunks[s.idx]
@@ -750,10 +800,16 @@ class Engine:
                 self.control.broadcast("prefill", {"tokens": buf},
                                        {"slot": s.idx, "pos": s.pos,
                                         "n": chunk, "attn_len": AL})
-            logits, self.kv = prefill(
-                self.params, self.cfg, jnp.asarray(buf), self.kv,
-                jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
-                self.rope_cos, self.rope_sin, mrope_pos, attn_len=AL)
+            if self.rec:
+                from ..models.mamba import rec_prefill
+                logits, self.kv = rec_prefill(
+                    self.params, self.cfg, jnp.asarray(buf), self.kv,
+                    jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk))
+            else:
+                logits, self.kv = prefill(
+                    self.params, self.cfg, jnp.asarray(buf), self.kv,
+                    jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
+                    self.rope_cos, self.rope_sin, mrope_pos, attn_len=AL)
         else:  # embedding chunk (vision/audio); §2.1 #11
             emb = ch[1][off:off + chunk]
             buf = np.zeros((bucket, emb.shape[1]), np.float32)
@@ -911,7 +967,13 @@ class Engine:
                 s.drafts = self._make_drafts(s)
         for s in dec:
             if s.pos + 1 + len(s.drafts) > s.capacity:
-                self._context_shift(s)
+                if self.rec:
+                    # recurrent state cannot context-shift; finish at the
+                    # boundary (max_tokens is clamped at admission, so
+                    # this is a belt-and-braces backstop)
+                    self._finish_now(s, "length")
+                else:
+                    self._context_shift(s)
         dec = [s for s in dec if s.state == "decode"]
         # per-request token-rate limiting: a slot whose bucket is empty sits
         # out this pass (reference skips + re-enqueues, httpserver.hpp:4044)
@@ -949,8 +1011,13 @@ class Engine:
             mrope_delta = jnp.asarray(
                 [getattr(s.task, "mrope_delta", 0) if s.task else 0
                  for s in self.slots], jnp.int32)
+        if self.rec:
+            from ..models.mamba import rec_decode_verify_sample
+            decode_fn = rec_decode_verify_sample
+        else:
+            decode_fn = _decode_verify_sample
         toks, n_emitted, ids, probs, tokps, logits0, self.kv, self.sstate = \
-            _decode_verify_sample(
+            decode_fn(
                 self.params, self.cfg, jnp.asarray(tokens),
                 jnp.asarray(positions), jnp.asarray(n_draft), self.kv,
                 jnp.asarray(active), jnp.asarray(samp_active), self.sstate,
@@ -1041,7 +1108,12 @@ class Engine:
         if self.control is not None:
             self.control.broadcast("decode_chain", arrays,
                                    {"k": K, "attn_len": AL})
-        toks, ids, probs, tokps, self.kv, self.sstate = _decode_chain(
+        if self.rec:
+            from ..models.mamba import rec_decode_chain
+            chain_fn = rec_decode_chain
+        else:
+            chain_fn = _decode_chain
+        toks, ids, probs, tokps, self.kv, self.sstate = chain_fn(
             self.params, self.cfg, jnp.asarray(token0), jnp.asarray(pos0),
             self.kv, self.sstate, self.arrs, jnp.asarray(active),
             self.rope_cos, self.rope_sin, n_steps=K,
@@ -1056,11 +1128,13 @@ class Engine:
         for s in dec:
             inp = s.next_token
             ngram = getattr(s.task, "ngram", None)
+            consumed = 0
             for j in range(K):
                 if s.task is None:   # finished/cancelled mid-chain
                     break
                 s.cache_tokens.append(inp)
                 s.pos += 1
+                consumed += 1
                 tok = int(toks_h[s.idx, j])
                 row_ids = ids_h[s.idx, j] if ids_h is not None else None
                 row_probs = (probs_h[s.idx, j]
@@ -1072,6 +1146,11 @@ class Engine:
                 if ngram is not None and s.task is not None:
                     ngram.push(s.task.prompt_tokens + s.task.generated)
                 inp = tok
+            if self.rec and consumed < K:
+                # the device state advanced through all K chain inputs but
+                # the host kept only `consumed` — the slot's state no
+                # longer matches any token prefix
+                s.rec_dirty = True
         self.metrics.on_decode(n_tok, (time.monotonic() - t0) * 1e3)
 
     def _accept_token(self, s: Slot, token: int, ids_row, probs_row,
@@ -1165,6 +1244,24 @@ class Engine:
             task.n_shifted += 1
         SRV_DBG("shift", "slot %d keep=%d discard=%d pos=%d",
                 s.idx, n_keep, n_discard, s.pos)
+
+    def _finish_now(self, s: Slot, reason: str = "length") -> None:
+        """Finish a decoding slot without accepting another token (e.g. a
+        recurrent slot at its context boundary)."""
+        task = s.task
+        text = task.scanner.flush()
+        text, r_delta, calls = task.postprocess(text, final=True)
+        if text:
+            task.text += text
+        if task.stream:
+            task.emit("delta", {"text": text, "token": -1,
+                                "reasoning_content": r_delta,
+                                "tool_calls": calls,
+                                "finish_reason": reason})
+        task.finish_reason = reason
+        task.t_decoded = time.monotonic()
+        task.emit("final", task)
+        self._release(s, keep_cache=self.ecfg.prompt_cache)
 
     def _release(self, s: Slot, keep_cache: bool = False) -> None:
         """Free the slot; optionally keep its KV token history for the prefix
@@ -1278,6 +1375,9 @@ class Engine:
         runs ONE group per reconcile pass so decode slots keep streaming
         while a large batch embeds (reference interleaves via reconcile
         passes, httpserver.hpp:4095-4149)."""
+        if self.rec:
+            raise ValueError("embeddings/rerank are not supported for "
+                             "recurrent (mamba) models")
         order = sorted(range(len(token_lists)),
                        key=lambda i: len(token_lists[i]))
         nb = self.ecfg.max_embed_batch

@@ -1,0 +1,115 @@
+"""Build a tiny random Mamba GGUF for recurrent-model tests.
+
+Follows the GGUF conversion conventions for the mamba architecture
+(llama.cpp convert_hf_to_gguf MambaModel): ssm_a stores -exp(A_log),
+conv1d weights squeeze to [d_inner, d_conv], x_proj output order dt|B|C,
+in_proj output order x|z. `state` accepts an HF MambaForCausalLM state
+dict (numpy) so tests can golden-check logits against transformers.
+
+Usage: python tests/fixtures/make_tiny_mamba.py /tmp/tiny_mamba.gguf
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from llama_box_tpu.gguf import GGMLType, GGUFWriter
+
+from .make_tiny_model import build_vocab
+
+N_LAYERS = 2
+N_EMBD = 64
+D_INNER = 128
+D_STATE = 8
+D_CONV = 4
+DT_RANK = 8
+N_CTX = 1024
+
+
+def write_tiny_mamba(path: str, quant: GGMLType = GGMLType.F32,
+                     seed: int = 0, state: dict | None = None):
+    """state: optional HF-style param dict (numpy arrays) keyed
+    backbone.layers.N.mixer.* — used by the transformers golden test."""
+    rng = np.random.default_rng(seed)
+    vocab, scores, types = build_vocab()
+    n_vocab = len(vocab)
+
+    w = GGUFWriter(path, architecture="mamba")
+    w.add_kv("general.name", "tiny-mamba-test")
+    w.add_kv("mamba.block_count", N_LAYERS)
+    w.add_kv("mamba.context_length", N_CTX)
+    w.add_kv("mamba.embedding_length", N_EMBD)
+    w.add_kv("mamba.feed_forward_length", 0)
+    w.add_kv("mamba.attention.head_count", 0)
+    w.add_kv("mamba.attention.head_count_kv", 0)
+    w.add_kv("mamba.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv("mamba.ssm.conv_kernel", D_CONV)
+    w.add_kv("mamba.ssm.inner_size", D_INNER)
+    w.add_kv("mamba.ssm.state_size", D_STATE)
+    w.add_kv("mamba.ssm.time_step_rank", DT_RANK)
+    w.add_kv("mamba.vocab_size", n_vocab)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", vocab)
+    w.add_kv("tokenizer.ggml.scores", np.array(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.array(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def hf(name, default):
+        if state is None:
+            return default
+        return np.asarray(state[name], np.float32)
+
+    w.add_tensor("token_embd.weight",
+                 hf("backbone.embeddings.weight", rand(n_vocab, N_EMBD)),
+                 quant)
+    w.add_tensor("output_norm.weight",
+                 hf("backbone.norm_f.weight",
+                    1.0 + rand(N_EMBD, scale=0.02)))
+    w.add_tensor("output.weight",
+                 hf("lm_head.weight", rand(n_vocab, N_EMBD)), quant)
+    for i in range(N_LAYERS):
+        p = f"backbone.layers.{i}."
+        w.add_tensor(f"blk.{i}.attn_norm.weight",
+                     hf(p + "norm.weight", 1.0 + rand(N_EMBD, scale=0.02)))
+        w.add_tensor(f"blk.{i}.ssm_in.weight",
+                     hf(p + "mixer.in_proj.weight",
+                        rand(2 * D_INNER, N_EMBD)), quant)
+        conv = hf(p + "mixer.conv1d.weight", rand(D_INNER, 1, D_CONV))
+        w.add_tensor(f"blk.{i}.ssm_conv1d.weight",
+                     conv.reshape(D_INNER, D_CONV))
+        w.add_tensor(f"blk.{i}.ssm_conv1d.bias",
+                     hf(p + "mixer.conv1d.bias", rand(D_INNER)))
+        w.add_tensor(f"blk.{i}.ssm_x.weight",
+                     hf(p + "mixer.x_proj.weight",
+                        rand(DT_RANK + 2 * D_STATE, D_INNER)), quant)
+        w.add_tensor(f"blk.{i}.ssm_dt.weight",
+                     hf(p + "mixer.dt_proj.weight",
+                        rand(D_INNER, DT_RANK)), quant)
+        w.add_tensor(f"blk.{i}.ssm_dt.bias",
+                     hf(p + "mixer.dt_proj.bias", rand(D_INNER) + 0.5))
+        a_log = hf(p + "mixer.A_log",
+                   np.log(1.0 + rng.uniform(0.0, 3.0,
+                                            (D_INNER, D_STATE))
+                          ).astype(np.float32))
+        w.add_tensor(f"blk.{i}.ssm_a.weight", -np.exp(a_log))
+        w.add_tensor(f"blk.{i}.ssm_d.weight",
+                     hf(p + "mixer.D", 1.0 + rand(D_INNER, scale=0.02)))
+        w.add_tensor(f"blk.{i}.ssm_out.weight",
+                     hf(p + "mixer.out_proj.weight",
+                        rand(N_EMBD, D_INNER)), quant)
+    w.write()
+    return path
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tiny_mamba.gguf"
+    write_tiny_mamba(out)
+    print(f"wrote {out}")

@@ -1,0 +1,345 @@
+"""Recurrent (mamba) model family: golden logits vs transformers, the
+parallel-prefix-scan prefill vs sequential decode, and the engine's
+recurrent-state scheduling rules (exact-extension prefix reuse, dirty
+states after discarded chain tails, no context shift).
+
+Reference parity: llama-box serves mamba GGUFs through llama.cpp's
+ssm_conv/ssm_scan ops with a recurrent-state "KV" cache; this suite is
+the TPU build's equivalent of those graphs' correctness guarantees.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_box_tpu.gguf import GGUFFile
+from llama_box_tpu.models import load_model
+from llama_box_tpu.models.mamba import (
+    copy_rec_state, init_rec_cache, rec_decode_chain, rec_prefill_batch_impl,
+    rec_prefill_impl, reset_rec_slot,
+)
+from llama_box_tpu.server import CompletionsTask, Engine, EngineConfig
+from llama_box_tpu.tokenizer import Tokenizer
+
+from .fixtures.make_tiny_mamba import write_tiny_mamba
+from .fixtures.make_tiny_model import build_vocab
+from .test_engine import greedy, run_task
+
+
+@pytest.fixture(scope="module")
+def hf_setup(tmp_path_factory):
+    """Tiny HF MambaForCausalLM exported to GGUF via the llama.cpp
+    conversion conventions — transformers is the golden reference."""
+    torch = pytest.importorskip("torch")
+    from transformers import MambaConfig, MambaForCausalLM
+
+    from .fixtures.make_tiny_mamba import (D_CONV, D_INNER, D_STATE,
+                                           DT_RANK, N_EMBD, N_LAYERS)
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    hc = MambaConfig(vocab_size=len(vocab), hidden_size=N_EMBD,
+                     state_size=D_STATE, num_hidden_layers=N_LAYERS,
+                     conv_kernel=D_CONV, intermediate_size=D_INNER,
+                     time_step_rank=DT_RANK, use_cache=False)
+    hm = MambaForCausalLM(hc).eval()
+    state = {k: v.detach().numpy() for k, v in hm.state_dict().items()}
+    state.setdefault("lm_head.weight", state["backbone.embeddings.weight"])
+    path = str(tmp_path_factory.mktemp("mamba") / "tiny_mamba.gguf")
+    write_tiny_mamba(path, state=state)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    return hm, path, cfg, params, tok
+
+
+def test_mamba_config_detect(hf_setup):
+    _, _, cfg, _, _ = hf_setup
+    assert cfg.recurrent
+    assert (cfg.ssm_d_conv, cfg.ssm_d_state) == (4, 8)
+
+
+def test_mamba_matches_transformers(hf_setup):
+    """Full-prompt prefill logits match transformers at every position
+    the last position exposes, and the associative-scan prefill equals
+    HF's sequential recurrence to f32 tolerance."""
+    import torch
+    hm, _, cfg, params, _ = hf_setup
+    rng = np.random.default_rng(1)
+    T = 13
+    toks = rng.integers(3, cfg.vocab_size, (T,)).astype(np.int32)
+    with torch.no_grad():
+        ref = hm(torch.tensor(toks[None].astype(np.int64))).logits[0]
+    cache = init_rec_cache(cfg, 2)
+    logits, _ = rec_prefill_impl(params, cfg, jnp.asarray(toks), cache,
+                                 jnp.int32(0), jnp.int32(0), jnp.int32(T))
+    np.testing.assert_allclose(np.asarray(logits), ref[-1].numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_mamba_chunked_prefill_identity(hf_setup):
+    """Prefill in two chunks (state carried) == one chunk."""
+    _, _, cfg, params, _ = hf_setup
+    rng = np.random.default_rng(2)
+    toks = rng.integers(3, cfg.vocab_size, (16,)).astype(np.int32)
+    cache = init_rec_cache(cfg, 1)
+    full, cfull = rec_prefill_impl(params, cfg, jnp.asarray(toks), cache,
+                                   jnp.int32(0), jnp.int32(0), jnp.int32(16))
+    cache2 = init_rec_cache(cfg, 1)
+    _, cache2 = rec_prefill_impl(params, cfg, jnp.asarray(toks[:9]), cache2,
+                                 jnp.int32(0), jnp.int32(0), jnp.int32(9))
+    part, cpart = rec_prefill_impl(params, cfg, jnp.asarray(toks[9:]),
+                                   cache2, jnp.int32(0), jnp.int32(9),
+                                   jnp.int32(7))
+    np.testing.assert_allclose(np.asarray(part), np.asarray(full),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cpart.ssm), np.asarray(cfull.ssm),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cpart.conv),
+                               np.asarray(cfull.conv), atol=1e-5, rtol=1e-5)
+
+
+def test_mamba_padded_chunk_matches_exact(hf_setup):
+    """A bucket-padded chunk (n_valid < T) must produce the same logits
+    and states as the exact-length chunk — pad rows feed scan identity
+    elements."""
+    _, _, cfg, params, _ = hf_setup
+    rng = np.random.default_rng(3)
+    toks = rng.integers(3, cfg.vocab_size, (10,)).astype(np.int32)
+    cache = init_rec_cache(cfg, 1)
+    exact, cexact = rec_prefill_impl(params, cfg, jnp.asarray(toks), cache,
+                                     jnp.int32(0), jnp.int32(0),
+                                     jnp.int32(10))
+    padded = np.zeros(16, np.int32)
+    padded[:10] = toks
+    cache = init_rec_cache(cfg, 1)
+    got, cgot = rec_prefill_impl(params, cfg, jnp.asarray(padded), cache,
+                                 jnp.int32(0), jnp.int32(0), jnp.int32(10))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exact),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cgot.ssm), np.asarray(cexact.ssm),
+                               atol=1e-6)
+
+
+def test_mamba_batch_prefill_matches_single(hf_setup):
+    """Batched multi-slot prefill (ragged n_valid, one idle row) equals
+    per-slot prefill; idle rows keep their states bit-exactly."""
+    _, _, cfg, params, _ = hf_setup
+    rng = np.random.default_rng(4)
+    t0 = rng.integers(3, cfg.vocab_size, (12,)).astype(np.int32)
+    t1 = rng.integers(3, cfg.vocab_size, (7,)).astype(np.int32)
+    cache = init_rec_cache(cfg, 3)
+    marker = cache.ssm.at[:, 2].set(1.25)
+    cache = cache._replace(ssm=marker)
+    tokens = np.zeros((3, 12), np.int32)
+    tokens[0] = t0
+    tokens[1, :7] = t1
+    lg, cb = rec_prefill_batch_impl(
+        params, cfg, jnp.asarray(tokens), jnp.zeros(3, jnp.int32),
+        jnp.asarray([12, 7, 0], jnp.int32), cache)
+    single0, c0 = rec_prefill_impl(params, cfg, jnp.asarray(t0),
+                                   init_rec_cache(cfg, 1), jnp.int32(0),
+                                   jnp.int32(0), jnp.int32(12))
+    single1, c1 = rec_prefill_impl(params, cfg, jnp.asarray(t1),
+                                   init_rec_cache(cfg, 1), jnp.int32(0),
+                                   jnp.int32(0), jnp.int32(7))
+    np.testing.assert_allclose(np.asarray(lg[0]), np.asarray(single0),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lg[1]), np.asarray(single1),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cb.ssm[:, 2]),
+                                  np.asarray(cache.ssm[:, 2]))
+    np.testing.assert_allclose(np.asarray(cb.ssm[:, 0]),
+                               np.asarray(c0.ssm[:, 0]), atol=1e-5)
+
+
+def test_mamba_greedy_matches_transformers_generate(hf_setup):
+    """End-to-end engine greedy decode == transformers greedy generate."""
+    import torch
+    hm, _, cfg, params, tok = hf_setup
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(3, cfg.vocab_size, (9,)).astype(np.int32).tolist()
+    N = 12
+    with torch.no_grad():
+        ref = hm.generate(torch.tensor([prompt]), max_new_tokens=N,
+                          do_sample=False)
+    ref_new = ref[0, len(prompt):].tolist()
+
+    eng = Engine(cfg, params, tok, EngineConfig(n_slots=2, n_ctx=256))
+    eng.start()
+    try:
+        final, _ = run_task(eng, CompletionsTask(
+            prompt, greedy(), tokenizer=tok, max_tokens=N, stream=False))
+    finally:
+        eng.stop()
+    got = final.generated[:len(ref_new)]
+    # stop on EOG could shorten ours; compare the overlapping prefix
+    assert got == ref_new[:len(got)] and len(got) >= min(N, 4), \
+        (got, ref_new)
+
+
+def test_mamba_engine_chain_equals_unchained(hf_setup):
+    """Greedy output identical with decode chaining on and off (the
+    engine invariant the attention path enforces, kept for recurrent)."""
+    _, _, cfg, params, tok = hf_setup
+    prompt = tok.encode("hello world test")
+    outs = []
+    for chain in (1, 5):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(n_slots=2, n_ctx=128, decode_chain=chain))
+        eng.start()
+        try:
+            final, _ = run_task(eng, CompletionsTask(
+                prompt, greedy(), tokenizer=tok, max_tokens=11,
+                stream=False))
+            outs.append(final.generated)
+        finally:
+            eng.stop()
+    assert outs[0] == outs[1]
+
+
+def test_mamba_prefix_reuse_exact_extension(hf_setup):
+    """A follow-up prompt extending the previous request's full history
+    reuses the recurrent state (multi-turn append); any other overlap
+    recomputes from scratch — and both match a cold engine."""
+    _, _, cfg, params, tok = hf_setup
+    eng = Engine(cfg, params, tok, EngineConfig(n_slots=1, n_ctx=256))
+    eng.start()
+    try:
+        p1 = tok.encode("the world is")
+        f1, _ = run_task(eng, CompletionsTask(
+            p1, greedy(), tokenizer=tok, max_tokens=4, stream=False))
+        # turn 2 extends turn 1's prompt + generation exactly
+        p2 = p1 + f1.generated + tok.encode("and hello")
+        f2, _ = run_task(eng, CompletionsTask(
+            p2, greedy(), tokenizer=tok, max_tokens=4, stream=False))
+        # the final sampled token is never fed back, so the reusable
+        # history is one short of prompt+generated
+        assert f2.n_cached == len(p1) + len(f1.generated) - 1, f2.n_cached
+        # partial-overlap prompt (shares a prefix, then diverges):
+        # exact-extension rule forces a full recompute
+        p3 = p1 + tok.encode("a totally different tail here")
+        f3, _ = run_task(eng, CompletionsTask(
+            p3, greedy(), tokenizer=tok, max_tokens=4, stream=False))
+        assert f3.n_cached == 0
+    finally:
+        eng.stop()
+    # cold engines agree with both
+    for prompt, want in ((p2, f2.generated), (p3, f3.generated)):
+        eng2 = Engine(cfg, params, tok, EngineConfig(n_slots=1, n_ctx=256))
+        eng2.start()
+        try:
+            fc, _ = run_task(eng2, CompletionsTask(
+                prompt, greedy(), tokenizer=tok, max_tokens=4,
+                stream=False))
+        finally:
+            eng2.stop()
+        assert fc.generated == want
+
+
+def test_mamba_dirty_state_after_chain_tail(hf_setup):
+    """A request finishing mid-chain leaves the slot state ahead of its
+    token history; the engine must refuse to reuse it (output equals a
+    cold run)."""
+    _, _, cfg, params, tok = hf_setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=1, n_ctx=256, decode_chain=8))
+    eng.start()
+    try:
+        p1 = tok.encode("hello hello hello")
+        # max_tokens NOT a multiple of the chain: finishes mid-chain
+        f1, _ = run_task(eng, CompletionsTask(
+            p1, greedy(), tokenizer=tok, max_tokens=3, stream=False))
+        assert eng.slots[0].rec_dirty
+        p2 = p1 + f1.generated + tok.encode("more")
+        f2, _ = run_task(eng, CompletionsTask(
+            p2, greedy(), tokenizer=tok, max_tokens=3, stream=False))
+        assert f2.n_cached == 0   # dirty state not reused
+    finally:
+        eng.stop()
+    eng2 = Engine(cfg, params, tok, EngineConfig(n_slots=1, n_ctx=256,
+                                                 decode_chain=1))
+    eng2.start()
+    try:
+        fc, _ = run_task(eng2, CompletionsTask(
+            p2, greedy(), tokenizer=tok, max_tokens=3, stream=False))
+    finally:
+        eng2.stop()
+    assert fc.generated == f2.generated
+
+
+def test_mamba_multislot_concurrent_greedy(hf_setup):
+    """Two concurrent requests on different slots decode independently
+    and match single-slot cold runs (mixed-batch identity masking)."""
+    _, _, cfg, params, tok = hf_setup
+    p1 = tok.encode("hello world and the test")
+    p2 = tok.encode("a is the world of hello")
+    cold = []
+    for p in (p1, p2):
+        eng = Engine(cfg, params, tok, EngineConfig(n_slots=1, n_ctx=256))
+        eng.start()
+        try:
+            f, _ = run_task(eng, CompletionsTask(
+                p, greedy(), tokenizer=tok, max_tokens=8, stream=False))
+            cold.append(f.generated)
+        finally:
+            eng.stop()
+    eng = Engine(cfg, params, tok, EngineConfig(n_slots=2, n_ctx=512))
+    eng.start()
+    try:
+        ta = CompletionsTask(p1, greedy(), tokenizer=tok, max_tokens=8,
+                             stream=False)
+        tb = CompletionsTask(p2, greedy(), tokenizer=tok, max_tokens=8,
+                             stream=False)
+        eng.submit(ta)
+        eng.submit(tb)
+        outs = []
+        for t in (ta, tb):
+            while True:
+                kind, payload = t.result_q.get(timeout=60)
+                if kind == "final":
+                    outs.append(payload.generated)
+                    break
+                if kind == "error":
+                    raise payload
+    finally:
+        eng.stop()
+    assert outs == cold
+
+
+def test_mamba_state_ops():
+    """reset_rec_slot zeroes one slot; copy_rec_state moves src -> dst."""
+    from llama_box_tpu.models.mamba import RecCache
+    rng = np.random.default_rng(0)
+    conv = jnp.asarray(rng.normal(size=(2, 3, 3, 8)), jnp.float32)
+    ssm = jnp.asarray(rng.normal(size=(2, 3, 8, 4)), jnp.float32)
+    conv_h, ssm_h = np.asarray(conv).copy(), np.asarray(ssm).copy()
+    c = RecCache(conv=conv, ssm=ssm)
+    c2 = copy_rec_state(c, jnp.int32(0), jnp.int32(2))
+    np.testing.assert_array_equal(np.asarray(c2.ssm[:, 2]), ssm_h[:, 0])
+    np.testing.assert_array_equal(np.asarray(c2.conv[:, 1]), conv_h[:, 1])
+    c3 = reset_rec_slot(c2, jnp.int32(1))
+    assert float(jnp.abs(c3.ssm[:, 1]).max()) == 0.0
+    np.testing.assert_array_equal(np.asarray(c3.ssm[:, 0]), ssm_h[:, 0])
+
+
+def test_mamba_spec_decode_rejected(hf_setup):
+    _, _, cfg, params, tok = hf_setup
+    with pytest.raises(ValueError, match="speculative"):
+        Engine(cfg, params, tok, EngineConfig(n_slots=1, n_ctx=64),
+               draft=(cfg, params))
+
+
+def test_mamba_length_cap_at_slot_boundary(hf_setup):
+    """No context shift for recurrent models: generation finishes with
+    'length' at the slot boundary instead of shifting."""
+    _, _, cfg, params, tok = hf_setup
+    eng = Engine(cfg, params, tok, EngineConfig(n_slots=1, n_ctx=32))
+    eng.start()
+    try:
+        p = tok.encode("hello world")
+        f, _ = run_task(eng, CompletionsTask(
+            p, greedy(), tokenizer=tok, max_tokens=500, stream=False))
+        assert f.finish_reason in ("length", "stop")
+        assert len(p) + len(f.generated) <= 32
+    finally:
+        eng.stop()
