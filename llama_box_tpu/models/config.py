@@ -92,7 +92,8 @@ class ModelConfig:
     ssm_d_conv: int = 0      # depthwise conv kernel width
     ssm_d_inner: int = 0     # mixer inner width (0 = not recurrent)
     ssm_d_state: int = 0     # SSM state dimension per channel
-    ssm_dt_rank: int = 0     # dt low-rank projection width
+    ssm_dt_rank: int = 0     # dt low-rank projection width (mamba2: n_heads)
+    ssm_n_group: int = 0     # mamba2 B/C group count
     ssm_dt_b_c_rms: bool = False  # falcon-mamba: RMS-norm dt/B/C
     extra: dict = dataclasses.field(default_factory=dict, compare=False, hash=False)
 
@@ -195,5 +196,6 @@ class ModelConfig:
             ssm_d_inner=int(kv("ssm.inner_size", 0) or 0),
             ssm_d_state=int(kv("ssm.state_size", 0) or 0),
             ssm_dt_rank=int(kv("ssm.time_step_rank", 0) or 0),
+            ssm_n_group=int(kv("ssm.group_count", 0) or 0),
             ssm_dt_b_c_rms=bool(kv("ssm.dt_b_c_rms", False)),
         )

@@ -90,6 +90,7 @@ _LAYER_OPTIONAL = {
     "ssm_dt_b": ("blk.{i}.ssm_dt.bias", False),
     "ssm_a": ("blk.{i}.ssm_a.weight", False),
     "ssm_d": ("blk.{i}.ssm_d.weight", False),
+    "ssm_norm": ("blk.{i}.ssm_norm.weight", False),  # mamba2 gated norm
 }
 
 

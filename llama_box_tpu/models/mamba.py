@@ -64,6 +64,15 @@ class RecCache(NamedTuple):
 def init_rec_cache(cfg: ModelConfig, n_slots: int) -> RecCache:
     L, dc, di, ds = (cfg.n_layers, cfg.ssm_d_conv, cfg.ssm_d_inner,
                      cfg.ssm_d_state)
+    if cfg.arch == "mamba2":
+        # conv runs over x|B|C; the SSM state is per-head outer products
+        ng = max(cfg.ssm_n_group, 1)
+        nh = cfg.ssm_dt_rank           # mamba2: time_step_rank = n_heads
+        hd = di // nh
+        conv_dim = di + 2 * ng * ds
+        return RecCache(
+            conv=jnp.zeros((L, n_slots, dc - 1, conv_dim), jnp.float32),
+            ssm=jnp.zeros((L, n_slots, nh, hd, ds), jnp.float32))
     return RecCache(
         conv=jnp.zeros((L, n_slots, dc - 1, di), jnp.float32),
         ssm=jnp.zeros((L, n_slots, di, ds), jnp.float32))
@@ -81,11 +90,10 @@ def _mixer(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
     the returned states equal the states at position seq_len-1 (and rows
     with seq_len == 0 pass their states through untouched).
     Returns (out [S, T, E], conv1, ssm1)."""
-    S, T, _ = r.shape
+    T = r.shape[1]
     di = cfg.ssm_d_inner
     ds = cfg.ssm_d_state
     dtr = cfg.ssm_dt_rank
-    dc = cfg.ssm_d_conv
 
     xz = mm(r, lp["ssm_in"])                       # [S, T, 2*di]
     xc = xz[..., :di].astype(jnp.float32)
@@ -93,12 +101,8 @@ def _mixer(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
 
     # depthwise causal conv over time: prepend the carried tail, then a
     # static sum of shifted slices (d_conv static; no gather, no pad op)
-    ext = jnp.concatenate([conv0, xc], axis=1)     # [S, dc-1+T, di]
-    w = lp["ssm_conv_w"].astype(jnp.float32)       # [di, dc]
-    conv = sum(ext[:, k:k + T, :] * w[:, k][None, None, :]
-               for k in range(dc))
-    if lp.get("ssm_conv_b") is not None:
-        conv = conv + lp["ssm_conv_b"].astype(jnp.float32)
+    conv, conv1 = _causal_conv(conv0, xc, lp["ssm_conv_w"],
+                               lp.get("ssm_conv_b"), seq_lens)
     x_act = jax.nn.silu(conv)                      # [S, T, di]
 
     xdb = mm(x_act.astype(r.dtype), lp["ssm_x"])   # [S, T, dtr+2*ds]
@@ -124,12 +128,7 @@ def _mixer(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
     # fold the entering state into element 0: h_0 = dA_0*ssm0 + dBx_0
     dBx = dBx.at[:, 0].add(dA[:, 0] * ssm0)
 
-    def combine(a, b):
-        a1, b1 = a
-        a2, b2 = b
-        return a2 * a1, a2 * b1 + b2
-
-    _, h = jax.lax.associative_scan(combine, (dA, dBx), axis=1)
+    _, h = jax.lax.associative_scan(_ssd_combine, (dA, dBx), axis=1)
     # identity elements beyond seq_len-1 freeze h, so h[:, -1] is the
     # state at the last valid token (or ssm0 when seq_len == 0)
     ssm1 = h[:, -1]
@@ -137,23 +136,97 @@ def _mixer(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
     y = (h * C[:, :, None, :]).sum(-1)             # [S, T, di]
     y = y + lp["ssm_d"].astype(jnp.float32) * x_act
     y = y * jax.nn.silu(z)
-    out = mm(y.astype(r.dtype), lp["ssm_out"])     # [S, T, E]
+    return mm(y.astype(r.dtype), lp["ssm_out"]), conv1, ssm1
 
-    # conv tail = the last dc-1 VALID inputs: rows [seq_len, seq_len+dc-2]
-    # of ext (ext row seq_len+j is xc row seq_len-(dc-1)+j; short/empty
-    # chunks naturally pick up the carried tail rows)
-    idx = seq_lens[:, None] + jnp.arange(dc - 1)[None, :]     # [S, dc-1]
-    conv1 = jnp.take_along_axis(ext, idx[:, :, None], axis=1)
-    return out, conv1, ssm1
+
+def _causal_conv(conv0, xc, w, b, seq_lens):
+    """Depthwise causal conv over time with a carried tail: xc [S, T, C],
+    conv0 [S, dc-1, C], w [C, dc]. Returns (out [S, T, C] f32, new tail
+    = the last dc-1 VALID inputs per row)."""
+    T = xc.shape[1]
+    dc = w.shape[1]
+    ext = jnp.concatenate([conv0, xc], axis=1)     # [S, dc-1+T, C]
+    w = w.astype(jnp.float32)
+    out = sum(ext[:, k:k + T, :] * w[:, k][None, None, :]
+              for k in range(dc))
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    idx = seq_lens[:, None] + jnp.arange(dc - 1)[None, :]
+    tail = jnp.take_along_axis(ext, idx[:, :, None], axis=1)
+    return out, tail
+
+
+def _ssd_combine(a, b):
+    a1, b1 = a
+    a2, b2 = b
+    return a2 * a1, a2 * b1 + b2
+
+
+def _mixer2(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
+    """Mamba2 (SSD) mixer over a [S, T, E] chunk: per-head scalar decay,
+    grouped B/C, gated RMSNorm before the output projection (published
+    Mamba2 formulation; transformers Mamba2Mixer is the golden).
+
+    conv0 [S, dc-1, conv_dim] (conv runs over x|B|C), ssm0
+    [S, nh, hd, ds]. Returns (out, conv1, ssm1)."""
+    S, T, _ = r.shape
+    di = cfg.ssm_d_inner
+    ds = cfg.ssm_d_state
+    ng = max(cfg.ssm_n_group, 1)
+    nh = cfg.ssm_dt_rank
+    hd = di // nh
+
+    zxbcdt = mm(r, lp["ssm_in"])        # [S, T, 2*di + 2*ng*ds + nh]
+    z = zxbcdt[..., :di].astype(jnp.float32)
+    xBC = zxbcdt[..., di:di * 2 + 2 * ng * ds].astype(jnp.float32)
+    dt = zxbcdt[..., -nh:].astype(jnp.float32)     # [S, T, nh]
+
+    conv, conv1 = _causal_conv(conv0, xBC, lp["ssm_conv_w"],
+                               lp.get("ssm_conv_b"), seq_lens)
+    xBC = jax.nn.silu(conv)
+    x = xBC[..., :di].reshape(S, T, nh, hd)
+    B = xBC[..., di:di + ng * ds].reshape(S, T, ng, ds)
+    C = xBC[..., di + ng * ds:].reshape(S, T, ng, ds)
+    rep = nh // ng
+    Bh = jnp.repeat(B, rep, axis=2)                # [S, T, nh, ds]
+    Ch = jnp.repeat(C, rep, axis=2)
+
+    if lp.get("ssm_dt_b") is not None:
+        dt = dt + lp["ssm_dt_b"].astype(jnp.float32)
+    dt = _softplus(dt)                             # [S, T, nh]
+    A = lp["ssm_a"].astype(jnp.float32).reshape(nh)      # negative
+    dA = jnp.exp(dt * A)[..., None, None]          # [S, T, nh, 1, 1]
+    dBx = (dt[..., None] * x)[..., None] * Bh[:, :, :, None, :]
+    # [S, T, nh, hd, ds]
+
+    valid = (jnp.arange(T)[None, :] < seq_lens[:, None])
+    dA = jnp.where(valid[..., None, None, None], dA, 1.0)
+    dBx = jnp.where(valid[..., None, None, None], dBx, 0.0)
+    dBx = dBx.at[:, 0].add(dA[:, 0] * ssm0)
+
+    _, h = jax.lax.associative_scan(_ssd_combine, (dA, dBx), axis=1)
+    ssm1 = h[:, -1]
+
+    y = (h * Ch[:, :, :, None, :]).sum(-1)         # [S, T, nh, hd]
+    y = y + lp["ssm_d"].astype(jnp.float32).reshape(nh)[..., None] * x
+    y = y.reshape(S, T, di)
+    # gated RMSNorm: rms_norm(y * silu(z)) * w (transformers
+    # MambaRMSNormGated over the full inner width)
+    y = y * jax.nn.silu(z)
+    var = jnp.mean(y * y, axis=-1, keepdims=True)
+    y = y * jax.lax.rsqrt(var + cfg.rms_eps)
+    y = y * lp["ssm_norm"].astype(jnp.float32)
+    return mm(y.astype(r.dtype), lp["ssm_out"]), conv1, ssm1
 
 
 def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens):
     """Scan the mamba layer stack; returns (hidden [S,T,E], new cache)."""
+    mixer = _mixer2 if cfg.arch == "mamba2" else _mixer
 
     def body(x, inp):
         lp, conv0, ssm0 = inp
         r = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        out, conv1, ssm1 = _mixer(lp, r, conv0, ssm0, seq_lens, cfg)
+        out, conv1, ssm1 = mixer(lp, r, conv0, ssm0, seq_lens, cfg)
         return x + out.astype(x.dtype), (conv1, ssm1)
 
     x, (conv_n, ssm_n) = jax.lax.scan(

@@ -109,7 +109,101 @@ def write_tiny_mamba(path: str, quant: GGMLType = GGMLType.F32,
     return path
 
 
+M2_N_LAYERS = 2
+M2_N_EMBD = 64
+M2_D_STATE = 16
+M2_N_HEADS = 8
+M2_HEAD_DIM = 16
+M2_N_GROUPS = 2
+M2_D_INNER = M2_N_HEADS * M2_HEAD_DIM
+M2_D_CONV = 4
+
+
+def write_tiny_mamba2(path: str, seed: int = 0, state: dict | None = None):
+    """Mamba2 (SSD) GGUF: ssm.time_step_rank carries n_heads, conv runs
+    over x|B|C, per-head scalar A, gated ssm_norm (llama.cpp mamba2
+    conversion conventions)."""
+    rng = np.random.default_rng(seed)
+    vocab, scores, types = build_vocab()
+    n_vocab = len(vocab)
+    di, ds, ng, nh = M2_D_INNER, M2_D_STATE, M2_N_GROUPS, M2_N_HEADS
+    conv_dim = di + 2 * ng * ds
+    d_in_proj = 2 * di + 2 * ng * ds + nh
+
+    w = GGUFWriter(path, architecture="mamba2")
+    w.add_kv("general.name", "tiny-mamba2-test")
+    w.add_kv("mamba2.block_count", M2_N_LAYERS)
+    w.add_kv("mamba2.context_length", N_CTX)
+    w.add_kv("mamba2.embedding_length", M2_N_EMBD)
+    w.add_kv("mamba2.feed_forward_length", 0)
+    w.add_kv("mamba2.attention.head_count", 0)
+    w.add_kv("mamba2.attention.head_count_kv", 0)
+    w.add_kv("mamba2.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv("mamba2.ssm.conv_kernel", M2_D_CONV)
+    w.add_kv("mamba2.ssm.inner_size", di)
+    w.add_kv("mamba2.ssm.state_size", ds)
+    w.add_kv("mamba2.ssm.time_step_rank", nh)
+    w.add_kv("mamba2.ssm.group_count", ng)
+    w.add_kv("mamba2.vocab_size", n_vocab)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", vocab)
+    w.add_kv("tokenizer.ggml.scores", np.array(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.array(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def hf(name, default):
+        if state is None:
+            return default
+        return np.asarray(state[name], np.float32)
+
+    w.add_tensor("token_embd.weight",
+                 hf("backbone.embeddings.weight", rand(n_vocab, M2_N_EMBD)))
+    w.add_tensor("output_norm.weight",
+                 hf("backbone.norm_f.weight",
+                    1.0 + rand(M2_N_EMBD, scale=0.02)))
+    w.add_tensor("output.weight",
+                 hf("lm_head.weight", rand(n_vocab, M2_N_EMBD)))
+    for i in range(M2_N_LAYERS):
+        p = f"backbone.layers.{i}."
+        w.add_tensor(f"blk.{i}.attn_norm.weight",
+                     hf(p + "norm.weight",
+                        1.0 + rand(M2_N_EMBD, scale=0.02)))
+        w.add_tensor(f"blk.{i}.ssm_in.weight",
+                     hf(p + "mixer.in_proj.weight",
+                        rand(d_in_proj, M2_N_EMBD)))
+        conv = hf(p + "mixer.conv1d.weight", rand(conv_dim, 1, M2_D_CONV))
+        w.add_tensor(f"blk.{i}.ssm_conv1d.weight",
+                     conv.reshape(conv_dim, M2_D_CONV))
+        w.add_tensor(f"blk.{i}.ssm_conv1d.bias",
+                     hf(p + "mixer.conv1d.bias", rand(conv_dim)))
+        w.add_tensor(f"blk.{i}.ssm_dt.bias",
+                     hf(p + "mixer.dt_bias", rand(nh) + 0.5))
+        a_log = hf(p + "mixer.A_log",
+                   np.log(1.0 + rng.uniform(0.0, 3.0, (nh,))
+                          ).astype(np.float32))
+        w.add_tensor(f"blk.{i}.ssm_a.weight", -np.exp(a_log))
+        w.add_tensor(f"blk.{i}.ssm_d.weight",
+                     hf(p + "mixer.D", 1.0 + rand(nh, scale=0.02)))
+        w.add_tensor(f"blk.{i}.ssm_norm.weight",
+                     hf(p + "mixer.norm.weight",
+                        1.0 + rand(di, scale=0.02)))
+        w.add_tensor(f"blk.{i}.ssm_out.weight",
+                     hf(p + "mixer.out_proj.weight",
+                        rand(M2_N_EMBD, di)))
+    w.write()
+    return path
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tiny_mamba.gguf"
-    write_tiny_mamba(out)
+    if "--mamba2" in sys.argv:
+        write_tiny_mamba2(out)
+    else:
+        write_tiny_mamba(out)
     print(f"wrote {out}")

@@ -322,6 +322,78 @@ def test_mamba_state_ops():
     np.testing.assert_array_equal(np.asarray(c3.ssm[:, 0]), ssm_h[:, 0])
 
 
+@pytest.fixture(scope="module")
+def hf2_setup(tmp_path_factory):
+    """Tiny HF Mamba2ForCausalLM exported to GGUF (SSD variant)."""
+    torch = pytest.importorskip("torch")
+    from transformers import Mamba2Config, Mamba2ForCausalLM
+
+    from .fixtures.make_tiny_mamba import (M2_D_CONV, M2_D_STATE,
+                                           M2_HEAD_DIM, M2_N_EMBD,
+                                           M2_N_GROUPS, M2_N_HEADS,
+                                           M2_N_LAYERS, write_tiny_mamba2)
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    hc = Mamba2Config(vocab_size=len(vocab), hidden_size=M2_N_EMBD,
+                      state_size=M2_D_STATE, num_hidden_layers=M2_N_LAYERS,
+                      conv_kernel=M2_D_CONV, head_dim=M2_HEAD_DIM,
+                      num_heads=M2_N_HEADS, n_groups=M2_N_GROUPS, expand=2,
+                      use_cache=False, layer_norm_epsilon=1e-5)
+    hm = Mamba2ForCausalLM(hc).eval()
+    state = {k: v.detach().numpy() for k, v in hm.state_dict().items()}
+    state.setdefault("lm_head.weight", state["backbone.embeddings.weight"])
+    path = str(tmp_path_factory.mktemp("mamba2") / "tiny_mamba2.gguf")
+    write_tiny_mamba2(path, state=state)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    return hm, cfg, params, tok
+
+
+def test_mamba2_matches_transformers(hf2_setup):
+    """Mamba2 (SSD: per-head scalar decay, grouped B/C, gated norm)
+    prefill logits match transformers Mamba2ForCausalLM."""
+    import torch
+    hm, cfg, params, _ = hf2_setup
+    assert cfg.recurrent and cfg.ssm_n_group == 2
+    rng = np.random.default_rng(7)
+    T = 14
+    toks = rng.integers(3, cfg.vocab_size, (T,)).astype(np.int32)
+    with torch.no_grad():
+        ref = hm(torch.tensor(toks[None].astype(np.int64))).logits[0]
+    cache = init_rec_cache(cfg, 2)
+    logits, _ = rec_prefill_impl(params, cfg, jnp.asarray(toks), cache,
+                                 jnp.int32(0), jnp.int32(0), jnp.int32(T))
+    np.testing.assert_allclose(np.asarray(logits), ref[-1].numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_mamba2_engine_greedy_matches_transformers(hf2_setup):
+    """Engine greedy decode (chunked prefill + chained decode) equals
+    transformers greedy generate on the SSD variant."""
+    import torch
+    hm, cfg, params, tok = hf2_setup
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(3, cfg.vocab_size, (10,)).astype(np.int32).tolist()
+    N = 10
+    with torch.no_grad():
+        ref = hm.generate(torch.tensor([prompt]), max_new_tokens=N,
+                          do_sample=False)
+    ref_new = ref[0, len(prompt):].tolist()
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=2, n_ctx=256, n_ubatch=8,
+                              decode_chain=4))
+    eng.start()
+    try:
+        final, _ = run_task(eng, CompletionsTask(
+            prompt, greedy(), tokenizer=tok, max_tokens=N, stream=False))
+    finally:
+        eng.stop()
+    got = final.generated[:len(ref_new)]
+    assert got == ref_new[:len(got)] and len(got) >= min(N, 4), \
+        (got, ref_new)
+
+
 def test_mamba_spec_decode_rejected(hf_setup):
     _, _, cfg, params, tok = hf_setup
     with pytest.raises(ValueError, match="speculative"):
