@@ -175,7 +175,12 @@ class ModelConfig:
             swa_pattern=int(kv("attention.sliding_window_pattern",
                                {"gemma2": 2, "gemma3": 6}.get(arch, 0))
                             or 0) if arch.startswith("gemma") else 0,
-            act_fn="gelu" if arch.startswith("gemma") else "silu",
+            # ungated-FFN families use GELU (falcon/gptneox/phi2/
+            # starcoder2); nemotron uses squared ReLU; gated default SiLU
+            act_fn=("gelu" if (arch.startswith("gemma")
+                               or arch in ("falcon", "gptneox", "phi2",
+                                           "starcoder2"))
+                    else "relu2" if arch == "nemotron" else "silu"),
             embd_scale=float(kv("embedding_scale",
                                 float(n_embd) ** 0.5
                                 if arch.startswith("gemma") else 1.0)

@@ -1,0 +1,269 @@
+"""Transformers-golden numerics for the classic decoder families
+(gptneox / falcon / phi2 / starcoder2): build a tiny HF model, export its
+state dict to GGUF following llama.cpp's conversion conventions (qkv
+de-interleave, norm/tensor name maps), and require our prefill logits to
+match HF — this is what caught the ungated-FFN activation bug (these
+families use GELU / squared-ReLU, not SiLU).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from llama_box_tpu.gguf import GGUFFile, GGUFWriter
+from llama_box_tpu.models import load_model
+from llama_box_tpu.models.llama import init_kv_cache, make_rope, prefill_impl
+from llama_box_tpu.server import CompletionsTask, Engine, EngineConfig
+from llama_box_tpu.tokenizer import Tokenizer
+
+from .fixtures.make_tiny_model import build_vocab
+from .test_engine import greedy, run_task
+
+torch = pytest.importorskip("torch")
+
+L, E, H, D, FF = 2, 64, 4, 16, 128
+
+
+def _gguf_header(path, arch, n_kv_heads, rope_dim, extra=()):
+    vocab, scores, types = build_vocab()
+    w = GGUFWriter(path, architecture=arch)
+    w.add_kv(f"{arch}.block_count", L)
+    w.add_kv(f"{arch}.context_length", 256)
+    w.add_kv(f"{arch}.embedding_length", E)
+    w.add_kv(f"{arch}.feed_forward_length", FF)
+    w.add_kv(f"{arch}.attention.head_count", H)
+    w.add_kv(f"{arch}.attention.head_count_kv", n_kv_heads)
+    w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv(f"{arch}.rope.freq_base", 10000.0)
+    w.add_kv(f"{arch}.rope.dimension_count", rope_dim)
+    w.add_kv(f"{arch}.vocab_size", len(vocab))
+    for k, v in extra:
+        w.add_kv(f"{arch}.{k}", v)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", vocab)
+    w.add_kv("tokenizer.ggml.scores", np.array(scores, np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.array(types, np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+    return w, len(vocab)
+
+
+def _np(state, key):
+    return state[key].detach().to(torch.float32).numpy()
+
+
+def _compare(hm, path, atol=3e-3, decode_check=False):
+    cfg, params = load_model(path, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    T = 12
+    toks = rng.integers(3, cfg.vocab_size, (T,)).astype(np.int32)
+    with torch.no_grad():
+        ref = hm(torch.tensor(toks[None].astype(np.int64))).logits[0]
+    kv = init_kv_cache(cfg, 1, 64, jnp.float32)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = prefill_impl(params, cfg, jnp.asarray(toks), kv,
+                             jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                             cos, sin)
+    np.testing.assert_allclose(np.asarray(logits), ref[-1].numpy(),
+                               atol=atol, rtol=5e-3)
+    if not decode_check:
+        return
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    prompt = toks[:6].tolist()
+    N = 8
+    with torch.no_grad():
+        gen = hm.generate(torch.tensor([prompt]), max_new_tokens=N,
+                          do_sample=False)
+    ref_new = gen[0, len(prompt):].tolist()
+    eng = Engine(cfg, params, tok, EngineConfig(n_slots=2, n_ctx=128))
+    eng.start()
+    try:
+        final, _ = run_task(eng, CompletionsTask(
+            prompt, greedy(), tokenizer=tok, max_tokens=N, stream=False))
+    finally:
+        eng.stop()
+    got = final.generated[:len(ref_new)]
+    assert got == ref_new[:len(got)] and len(got) >= 4, (got, ref_new)
+
+
+def test_gptneox_matches_transformers(tmp_path):
+    from transformers import GPTNeoXConfig, GPTNeoXForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    hc = GPTNeoXConfig(vocab_size=len(vocab), hidden_size=E,
+                       num_hidden_layers=L, num_attention_heads=H,
+                       intermediate_size=FF, rotary_pct=0.5,
+                       hidden_act="gelu_pytorch_tanh",
+                       use_parallel_residual=True, layer_norm_eps=1e-5,
+                       tie_word_embeddings=False, use_cache=False)
+    hm = GPTNeoXForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "neox.gguf")
+    w, V = _gguf_header(path, "gptneox", H, D // 2,
+                        [("use_parallel_residual", True)])
+    w.add_tensor("token_embd.weight", _np(st, "gpt_neox.embed_in.weight"))
+    w.add_tensor("output_norm.weight",
+                 _np(st, "gpt_neox.final_layer_norm.weight"))
+    w.add_tensor("output_norm.bias",
+                 _np(st, "gpt_neox.final_layer_norm.bias"))
+    w.add_tensor("output.weight", _np(st, "embed_out.weight"))
+    for i in range(L):
+        p = f"gpt_neox.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "attn_norm.bias", _np(st, p + "input_layernorm.bias"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.bias",
+                     _np(st, p + "post_attention_layernorm.bias"))
+        # HF stores qkv interleaved per head [H, 3, D]; GGUF is sequential
+        qkv = _np(st, p + "attention.query_key_value.weight")
+        qkv = qkv.reshape(H, 3, D, E).transpose(1, 0, 2, 3).reshape(3 * H * D, E)
+        w.add_tensor(o + "attn_qkv.weight", qkv)
+        qkvb = _np(st, p + "attention.query_key_value.bias")
+        qkvb = qkvb.reshape(H, 3, D).transpose(1, 0, 2).reshape(3 * H * D)
+        w.add_tensor(o + "attn_qkv.bias", qkvb)
+        w.add_tensor(o + "attn_output.weight", _np(st, p + "attention.dense.weight"))
+        w.add_tensor(o + "attn_output.bias", _np(st, p + "attention.dense.bias"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.dense_h_to_4h.weight"))
+        w.add_tensor(o + "ffn_up.bias", _np(st, p + "mlp.dense_h_to_4h.bias"))
+        w.add_tensor(o + "ffn_down.weight", _np(st, p + "mlp.dense_4h_to_h.weight"))
+        w.add_tensor(o + "ffn_down.bias", _np(st, p + "mlp.dense_4h_to_h.bias"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_starcoder2_matches_transformers(tmp_path):
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = Starcoder2Config(vocab_size=len(vocab), hidden_size=E,
+                          num_hidden_layers=L, num_attention_heads=H,
+                          num_key_value_heads=HKV, intermediate_size=FF,
+                          hidden_act="gelu_pytorch_tanh",
+                          norm_epsilon=1e-5, tie_word_embeddings=False,
+                          use_cache=False, sliding_window=None,
+                          rope_theta=10000.0)
+    hm = Starcoder2ForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "sc2.gguf")
+    w, V = _gguf_header(path, "starcoder2", HKV, D)
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output_norm.bias", _np(st, "model.norm.bias"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "attn_norm.bias", _np(st, p + "input_layernorm.bias"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.bias",
+                     _np(st, p + "post_attention_layernorm.bias"))
+        for hf, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                       ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            w.add_tensor(o + gg + ".weight",
+                         _np(st, p + f"self_attn.{hf}.weight"))
+            w.add_tensor(o + gg + ".bias",
+                         _np(st, p + f"self_attn.{hf}.bias"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.c_fc.weight"))
+        w.add_tensor(o + "ffn_up.bias", _np(st, p + "mlp.c_fc.bias"))
+        w.add_tensor(o + "ffn_down.weight", _np(st, p + "mlp.c_proj.weight"))
+        w.add_tensor(o + "ffn_down.bias", _np(st, p + "mlp.c_proj.bias"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_phi2_matches_transformers(tmp_path):
+    from transformers import PhiConfig, PhiForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    hc = PhiConfig(vocab_size=len(vocab), hidden_size=E,
+                   num_hidden_layers=L, num_attention_heads=H,
+                   num_key_value_heads=H, intermediate_size=FF,
+                   partial_rotary_factor=0.5, hidden_act="gelu_new",
+                   layer_norm_eps=1e-5, tie_word_embeddings=False,
+                   use_cache=False, qk_layernorm=False)
+    hm = PhiForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "phi2.gguf")
+    w, V = _gguf_header(path, "phi2", H, D // 2)
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight",
+                 _np(st, "model.final_layernorm.weight"))
+    w.add_tensor("output_norm.bias", _np(st, "model.final_layernorm.bias"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    w.add_tensor("output.bias", _np(st, "lm_head.bias"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "attn_norm.bias", _np(st, p + "input_layernorm.bias"))
+        for hf, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                       ("v_proj", "attn_v"), ("dense", "attn_output")):
+            w.add_tensor(o + gg + ".weight",
+                         _np(st, p + f"self_attn.{hf}.weight"))
+            w.add_tensor(o + gg + ".bias",
+                         _np(st, p + f"self_attn.{hf}.bias"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.fc1.weight"))
+        w.add_tensor(o + "ffn_up.bias", _np(st, p + "mlp.fc1.bias"))
+        w.add_tensor(o + "ffn_down.weight", _np(st, p + "mlp.fc2.weight"))
+        w.add_tensor(o + "ffn_down.bias", _np(st, p + "mlp.fc2.bias"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_falcon_matches_transformers(tmp_path):
+    from transformers import FalconConfig, FalconForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = FalconConfig(vocab_size=len(vocab), hidden_size=E,
+                      num_hidden_layers=L, num_attention_heads=H,
+                      num_kv_heads=HKV, new_decoder_architecture=True,
+                      parallel_attn=True, bias=False,
+                      layer_norm_epsilon=1e-5, tie_word_embeddings=False,
+                      use_cache=False, alibi=False,
+                      activation="gelu_pytorch_tanh")
+    hm = FalconForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "falcon.gguf")
+    w, V = _gguf_header(path, "falcon", HKV, D)
+    w.add_tensor("token_embd.weight",
+                 _np(st, "transformer.word_embeddings.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "transformer.ln_f.weight"))
+    w.add_tensor("output_norm.bias", _np(st, "transformer.ln_f.bias"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    g = H // HKV
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", _np(st, p + "ln_attn.weight"))
+        w.add_tensor(o + "attn_norm.bias", _np(st, p + "ln_attn.bias"))
+        w.add_tensor(o + "attn_norm_2.weight", _np(st, p + "ln_mlp.weight"))
+        w.add_tensor(o + "attn_norm_2.bias", _np(st, p + "ln_mlp.bias"))
+        # HF new-arch falcon qkv: per kv group [q x g, k, v]; GGUF wants
+        # sequential q | k | v
+        qkv = _np(st, p + "self_attention.query_key_value.weight")
+        qkv = qkv.reshape(HKV, g + 2, D, E)
+        q = qkv[:, :g].reshape(H * D, E)
+        k = qkv[:, g].reshape(HKV * D, E)
+        v = qkv[:, g + 1].reshape(HKV * D, E)
+        w.add_tensor(o + "attn_qkv.weight",
+                     np.concatenate([q, k, v], axis=0))
+        w.add_tensor(o + "attn_output.weight",
+                     _np(st, p + "self_attention.dense.weight"))
+        w.add_tensor(o + "ffn_up.weight",
+                     _np(st, p + "mlp.dense_h_to_4h.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.dense_4h_to_h.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
