@@ -14,8 +14,10 @@ from typing import Any
 _LN_ARCHS = {
     # LayerNorm (optionally biased) instead of RMSNorm
     "falcon", "gptneox", "phi2", "stablelm", "starcoder2", "command-r",
-    "nemotron",
+    "nemotron", "gpt2", "bloom", "mpt", "starcoder", "gptj",
 }
+# position-independent q/k (learned pos embd or ALiBi); no rotation
+_NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2"}
 _PARALLEL_ARCHS = {
     # x + attn(norm(x)) + ffn(norm(x)) parallel-residual blocks
     "falcon", "phi2", "command-r",
@@ -23,6 +25,7 @@ _PARALLEL_ARCHS = {
 _UNGATED_FFN_ARCHS = {
     # act(up) @ down, no gate projection
     "falcon", "gptneox", "phi2", "starcoder2", "nemotron",
+    "gpt2", "bloom", "mpt", "starcoder", "gptj",
 }
 _NEOX_ROPE_ARCHS = {
     "qwen2", "qwen2moe", "qwen3", "qwen3moe", "falcon", "gemma", "gemma2",
@@ -87,6 +90,7 @@ class ModelConfig:
     residual_scale: float = 1.0   # granite residual multiplier
     logit_scale: float = 1.0      # command-r / granite logits multiplier
     attn_scale: float = 0.0       # score scale override (0 = 1/sqrt(D))
+    alibi_max_bias: float = 0.0   # ALiBi (bloom/mpt); 0 = off
     rope_freq_base_swa: float = 0.0  # local-layer rope base (gemma3)
     # recurrent (mamba) state-space hyperparameters (models/mamba.py)
     ssm_d_conv: int = 0      # depthwise conv kernel width
@@ -140,8 +144,10 @@ class ModelConfig:
             rope_scaling_type=scaling,
             rope_orig_ctx=int(kv("rope.scaling.original_context_length", 0)),
             rope_dim=int(kv("rope.dimension_count", 0)) or head_dim,
-            rope_mode="neox" if (arch in _NEOX_ROPE_ARCHS
-                                or arch in ("qwen2vl", "qwen25vl")) else "norm",
+            rope_mode=("none" if arch in _NO_ROPE_ARCHS
+                       else "neox" if (arch in _NEOX_ROPE_ARCHS
+                                       or arch in ("qwen2vl", "qwen25vl"))
+                       else "norm"),
             mrope_sections=tuple(
                 int(x) for x in (kv("rope.dimension_sections")
                                  if kv("rope.dimension_sections") is not None
@@ -176,10 +182,11 @@ class ModelConfig:
                                {"gemma2": 2, "gemma3": 6}.get(arch, 0))
                             or 0) if arch.startswith("gemma") else 0,
             # ungated-FFN families use GELU (falcon/gptneox/phi2/
-            # starcoder2); nemotron uses squared ReLU; gated default SiLU
+            # starcoder2/gpt2/bloom/mpt); nemotron uses squared ReLU
             act_fn=("gelu" if (arch.startswith("gemma")
                                or arch in ("falcon", "gptneox", "phi2",
-                                           "starcoder2"))
+                                           "starcoder2", "gpt2", "bloom",
+                                           "mpt", "starcoder", "gptj"))
                     else "relu2" if arch == "nemotron" else "silu"),
             embd_scale=float(kv("embedding_scale",
                                 float(n_embd) ** 0.5
@@ -197,6 +204,9 @@ class ModelConfig:
             residual_scale=float(kv("residual_scale", 1.0) or 1.0),
             logit_scale=float(kv("logit_scale", 1.0) or 1.0),
             attn_scale=float(kv("attention.scale", 0.0) or 0.0),
+            alibi_max_bias=float(
+                kv("attention.max_alibi_bias",
+                   8.0 if arch in ("bloom", "mpt") else 0.0) or 0.0),
             ssm_d_conv=int(kv("ssm.conv_kernel", 0) or 0),
             ssm_d_inner=int(kv("ssm.inner_size", 0) or 0),
             ssm_d_state=int(kv("ssm.state_size", 0) or 0),

@@ -336,6 +336,12 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     qf = q.astype(adt).reshape(B, T, Hkv, G, D)
     scores = jnp.einsum("bthgd,bchd->bhgtc", qf, kf,
                         preferred_element_type=jnp.float32) * (cfg.attn_scale or D ** -0.5)
+    if cfg.alibi_max_bias > 0.0:
+        C_ = kf.shape[1]
+        sl5 = _alibi_slopes(cfg)[None, :, :, None, None]
+        dist = (jnp.arange(C_)[None, None, None, None, :]
+                - positions[:, None, None, :, None]).astype(jnp.float32)
+        scores = scores + sl5 * dist
     if cfg.attn_softcap > 0.0:
         scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
@@ -349,6 +355,21 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
 
     x = _layer_tail(x, lp, cfg, attn, lora_scales)
     return x, k_cache, v_cache, k_scale, v_scale
+
+
+def _alibi_slopes(cfg: ModelConfig):
+    """Per-head ALiBi slopes [Hkv, G] (ggml soft_max_ext formula with
+    f_max_alibi_bias; equals the published 2^(-8i/H) sequence for
+    power-of-two head counts)."""
+    import math
+    H = cfg.n_heads
+    n = 2 ** int(math.floor(math.log2(H)))
+    m0 = 2.0 ** (-cfg.alibi_max_bias / n)
+    m1 = 2.0 ** (-cfg.alibi_max_bias / 2.0 / n)
+    slopes = [m0 ** (i + 1) if i < n else m1 ** (2 * (i - n) + 1)
+              for i in range(H)]
+    G = H // max(1, cfg.n_kv_heads)
+    return jnp.asarray(slopes, jnp.float32).reshape(cfg.n_kv_heads, G)
 
 
 def _mla_qkv(h, lp, cfg: ModelConfig):
@@ -530,6 +551,7 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         rows = (k.astype(k_cache.dtype), v.astype(v_cache.dtype))
 
     if flash_meta is not None and T >= 64 and _flash_ok() \
+            and cfg.alibi_max_bias == 0.0 \
             and (_flash_on_tpu() or _flash_forced()):
         # per-layer window/chunk scalars: one compiled kernel serves the
         # alternating local/global layer patterns
@@ -556,6 +578,7 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
 
     if chain is not None and k_scale is not None and T == 1 \
             and D == v_cache.shape[-1] and _flash_ok() \
+            and cfg.alibi_max_bias == 0.0 \
             and (_flash_on_tpu() or _flash_forced()):
         # int8-KV chained decode through the flash kernel: the cache
         # dequantizes block-by-block in VMEM instead of materializing a
@@ -615,6 +638,18 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
     # in-chunk part: pairwise causal over the current rows
     ss = jnp.einsum("bthgd,bshd->bhgts", qf, k.astype(adt),
                     preferred_element_type=jnp.float32) * (cfg.attn_scale or D ** -0.5)
+    sl5 = None
+    if cfg.alibi_max_bias > 0.0:
+        # ALiBi (bloom/mpt): score += slope_h * (kpos - qpos); cache index
+        # IS the absolute position in this design (ggml soft_max_ext mask
+        # * slope semantics)
+        sl5 = _alibi_slopes(cfg)[None, :, :, None, None]
+        dist_c = (jnp.arange(C)[None, None, None, None, :]
+                  - positions[:, None, None, :, None]).astype(jnp.float32)
+        sc = sc + sl5 * dist_c
+        dist_s = (positions[:, None, :] - positions[:, :, None]) \
+            .astype(jnp.float32)              # [b, t, s] = kpos - qpos
+        ss = ss + sl5 * dist_s[:, None, None, :, :]
     qp = positions
     inm = (qp[:, :, None] >= qp[:, None, :]) & (qp[:, None, :] < C)
     if cfg.swa_window > 0:
@@ -650,6 +685,9 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         # chain row i holds absolute position qpos - (nc - i)
         ci = jnp.arange(Kc)[None, None, :]
         kpos3 = positions[:, :, None] - (nc - ci)            # [B, T, Kc]
+        if sl5 is not None:
+            s3 = s3 + sl5 * (kpos3 - positions[:, :, None]) \
+                .astype(jnp.float32)[:, None, None]
         m3 = (ci < nc) & (kpos3 >= 0)
         if cfg.swa_window > 0:
             local3 = m3 & (kpos3 > positions[:, :, None] - cfg.swa_window)
@@ -1033,10 +1071,23 @@ def _build_mask(cfg: ModelConfig, positions, seq_lens, T, C):
     return _causal_mask(positions, seq_lens, T, C, cfg.swa_window)
 
 
+def _add_pos_embd(params, x, positions):
+    """Learned absolute position embeddings (gpt2 wpe; reference
+    llm_build: inpL = tok_embd + pos_embd). Sentinel positions clip to
+    the last row — those rows are masked/dropped downstream."""
+    pe = params.get("pos_embd")
+    if pe is None:
+        return x
+    return x + jnp.take(pe, positions, axis=0, mode="clip").astype(x.dtype)
+
+
 def _embed_tokens(params, cfg: ModelConfig, tokens):
     x = jnp.take(params["tok_embd"], tokens, axis=0, mode="clip")
     if cfg.embd_scale != 1.0:
         x = x * jnp.asarray(cfg.embd_scale, x.dtype)
+    if "tok_embd_norm" in params:   # bloom embedding LayerNorm
+        x = _norm_any(x, params["tok_embd_norm"],
+                      params.get("tok_embd_norm_b"), cfg)
     return x
 
 
@@ -1053,7 +1104,8 @@ def forward_impl(params, cfg: ModelConfig, tokens, positions, kv: KVCache,
     """
     B, T = tokens.shape
     C = kv.capacity
-    x = _embed_tokens(params, cfg, tokens)
+    x = _add_pos_embd(params, _embed_tokens(params, cfg, tokens),
+                      positions)
     mask = _build_mask(cfg, positions, seq_lens, T, C)
     x, k_new, v_new, ks, vs = _run_stack(
         params, cfg, x, positions, kv.k, kv.v, mask, rope_cos, rope_sin,
@@ -1076,7 +1128,8 @@ def forward_rows_impl(params, cfg: ModelConfig, tokens, positions,
     the whole cache because the layer scan also reads it)."""
     B, T = tokens.shape
     C = kv.capacity
-    x = _embed_tokens(params, cfg, tokens)
+    x = _add_pos_embd(params, _embed_tokens(params, cfg, tokens),
+                      positions)
     mask = _build_mask(cfg, positions, seq_lens, T, C)
     x, rows = _run_stack(
         params, cfg, x, positions, kv.k, kv.v, mask, rope_cos, rope_sin,
@@ -1148,6 +1201,7 @@ def _prefill_core(params, cfg: ModelConfig, x, kv: KVCache, slot,
 
     offs = jnp.arange(T, dtype=jnp.int32)
     positions = jnp.where(offs < n_valid, pos_base + offs, C)[None, :]
+    x = _add_pos_embd(params, x, positions)
     seq_lens = jnp.full((1,), n_valid, jnp.int32)
 
     mask = _build_mask(cfg, positions, seq_lens, T, AL)
@@ -1277,7 +1331,8 @@ def prefill_batch_impl(params, cfg: ModelConfig, tokens, pos_base, n_valid,
     offs = jnp.arange(T, dtype=jnp.int32)[None, :]
     positions = jnp.where(offs < n_valid[:, None],
                           pos_base[:, None] + offs, C)
-    x = _embed_tokens(params, cfg, tokens)
+    x = _add_pos_embd(params, _embed_tokens(params, cfg, tokens),
+                      positions)
     mask = _build_mask(cfg, positions, n_valid, T, AL)
     zero = jnp.zeros((S,), jnp.int32)
     meta = jnp.stack([pos_base, n_valid, zero, zero], axis=1)  # [S, 4]
@@ -1411,6 +1466,7 @@ def forward_embeddings(params, cfg: ModelConfig, tokens, seq_lens,
     B, T = tokens.shape
     x = jnp.take(params["tok_embd"], tokens, axis=0, mode="clip")
     positions = jnp.arange(T)[None, :].repeat(B, 0)
+    x = _add_pos_embd(params, x, positions)
     valid = positions < seq_lens[:, None]  # [B,T]
     mask = valid[:, :, None] & valid[:, None, :]  # [B,T,T]
     if cfg.causal:

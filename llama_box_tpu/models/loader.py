@@ -213,6 +213,15 @@ def load_model(
 
     params: dict = {}
     params["tok_embd"] = put("tok_embd", fetch("token_embd.weight", False))
+    if "position_embd.weight" in g.tensors:   # gpt2 learned positions
+        params["pos_embd"] = put("pos_embd",
+                                 fetch("position_embd.weight", False))
+    if "token_embd_norm.weight" in g.tensors:  # bloom embedding LayerNorm
+        params["tok_embd_norm"] = put(
+            "tok_embd_norm", fetch("token_embd_norm.weight", False))
+        if "token_embd_norm.bias" in g.tensors:
+            params["tok_embd_norm_b"] = put(
+                "tok_embd_norm_b", fetch("token_embd_norm.bias", False))
     params["output_norm"] = put("output_norm", fetch("output_norm.weight", False))
     if "output_norm.bias" in g.tensors:   # LN archs (falcon/gptneox/phi2)
         params["output_norm_b"] = put("output_norm_b",

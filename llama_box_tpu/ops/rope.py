@@ -121,7 +121,11 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, cos: jnp.ndarray,
                sin: jnp.ndarray, mode: str = "norm") -> jnp.ndarray:
     """x: [..., T, H, D]; positions: broadcastable to [..., T] int32,
     or None when cos/sin are already gathered per position ([..., T, half]
-    — the layer scan hoists the gather out of the 22-layer loop)."""
+    — the layer scan hoists the gather out of the 22-layer loop).
+    mode "none": position-independent attention (gpt2 learned positional
+    embeddings, bloom/mpt ALiBi) — identity."""
+    if mode == "none":
+        return x
     rot_dim = cos.shape[-1] * 2
     d = x.shape[-1]
     if positions is None:

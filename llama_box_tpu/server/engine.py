@@ -103,8 +103,8 @@ def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
     than the whole cache. The engine buckets max(pos)+K up to a 256
     multiple so a handful of program variants cover every fill level.
     """
-    from ..models.llama import (_build_mask, _embed_tokens, _kv_quantize,
-                                _output_logits, _run_stack)
+    from ..models.llama import (_add_pos_embd, _build_mask, _embed_tokens,
+                                _kv_quantize, _output_logits, _run_stack)
     from ..sampling import sample_impl
     S = token0.shape[0]
     L = kv.k.shape[0]
@@ -133,7 +133,8 @@ def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
         tok, acc, sstate = carry
         positions = jnp.where(active, pos0 + j, C)[:, None]      # [S,1]
         seq_lens = jnp.where(active, 1, 0)
-        x = _embed_tokens(params, cfg, tok[:, None])
+        x = _add_pos_embd(params, _embed_tokens(params, cfg, tok[:, None]),
+                          positions)
         mask = _build_mask(cfg, positions, seq_lens, 1, AL)
         mrope_pos = None
         if cfg.mrope_sections and mrope_delta is not None:

@@ -24,13 +24,13 @@ torch = pytest.importorskip("torch")
 L, E, H, D, FF = 2, 64, 4, 16, 128
 
 
-def _gguf_header(path, arch, n_kv_heads, rope_dim, extra=()):
+def _gguf_header(path, arch, n_kv_heads, rope_dim, extra=(), ff=FF):
     vocab, scores, types = build_vocab()
     w = GGUFWriter(path, architecture=arch)
     w.add_kv(f"{arch}.block_count", L)
     w.add_kv(f"{arch}.context_length", 256)
     w.add_kv(f"{arch}.embedding_length", E)
-    w.add_kv(f"{arch}.feed_forward_length", FF)
+    w.add_kv(f"{arch}.feed_forward_length", ff)
     w.add_kv(f"{arch}.attention.head_count", H)
     w.add_kv(f"{arch}.attention.head_count_kv", n_kv_heads)
     w.add_kv(f"{arch}.attention.layer_norm_epsilon", 1e-5)
@@ -216,6 +216,142 @@ def test_phi2_matches_transformers(tmp_path):
         w.add_tensor(o + "ffn_up.bias", _np(st, p + "mlp.fc1.bias"))
         w.add_tensor(o + "ffn_down.weight", _np(st, p + "mlp.fc2.weight"))
         w.add_tensor(o + "ffn_down.bias", _np(st, p + "mlp.fc2.bias"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_gpt2_matches_transformers(tmp_path):
+    """gpt2: learned absolute position embeddings (position_embd table),
+    no rope, Conv1D (in, out) weight layout transposed at export."""
+    from transformers import GPT2Config, GPT2LMHeadModel
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    hc = GPT2Config(vocab_size=len(vocab), n_embd=E, n_layer=L, n_head=H,
+                    n_positions=256, n_inner=FF,
+                    activation_function="gelu_new",
+                    layer_norm_epsilon=1e-5, use_cache=False,
+                    attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0)
+    hm = GPT2LMHeadModel(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "gpt2.gguf")
+    w, V = _gguf_header(path, "gpt2", H, D)
+    w.add_tensor("token_embd.weight", _np(st, "transformer.wte.weight"))
+    w.add_tensor("position_embd.weight", _np(st, "transformer.wpe.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "transformer.ln_f.weight"))
+    w.add_tensor("output_norm.bias", _np(st, "transformer.ln_f.bias"))
+    w.add_tensor("output.weight", _np(st, "transformer.wte.weight"))
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", _np(st, p + "ln_1.weight"))
+        w.add_tensor(o + "attn_norm.bias", _np(st, p + "ln_1.bias"))
+        w.add_tensor(o + "ffn_norm.weight", _np(st, p + "ln_2.weight"))
+        w.add_tensor(o + "ffn_norm.bias", _np(st, p + "ln_2.bias"))
+        # HF gpt2 Conv1D stores (in, out); ggml wants (out, in)
+        w.add_tensor(o + "attn_qkv.weight",
+                     _np(st, p + "attn.c_attn.weight").T.copy())
+        w.add_tensor(o + "attn_qkv.bias", _np(st, p + "attn.c_attn.bias"))
+        w.add_tensor(o + "attn_output.weight",
+                     _np(st, p + "attn.c_proj.weight").T.copy())
+        w.add_tensor(o + "attn_output.bias",
+                     _np(st, p + "attn.c_proj.bias"))
+        w.add_tensor(o + "ffn_up.weight",
+                     _np(st, p + "mlp.c_fc.weight").T.copy())
+        w.add_tensor(o + "ffn_up.bias", _np(st, p + "mlp.c_fc.bias"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.c_proj.weight").T.copy())
+        w.add_tensor(o + "ffn_down.bias", _np(st, p + "mlp.c_proj.bias"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_bloom_matches_transformers(tmp_path):
+    """bloom: ALiBi position bias (no rope, no position table), embedding
+    LayerNorm, per-head-interleaved fused qkv."""
+    from transformers import BloomConfig, BloomForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    hc = BloomConfig(vocab_size=len(vocab), hidden_size=E, n_layer=L,
+                     n_head=H, layer_norm_epsilon=1e-5, use_cache=False,
+                     hidden_dropout=0.0, attention_dropout=0.0)
+    hm = BloomForCausalLM(hc).eval()
+    st = hm.state_dict()
+    FFB = 4 * E   # bloom MLP is a fixed 4x expansion
+
+    path = str(tmp_path / "bloom.gguf")
+    w, V = _gguf_header(path, "bloom", H, D, ff=FFB)
+    w.add_tensor("token_embd.weight",
+                 _np(st, "transformer.word_embeddings.weight"))
+    w.add_tensor("token_embd_norm.weight",
+                 _np(st, "transformer.word_embeddings_layernorm.weight"))
+    w.add_tensor("token_embd_norm.bias",
+                 _np(st, "transformer.word_embeddings_layernorm.bias"))
+    w.add_tensor("output_norm.weight", _np(st, "transformer.ln_f.weight"))
+    w.add_tensor("output_norm.bias", _np(st, "transformer.ln_f.bias"))
+    w.add_tensor("output.weight",
+                 _np(st, "transformer.word_embeddings.weight"))
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "attn_norm.bias",
+                     _np(st, p + "input_layernorm.bias"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.bias",
+                     _np(st, p + "post_attention_layernorm.bias"))
+        qkv = _np(st, p + "self_attention.query_key_value.weight")
+        qkv = qkv.reshape(H, 3, D, E).transpose(1, 0, 2, 3) \
+            .reshape(3 * H * D, E)
+        w.add_tensor(o + "attn_qkv.weight", qkv)
+        qkvb = _np(st, p + "self_attention.query_key_value.bias")
+        qkvb = qkvb.reshape(H, 3, D).transpose(1, 0, 2).reshape(3 * H * D)
+        w.add_tensor(o + "attn_qkv.bias", qkvb)
+        w.add_tensor(o + "attn_output.weight",
+                     _np(st, p + "self_attention.dense.weight"))
+        w.add_tensor(o + "attn_output.bias",
+                     _np(st, p + "self_attention.dense.bias"))
+        w.add_tensor(o + "ffn_up.weight",
+                     _np(st, p + "mlp.dense_h_to_4h.weight"))
+        w.add_tensor(o + "ffn_up.bias", _np(st, p + "mlp.dense_h_to_4h.bias"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.dense_4h_to_h.weight"))
+        w.add_tensor(o + "ffn_down.bias",
+                     _np(st, p + "mlp.dense_4h_to_h.bias"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_mpt_matches_transformers(tmp_path):
+    """mpt: ALiBi, bias-free LayerNorm, fused sequential qkv."""
+    from transformers import MptConfig, MptForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    hc = MptConfig(vocab_size=len(vocab), d_model=E, n_heads=H, n_layers=L,
+                   expansion_ratio=2, max_seq_len=256, use_cache=False,
+                   layer_norm_epsilon=1e-5)
+    hm = MptForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "mpt.gguf")
+    w, V = _gguf_header(path, "mpt", H, D,
+                        extra=[("attention.max_alibi_bias", 8.0)])
+    w.add_tensor("token_embd.weight", _np(st, "transformer.wte.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "transformer.norm_f.weight"))
+    w.add_tensor("output.weight", _np(st, "transformer.wte.weight"))
+    for i in range(L):
+        p = f"transformer.blocks.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", _np(st, p + "norm_1.weight"))
+        w.add_tensor(o + "ffn_norm.weight", _np(st, p + "norm_2.weight"))
+        w.add_tensor(o + "attn_qkv.weight", _np(st, p + "attn.Wqkv.weight"))
+        w.add_tensor(o + "attn_output.weight",
+                     _np(st, p + "attn.out_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "ffn.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "ffn.down_proj.weight"))
     w.write()
     _compare(hm, path, decode_check=True)
 
