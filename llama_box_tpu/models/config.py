@@ -9,6 +9,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import numpy as np
+
 # architectures using neox-style (half-split) rope rotation; llama-family
 # GGUFs are converted with permuted q/k for 'norm' (adjacent-pair) rotation.
 _LN_ARCHS = {
@@ -16,8 +18,8 @@ _LN_ARCHS = {
     "falcon", "gptneox", "phi2", "stablelm", "starcoder2", "command-r",
     "nemotron", "gpt2", "bloom", "mpt", "starcoder", "gptj",
 }
-# position-independent q/k (learned pos embd or ALiBi); no rotation
-_NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2"}
+# position-independent q/k (learned pos embd, ALiBi, or none); no rotation
+_NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2", "jamba"}
 _PARALLEL_ARCHS = {
     # x + attn(norm(x)) + ffn(norm(x)) parallel-residual blocks
     "falcon", "phi2", "command-r",
@@ -117,7 +119,16 @@ class ModelConfig:
         def kv(suffix: str, default: Any = None):
             return g.metadata.get(f"{arch}.{suffix}", default)
 
-        n_heads = int(kv("attention.head_count", 32))
+        def kv_int(suffix: str, default: int) -> int:
+            """Integer hparam; hybrid archs (jamba) store per-layer
+            arrays (mamba layers carry 0 heads) — take the max."""
+            v = kv(suffix, default)
+            if isinstance(v, (list, tuple, np.ndarray)):
+                vals = [int(x) for x in v]
+                return max(vals) if vals else default
+            return int(v)
+
+        n_heads = kv_int("attention.head_count", 32)
         n_embd = int(kv("embedding_length", 4096))
         head_dim = int(kv("attention.key_length", 0)) or n_embd // max(1, n_heads)
         scaling = str(kv("rope.scaling.type", "none") or "none")
@@ -131,7 +142,7 @@ class ModelConfig:
             n_layers=int(kv("block_count", 0)),
             n_embd=n_embd,
             n_heads=n_heads,
-            n_kv_heads=int(kv("attention.head_count_kv", n_heads)),
+            n_kv_heads=kv_int("attention.head_count_kv", n_heads),
             head_dim=head_dim,
             n_ff=int(kv("feed_forward_length", 4 * n_embd)),
             vocab_size=vocab_size,

@@ -91,6 +91,10 @@ _LAYER_OPTIONAL = {
     "ssm_a": ("blk.{i}.ssm_a.weight", False),
     "ssm_d": ("blk.{i}.ssm_d.weight", False),
     "ssm_norm": ("blk.{i}.ssm_norm.weight", False),  # mamba2 gated norm
+    # jamba learned dt/B/C norms
+    "ssm_dt_norm": ("blk.{i}.ssm_dt_norm.weight", False),
+    "ssm_b_norm": ("blk.{i}.ssm_b_norm.weight", False),
+    "ssm_c_norm": ("blk.{i}.ssm_c_norm.weight", False),
 }
 
 

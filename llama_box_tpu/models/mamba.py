@@ -47,23 +47,51 @@ from .config import ModelConfig
 
 
 class RecCache(NamedTuple):
-    """Per-slot recurrent state: conv tail + SSM state, layer-stacked."""
-    conv: jnp.ndarray   # [L, S, d_conv-1, d_inner] f32
-    ssm: jnp.ndarray    # [L, S, d_inner, d_state] f32
+    """Per-slot recurrent state: conv tail + SSM state, layer-stacked.
+    Hybrid models (jamba: interleaved attention layers) additionally
+    carry a KV cache for the attention layers only (k/v [La, S, C, Hkv,
+    D]); pure-recurrent models leave k/v as None."""
+    conv: jnp.ndarray   # [Lr, S, d_conv-1, d_inner] f32
+    ssm: jnp.ndarray    # [Lr, S, d_inner, d_state] f32
+    k: jnp.ndarray | None = None
+    v: jnp.ndarray | None = None
 
     @property
     def capacity(self) -> int:
-        # positions are bookkeeping only — state memory is O(1) per slot
-        return 1 << 30
+        # positions are bookkeeping only for pure-recurrent models
+        return self.k.shape[2] if self.k is not None else (1 << 30)
 
     @property
     def quantized(self) -> bool:
         return False
 
 
-def init_rec_cache(cfg: ModelConfig, n_slots: int) -> RecCache:
-    L, dc, di, ds = (cfg.n_layers, cfg.ssm_d_conv, cfg.ssm_d_inner,
-                     cfg.ssm_d_state)
+def _count_layers(params) -> tuple[int, int]:
+    """(n_recurrent, n_attention) from the stacked param tree."""
+    groups = params.get("layer_groups") or [params["layers"]]
+    nr = na = 0
+    for gp in groups:
+        lead = next(iter(gp.values()))
+        n = lead.qs.shape[0] if hasattr(lead, "qs") else lead.shape[0]
+        if "ssm_in" in gp:
+            nr += n
+        else:
+            na += n
+    return nr, na
+
+
+def init_rec_cache(cfg: ModelConfig, n_slots: int, capacity: int = 0,
+                   params=None, dtype=jnp.float32) -> RecCache:
+    dc, di, ds = cfg.ssm_d_conv, cfg.ssm_d_inner, cfg.ssm_d_state
+    Lr, La = (cfg.n_layers, 0) if params is None else _count_layers(params)
+    k = v = None
+    if La > 0:
+        assert capacity > 0, "hybrid models need a KV capacity"
+        if jnp.dtype(dtype) == jnp.int8:   # no quantized hybrid KV yet
+            dtype = jnp.bfloat16
+        D = cfg.head_dim
+        k = jnp.zeros((La, n_slots, capacity, cfg.n_kv_heads, D), dtype)
+        v = jnp.zeros_like(k)
     if cfg.arch == "mamba2":
         # conv runs over x|B|C; the SSM state is per-head outer products
         ng = max(cfg.ssm_n_group, 1)
@@ -71,11 +99,12 @@ def init_rec_cache(cfg: ModelConfig, n_slots: int) -> RecCache:
         hd = di // nh
         conv_dim = di + 2 * ng * ds
         return RecCache(
-            conv=jnp.zeros((L, n_slots, dc - 1, conv_dim), jnp.float32),
-            ssm=jnp.zeros((L, n_slots, nh, hd, ds), jnp.float32))
+            conv=jnp.zeros((Lr, n_slots, dc - 1, conv_dim), jnp.float32),
+            ssm=jnp.zeros((Lr, n_slots, nh, hd, ds), jnp.float32),
+            k=k, v=v)
     return RecCache(
-        conv=jnp.zeros((L, n_slots, dc - 1, di), jnp.float32),
-        ssm=jnp.zeros((L, n_slots, di, ds), jnp.float32))
+        conv=jnp.zeros((Lr, n_slots, dc - 1, di), jnp.float32),
+        ssm=jnp.zeros((Lr, n_slots, di, ds), jnp.float32), k=k, v=v)
 
 
 def _softplus(x):
@@ -113,6 +142,10 @@ def _mixer(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
         dt_in = rms_norm(dt_in, jnp.ones((dtr,), jnp.float32), cfg.rms_eps)
         B = rms_norm(B, jnp.ones((ds,), jnp.float32), cfg.rms_eps)
         C = rms_norm(C, jnp.ones((ds,), jnp.float32), cfg.rms_eps)
+    if lp.get("ssm_dt_norm") is not None:          # jamba learned norms
+        dt_in = rms_norm(dt_in, lp["ssm_dt_norm"], cfg.rms_eps)
+        B = rms_norm(B, lp["ssm_b_norm"], cfg.rms_eps)
+        C = rms_norm(C, lp["ssm_c_norm"], cfg.rms_eps)
     dt = mm(dt_in, lp["ssm_dt"]).astype(jnp.float32)
     if lp.get("ssm_dt_b") is not None:
         dt = dt + lp["ssm_dt_b"].astype(jnp.float32)
@@ -219,19 +252,88 @@ def _mixer2(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
     return mm(y.astype(r.dtype), lp["ssm_out"]), conv1, ssm1
 
 
-def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens):
-    """Scan the mamba layer stack; returns (hidden [S,T,E], new cache)."""
+def _rec_layer(lp, x, conv0, ssm0, seq_lens, cfg: ModelConfig, mixer):
+    """One recurrent layer: norm -> mixer -> residual, plus the per-layer
+    FFN tail hybrid models (jamba) attach after the mixer."""
+    r = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+    out, conv1, ssm1 = mixer(lp, r, conv0, ssm0, seq_lens, cfg)
+    x = x + out.astype(x.dtype)
+    if "w_up" in lp or "w_gate_inp" in lp:
+        from .llama import _ffn_block, _pre_norm
+        h = _pre_norm(x, lp, "ffn_norm", cfg)
+        x = x + _ffn_block(h, lp, cfg, None, x.dtype)
+    return x, (conv1, ssm1)
+
+
+def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens,
+                   positions=None):
+    """Scan the layer stack; returns (hidden [S,T,E], new cache).
+
+    Pure-recurrent models scan one homogeneous group. Hybrid models
+    (jamba: interleaved attention layers — the reference serves these
+    through the same llama.cpp graphs) alternate: recurrent groups scan
+    with their state slices, attention groups run the standard deferred
+    attention layer (rope mode "none") against their KV slices, and all
+    attention rows scatter into the cache in one fused write."""
     mixer = _mixer2 if cfg.arch == "mamba2" else _mixer
+    groups = params.get("layer_groups")
+    if groups is None:
+        def body(x, inp):
+            lp, conv0, ssm0 = inp
+            return _rec_layer(lp, x, conv0, ssm0, seq_lens, cfg, mixer)
 
-    def body(x, inp):
-        lp, conv0, ssm0 = inp
-        r = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-        out, conv1, ssm1 = mixer(lp, r, conv0, ssm0, seq_lens, cfg)
-        return x + out.astype(x.dtype), (conv1, ssm1)
+        x, (conv_n, ssm_n) = jax.lax.scan(
+            body, x, (params["layers"], cache.conv, cache.ssm))
+        return x, RecCache(conv=conv_n, ssm=ssm_n, k=cache.k, v=cache.v)
 
-    x, (conv_n, ssm_n) = jax.lax.scan(
-        body, x, (params["layers"], cache.conv, cache.ssm))
-    return x, RecCache(conv=conv_n, ssm=ssm_n)
+    from .llama import _attn_layer, _build_mask
+    T = x.shape[1]
+    C = cache.k.shape[2]
+    mask = _build_mask(cfg, positions, seq_lens, T, C)
+    cos0 = sin0 = jnp.zeros((1, 1), jnp.float32)
+    o_r = o_a = 0
+    conv_parts, ssm_parts, k_rows, v_rows = [], [], [], []
+    for gp in groups:
+        lead = next(iter(gp.values()))
+        n = lead.qs.shape[0] if hasattr(lead, "qs") else lead.shape[0]
+        if "ssm_in" in gp:
+            def body(x, inp):
+                lp, conv0, ssm0 = inp
+                return _rec_layer(lp, x, conv0, ssm0, seq_lens, cfg, mixer)
+
+            x, (cn, sn) = jax.lax.scan(
+                body, x, (gp, cache.conv[o_r:o_r + n],
+                          cache.ssm[o_r:o_r + n]))
+            conv_parts.append(cn)
+            ssm_parts.append(sn)
+            o_r += n
+        else:
+            def abody(x, inp):
+                lp, k_c, v_c = inp
+                return _attn_layer(x, lp, positions, k_c, v_c, mask, cfg,
+                                   cos0, sin0, deferred_kv=True)
+
+            x, rows = jax.lax.scan(
+                abody, x, (gp, cache.k[o_a:o_a + n],
+                           cache.v[o_a:o_a + n]))
+            k_rows.append(rows[0])
+            v_rows.append(rows[1])
+            o_a += n
+    conv_n = jnp.concatenate(conv_parts, 0) if conv_parts else cache.conv
+    ssm_n = jnp.concatenate(ssm_parts, 0) if ssm_parts else cache.ssm
+    k_new, v_new = cache.k, cache.v
+    if k_rows:
+        kr = jnp.concatenate(k_rows, 0)          # [La, S, T, Hkv, D]
+        vr = jnp.concatenate(v_rows, 0)
+        La, S = kr.shape[0], kr.shape[1]
+        li = jnp.arange(La)[:, None, None]
+        bi = jnp.arange(S)[None, :, None]
+        pi = jnp.broadcast_to(positions[None], (La, S, T))
+        k_new = cache.k.at[li, bi, pi].set(kr.astype(cache.k.dtype),
+                                           mode="drop")
+        v_new = cache.v.at[li, bi, pi].set(vr.astype(cache.v.dtype),
+                                           mode="drop")
+    return x, RecCache(conv=conv_n, ssm=ssm_n, k=k_new, v=v_new)
 
 
 def _rec_logits(params, cfg: ModelConfig, x):
@@ -250,23 +352,36 @@ def rec_prefill_impl(params, cfg: ModelConfig, tokens, cache: RecCache,
                      slot, pos_base, n_valid, rope_cos=None, rope_sin=None,
                      mrope_pos=None, attn_len: int = 0):
     """Single-slot chunk prefill (signature mirrors llama.prefill_impl;
-    rope/attn_len args accepted and ignored — state IS the history).
+    rope/attn_len args accepted and ignored — state IS the history;
+    hybrid models use pos_base for their attention layers' KV writes).
     Returns (last-valid-token logits [V], new cache)."""
-    del pos_base, rope_cos, rope_sin, mrope_pos, attn_len
+    del rope_cos, rope_sin, mrope_pos, attn_len
+    T = tokens.shape[0]
     x = _embed(params, cfg, tokens[None, :])               # [1, T, E]
-    conv0 = jax.lax.dynamic_slice_in_dim(cache.conv, slot, 1, axis=1)
-    ssm0 = jax.lax.dynamic_slice_in_dim(cache.ssm, slot, 1, axis=1)
-    view = RecCache(conv=conv0, ssm=ssm0)      # leaves [L, 1, ...]
+
+    def sl(a):
+        return (None if a is None
+                else jax.lax.dynamic_slice_in_dim(a, slot, 1, axis=1))
+
+    view = RecCache(conv=sl(cache.conv), ssm=sl(cache.ssm),
+                    k=sl(cache.k), v=sl(cache.v))
     seq_lens = jnp.full((1,), n_valid, jnp.int32)
-    x, new = _run_rec_stack(params, cfg, x, view, seq_lens)
+    offs = jnp.arange(T, dtype=jnp.int32)
+    C = cache.capacity if cache.k is not None else (1 << 30)
+    positions = jnp.where(offs < n_valid, pos_base + offs, C)[None, :]
+    x, new = _run_rec_stack(params, cfg, x, view, seq_lens, positions)
     last = jnp.maximum(n_valid - 1, 0)
     logits = _rec_logits(params, cfg,
                          jax.lax.dynamic_slice_in_dim(x[0], last, 1, 0))[0]
-    cache = RecCache(
-        conv=jax.lax.dynamic_update_slice_in_dim(cache.conv, new.conv,
-                                                 slot, axis=1),
-        ssm=jax.lax.dynamic_update_slice_in_dim(cache.ssm, new.ssm,
-                                                slot, axis=1))
+
+    def up(full, part):
+        return (None if full is None else
+                jax.lax.dynamic_update_slice_in_dim(full, part, slot,
+                                                    axis=1))
+
+    cache = RecCache(conv=up(cache.conv, new.conv),
+                     ssm=up(cache.ssm, new.ssm),
+                     k=up(cache.k, new.k), v=up(cache.v, new.v))
     return logits, cache
 
 
@@ -280,9 +395,14 @@ def rec_prefill_batch_impl(params, cfg: ModelConfig, tokens, pos_base,
     """Batched prefill: one chunk per slot in one program. Rows with
     n_valid == 0 pass their states through untouched (identity masking).
     Returns (last-token logits [S, V], new cache)."""
-    del pos_base, rope_cos, rope_sin, attn_len
+    del rope_cos, rope_sin, attn_len
     x = _embed(params, cfg, tokens)                        # [S, T, E]
-    x, cache = _run_rec_stack(params, cfg, x, cache, n_valid)
+    T = tokens.shape[1]
+    offs = jnp.arange(T, dtype=jnp.int32)[None, :]
+    C = cache.capacity if cache.k is not None else (1 << 30)
+    positions = jnp.where(offs < n_valid[:, None], pos_base[:, None] + offs,
+                          C)
+    x, cache = _run_rec_stack(params, cfg, x, cache, n_valid, positions)
     last = jnp.maximum(n_valid - 1, 0)
     x_last = jnp.take_along_axis(
         x, last[:, None, None].astype(jnp.int32).repeat(x.shape[-1], 2),
@@ -304,18 +424,19 @@ def rec_decode_verify_sample(params, cfg: ModelConfig, tokens, positions,
     """T=1 decode + fused sampling over the slot batch (mirror of the
     engine's _decode_verify_sample; speculative verify is gated off for
     recurrent models, so n_draft is always 0)."""
-    return _rec_decode_one(params, cfg, tokens, cache, fwd_active,
-                           samp_active, sstate, arrs)
+    return _rec_decode_one(params, cfg, tokens, positions, cache,
+                           fwd_active, samp_active, sstate, arrs)
 
 
 @partial(jax.jit, static_argnames=("cfg",),
          donate_argnames=("cache", "sstate"))
-def _rec_decode_one(params, cfg: ModelConfig, tokens, cache, fwd_active,
-                    samp_active, sstate, arrs):
+def _rec_decode_one(params, cfg: ModelConfig, tokens, positions, cache,
+                    fwd_active, samp_active, sstate, arrs):
     from ..sampling import verify_impl
     seq_lens = jnp.where(fwd_active, 1, 0)
     x = _embed(params, cfg, tokens[:, :1])                 # [S, 1, E]
-    x, cache = _run_rec_stack(params, cfg, x, cache, seq_lens)
+    x, cache = _run_rec_stack(params, cfg, x, cache, seq_lens,
+                              positions[:, :1])
     logits = _rec_logits(params, cfg, x[:, 0])[:, None]    # [S, 1, V]
     zero = jnp.zeros_like(seq_lens)
     toks, n_emitted, ids, probs, tokps, sstate = verify_impl(
@@ -330,24 +451,30 @@ def rec_decode_chain(params, cfg: ModelConfig, token0, pos0, cache,
                      sstate, arrs, active, rope_cos=None, rope_sin=None,
                      n_steps: int = 8, mrope_delta=None, attn_len: int = 0):
     """Chained multi-step recurrent decode: K sequential forward+sample
-    steps in ONE dispatch, carrying (token, conv, ssm, sampler) through
+    steps in ONE dispatch, carrying (token, state, sampler) through
     lax.scan — one host sync per K tokens (mirror of _decode_chain).
-    Inactive slots' states are frozen by identity masking."""
-    del pos0, rope_cos, rope_sin, mrope_delta, attn_len
+    Inactive slots' states are frozen by identity masking. Hybrid
+    models carry their attention KV through the scan too (correctness
+    first; the accumulator trick can come later if hybrid decode ever
+    dominates)."""
+    del rope_cos, rope_sin, mrope_delta, attn_len
     from ..sampling import sample_impl
     seq_lens = jnp.where(active, 1, 0)
+    C = cache.capacity if cache.k is not None else (1 << 30)
 
-    def step(carry, _):
+    def step(carry, j):
         tok, cache, sstate = carry
+        positions = jnp.where(active, pos0 + j, C)[:, None]
         x = _embed(params, cfg, tok[:, None])
-        x, cache = _run_rec_stack(params, cfg, x, cache, seq_lens)
+        x, cache = _run_rec_stack(params, cfg, x, cache, seq_lens,
+                                  positions)
         logits = _rec_logits(params, cfg, x[:, 0])         # [S, V]
         tok2, ids, probs, tokp, sstate = sample_impl(
             logits, sstate, arrs, active)
         return (tok2, cache, sstate), (tok2, ids, probs, tokp)
 
     (_, cache, sstate), ys = jax.lax.scan(
-        step, (token0, cache, sstate), None, length=n_steps)
+        step, (token0, cache, sstate), jnp.arange(n_steps, dtype=jnp.int32))
     toks, ids, probs, tokps = ys                           # [K, S, ...]
     swap = lambda a: jnp.swapaxes(a, 0, 1)  # noqa: E731
     return (swap(toks), swap(ids), swap(probs), swap(tokps), cache, sstate)
@@ -355,8 +482,10 @@ def rec_decode_chain(params, cfg: ModelConfig, token0, pos0, cache,
 
 @partial(jax.jit, donate_argnames=("cache",))
 def reset_rec_slot(cache: RecCache, slot) -> RecCache:
-    """Zero one slot's recurrent state (fresh-prompt admission)."""
-    return RecCache(
+    """Zero one slot's recurrent state (fresh-prompt admission). Hybrid
+    KV rows stay — stale entries beyond the new positions are unreachable
+    through the causal mask and get overwritten by the new prefill."""
+    return cache._replace(
         conv=cache.conv.at[:, slot].set(0.0),
         ssm=cache.ssm.at[:, slot].set(0.0))
 
@@ -365,6 +494,7 @@ def reset_rec_slot(cache: RecCache, slot) -> RecCache:
 def copy_rec_state(cache: RecCache, src, dst) -> RecCache:
     """Copy slot src's full state into dst (cross-slot reuse when the
     donor's ENTIRE token history is a prefix of the new prompt)."""
-    return RecCache(
-        conv=cache.conv.at[:, dst].set(cache.conv[:, src]),
-        ssm=cache.ssm.at[:, dst].set(cache.ssm[:, src]))
+    def leaf(a):
+        return None if a is None else a.at[:, dst].set(a[:, src])
+    return RecCache(conv=leaf(cache.conv), ssm=leaf(cache.ssm),
+                    k=leaf(cache.k), v=leaf(cache.v))

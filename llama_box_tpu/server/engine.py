@@ -304,7 +304,9 @@ class Engine:
                 self.ecfg = dataclasses.replace(self.ecfg,
                                                 lookup_ngram_min=0)
             from ..models.mamba import init_rec_cache
-            self.kv = init_rec_cache(cfg, S)
+            self.kv = init_rec_cache(cfg, S, capacity=self.slot_ctx,
+                                     params=params,
+                                     dtype=jnp.dtype(self.ecfg.kv_dtype))
             self.rope_cos = self.rope_sin = jnp.zeros((1,), jnp.float32)
             self.delta_cos = self.delta_sin = None
             self.delta_select = None

@@ -200,10 +200,135 @@ def write_tiny_mamba2(path: str, seed: int = 0, state: dict | None = None):
     return path
 
 
+J_N_LAYERS = 2          # layer 0 mamba, layer 1 attention
+J_N_EMBD = 64
+J_D_INNER = 128
+J_D_STATE = 8
+J_D_CONV = 4
+J_DT_RANK = 8
+J_N_HEADS = 4
+J_N_KV_HEADS = 2
+J_FF = 128
+
+
+def write_tiny_jamba(path: str, seed: int = 0, state: dict | None = None):
+    """Hybrid jamba GGUF: alternating mamba/attention layers, learned
+    dt/B/C norms on the mamba mixer, gated-SiLU FFN on every layer,
+    no rope. head_count_kv is written as a per-layer array (mamba layers
+    carry 0) like llama.cpp's converter."""
+    rng = np.random.default_rng(seed)
+    vocab, scores, types = build_vocab()
+    n_vocab = len(vocab)
+    di, ds, dtr = J_D_INNER, J_D_STATE, J_DT_RANK
+    E, H, HKV, D = J_N_EMBD, J_N_HEADS, J_N_KV_HEADS, J_N_EMBD // J_N_HEADS
+
+    w = GGUFWriter(path, architecture="jamba")
+    w.add_kv("general.name", "tiny-jamba-test")
+    w.add_kv("jamba.block_count", J_N_LAYERS)
+    w.add_kv("jamba.context_length", N_CTX)
+    w.add_kv("jamba.embedding_length", E)
+    w.add_kv("jamba.feed_forward_length", J_FF)
+    w.add_kv("jamba.attention.head_count", H)
+    w.add_kv("jamba.attention.head_count_kv", [0, HKV])
+    w.add_kv("jamba.attention.layer_norm_rms_epsilon", 1e-6)
+    w.add_kv("jamba.ssm.conv_kernel", J_D_CONV)
+    w.add_kv("jamba.ssm.inner_size", di)
+    w.add_kv("jamba.ssm.state_size", ds)
+    w.add_kv("jamba.ssm.time_step_rank", dtr)
+    w.add_kv("jamba.vocab_size", n_vocab)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", vocab)
+    w.add_kv("tokenizer.ggml.scores", np.array(scores, dtype=np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.array(types, dtype=np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.unknown_token_id", 0)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+
+    def rand(*shape, scale=0.05):
+        return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+    def hf(name, default):
+        if state is None:
+            return default
+        return np.asarray(state[name], np.float32)
+
+    w.add_tensor("token_embd.weight",
+                 hf("model.embed_tokens.weight", rand(n_vocab, E)))
+    w.add_tensor("output_norm.weight",
+                 hf("model.final_layernorm.weight",
+                    1.0 + rand(E, scale=0.02)))
+    w.add_tensor("output.weight", hf("lm_head.weight", rand(n_vocab, E)))
+    for i in range(J_N_LAYERS):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     hf(p + "input_layernorm.weight",
+                        1.0 + rand(E, scale=0.02)))
+        if i % 2 == 0:   # mamba layer
+            w.add_tensor(o + "ssm_in.weight",
+                         hf(p + "mamba.in_proj.weight", rand(2 * di, E)))
+            conv = hf(p + "mamba.conv1d.weight", rand(di, 1, J_D_CONV))
+            w.add_tensor(o + "ssm_conv1d.weight",
+                         conv.reshape(di, J_D_CONV))
+            w.add_tensor(o + "ssm_conv1d.bias",
+                         hf(p + "mamba.conv1d.bias", rand(di)))
+            w.add_tensor(o + "ssm_x.weight",
+                         hf(p + "mamba.x_proj.weight",
+                            rand(dtr + 2 * ds, di)))
+            w.add_tensor(o + "ssm_dt.weight",
+                         hf(p + "mamba.dt_proj.weight", rand(di, dtr)))
+            w.add_tensor(o + "ssm_dt.bias",
+                         hf(p + "mamba.dt_proj.bias", rand(di) + 0.5))
+            a_log = hf(p + "mamba.A_log",
+                       np.log(1.0 + rng.uniform(0.0, 3.0, (di, ds))
+                              ).astype(np.float32))
+            w.add_tensor(o + "ssm_a.weight", -np.exp(a_log))
+            w.add_tensor(o + "ssm_d.weight",
+                         hf(p + "mamba.D", 1.0 + rand(di, scale=0.02)))
+            w.add_tensor(o + "ssm_out.weight",
+                         hf(p + "mamba.out_proj.weight", rand(E, di)))
+            w.add_tensor(o + "ssm_dt_norm.weight",
+                         hf(p + "mamba.dt_layernorm.weight",
+                            1.0 + rand(dtr, scale=0.02)))
+            w.add_tensor(o + "ssm_b_norm.weight",
+                         hf(p + "mamba.b_layernorm.weight",
+                            1.0 + rand(ds, scale=0.02)))
+            w.add_tensor(o + "ssm_c_norm.weight",
+                         hf(p + "mamba.c_layernorm.weight",
+                            1.0 + rand(ds, scale=0.02)))
+        else:            # attention layer
+            w.add_tensor(o + "attn_q.weight",
+                         hf(p + "self_attn.q_proj.weight", rand(H * D, E)))
+            w.add_tensor(o + "attn_k.weight",
+                         hf(p + "self_attn.k_proj.weight",
+                            rand(HKV * D, E)))
+            w.add_tensor(o + "attn_v.weight",
+                         hf(p + "self_attn.v_proj.weight",
+                            rand(HKV * D, E)))
+            w.add_tensor(o + "attn_output.weight",
+                         hf(p + "self_attn.o_proj.weight", rand(E, H * D)))
+        w.add_tensor(o + "ffn_norm.weight",
+                     hf(p + "pre_ff_layernorm.weight",
+                        1.0 + rand(E, scale=0.02)))
+        w.add_tensor(o + "ffn_gate.weight",
+                     hf(p + "feed_forward.gate_proj.weight",
+                        rand(J_FF, E)))
+        w.add_tensor(o + "ffn_up.weight",
+                     hf(p + "feed_forward.up_proj.weight", rand(J_FF, E)))
+        w.add_tensor(o + "ffn_down.weight",
+                     hf(p + "feed_forward.down_proj.weight",
+                        rand(E, J_FF)))
+    w.write()
+    return path
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tiny_mamba.gguf"
     if "--mamba2" in sys.argv:
         write_tiny_mamba2(out)
+    elif "--jamba" in sys.argv:
+        write_tiny_jamba(out)
     else:
         write_tiny_mamba(out)
     print(f"wrote {out}")

@@ -394,6 +394,112 @@ def test_mamba2_engine_greedy_matches_transformers(hf2_setup):
         (got, ref_new)
 
 
+@pytest.fixture(scope="module")
+def jamba_setup(tmp_path_factory):
+    """Tiny HF JambaForCausalLM (hybrid mamba+attention) to GGUF."""
+    torch = pytest.importorskip("torch")
+    from transformers import JambaConfig, JambaForCausalLM
+
+    from .fixtures.make_tiny_mamba import (J_D_CONV, J_D_STATE, J_DT_RANK,
+                                           J_FF, J_N_EMBD, J_N_HEADS,
+                                           J_N_KV_HEADS, J_N_LAYERS,
+                                           write_tiny_jamba)
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    hc = JambaConfig(vocab_size=len(vocab), hidden_size=J_N_EMBD,
+                     intermediate_size=J_FF, num_hidden_layers=J_N_LAYERS,
+                     num_attention_heads=J_N_HEADS,
+                     num_key_value_heads=J_N_KV_HEADS, attn_layer_period=2,
+                     attn_layer_offset=1, expert_layer_period=2,
+                     expert_layer_offset=1, num_experts=1,
+                     mamba_d_state=J_D_STATE, mamba_d_conv=J_D_CONV,
+                     mamba_expand=2, mamba_dt_rank=J_DT_RANK,
+                     use_cache=False, use_mamba_kernels=False,
+                     rms_norm_eps=1e-6, tie_word_embeddings=False)
+    hm = JambaForCausalLM(hc).eval()
+    state = {k: v.detach().numpy() for k, v in hm.state_dict().items()}
+    state.setdefault("lm_head.weight", state["model.embed_tokens.weight"])
+    path = str(tmp_path_factory.mktemp("jamba") / "tiny_jamba.gguf")
+    write_tiny_jamba(path, state=state)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    return hm, cfg, params, tok
+
+
+def test_jamba_matches_transformers(jamba_setup):
+    """Hybrid (mamba + attention) prefill logits match transformers
+    JambaForCausalLM; attention layers get a real KV cache slice."""
+    import torch
+    hm, cfg, params, _ = jamba_setup
+    assert cfg.recurrent and cfg.rope_mode == "none"
+    assert "layer_groups" in params
+    rng = np.random.default_rng(11)
+    T = 13
+    toks = rng.integers(3, cfg.vocab_size, (T,)).astype(np.int32)
+    with torch.no_grad():
+        ref = hm(torch.tensor(toks[None].astype(np.int64))).logits[0]
+    cache = init_rec_cache(cfg, 2, capacity=64, params=params)
+    assert cache.k is not None and cache.k.shape[0] == 1
+    logits, _ = rec_prefill_impl(params, cfg, jnp.asarray(toks), cache,
+                                 jnp.int32(0), jnp.int32(0), jnp.int32(T))
+    np.testing.assert_allclose(np.asarray(logits), ref[-1].numpy(),
+                               atol=2e-4, rtol=1e-3)
+
+
+def test_jamba_engine_greedy_matches_transformers(jamba_setup):
+    """Engine greedy (chunked prefill + chained decode over the hybrid
+    cache) equals transformers greedy generate."""
+    import torch
+    hm, cfg, params, tok = jamba_setup
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(3, cfg.vocab_size, (11,)).astype(np.int32).tolist()
+    N = 10
+    with torch.no_grad():
+        ref = hm.generate(torch.tensor([prompt]), max_new_tokens=N,
+                          do_sample=False)
+    ref_new = ref[0, len(prompt):].tolist()
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=2, n_ctx=256, n_ubatch=8,
+                              decode_chain=4))
+    eng.start()
+    try:
+        final, _ = run_task(eng, CompletionsTask(
+            prompt, greedy(), tokenizer=tok, max_tokens=N, stream=False))
+    finally:
+        eng.stop()
+    got = final.generated[:len(ref_new)]
+    assert got == ref_new[:len(got)] and len(got) >= min(N, 4), \
+        (got, ref_new)
+
+
+def test_jamba_multiturn_reuse(jamba_setup):
+    """Exact-extension reuse works for hybrid state (mamba states + KV
+    rows both carried) and matches a cold run."""
+    _, cfg, params, tok = jamba_setup
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=1, n_ctx=128, decode_chain=1))
+    eng.start()
+    try:
+        p1 = tok.encode("hello world the test")
+        f1, _ = run_task(eng, CompletionsTask(
+            p1, greedy(), tokenizer=tok, max_tokens=4, stream=False))
+        p2 = p1 + f1.generated + tok.encode("and more")
+        f2, _ = run_task(eng, CompletionsTask(
+            p2, greedy(), tokenizer=tok, max_tokens=4, stream=False))
+        assert f2.n_cached == len(p1) + len(f1.generated) - 1
+    finally:
+        eng.stop()
+    eng2 = Engine(cfg, params, tok, EngineConfig(n_slots=1, n_ctx=128))
+    eng2.start()
+    try:
+        fc, _ = run_task(eng2, CompletionsTask(
+            p2, greedy(), tokenizer=tok, max_tokens=4, stream=False))
+    finally:
+        eng2.stop()
+    assert fc.generated == f2.generated
+
+
 def test_mamba_spec_decode_rejected(hf_setup):
     _, _, cfg, params, tok = hf_setup
     with pytest.raises(ValueError, match="speculative"):
