@@ -166,8 +166,11 @@ class ModelConfig:
             causal=bool(g.metadata.get(f"{arch}.attention.causal", True)),
             expert_count=int(kv("expert_count", 0) or 0),
             expert_used_count=int(kv("expert_used_count", 0) or 0),
+            # qwen3moe always renormalizes top-k router probs (the
+            # reference's build_qwen3moe passes norm_w=true)
             expert_weights_norm=bool(kv("expert_weights_norm",
-                                        arch in ("llama", "mixtral"))),
+                                        arch in ("llama", "mixtral",
+                                                 "qwen3moe"))),
             nope_layer_step=int(kv("attention.no_rope_layer_step",
                                    4 if arch == "llama4" else 0) or 0),
             chunked_window=int(kv("attention.chunk_size",

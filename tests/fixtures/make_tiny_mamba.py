@@ -211,11 +211,13 @@ J_N_KV_HEADS = 2
 J_FF = 128
 
 
-def write_tiny_jamba(path: str, seed: int = 0, state: dict | None = None):
+def write_tiny_jamba(path: str, seed: int = 0, state: dict | None = None,
+                     n_experts: int = 0, n_experts_used: int = 0):
     """Hybrid jamba GGUF: alternating mamba/attention layers, learned
-    dt/B/C norms on the mamba mixer, gated-SiLU FFN on every layer,
-    no rope. head_count_kv is written as a per-layer array (mamba layers
-    carry 0) like llama.cpp's converter."""
+    dt/B/C norms on the mamba mixer, gated-SiLU FFN on every layer
+    (MoE when n_experts > 0 — jamba routes softmax->top-k WITHOUT
+    renormalizing), no rope. head_count_kv is written as a per-layer
+    array (mamba layers carry 0) like llama.cpp's converter."""
     rng = np.random.default_rng(seed)
     vocab, scores, types = build_vocab()
     n_vocab = len(vocab)
@@ -235,6 +237,9 @@ def write_tiny_jamba(path: str, seed: int = 0, state: dict | None = None):
     w.add_kv("jamba.ssm.inner_size", di)
     w.add_kv("jamba.ssm.state_size", ds)
     w.add_kv("jamba.ssm.time_step_rank", dtr)
+    if n_experts:
+        w.add_kv("jamba.expert_count", n_experts)
+        w.add_kv("jamba.expert_used_count", n_experts_used)
     w.add_kv("jamba.vocab_size", n_vocab)
     w.add_kv("tokenizer.ggml.model", "llama")
     w.add_kv("tokenizer.ggml.tokens", vocab)
@@ -311,14 +316,28 @@ def write_tiny_jamba(path: str, seed: int = 0, state: dict | None = None):
         w.add_tensor(o + "ffn_norm.weight",
                      hf(p + "pre_ff_layernorm.weight",
                         1.0 + rand(E, scale=0.02)))
-        w.add_tensor(o + "ffn_gate.weight",
-                     hf(p + "feed_forward.gate_proj.weight",
-                        rand(J_FF, E)))
-        w.add_tensor(o + "ffn_up.weight",
-                     hf(p + "feed_forward.up_proj.weight", rand(J_FF, E)))
-        w.add_tensor(o + "ffn_down.weight",
-                     hf(p + "feed_forward.down_proj.weight",
-                        rand(E, J_FF)))
+        if n_experts:
+            w.add_tensor(o + "ffn_gate_inp.weight",
+                         hf(p + "feed_forward.router.weight",
+                            rand(n_experts, E)))
+            for hfk, gg in (("gate_proj", "ffn_gate_exps"),
+                            ("up_proj", "ffn_up_exps"),
+                            ("down_proj", "ffn_down_exps")):
+                shp = (E, J_FF) if hfk == "down_proj" else (J_FF, E)
+                stacked = np.stack([
+                    hf(p + f"feed_forward.experts.{j}.{hfk}.weight",
+                       rand(*shp)) for j in range(n_experts)])
+                w.add_tensor(o + gg + ".weight", stacked)
+        else:
+            w.add_tensor(o + "ffn_gate.weight",
+                         hf(p + "feed_forward.gate_proj.weight",
+                            rand(J_FF, E)))
+            w.add_tensor(o + "ffn_up.weight",
+                         hf(p + "feed_forward.up_proj.weight",
+                            rand(J_FF, E)))
+            w.add_tensor(o + "ffn_down.weight",
+                         hf(p + "feed_forward.down_proj.weight",
+                            rand(E, J_FF)))
     w.write()
     return path
 

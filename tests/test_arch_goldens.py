@@ -356,6 +356,119 @@ def test_mpt_matches_transformers(tmp_path):
     _compare(hm, path, decode_check=True)
 
 
+def _permute_llama_qk(w, n_head):
+    """llama.cpp's LlamaModel.permute for 'norm'-mode rope conversion."""
+    return (w.reshape(n_head, 2, w.shape[0] // n_head // 2, *w.shape[1:])
+            .swapaxes(1, 2).reshape(w.shape))
+
+
+def test_mixtral_matches_transformers(tmp_path):
+    """mixtral MoE: softmax -> top-k -> renormalize routing; llama-family
+    q/k permutation at export."""
+    from transformers import MixtralConfig, MixtralForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, X, K = 2, 4, 2
+    hc = MixtralConfig(vocab_size=len(vocab), hidden_size=E,
+                       num_hidden_layers=L, num_attention_heads=H,
+                       num_key_value_heads=HKV, intermediate_size=FF,
+                       num_local_experts=X, num_experts_per_tok=K,
+                       rms_norm_eps=1e-5, tie_word_embeddings=False,
+                       use_cache=False, rope_theta=10000.0,
+                       router_jitter_noise=0.0)
+    hm = MixtralForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "mixtral.gguf")
+    w, V = _gguf_header(path, "mixtral", HKV, D,
+                        extra=[("expert_count", X),
+                               ("expert_used_count", K),
+                               ("attention.layer_norm_rms_epsilon", 1e-5)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "attn_q.weight",
+                     _permute_llama_qk(_np(st, p + "self_attn.q_proj.weight"), H))
+        w.add_tensor(o + "attn_k.weight",
+                     _permute_llama_qk(_np(st, p + "self_attn.k_proj.weight"), HKV))
+        w.add_tensor(o + "attn_v.weight", _np(st, p + "self_attn.v_proj.weight"))
+        w.add_tensor(o + "attn_output.weight",
+                     _np(st, p + "self_attn.o_proj.weight"))
+        w.add_tensor(o + "ffn_gate_inp.weight",
+                     _np(st, p + "block_sparse_moe.gate.weight"))
+        for hfk, gg in (("w1", "ffn_gate_exps"), ("w3", "ffn_up_exps"),
+                        ("w2", "ffn_down_exps")):
+            stacked = np.stack([
+                _np(st, p + f"block_sparse_moe.experts.{j}.{hfk}.weight")
+                for j in range(X)])
+            w.add_tensor(o + gg + ".weight", stacked)
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_qwen3moe_matches_transformers(tmp_path):
+    """qwen3moe: per-head q/k RMS norms + ALWAYS-renormalized top-k
+    routing (the reference hardcodes norm_w=true for this arch)."""
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, X, K = 2, 4, 2
+    hc = Qwen3MoeConfig(vocab_size=len(vocab), hidden_size=E,
+                        num_hidden_layers=L, num_attention_heads=H,
+                        num_key_value_heads=HKV, head_dim=D,
+                        intermediate_size=FF, moe_intermediate_size=FF,
+                        num_experts=X, num_experts_per_tok=K,
+                        norm_topk_prob=True, decoder_sparse_step=1,
+                        mlp_only_layers=[], rms_norm_eps=1e-5,
+                        tie_word_embeddings=False, use_cache=False,
+                        rope_theta=10000.0)
+    hm = Qwen3MoeForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "qwen3moe.gguf")
+    w, V = _gguf_header(path, "qwen3moe", HKV, D,
+                        extra=[("expert_count", X),
+                               ("expert_used_count", K),
+                               ("attention.key_length", D),
+                               ("attention.layer_norm_rms_epsilon", 1e-5)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        for hfk, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                        ("v_proj", "attn_v"), ("o_proj", "attn_output")):
+            w.add_tensor(o + gg + ".weight",
+                         _np(st, p + f"self_attn.{hfk}.weight"))
+        w.add_tensor(o + "attn_q_norm.weight",
+                     _np(st, p + "self_attn.q_norm.weight"))
+        w.add_tensor(o + "attn_k_norm.weight",
+                     _np(st, p + "self_attn.k_norm.weight"))
+        w.add_tensor(o + "ffn_gate_inp.weight",
+                     _np(st, p + "mlp.gate.weight"))
+        for hfk, gg in (("gate_proj", "ffn_gate_exps"),
+                        ("up_proj", "ffn_up_exps"),
+                        ("down_proj", "ffn_down_exps")):
+            stacked = np.stack([
+                _np(st, p + f"mlp.experts.{j}.{hfk}.weight")
+                for j in range(X)])
+            w.add_tensor(o + gg + ".weight", stacked)
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
 def test_falcon_matches_transformers(tmp_path):
     from transformers import FalconConfig, FalconForCausalLM
     vocab, _, _ = build_vocab()

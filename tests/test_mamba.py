@@ -500,6 +500,50 @@ def test_jamba_multiturn_reuse(jamba_setup):
     assert fc.generated == f2.generated
 
 
+def test_jamba_moe_matches_transformers(tmp_path):
+    """Jamba with MoE FFN layers: softmax -> top-k routing WITHOUT
+    renormalization (HF JambaSparseMoeBlock semantics)."""
+    torch = pytest.importorskip("torch")
+    from transformers import JambaConfig, JambaForCausalLM
+
+    from .fixtures.make_tiny_mamba import (J_D_CONV, J_D_STATE, J_DT_RANK,
+                                           J_FF, J_N_EMBD, J_N_HEADS,
+                                           J_N_KV_HEADS, J_N_LAYERS,
+                                           write_tiny_jamba)
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(1)
+    X, K = 4, 2
+    hc = JambaConfig(vocab_size=len(vocab), hidden_size=J_N_EMBD,
+                     intermediate_size=J_FF, num_hidden_layers=J_N_LAYERS,
+                     num_attention_heads=J_N_HEADS,
+                     num_key_value_heads=J_N_KV_HEADS, attn_layer_period=2,
+                     attn_layer_offset=1, expert_layer_period=1,
+                     expert_layer_offset=0, num_experts=X,
+                     num_experts_per_tok=K, mamba_d_state=J_D_STATE,
+                     mamba_d_conv=J_D_CONV, mamba_expand=2,
+                     mamba_dt_rank=J_DT_RANK, use_cache=False,
+                     use_mamba_kernels=False, rms_norm_eps=1e-6,
+                     tie_word_embeddings=False, router_aux_loss_coef=0.0)
+    hm = JambaForCausalLM(hc).eval()
+    state = {k: v.detach().numpy() for k, v in hm.state_dict().items()}
+    state.setdefault("lm_head.weight", state["model.embed_tokens.weight"])
+    path = str(tmp_path / "tiny_jamba_moe.gguf")
+    write_tiny_jamba(path, state=state, n_experts=X, n_experts_used=K)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    assert cfg.expert_count == X and not cfg.expert_weights_norm
+
+    rng = np.random.default_rng(13)
+    T = 12
+    toks = rng.integers(3, cfg.vocab_size, (T,)).astype(np.int32)
+    with torch.no_grad():
+        ref = hm(torch.tensor(toks[None].astype(np.int64))).logits[0]
+    cache = init_rec_cache(cfg, 1, capacity=64, params=params)
+    logits, _ = rec_prefill_impl(params, cfg, jnp.asarray(toks), cache,
+                                 jnp.int32(0), jnp.int32(0), jnp.int32(T))
+    np.testing.assert_allclose(np.asarray(logits), ref[-1].numpy(),
+                               atol=3e-4, rtol=2e-3)
+
+
 def test_mamba_spec_decode_rejected(hf_setup):
     _, _, cfg, params, tok = hf_setup
     with pytest.raises(ValueError, match="speculative"):
