@@ -172,12 +172,13 @@ def load_model(
             "vocab=%d quantized=%s", cfg.arch, cfg.n_layers, cfg.n_embd,
             cfg.n_heads, cfg.n_kv_heads, cfg.n_ff, cfg.vocab_size, quantized)
 
-    gemma_norms = cfg.arch.startswith("gemma")
-
     def fetch(name: str, transpose) -> np.ndarray:
+        # NOTE: gemma GGUFs store RMSNorm weights in EFFECTIVE form —
+        # llama.cpp's converter adds the +1 (HF keeps (w_eff - 1)) and the
+        # runtime multiplies directly, so no adjustment happens here.
+        # (An earlier +1.0 here double-counted; caught by the gemma2
+        # transformers golden, tests/test_arch_goldens.py.)
         x = g.tensor_f32(name)
-        if gemma_norms and name.endswith("norm.weight") and x.ndim == 1:
-            x = x + 1.0  # gemma stores RMSNorm weights as (w - 1)
         if transpose == "3d" and x.ndim == 3:
             return np.swapaxes(x, 1, 2)  # (X, FF, E) -> (X, E, FF)
         return x.T if (transpose is True and x.ndim == 2) else x

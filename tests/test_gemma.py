@@ -43,21 +43,23 @@ def write_tiny_gemma(path, seed=0):
              np.array([3, 3, 3] + [1] * (VOCAB - 3), np.int32))
 
     w.add_tensor("token_embd.weight", rand(VOCAB, E))
-    w.add_tensor("output_norm.weight", np.zeros(E, np.float32))  # stored -1
+    # gemma GGUFs store EFFECTIVE norm weights (llama.cpp converter
+    # writes hf_w + 1); ones = identity norms
+    w.add_tensor("output_norm.weight", np.ones(E, np.float32))
     for i in range(LAYERS):
         p = f"blk.{i}."
-        w.add_tensor(p + "attn_norm.weight", np.zeros(E, np.float32))
+        w.add_tensor(p + "attn_norm.weight", np.ones(E, np.float32))
         w.add_tensor(p + "attn_q.weight", rand(HEADS * HEAD_DIM, E))
         w.add_tensor(p + "attn_k.weight", rand(KV_HEADS * HEAD_DIM, E))
         w.add_tensor(p + "attn_v.weight", rand(KV_HEADS * HEAD_DIM, E))
         w.add_tensor(p + "attn_output.weight", rand(E, HEADS * HEAD_DIM))
         w.add_tensor(p + "post_attention_norm.weight",
-                     np.zeros(E, np.float32))
-        w.add_tensor(p + "ffn_norm.weight", np.zeros(E, np.float32))
+                     np.ones(E, np.float32))
+        w.add_tensor(p + "ffn_norm.weight", np.ones(E, np.float32))
         w.add_tensor(p + "ffn_gate.weight", rand(FF, E))
         w.add_tensor(p + "ffn_up.weight", rand(FF, E))
         w.add_tensor(p + "ffn_down.weight", rand(E, FF))
-        w.add_tensor(p + "post_ffw_norm.weight", np.zeros(E, np.float32))
+        w.add_tensor(p + "post_ffw_norm.weight", np.ones(E, np.float32))
     w.write()
 
 
@@ -75,7 +77,7 @@ def test_gemma_config(gemma):
     assert cfg.swa_window == 8 and cfg.swa_pattern == 2
     assert abs(cfg.embd_scale - E ** 0.5) < 1e-6
     assert cfg.attn_softcap == 50.0 and cfg.logit_softcap == 30.0
-    # stored norm weights were -1-offset zeros -> loaded as ones
+    # effective norm weights load verbatim
     np.testing.assert_allclose(np.asarray(params["output_norm"]), 1.0)
     np.testing.assert_allclose(
         np.asarray(params["layers"]["attn_norm"][0]), 1.0)
