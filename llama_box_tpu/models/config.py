@@ -154,6 +154,8 @@ class ModelConfig:
             if scaling in ("linear", "yarn") else 1.0,
             rope_scaling_type=scaling,
             rope_orig_ctx=int(kv("rope.scaling.original_context_length", 0)),
+            yarn_attn_factor=float(kv("rope.scaling.attn_factor", 1.0)
+                                   or 1.0),
             rope_dim=int(kv("rope.dimension_count", 0)) or head_dim,
             rope_mode=("none" if arch in _NO_ROPE_ARCHS
                        else "neox" if (arch in _NEOX_ROPE_ARCHS

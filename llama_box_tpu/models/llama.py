@@ -76,19 +76,41 @@ def _kv_quantize(x):
     return q, scale.astype(jnp.bfloat16)
 
 
-def _rope_params(cfg: ModelConfig) -> RopeParams:
+def _rope_params(cfg: ModelConfig, max_pos: int = 0) -> RopeParams:
+    attn_factor = cfg.yarn_attn_factor
+    factors = ()
+    scaling_type = cfg.rope_scaling_type
+    if cfg.extra.get("rope_factors_short") \
+            or cfg.extra.get("rope_factors_long"):
+        # real GGUFs mark longrope by shipping the factor tensors (the
+        # reference detects them the same way, no scaling-type key)
+        scaling_type = "longrope"
+    if scaling_type == "longrope":
+        # phi3 LongRoPE: learned per-dim divisors (long when the runtime
+        # context exceeds the original training window, like the
+        # reference's build_rope_factors) + magnitude factor
+        # sqrt(1 + ln(scale)/ln(orig)) (llama.cpp load-time computation)
+        import math
+        orig = cfg.rope_orig_ctx or cfg.n_ctx_train
+        use_long = max_pos > orig
+        factors = tuple(cfg.extra.get(
+            "rope_factors_long" if use_long else "rope_factors_short", ()))
+        scale = cfg.n_ctx_train / max(orig, 1)
+        if attn_factor == 1.0 and scale > 1.0:
+            attn_factor = math.sqrt(1.0 + math.log(scale) / math.log(orig))
     return RopeParams(
         head_dim=cfg.head_dim,
         n_rot=cfg.rope_dim,
         freq_base=cfg.rope_freq_base,
         freq_scale=cfg.rope_freq_scale,
-        scaling_type=cfg.rope_scaling_type,
+        scaling_type=scaling_type,
         yarn_orig_ctx=cfg.rope_orig_ctx or cfg.n_ctx_train,
         yarn_ext_factor=cfg.yarn_ext_factor,
-        yarn_attn_factor=cfg.yarn_attn_factor,
+        yarn_attn_factor=attn_factor,
         yarn_beta_fast=cfg.yarn_beta_fast,
         yarn_beta_slow=cfg.yarn_beta_slow,
         mode=cfg.rope_mode,
+        freq_factors=factors,
     )
 
 
@@ -96,14 +118,14 @@ def make_rope(cfg: ModelConfig, max_pos: int):
     """(cos, sin) caches; for alternating-SWA archs with a distinct local
     rope base (gemma3) the caches are stacked [2, P, half]: index 0 =
     global layers, 1 = local layers."""
-    cos, sin = compute_rope_cache(_rope_params(cfg), max_pos)
+    cos, sin = compute_rope_cache(_rope_params(cfg, max_pos), max_pos)
     if cfg.nope_layer_step > 0:
         # llama4: global (nope) layers use the IDENTITY rotation — stack
         # [identity, rope] so the per-layer is_local select picks it
         return (jnp.stack([jnp.ones_like(cos), cos]),
                 jnp.stack([jnp.zeros_like(sin), sin]))
     if cfg.swa_pattern > 0 and cfg.rope_freq_base_swa > 0:
-        rp = _rope_params(cfg)
+        rp = _rope_params(cfg, max_pos)
         import dataclasses as _dc
         cos_l, sin_l = compute_rope_cache(
             _dc.replace(rp, freq_base=cfg.rope_freq_base_swa), max_pos)
@@ -149,7 +171,7 @@ def make_delta_rope(cfg: ModelConfig, max_pos: int):
             sin = sin / mscale
         return cos, sin
 
-    rp = _rope_params(cfg)
+    rp = _rope_params(cfg, max_pos)
     cos, sin = pure(rp)
     if cfg.nope_layer_step > 0:
         # llama4: nope layers (layer_select 0) must not rotate on shift

@@ -216,6 +216,14 @@ def load_model(
         sh = shard_fn(name, x.shape) if shard_fn else None
         return _to_device(x, dtype, sh)
 
+    # phi3 LongRoPE per-dim frequency factors (root tensors; make_rope
+    # picks long/short by the runtime context vs the original window)
+    for tname, key in (("rope_factors_long.weight", "rope_factors_long"),
+                       ("rope_factors_short.weight", "rope_factors_short")):
+        if tname in g.tensors:
+            cfg.extra[key] = tuple(
+                float(x) for x in g.tensor_f32(tname).reshape(-1))
+
     params: dict = {}
     params["tok_embd"] = put("tok_embd", fetch("token_embd.weight", False))
     if "position_embd.weight" in g.tensors:   # gpt2 learned positions
@@ -255,12 +263,32 @@ def load_model(
                         "bv": b[qd + kvd:qd + 2 * kvd]})
         return out
 
+    def split_gate_up(i: int) -> dict | None:
+        """phi3-style fused blk.N.ffn_up.weight ([E, 2*FF], gate columns
+        first — ggml SWIGLU split order) -> w_gate/w_up."""
+        name = f"blk.{i}.ffn_up.weight"
+        if (name not in g.tensors or not cfg.ffn_gated or cfg.n_ff <= 0
+                or f"blk.{i}.ffn_gate.weight" in g.tensors):
+            return None
+        out_dim = g.tensors[name].shape[0]
+        if out_dim != 2 * cfg.n_ff:
+            return None
+        w = fetch(name, True)   # [E, 2*FF]
+        return {"w_gate": w[:, :cfg.n_ff], "w_up": w[:, cfg.n_ff:]}
+
     layers: dict[str, list] = {k: [] for k in _LAYER_WEIGHTS}
     optional_missing = set()
+    fused_gu_layers = set()
     for i in range(cfg.n_layers):
         fused = split_qkv(i)
+        gu = split_gate_up(i)
+        if gu is not None:
+            fused_gu_layers.add(i)
         for key, (pattern, transpose) in _LAYER_WEIGHTS.items():
             name = pattern.format(i=i)
+            if gu and key in gu:
+                layers[key].append(gu[key])
+                continue
             if name not in g.tensors:
                 if fused and key in fused:
                     layers[key].append(fused[key])
@@ -286,6 +314,10 @@ def load_model(
     for i in range(cfg.n_layers):
         for key, (pattern, transpose) in list(_LAYER_WEIGHTS.items()) \
                 + list(_LAYER_OPTIONAL.items()):
+            if i in fused_gu_layers and key in ("w_gate", "w_up"):
+                per_layer[i][key] = layers[key][counters[key]]
+                counters[key] += 1
+                continue
             name = pattern.format(i=i)
             if name in g.tensors:
                 per_layer[i][key] = layers[key][counters[key]]

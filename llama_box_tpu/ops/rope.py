@@ -23,13 +23,15 @@ class RopeParams:
     n_rot: int = 0  # rotated dims; 0 => head_dim
     freq_base: float = 10000.0
     freq_scale: float = 1.0  # linear scaling: positions * freq_scale
-    scaling_type: str = "none"  # none | linear | yarn
+    scaling_type: str = "none"  # none | linear | yarn | longrope
     yarn_orig_ctx: int = 0
     yarn_ext_factor: float = -1.0
     yarn_attn_factor: float = 1.0
     yarn_beta_fast: float = 32.0
     yarn_beta_slow: float = 1.0
     mode: str = "norm"  # norm | neox
+    # longrope (phi3 su-scaling): per-half-dim frequency divisors
+    freq_factors: tuple = ()
 
     @property
     def rot_dim(self) -> int:
@@ -53,7 +55,14 @@ def compute_rope_cache(params: RopeParams, max_pos: int):
 
     mscale = 1.0
     freq_scale = params.freq_scale
-    if params.scaling_type == "yarn" and params.yarn_orig_ctx > 0 and freq_scale != 1.0:
+    if params.scaling_type == "longrope" and params.freq_factors:
+        # phi3 LongRoPE: per-dim learned frequency divisors + a magnitude
+        # factor carried in yarn_attn_factor (the caller computes
+        # sqrt(1 + ln(scale)/ln(orig)) like the reference)
+        inv_freq = inv_freq / np.asarray(params.freq_factors,
+                                         np.float64)[:half]
+        mscale = params.yarn_attn_factor
+    elif params.scaling_type == "yarn" and params.yarn_orig_ctx > 0 and freq_scale != 1.0:
         # YaRN: interpolate between scaled (low-freq) and original (high-freq)
         lo = _yarn_find_correction_dim(params.rot_dim, params.freq_base,
                                        params.yarn_orig_ctx, params.yarn_beta_fast)

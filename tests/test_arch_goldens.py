@@ -592,6 +592,171 @@ def test_olmo2_matches_transformers(tmp_path):
     _compare(hm, path, decode_check=True)
 
 
+def test_phi3_longrope_matches_transformers(tmp_path):
+    """phi3: fused qkv + fused gate|up (SWIGLU order), LongRoPE per-dim
+    frequency factors with the sqrt(1+ln(scale)/ln(orig)) magnitude —
+    the test context exceeds the original window so the LONG factors and
+    the magnitude scale are both exercised."""
+    from transformers import Phi3Config, Phi3ForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    ORIG, MAXP = 8, 64
+    rng = np.random.default_rng(0)
+    long_f = (1.0 + rng.uniform(0.5, 3.0, D // 2)).round(3).tolist()
+    short_f = (1.0 + rng.uniform(0.0, 0.3, D // 2)).round(3).tolist()
+    hc = Phi3Config(vocab_size=len(vocab), hidden_size=E,
+                    num_hidden_layers=L, num_attention_heads=H,
+                    num_key_value_heads=HKV, intermediate_size=FF,
+                    rms_norm_eps=1e-5, use_cache=False,
+                    rope_theta=10000.0, tie_word_embeddings=False,
+                    max_position_embeddings=MAXP,
+                    original_max_position_embeddings=ORIG,
+                    pad_token_id=0, bos_token_id=1, eos_token_id=2,
+                    rope_scaling={"type": "longrope",
+                                  "long_factor": long_f,
+                                  "short_factor": short_f})
+    hm = Phi3ForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "phi3.gguf")
+    w, V = _gguf_header(path, "phi3", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("rope.scaling.original_context_length",
+                                ORIG)])
+    w.add_tensor("rope_factors_long.weight",
+                 np.asarray(long_f, np.float32))
+    w.add_tensor("rope_factors_short.weight",
+                 np.asarray(short_f, np.float32))
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "attn_qkv.weight",
+                     _np(st, p + "self_attn.qkv_proj.weight"))
+        w.add_tensor(o + "attn_output.weight",
+                     _np(st, p + "self_attn.o_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight",
+                     _np(st, p + "mlp.gate_up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+
+    # context_length (=256 from the header) > ORIG -> the engine/rope
+    # builds with the LONG factors; transformers switches dynamically by
+    # seq_len, so drive past ORIG tokens to compare in long mode
+    cfg, params = load_model(path, dtype=jnp.float32)
+    assert cfg.extra.get("rope_factors_long")
+    rng2 = np.random.default_rng(4)
+    T = 12            # > ORIG: HF uses long factors for the whole pass
+    toks = rng2.integers(3, cfg.vocab_size, (T,)).astype(np.int32)
+    with torch.no_grad():
+        ref = hm(torch.tensor(toks[None].astype(np.int64))).logits[0]
+    kv = init_kv_cache(cfg, 1, 64, jnp.float32)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = prefill_impl(params, cfg, jnp.asarray(toks), kv,
+                             jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                             cos, sin)
+    np.testing.assert_allclose(np.asarray(logits), ref[-1].numpy(),
+                               atol=3e-3, rtol=5e-3)
+
+
+def test_deepseek2_mla_matches_transformers(tmp_path):
+    """deepseek2 MLA (low-rank q/kv, decoupled rope head, dense+MoE layer
+    groups, shared expert): logits match transformers DeepseekV2. The
+    rope-slice channels are permuted interleaved->half at export exactly
+    like llama.cpp's converter."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+    vocab, _, _ = build_vocab()
+    V = len(vocab)
+    torch.manual_seed(0)
+    QLORA, KVLORA, ROPE, NOPE, VD, FFD = 32, 32, 8, 16, 24, 96
+    X, K = 4, 2
+    hc = DeepseekV2Config(
+        vocab_size=V, hidden_size=E, num_hidden_layers=L,
+        num_attention_heads=H, num_key_value_heads=H,
+        q_lora_rank=QLORA, kv_lora_rank=KVLORA,
+        qk_rope_head_dim=ROPE, qk_nope_head_dim=NOPE, v_head_dim=VD,
+        intermediate_size=FFD, moe_intermediate_size=FFD // 2,
+        n_routed_experts=X, num_experts_per_tok=K, n_shared_experts=1,
+        first_k_dense_replace=1, moe_layer_freq=1, n_group=1, topk_group=1,
+        topk_method="greedy", norm_topk_prob=False,
+        routed_scaling_factor=1.0, rms_norm_eps=1e-5, use_cache=False,
+        rope_theta=10000.0, tie_word_embeddings=False, attention_bias=False)
+    hm = DeepseekV2ForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    idx = np.concatenate([np.arange(0, ROPE, 2), np.arange(1, ROPE, 2)])
+    path = str(tmp_path / "ds2.gguf")
+    w, _ = _gguf_header(path, "deepseek2", H, ROPE, ff=FFD,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("attention.q_lora_rank", QLORA),
+                               ("attention.kv_lora_rank", KVLORA),
+                               ("attention.key_length", NOPE + ROPE),
+                               ("attention.value_length", VD),
+                               ("expert_count", X),
+                               ("expert_used_count", K),
+                               ("expert_weights_scale", 1.0),
+                               ("expert_shared_count", 1)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        qb = _np(st, p + "self_attn.q_b_proj.weight") \
+            .reshape(H, NOPE + ROPE, QLORA).copy()
+        qb[:, NOPE:] = qb[:, NOPE:][:, idx]
+        kva = _np(st, p + "self_attn.kv_a_proj_with_mqa.weight").copy()
+        kva[KVLORA:] = kva[KVLORA:][idx]
+        w.add_tensor(o + "attn_q_a.weight",
+                     _np(st, p + "self_attn.q_a_proj.weight"))
+        w.add_tensor(o + "attn_q_a_norm.weight",
+                     _np(st, p + "self_attn.q_a_layernorm.weight"))
+        w.add_tensor(o + "attn_q_b.weight",
+                     qb.reshape(H * (NOPE + ROPE), QLORA))
+        w.add_tensor(o + "attn_kv_a_mqa.weight", kva)
+        w.add_tensor(o + "attn_kv_a_norm.weight",
+                     _np(st, p + "self_attn.kv_a_layernorm.weight"))
+        w.add_tensor(o + "attn_kv_b.weight",
+                     _np(st, p + "self_attn.kv_b_proj.weight"))
+        w.add_tensor(o + "attn_output.weight",
+                     _np(st, p + "self_attn.o_proj.weight"))
+        if i == 0:
+            w.add_tensor(o + "ffn_gate.weight",
+                         _np(st, p + "mlp.gate_proj.weight"))
+            w.add_tensor(o + "ffn_up.weight",
+                         _np(st, p + "mlp.up_proj.weight"))
+            w.add_tensor(o + "ffn_down.weight",
+                         _np(st, p + "mlp.down_proj.weight"))
+        else:
+            w.add_tensor(o + "ffn_gate_inp.weight",
+                         _np(st, p + "mlp.gate.weight"))
+            for hfk, gg in (("gate_proj", "ffn_gate_exps"),
+                            ("up_proj", "ffn_up_exps"),
+                            ("down_proj", "ffn_down_exps")):
+                w.add_tensor(o + gg + ".weight", np.stack([
+                    _np(st, p + f"mlp.experts.{j}.{hfk}.weight")
+                    for j in range(X)]))
+            for hfk, gg in (("gate_proj", "ffn_gate_shexp"),
+                            ("up_proj", "ffn_up_shexp"),
+                            ("down_proj", "ffn_down_shexp")):
+                w.add_tensor(o + gg + ".weight",
+                             _np(st, p + f"mlp.shared_experts.{hfk}.weight"))
+    w.write()
+    _compare(hm, path, atol=5e-4, decode_check=True)
+
+
 def _permute_llama_qk(w, n_head):
     """llama.cpp's LlamaModel.permute for 'norm'-mode rope conversion."""
     return (w.reshape(n_head, 2, w.shape[0] // n_head // 2, *w.shape[1:])
