@@ -592,6 +592,169 @@ def test_olmo2_matches_transformers(tmp_path):
     _compare(hm, path, decode_check=True)
 
 
+def test_nemotron_matches_transformers(tmp_path):
+    """nemotron: LayerNorm1P (effective weight = 1+w, stored effective in
+    GGUF like gemma), squared-ReLU ungated FFN, partial neox rotary."""
+    from transformers import NemotronConfig, NemotronForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = NemotronConfig(vocab_size=len(vocab), hidden_size=E,
+                        num_hidden_layers=L, num_attention_heads=H,
+                        num_key_value_heads=HKV, intermediate_size=FF,
+                        partial_rotary_factor=0.5, norm_eps=1e-5,
+                        use_cache=False, rope_theta=10000.0,
+                        tie_word_embeddings=False)
+    hm = NemotronForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "nemotron.gguf")
+    w, V = _gguf_header(path, "nemotron", HKV, D // 2)
+
+    def w1(key):   # llama.cpp stores nemotron norm weights as (hf + 1)
+        return _np(st, key) + 1.0
+
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", w1("model.norm.weight"))
+    w.add_tensor("output_norm.bias", _np(st, "model.norm.bias"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", w1(p + "input_layernorm.weight"))
+        w.add_tensor(o + "attn_norm.bias", _np(st, p + "input_layernorm.bias"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     w1(p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.bias",
+                     _np(st, p + "post_attention_layernorm.bias"))
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_olmoe_matches_transformers(tmp_path):
+    """olmoe: whole-row q/k RMS norms + every-layer MoE without top-k
+    renormalization."""
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, X, K = 2, 4, 2
+    hc = OlmoeConfig(vocab_size=len(vocab), hidden_size=E,
+                     num_hidden_layers=L, num_attention_heads=H,
+                     num_key_value_heads=HKV, intermediate_size=E,
+                     num_experts=X, num_experts_per_tok=K,
+                     norm_topk_prob=False, rms_norm_eps=1e-5,
+                     use_cache=False, rope_theta=10000.0,
+                     tie_word_embeddings=False)
+    hm = OlmoeForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "olmoe.gguf")
+    w, V = _gguf_header(path, "olmoe", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("expert_count", X),
+                               ("expert_used_count", K)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "attn_q_norm.weight",
+                     _np(st, p + "self_attn.q_norm.weight"))
+        w.add_tensor(o + "attn_k_norm.weight",
+                     _np(st, p + "self_attn.k_norm.weight"))
+        w.add_tensor(o + "ffn_gate_inp.weight", _np(st, p + "mlp.gate.weight"))
+        for hfk, gg in (("gate_proj", "ffn_gate_exps"),
+                        ("up_proj", "ffn_up_exps"),
+                        ("down_proj", "ffn_down_exps")):
+            w.add_tensor(o + gg + ".weight", np.stack([
+                _np(st, p + f"mlp.experts.{j}.{hfk}.weight")
+                for j in range(X)]))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_gemma3_text_matches_transformers(tmp_path):
+    """gemma3 (text): per-head q/k norms, dual rope bases (local layers at
+    their own base), sandwich norms, 5-local:1-global SWA pattern."""
+    from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = Gemma3TextConfig(vocab_size=len(vocab), hidden_size=E,
+                          num_hidden_layers=L, num_attention_heads=H,
+                          num_key_value_heads=HKV, head_dim=D,
+                          intermediate_size=FF, rms_norm_eps=1e-5,
+                          use_cache=False, rope_theta=50000.0,
+                          rope_local_base_freq=10000.0,
+                          query_pre_attn_scalar=D, sliding_window=8,
+                          sliding_window_pattern=2, rope_scaling=None,
+                          tie_word_embeddings=True,
+                          max_position_embeddings=256)
+    hm = Gemma3ForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "gemma3.gguf")
+    w, V = _gguf_header(path, "gemma3", HKV, D,
+                        extra=[("attention.key_length", D),
+                               ("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("attention.sliding_window", 8),
+                               ("attention.sliding_window_pattern", 2),
+                               ("rope.local_freq_base", 10000.0)])
+
+    def m1(key):   # gemma GGUFs store EFFECTIVE norm weights (hf_w + 1)
+        return _np(st, key) + 1.0
+
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", m1("model.norm.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", m1(p + "input_layernorm.weight"))
+        w.add_tensor(o + "post_attention_norm.weight",
+                     m1(p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     m1(p + "pre_feedforward_layernorm.weight"))
+        w.add_tensor(o + "post_ffw_norm.weight",
+                     m1(p + "post_feedforward_layernorm.weight"))
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "attn_q_norm.weight",
+                     m1(p + "self_attn.q_norm.weight"))
+        w.add_tensor(o + "attn_k_norm.weight",
+                     m1(p + "self_attn.k_norm.weight"))
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    # overwrite the default rope base with gemma3's global base
+    cfg, params = load_model(path, dtype=jnp.float32,
+                             metadata_overrides={"gemma3.rope.freq_base":
+                                                 50000.0})
+    rng = np.random.default_rng(6)
+    T = 12
+    toks = rng.integers(3, cfg.vocab_size, (T,)).astype(np.int32)
+    with torch.no_grad():
+        ref = hm(torch.tensor(toks[None].astype(np.int64))).logits[0]
+    kv = init_kv_cache(cfg, 1, 64, jnp.float32)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = prefill_impl(params, cfg, jnp.asarray(toks), kv,
+                             jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                             cos, sin)
+    np.testing.assert_allclose(np.asarray(logits), ref[-1].numpy(),
+                               atol=3e-3, rtol=5e-3)
+
+
 def test_phi3_longrope_matches_transformers(tmp_path):
     """phi3: fused qkv + fused gate|up (SWIGLU order), LongRoPE per-dim
     frequency factors with the sqrt(1+ln(scale)/ln(orig)) magnitude —
