@@ -34,7 +34,10 @@ class ClipConfig:
     eps: float = 1e-5
     projector: str = "mlp"
     use_silu: bool = False
-    use_gelu_quick: bool = False
+    # llama.cpp clip semantics: clip.use_gelu=true -> (tanh) GELU;
+    # otherwise the CLIP-default QUICK gelu (x * sigmoid(1.702x))
+    use_gelu: bool = False
+    use_gelu_quick: bool = True
     has_class_embd: bool = True
     image_mean: tuple = (0.48145466, 0.4578275, 0.40821073)
     image_std: tuple = (0.26862954, 0.26130258, 0.27577711)
@@ -72,7 +75,8 @@ def load_clip(path: str, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
         eps=float(kv("attention.layer_norm_epsilon", 1e-5)),
         projector=proj,
         use_silu=bool(md.get("clip.use_silu", False)),
-        use_gelu_quick=bool(md.get("clip.use_gelu", False)),
+        use_gelu=bool(md.get("clip.use_gelu", False)),
+        use_gelu_quick=not bool(md.get("clip.use_gelu", False)),
         has_class_embd="v.class_embd" in g.tensors,
         image_mean=tuple(np.asarray(kv("image_mean",
                                        (0.48145466, 0.4578275, 0.40821073)))
