@@ -60,39 +60,58 @@ def decode_wav(data: bytes) -> np.ndarray:
 
 
 def _mel_filterbank(n_mels: int) -> np.ndarray:
-    """[n_mels, n_fft//2+1] slaney-style mel filter matrix (whisper's)."""
+    """[n_mels, n_fft//2+1] whisper's exact mel filter matrix: SLANEY mel
+    scale (linear below 1 kHz, log above) with slaney area normalization,
+    continuous triangles on the fft bin frequencies (golden-checked
+    against transformers WhisperFeatureExtractor — an earlier HTK-scale
+    unnormalized bank deviated badly)."""
     def hz_to_mel(f):
-        return 2595.0 * np.log10(1.0 + f / 700.0)
+        f = np.asarray(f, np.float64)
+        m = 3.0 * f / 200.0
+        logstep = 27.0 / np.log(6.4)
+        return np.where(f >= 1000.0,
+                        15.0 + np.log(np.maximum(f, 1e-9) / 1000.0)
+                        * logstep, m)
 
     def mel_to_hz(m):
-        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+        m = np.asarray(m, np.float64)
+        f = 200.0 * m / 3.0
+        logstep = np.log(6.4) / 27.0
+        return np.where(m >= 15.0, 1000.0 * np.exp(logstep * (m - 15.0)),
+                        f)
 
     n_freqs = N_FFT // 2 + 1
-    fmax = SAMPLE_RATE / 2
-    mels = np.linspace(hz_to_mel(0), hz_to_mel(fmax), n_mels + 2)
-    freqs = mel_to_hz(mels)
-    bins = np.floor((N_FFT + 1) * freqs / SAMPLE_RATE).astype(int)
-    fb = np.zeros((n_mels, n_freqs), np.float32)
-    for m in range(1, n_mels + 1):
-        lo, c, hi = bins[m - 1], bins[m], bins[m + 1]
-        for k in range(lo, c):
-            if c > lo:
-                fb[m - 1, k] = (k - lo) / (c - lo)
-        for k in range(c, hi):
-            if hi > c:
-                fb[m - 1, k] = (hi - k) / (hi - c)
-    return fb
+    fft_freqs = np.linspace(0.0, SAMPLE_RATE / 2.0, n_freqs)
+    mels = np.linspace(hz_to_mel(0.0), hz_to_mel(SAMPLE_RATE / 2.0),
+                       n_mels + 2)
+    f_pts = mel_to_hz(mels)
+    fdiff = np.diff(f_pts)
+    slopes = f_pts[None, :] - fft_freqs[:, None]    # [n_freqs, n_mels+2]
+    down = -slopes[:, :-2] / fdiff[:-1]
+    up = slopes[:, 2:] / fdiff[1:]
+    fb = np.maximum(0.0, np.minimum(down, up))      # [n_freqs, n_mels]
+    enorm = 2.0 / (f_pts[2:n_mels + 2] - f_pts[:n_mels])
+    fb = fb * enorm[None, :]
+    return fb.T.astype(np.float32)
 
 
 def log_mel_spectrogram(wav: np.ndarray, n_mels: int = 80) -> np.ndarray:
-    """[T_frames, n_mels] log-mel features (whisper normalization)."""
-    window = np.hanning(N_FFT).astype(np.float32)
-    n_frames = 1 + max(0, (len(wav) - N_FFT)) // HOP
-    if n_frames < 1:
-        wav = np.pad(wav, (0, N_FFT - len(wav)))
-        n_frames = 1
-    frames = np.stack([wav[i * HOP:i * HOP + N_FFT] for i in range(n_frames)])
+    """[T_frames, n_mels] log-mel features — whisper's exact frontend:
+    periodic Hann window, CENTERED frames (reflect padding n_fft/2), the
+    trailing frame dropped, log10 clamp to (max - 8), (x+4)/4 scaling.
+    Golden-checked against transformers WhisperFeatureExtractor."""
+    n = np.arange(N_FFT)
+    window = (0.5 * (1.0 - np.cos(2.0 * np.pi * n / N_FFT))) \
+        .astype(np.float32)                      # periodic hann
+    pad = N_FFT // 2
+    if len(wav) < 1:
+        wav = np.zeros(HOP, np.float32)
+    wav = np.pad(wav, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(wav) - N_FFT) // HOP
+    frames = np.stack([wav[i * HOP:i * HOP + N_FFT]
+                       for i in range(n_frames)])
     spec = np.abs(np.fft.rfft(frames * window, axis=1)) ** 2
+    spec = spec[:-1]                             # whisper drops the tail
     mel = spec @ _mel_filterbank(n_mels).T
     logmel = np.log10(np.maximum(mel, 1e-10))
     logmel = np.maximum(logmel, logmel.max() - 8.0)
