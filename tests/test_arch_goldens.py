@@ -592,6 +592,51 @@ def test_olmo2_matches_transformers(tmp_path):
     _compare(hm, path, decode_check=True)
 
 
+def test_glm4_matches_transformers(tmp_path):
+    """glm4: four-norm sandwich blocks, interleaved partial rotary
+    (adjacent-pair "norm" mode), fused gate|up, qkv biases."""
+    from transformers import Glm4Config, Glm4ForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = Glm4Config(vocab_size=len(vocab), hidden_size=E,
+                    num_hidden_layers=L, num_attention_heads=H,
+                    num_key_value_heads=HKV, head_dim=D,
+                    intermediate_size=FF, partial_rotary_factor=0.5,
+                    rms_norm_eps=1e-5, use_cache=False,
+                    rope_theta=10000.0, attention_bias=True,
+                    pad_token_id=0, eos_token_id=2,
+                    tie_word_embeddings=False)
+    hm = Glm4ForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "glm4.gguf")
+    w, V = _gguf_header(path, "glm4", HKV, D // 2,
+                        extra=[("attention.key_length", D),
+                               ("attention.layer_norm_rms_epsilon", 1e-5)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "post_attention_norm.weight",
+                     _np(st, p + "post_self_attn_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "post_ffw_norm.weight",
+                     _np(st, p + "post_mlp_layernorm.weight"))
+        _qkvo(w, st, p, o, bias=True)
+        w.add_tensor(o + "ffn_up.weight",
+                     _np(st, p + "mlp.gate_up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
 def test_nemotron_matches_transformers(tmp_path):
     """nemotron: LayerNorm1P (effective weight = 1+w, stored effective in
     GGUF like gemma), squared-ReLU ungated FFN, partial neox rotary."""
