@@ -33,6 +33,7 @@ _NEOX_ROPE_ARCHS = {
     "qwen2", "qwen2moe", "qwen3", "qwen3moe", "falcon", "gemma", "gemma2",
     "gemma3", "phi2", "phi3", "stablelm", "gptneox", "starcoder2", "olmo2",
     "internlm2", "deepseek2", "minicpm3", "smollm3", "nemotron", "olmoe",
+    "bamba", "granitehybrid",
 }
 
 

@@ -80,6 +80,17 @@ def _count_layers(params) -> tuple[int, int]:
     return nr, na
 
 
+def _ssm_style(gp_or_params, cfg: ModelConfig) -> bool:
+    """True when the mixer is mamba2/SSD-style (per-head scalar A —
+    stacked ssm_a is 2D [L, nh]; mamba1 keeps [L, di, ds])."""
+    src = gp_or_params.get("layers", gp_or_params) \
+        if isinstance(gp_or_params, dict) else gp_or_params
+    a = src.get("ssm_a")
+    if a is not None:
+        return a.ndim == 2
+    return cfg.arch == "mamba2"
+
+
 def init_rec_cache(cfg: ModelConfig, n_slots: int, capacity: int = 0,
                    params=None, dtype=jnp.float32) -> RecCache:
     dc, di, ds = cfg.ssm_d_conv, cfg.ssm_d_inner, cfg.ssm_d_state
@@ -92,18 +103,30 @@ def init_rec_cache(cfg: ModelConfig, n_slots: int, capacity: int = 0,
         D = cfg.head_dim
         k = jnp.zeros((La, n_slots, capacity, cfg.n_kv_heads, D), dtype)
         v = jnp.zeros_like(k)
-    if cfg.arch == "mamba2":
-        # conv runs over x|B|C; the SSM state is per-head outer products
-        ng = max(cfg.ssm_n_group, 1)
-        nh = cfg.ssm_dt_rank           # mamba2: time_step_rank = n_heads
+    # derive the mixer geometry from the loaded tensors when available
+    # (hybrid archs like bamba/granitehybrid carry mamba2 mixers under
+    # their own arch name); fall back to hparams
+    conv_dim = di
+    mamba2 = cfg.arch == "mamba2"
+    nh = cfg.ssm_dt_rank
+    if params is not None:
+        for gp in (params.get("layer_groups") or [params["layers"]]):
+            if "ssm_in" in gp:
+                conv_dim = gp["ssm_conv_w"].shape[-2]
+                mamba2 = gp["ssm_a"].ndim == 2
+                if mamba2:
+                    nh = gp["ssm_a"].shape[-1]
+                break
+    elif mamba2:
+        conv_dim = di + 2 * max(cfg.ssm_n_group, 1) * ds
+    if mamba2:
         hd = di // nh
-        conv_dim = di + 2 * ng * ds
         return RecCache(
             conv=jnp.zeros((Lr, n_slots, dc - 1, conv_dim), jnp.float32),
             ssm=jnp.zeros((Lr, n_slots, nh, hd, ds), jnp.float32),
             k=k, v=v)
     return RecCache(
-        conv=jnp.zeros((Lr, n_slots, dc - 1, di), jnp.float32),
+        conv=jnp.zeros((Lr, n_slots, dc - 1, conv_dim), jnp.float32),
         ssm=jnp.zeros((Lr, n_slots, di, ds), jnp.float32), k=k, v=v)
 
 
@@ -205,8 +228,10 @@ def _mixer2(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
     S, T, _ = r.shape
     di = cfg.ssm_d_inner
     ds = cfg.ssm_d_state
-    ng = max(cfg.ssm_n_group, 1)
-    nh = cfg.ssm_dt_rank
+    # geometry from the tensors (robust across hybrid arch names)
+    nh = lp["ssm_a"].shape[-1]
+    conv_dim = lp["ssm_conv_w"].shape[-2]
+    ng = max((conv_dim - di) // (2 * ds), 1)
     hd = di // nh
 
     zxbcdt = mm(r, lp["ssm_in"])        # [S, T, 2*di + 2*ng*ds + nh]
@@ -266,18 +291,20 @@ def _rec_layer(lp, x, conv0, ssm0, seq_lens, cfg: ModelConfig, mixer):
 
 
 def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens,
-                   positions=None):
+                   positions=None, rope_cos=None, rope_sin=None):
     """Scan the layer stack; returns (hidden [S,T,E], new cache).
 
     Pure-recurrent models scan one homogeneous group. Hybrid models
-    (jamba: interleaved attention layers — the reference serves these
-    through the same llama.cpp graphs) alternate: recurrent groups scan
-    with their state slices, attention groups run the standard deferred
-    attention layer (rope mode "none") against their KV slices, and all
-    attention rows scatter into the cache in one fused write."""
-    mixer = _mixer2 if cfg.arch == "mamba2" else _mixer
+    alternate: recurrent groups scan with their state slices (mixer style
+    per GROUP — mamba1 vs mamba2/SSD detected from the tensors, so
+    bamba/granitehybrid-class models work under their own arch names),
+    attention groups run the standard deferred attention layer (with the
+    arch's real rope: none for jamba, rotary for bamba) against their KV
+    slices, and all attention rows scatter in one fused write."""
     groups = params.get("layer_groups")
     if groups is None:
+        mixer = _mixer2 if _ssm_style(params, cfg) else _mixer
+
         def body(x, inp):
             lp, conv0, ssm0 = inp
             return _rec_layer(lp, x, conv0, ssm0, seq_lens, cfg, mixer)
@@ -290,14 +317,17 @@ def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens,
     T = x.shape[1]
     C = cache.k.shape[2]
     mask = _build_mask(cfg, positions, seq_lens, T, C)
-    cos0 = sin0 = jnp.zeros((1, 1), jnp.float32)
+    if rope_cos is None or rope_cos.ndim < 2:
+        rope_cos = rope_sin = jnp.zeros((1, 1), jnp.float32)
     o_r = o_a = 0
     conv_parts, ssm_parts, k_rows, v_rows = [], [], [], []
     for gp in groups:
         lead = next(iter(gp.values()))
         n = lead.qs.shape[0] if hasattr(lead, "qs") else lead.shape[0]
         if "ssm_in" in gp:
-            def body(x, inp):
+            mixer = _mixer2 if _ssm_style(gp, cfg) else _mixer
+
+            def body(x, inp, mixer=mixer):
                 lp, conv0, ssm0 = inp
                 return _rec_layer(lp, x, conv0, ssm0, seq_lens, cfg, mixer)
 
@@ -311,7 +341,7 @@ def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens,
             def abody(x, inp):
                 lp, k_c, v_c = inp
                 return _attn_layer(x, lp, positions, k_c, v_c, mask, cfg,
-                                   cos0, sin0, deferred_kv=True)
+                                   rope_cos, rope_sin, deferred_kv=True)
 
             x, rows = jax.lax.scan(
                 abody, x, (gp, cache.k[o_a:o_a + n],
@@ -355,7 +385,9 @@ def rec_prefill_impl(params, cfg: ModelConfig, tokens, cache: RecCache,
     rope/attn_len args accepted and ignored — state IS the history;
     hybrid models use pos_base for their attention layers' KV writes).
     Returns (last-valid-token logits [V], new cache)."""
-    del rope_cos, rope_sin, mrope_pos, attn_len
+    del mrope_pos, attn_len
+    if rope_cos is not None and rope_cos.ndim < 2:
+        rope_cos = rope_sin = None
     T = tokens.shape[0]
     x = _embed(params, cfg, tokens[None, :])               # [1, T, E]
 
@@ -369,7 +401,8 @@ def rec_prefill_impl(params, cfg: ModelConfig, tokens, cache: RecCache,
     offs = jnp.arange(T, dtype=jnp.int32)
     C = cache.capacity if cache.k is not None else (1 << 30)
     positions = jnp.where(offs < n_valid, pos_base + offs, C)[None, :]
-    x, new = _run_rec_stack(params, cfg, x, view, seq_lens, positions)
+    x, new = _run_rec_stack(params, cfg, x, view, seq_lens, positions,
+                            rope_cos, rope_sin)
     last = jnp.maximum(n_valid - 1, 0)
     logits = _rec_logits(params, cfg,
                          jax.lax.dynamic_slice_in_dim(x[0], last, 1, 0))[0]
@@ -395,14 +428,17 @@ def rec_prefill_batch_impl(params, cfg: ModelConfig, tokens, pos_base,
     """Batched prefill: one chunk per slot in one program. Rows with
     n_valid == 0 pass their states through untouched (identity masking).
     Returns (last-token logits [S, V], new cache)."""
-    del rope_cos, rope_sin, attn_len
+    del attn_len
+    if rope_cos is not None and rope_cos.ndim < 2:
+        rope_cos = rope_sin = None
     x = _embed(params, cfg, tokens)                        # [S, T, E]
     T = tokens.shape[1]
     offs = jnp.arange(T, dtype=jnp.int32)[None, :]
     C = cache.capacity if cache.k is not None else (1 << 30)
     positions = jnp.where(offs < n_valid[:, None], pos_base[:, None] + offs,
                           C)
-    x, cache = _run_rec_stack(params, cfg, x, cache, n_valid, positions)
+    x, cache = _run_rec_stack(params, cfg, x, cache, n_valid, positions,
+                              rope_cos, rope_sin)
     last = jnp.maximum(n_valid - 1, 0)
     x_last = jnp.take_along_axis(
         x, last[:, None, None].astype(jnp.int32).repeat(x.shape[-1], 2),
@@ -425,18 +461,22 @@ def rec_decode_verify_sample(params, cfg: ModelConfig, tokens, positions,
     engine's _decode_verify_sample; speculative verify is gated off for
     recurrent models, so n_draft is always 0)."""
     return _rec_decode_one(params, cfg, tokens, positions, cache,
-                           fwd_active, samp_active, sstate, arrs)
+                           fwd_active, samp_active, sstate, arrs,
+                           rope_cos, rope_sin)
 
 
 @partial(jax.jit, static_argnames=("cfg",),
          donate_argnames=("cache", "sstate"))
 def _rec_decode_one(params, cfg: ModelConfig, tokens, positions, cache,
-                    fwd_active, samp_active, sstate, arrs):
+                    fwd_active, samp_active, sstate, arrs,
+                    rope_cos=None, rope_sin=None):
     from ..sampling import verify_impl
+    if rope_cos is not None and rope_cos.ndim < 2:
+        rope_cos = rope_sin = None
     seq_lens = jnp.where(fwd_active, 1, 0)
     x = _embed(params, cfg, tokens[:, :1])                 # [S, 1, E]
     x, cache = _run_rec_stack(params, cfg, x, cache, seq_lens,
-                              positions[:, :1])
+                              positions[:, :1], rope_cos, rope_sin)
     logits = _rec_logits(params, cfg, x[:, 0])[:, None]    # [S, 1, V]
     zero = jnp.zeros_like(seq_lens)
     toks, n_emitted, ids, probs, tokps, sstate = verify_impl(
@@ -457,8 +497,10 @@ def rec_decode_chain(params, cfg: ModelConfig, token0, pos0, cache,
     models carry their attention KV through the scan too (correctness
     first; the accumulator trick can come later if hybrid decode ever
     dominates)."""
-    del rope_cos, rope_sin, mrope_delta, attn_len
+    del mrope_delta, attn_len
     from ..sampling import sample_impl
+    if rope_cos is not None and rope_cos.ndim < 2:
+        rope_cos = rope_sin = None
     seq_lens = jnp.where(active, 1, 0)
     C = cache.capacity if cache.k is not None else (1 << 30)
 
@@ -467,7 +509,7 @@ def rec_decode_chain(params, cfg: ModelConfig, token0, pos0, cache,
         positions = jnp.where(active, pos0 + j, C)[:, None]
         x = _embed(params, cfg, tok[:, None])
         x, cache = _run_rec_stack(params, cfg, x, cache, seq_lens,
-                                  positions)
+                                  positions, rope_cos, rope_sin)
         logits = _rec_logits(params, cfg, x[:, 0])         # [S, V]
         tok2, ids, probs, tokp, sstate = sample_impl(
             logits, sstate, arrs, active)

@@ -307,7 +307,10 @@ class Engine:
             self.kv = init_rec_cache(cfg, S, capacity=self.slot_ctx,
                                      params=params,
                                      dtype=jnp.dtype(self.ecfg.kv_dtype))
-            self.rope_cos = self.rope_sin = jnp.zeros((1,), jnp.float32)
+            if cfg.n_heads > 0:   # hybrid: attention layers may use rope
+                self.rope_cos, self.rope_sin = make_rope(cfg, self.slot_ctx)
+            else:
+                self.rope_cos = self.rope_sin = jnp.zeros((1,), jnp.float32)
             self.delta_cos = self.delta_sin = None
             self.delta_select = None
             self.sstate = init_sampler_state(S, cfg.vocab_size)

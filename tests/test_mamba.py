@@ -544,6 +544,140 @@ def test_jamba_moe_matches_transformers(tmp_path):
                                atol=3e-4, rtol=2e-3)
 
 
+@pytest.fixture(scope="module")
+def bamba_setup(tmp_path_factory):
+    """Tiny HF BambaForCausalLM: mamba2 mixers + ROPED attention layers
+    (the granite-hybrid class) exported to GGUF."""
+    torch = pytest.importorskip("torch")
+    from transformers import BambaConfig, BambaForCausalLM
+
+    from llama_box_tpu.gguf import GGUFWriter
+    vocab, _, _ = build_vocab()
+    E, H, HKV, D, FFB = 64, 4, 2, 16, 128
+    DI, DS, NH, NG, DC = 128, 16, 8, 1, 4
+    torch.manual_seed(0)
+    hc = BambaConfig(vocab_size=len(vocab), hidden_size=E,
+                     intermediate_size=FFB, num_hidden_layers=2,
+                     num_attention_heads=H, num_key_value_heads=HKV,
+                     attn_layer_indices=[1], mamba_n_heads=NH,
+                     mamba_d_head=DI // NH, mamba_d_state=DS,
+                     mamba_n_groups=NG, mamba_d_conv=DC, mamba_expand=2,
+                     attn_rotary_emb=D, rope_theta=10000.0,
+                     rms_norm_eps=1e-5, use_cache=False, pad_token_id=0,
+                     tie_word_embeddings=False)
+    hm = BambaForCausalLM(hc).eval()
+    st = {k: v.detach().to(torch.float32).numpy()
+          for k, v in hm.state_dict().items()}
+    st.setdefault("lm_head.weight", st["model.embed_tokens.weight"])
+
+    path = str(tmp_path_factory.mktemp("bamba") / "tiny_bamba.gguf")
+    w = GGUFWriter(path, architecture="bamba")
+    conv_dim = DI + 2 * NG * DS
+    for k, v in [("block_count", 2), ("context_length", 1024),
+                 ("embedding_length", E), ("feed_forward_length", FFB),
+                 ("attention.head_count", H),
+                 ("attention.layer_norm_rms_epsilon", 1e-5),
+                 # HF bamba defaults to partial_rotary_factor = 0.5
+                 ("rope.freq_base", 10000.0),
+                 ("rope.dimension_count", D // 2),
+                 ("ssm.conv_kernel", DC), ("ssm.inner_size", DI),
+                 ("ssm.state_size", DS), ("ssm.time_step_rank", NH),
+                 ("ssm.group_count", NG), ("vocab_size", len(vocab))]:
+        w.add_kv(f"bamba.{k}", v)
+    w.add_kv("bamba.attention.head_count_kv", [0, HKV])
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", vocab)
+    w.add_kv("tokenizer.ggml.scores", np.zeros(len(vocab), np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.ones(len(vocab), np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_tensor("token_embd.weight", st["model.embed_tokens.weight"])
+    w.add_tensor("output_norm.weight", st["model.final_layernorm.weight"])
+    w.add_tensor("output.weight", st["lm_head.weight"])
+    for i in range(2):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     st[p + "input_layernorm.weight"])
+        w.add_tensor(o + "ffn_norm.weight",
+                     st[p + "pre_ff_layernorm.weight"])
+        if i == 0:   # mamba2 mixer
+            w.add_tensor(o + "ssm_in.weight", st[p + "mamba.in_proj.weight"])
+            w.add_tensor(o + "ssm_conv1d.weight",
+                         st[p + "mamba.conv1d.weight"]
+                         .reshape(conv_dim, DC))
+            w.add_tensor(o + "ssm_conv1d.bias", st[p + "mamba.conv1d.bias"])
+            w.add_tensor(o + "ssm_dt.bias", st[p + "mamba.dt_bias"])
+            w.add_tensor(o + "ssm_a.weight",
+                         -np.exp(st[p + "mamba.A_log"]))
+            w.add_tensor(o + "ssm_d.weight", st[p + "mamba.D"])
+            w.add_tensor(o + "ssm_norm.weight", st[p + "mamba.norm.weight"])
+            w.add_tensor(o + "ssm_out.weight",
+                         st[p + "mamba.out_proj.weight"])
+        else:
+            for hfk, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                            ("v_proj", "attn_v"),
+                            ("o_proj", "attn_output")):
+                w.add_tensor(o + gg + ".weight",
+                             st[p + f"self_attn.{hfk}.weight"])
+        w.add_tensor(o + "ffn_gate.weight",
+                     st[p + "feed_forward.gate_proj.weight"])
+        w.add_tensor(o + "ffn_up.weight",
+                     st[p + "feed_forward.up_proj.weight"])
+        w.add_tensor(o + "ffn_down.weight",
+                     st[p + "feed_forward.down_proj.weight"])
+    w.write()
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    return hm, cfg, params, tok
+
+
+def test_bamba_matches_transformers(bamba_setup):
+    """Hybrid mamba2 + roped attention (granite-hybrid class): prefill
+    logits match transformers BambaForCausalLM."""
+    import torch
+    from llama_box_tpu.models.llama import make_rope
+    hm, cfg, params, _ = bamba_setup
+    assert cfg.recurrent and cfg.rope_mode == "neox"
+    rng = np.random.default_rng(21)
+    T = 13
+    toks = rng.integers(3, cfg.vocab_size, (T,)).astype(np.int32)
+    with torch.no_grad():
+        ref = hm(torch.tensor(toks[None].astype(np.int64))).logits[0]
+    cache = init_rec_cache(cfg, 2, capacity=64, params=params)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = rec_prefill_impl(params, cfg, jnp.asarray(toks), cache,
+                                 jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                                 cos, sin)
+    np.testing.assert_allclose(np.asarray(logits), ref[-1].numpy(),
+                               atol=3e-4, rtol=2e-3)
+
+
+def test_bamba_engine_greedy_matches_transformers(bamba_setup):
+    import torch
+    hm, cfg, params, tok = bamba_setup
+    rng = np.random.default_rng(22)
+    prompt = rng.integers(3, cfg.vocab_size, (9,)).astype(np.int32).tolist()
+    N = 10
+    with torch.no_grad():
+        ref = hm.generate(torch.tensor([prompt]), max_new_tokens=N,
+                          do_sample=False)
+    ref_new = ref[0, len(prompt):].tolist()
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=2, n_ctx=256, n_ubatch=8,
+                              decode_chain=4))
+    eng.start()
+    try:
+        final, _ = run_task(eng, CompletionsTask(
+            prompt, greedy(), tokenizer=tok, max_tokens=N, stream=False))
+    finally:
+        eng.stop()
+    got = final.generated[:len(ref_new)]
+    assert got == ref_new[:len(got)] and len(got) >= min(N, 4), \
+        (got, ref_new)
+
+
 def test_mamba_spec_decode_rejected(hf_setup):
     _, _, cfg, params, tok = hf_setup
     with pytest.raises(ValueError, match="speculative"):
