@@ -677,11 +677,15 @@ def main(argv: list[str] | None = None) -> int:
 
     from .models.bert import BERT_ARCHS, load_bert
     is_bert = arch in BERT_ARCHS
+    is_t5 = arch in ("t5", "t5encoder")
     if is_bert:
         cfg, params = load_bert(args.model, dtype=dtype)
         if args.rerank or cfg.pooling == "rank":
             import dataclasses as _dc
             cfg = _dc.replace(cfg, pooling="rank")
+    elif is_t5:
+        from .models.t5_serve import load_t5_serve
+        cfg, params = load_t5_serve(args.model, dtype=dtype)
     else:
         from .models.loader import parse_kv_overrides
         cfg, params = load_model(
@@ -825,12 +829,12 @@ def main(argv: list[str] | None = None) -> int:
         capabilities={"reranking": args.rerank or
                       (is_bert and cfg.pooling == "rank"),
                       "completion": not is_bert and not args.embeddings,
-                      # recurrent (mamba) models: no embeddings forward,
+                      # recurrent/enc-dec models: no embeddings forward,
                       # no speculative decoding (engine gates both)
-                      "embedding": not cfg.recurrent,
+                      "embedding": not cfg.recurrent and not is_t5,
                       "speculative": (draft is not None
                                       or args.lookup_ngram_min > 0)
-                      and not cfg.recurrent},
+                      and not cfg.recurrent and not is_t5},
         max_tps=max_tps,
         multimodal=multimodal,
         default_max_tokens=args.n_predict,

@@ -295,10 +295,19 @@ def engine_ops(engine) -> dict[str, Callable]:
     from ..sampling import push_tokens, reset_slot, sample_one
 
     rec = bool(getattr(engine, "rec", False))
+    encdec = bool(getattr(engine, "encdec", False))
     if rec:
         from ..models import mamba as _mamba
+    if encdec:
+        from ..models import t5_serve as _t5
 
     def op_prefill(a, s):
+        if encdec:
+            logits, engine.kv = _t5.t5_prefill(
+                engine.params, engine.cfg, jnp.asarray(a["tokens"]),
+                engine.kv, jnp.int32(s["slot"]), jnp.int32(0),
+                jnp.int32(min(int(s["n"]), a["tokens"].shape[0])))
+            return
         if rec:
             logits, engine.kv = _mamba.rec_prefill(
                 engine.params, engine.cfg, jnp.asarray(a["tokens"]),
@@ -328,7 +337,9 @@ def engine_ops(engine) -> dict[str, Callable]:
             attn_len=int(s.get("attn_len", 0)))
 
     def op_decode(a, s):
-        if rec:
+        if encdec:
+            fn = _t5.t5_decode_verify_sample
+        elif rec:
             fn = _mamba.rec_decode_verify_sample
         else:
             from ..server.engine import _decode_verify_sample
@@ -341,7 +352,9 @@ def engine_ops(engine) -> dict[str, Callable]:
         engine.kv, engine.sstate = out[6], out[7]
 
     def op_decode_chain(a, s):
-        if rec:
+        if encdec:
+            fn = _t5.t5_decode_chain
+        elif rec:
             fn = _mamba.rec_decode_chain
         else:
             from ..server.engine import _decode_chain

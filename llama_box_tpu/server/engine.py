@@ -290,7 +290,31 @@ class Engine:
         S = self.ecfg.n_slots
         self.slot_ctx = max(16, self.ecfg.n_ctx // S)
         self.rec = bool(cfg is not None and getattr(cfg, "recurrent", False))
-        if self.rec and params is not None:
+        # encoder-decoder family (t5): encoder runs once per prompt, the
+        # decoder owns the KV cache; no prefix reuse / shift / drafting
+        self.encdec = bool(params is not None and "dec" in params)
+        if self.encdec:
+            if draft is not None:
+                raise ValueError("speculative decoding is not supported "
+                                 "for encoder-decoder (t5) models")
+            if self.ecfg.lookup_ngram_min > 0:
+                SRV_WRN("engine", "n-gram lookup drafting disabled for "
+                        "encoder-decoder model")
+                self.ecfg = dataclasses.replace(self.ecfg,
+                                                lookup_ngram_min=0)
+            from ..models.t5_serve import init_t5_cache
+            n_dec = params["dec"]["wq"].shape[0]
+            self.kv = init_t5_cache(cfg, S, self.slot_ctx,
+                                    enc_capacity=self.slot_ctx,
+                                    n_dec_layers=n_dec,
+                                    dtype=jnp.dtype(self.ecfg.kv_dtype))
+            self.rope_cos = self.rope_sin = jnp.zeros((1,), jnp.float32)
+            self.delta_cos = self.delta_sin = None
+            self.delta_select = None
+            self.sstate = init_sampler_state(S, cfg.vocab_size)
+        if self.encdec:
+            pass   # cache/sampler initialized above
+        elif self.rec and params is not None:
             # recurrent (mamba) family: O(1) per-slot state, no KV cache;
             # context shift and speculative decoding are structurally
             # unsupported (state is cumulative — the reference refuses
@@ -337,8 +361,8 @@ class Engine:
 
         if mesh is not None:
             from ..parallel import shard_kv, shard_sampler_state
-            if not self.rec:   # recurrent state stays replicated for now
-                self.kv = shard_kv(mesh, self.kv)
+            if not self.rec and not self.encdec:
+                self.kv = shard_kv(mesh, self.kv)   # rec/t5 replicated
             self.sstate = shard_sampler_state(mesh, self.sstate)
 
         self.draft_cfg = self.draft_params = None
@@ -390,7 +414,8 @@ class Engine:
         so static-LoRA merges and dynamic-LoRA stacking (which index the
         unfused keys) happen first. Worker mode calls this explicitly
         (cli) so replicas execute the same fused program as host 0."""
-        if self.mesh is not None or self.params is None or self.rec:
+        if self.mesh is not None or self.params is None or self.rec \
+                or self.encdec:
             return
         from ..models.bert import BERT_ARCHS
         if self.cfg.arch in BERT_ARCHS:
@@ -574,6 +599,8 @@ class Engine:
             # recurrent state corresponds to ALL cached tokens — reuse is
             # exact-extension-only (no per-position state checkpoints)
             reuse = 0
+        if self.encdec:
+            reuse = 0   # every prompt re-encodes; no decoder-KV reuse
 
         # cross-slot shared-prefix reuse: another slot (typically a sibling
         # decoding the same system prompt) may share a much longer prefix —
@@ -605,6 +632,12 @@ class Engine:
         s = best
         s.task = task
         s.state = "prefill"
+        if self.encdec:
+            # decoder positions: start token at 0, generated tokens from
+            # 1; no context shift — cap the budget at the boundary
+            cap = s.capacity - 1
+            task.max_tokens = (cap if task.max_tokens <= 0
+                               else min(task.max_tokens, cap))
         if self.rec:
             s.rec_dirty = False
             if reuse == 0:
@@ -705,6 +738,13 @@ class Engine:
         """Prefill all pending slots this pass. Plain-text chunks batch into
         ONE fused program (reference packs prefills into one llama_decode);
         multimodal/mrope chunks take the single-slot path."""
+        if self.encdec:
+            for s in pre:
+                if s.task.cancelled:
+                    self._release(s)
+                    continue
+                self._t5_prefill_slot(s)
+            return
         batchable = []
         for s in pre:
             task = s.task
@@ -757,6 +797,35 @@ class Engine:
             if s.cursor >= len(s.task.prompt_tokens):
                 self._finish_prefill(s, logits[s.idx])
         self.metrics.on_prefill(total, (time.monotonic() - t0) * 1e3)
+
+    def _t5_prefill_slot(self, s: Slot) -> None:
+        """Encoder-decoder one-shot prefill: encode the WHOLE prompt (the
+        encoder is non-causal — no chunking), build the static cross-K/V,
+        run decoder step 0 with the start token, sample the first token.
+        Prompt padded to a bucket so a few compile shapes cover all."""
+        from ..models.t5_serve import t5_prefill
+        task = s.task
+        t0 = time.monotonic()
+        p = task.prompt_tokens
+        n = len(p)
+        Te = self.kv.ck.shape[2]
+        if n <= self.buckets[-1]:
+            T = self._bucket(n)
+        else:
+            T = min(-(-n // 256) * 256, Te)
+        buf = np.zeros(T, np.int32)
+        buf[:min(n, T)] = p[:T]
+        if self.control is not None:
+            self.control.broadcast("prefill", {"tokens": buf},
+                                   {"slot": s.idx, "pos": 0, "n": n})
+        logits, self.kv = t5_prefill(
+            self.params, self.cfg, jnp.asarray(buf), self.kv,
+            jnp.int32(s.idx), jnp.int32(0), jnp.int32(min(n, T)))
+        s.cache_tokens = list(p)
+        s.cursor = n
+        s.pos = 1          # decoder consumed the start token at position 0
+        self.metrics.on_prefill(n, (time.monotonic() - t0) * 1e3)
+        self._finish_prefill(s, logits)
 
     def _finish_prefill(self, s: Slot, last_logits) -> None:
         """Prompt complete: sample the first token from the prefill logits."""
@@ -973,7 +1042,7 @@ class Engine:
                 s.drafts = self._make_drafts(s)
         for s in dec:
             if s.pos + 1 + len(s.drafts) > s.capacity:
-                if self.rec:
+                if self.rec or self.encdec:
                     # recurrent state cannot context-shift; finish at the
                     # boundary (max_tokens is clamped at admission, so
                     # this is a belt-and-braces backstop)
@@ -1020,6 +1089,9 @@ class Engine:
         if self.rec:
             from ..models.mamba import rec_decode_verify_sample
             decode_fn = rec_decode_verify_sample
+        elif self.encdec:
+            from ..models.t5_serve import t5_decode_verify_sample
+            decode_fn = t5_decode_verify_sample
         else:
             decode_fn = _decode_verify_sample
         toks, n_emitted, ids, probs, tokps, logits0, self.kv, self.sstate = \
@@ -1117,6 +1189,9 @@ class Engine:
         if self.rec:
             from ..models.mamba import rec_decode_chain
             chain_fn = rec_decode_chain
+        elif self.encdec:
+            from ..models.t5_serve import t5_decode_chain
+            chain_fn = t5_decode_chain
         else:
             chain_fn = _decode_chain
         toks, ids, probs, tokps, self.kv, self.sstate = chain_fn(
@@ -1381,9 +1456,9 @@ class Engine:
         runs ONE group per reconcile pass so decode slots keep streaming
         while a large batch embeds (reference interleaves via reconcile
         passes, httpserver.hpp:4095-4149)."""
-        if self.rec:
+        if self.rec or self.encdec:
             raise ValueError("embeddings/rerank are not supported for "
-                             "recurrent (mamba) models")
+                             "recurrent/encoder-decoder models here")
         order = sorted(range(len(token_lists)),
                        key=lambda i: len(token_lists[i]))
         nb = self.ecfg.max_embed_batch

@@ -23,3 +23,22 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_module(request):
+    """Drop compiled-executable caches between test MODULES: a full-suite
+    run compiles thousands of programs in one process and the XLA CPU
+    client eventually aborts/OOMs around the ~500-test mark (observed:
+    SIGSEGV/SIGABRT/MemoryError inside backend_compile). Within-module
+    reuse (fixtures sharing shapes) is preserved."""
+    mod = request.module.__name__
+    if _last_module[0] is not None and _last_module[0] != mod:
+        jax.clear_caches()
+        import gc
+        gc.collect()
+    _last_module[0] = mod
+    yield
