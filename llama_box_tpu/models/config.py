@@ -33,7 +33,7 @@ _NEOX_ROPE_ARCHS = {
     "qwen2", "qwen2moe", "qwen3", "qwen3moe", "falcon", "gemma", "gemma2",
     "gemma3", "phi2", "phi3", "stablelm", "gptneox", "starcoder2", "olmo2",
     "internlm2", "deepseek2", "minicpm3", "smollm3", "nemotron", "olmoe",
-    "bamba", "granitehybrid",
+    "bamba", "granitehybrid", "gpt-oss",
 }
 
 
@@ -171,9 +171,11 @@ class ModelConfig:
             expert_used_count=int(kv("expert_used_count", 0) or 0),
             # qwen3moe always renormalizes top-k router probs (the
             # reference's build_qwen3moe passes norm_w=true)
+            # qwen3moe/gpt-oss renormalize top-k router probs (for gpt-oss
+            # softmax-over-all + renorm == HF's topk-then-softmax exactly)
             expert_weights_norm=bool(kv("expert_weights_norm",
                                         arch in ("llama", "mixtral",
-                                                 "qwen3moe"))),
+                                                 "qwen3moe", "gpt-oss"))),
             nope_layer_step=int(kv("attention.no_rope_layer_step",
                                    4 if arch == "llama4" else 0) or 0),
             chunked_window=int(kv("attention.chunk_size",
@@ -195,16 +197,21 @@ class ModelConfig:
             kv_lora_rank=int(kv("attention.kv_lora_rank", 0) or 0),
             v_head_dim=int(kv("attention.value_length", 0) or 0),
             swa_window=int(kv("attention.sliding_window", 0) or 0),
+            # gpt-oss alternates sliding/full starting sliding at layer 0
+            # (llama.cpp hardcodes set_swa_pattern(2) for LLM_ARCH_OPENAI_MOE)
             swa_pattern=int(kv("attention.sliding_window_pattern",
-                               {"gemma2": 2, "gemma3": 6}.get(arch, 0))
-                            or 0) if arch.startswith("gemma") else 0,
+                               {"gemma2": 2, "gemma3": 6,
+                                "gpt-oss": 2}.get(arch, 0))
+                            or 0) if (arch.startswith("gemma")
+                                      or arch == "gpt-oss") else 0,
             # ungated-FFN families use GELU (falcon/gptneox/phi2/
             # starcoder2/gpt2/bloom/mpt); nemotron uses squared ReLU
             act_fn=("gelu" if (arch.startswith("gemma")
                                or arch in ("falcon", "gptneox", "phi2",
                                            "starcoder2", "gpt2", "bloom",
                                            "mpt", "starcoder", "gptj"))
-                    else "relu2" if arch == "nemotron" else "silu"),
+                    else "relu2" if arch == "nemotron"
+                    else "swiglu_oai" if arch == "gpt-oss" else "silu"),
             embd_scale=float(kv("embedding_scale",
                                 float(n_embd) ** 0.5
                                 if arch.startswith("gemma") else 1.0)

@@ -367,9 +367,19 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     if cfg.attn_softcap > 0.0:
         scores = cfg.attn_softcap * jnp.tanh(scores / cfg.attn_softcap)
     scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
-    scores = scores - scores.max(axis=-1, keepdims=True)
-    probs = jnp.exp(scores)
-    probs = probs / (probs.sum(axis=-1, keepdims=True) + 1e-30)
+    m = scores.max(axis=-1, keepdims=True)
+    if "sinks" in lp:
+        # gpt-oss attention sinks: a per-head learnable logit joins the
+        # softmax (max + denominator) but contributes no value row
+        # (HF GptOssAttention: cat([scores, sinks]) -> softmax -> drop)
+        snk = lp["sinks"].astype(jnp.float32).reshape(
+            Hkv, G)[None, :, :, None, None]
+        m = jnp.maximum(m, snk)
+    probs = jnp.exp(scores - m)
+    denom = probs.sum(axis=-1, keepdims=True) + 1e-30
+    if "sinks" in lp:
+        denom = denom + jnp.exp(snk - m)
+    probs = probs / denom
     Dv = vf.shape[-1]
     attn = jnp.einsum("bhgtc,bchd->bthgd", probs.astype(adt), vf,
                       preferred_element_type=jnp.float32) \
@@ -573,7 +583,7 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         rows = (k.astype(k_cache.dtype), v.astype(v_cache.dtype))
 
     if flash_meta is not None and T >= 64 and _flash_ok() \
-            and cfg.alibi_max_bias == 0.0 \
+            and cfg.alibi_max_bias == 0.0 and "sinks" not in lp \
             and (_flash_on_tpu() or _flash_forced()):
         # per-layer window/chunk scalars: one compiled kernel serves the
         # alternating local/global layer patterns
@@ -600,7 +610,7 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
 
     if chain is not None and k_scale is not None and T == 1 \
             and D == v_cache.shape[-1] and _flash_ok() \
-            and cfg.alibi_max_bias == 0.0 \
+            and cfg.alibi_max_bias == 0.0 and "sinks" not in lp \
             and (_flash_on_tpu() or _flash_forced()):
         # int8-KV chained decode through the flash kernel: the cache
         # dequantizes block-by-block in VMEM instead of materializing a
@@ -731,9 +741,18 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
     if s3 is not None:
         blocks.append(jnp.where(m3[:, None, None, :, :], s3, NEG_INF))
     z = jnp.concatenate(blocks, axis=-1)
-    z = z - z.max(axis=-1, keepdims=True)
-    p = jnp.exp(z)
-    p = p / (p.sum(axis=-1, keepdims=True) + 1e-30)
+    m = z.max(axis=-1, keepdims=True)
+    if "sinks" in lp:
+        # gpt-oss attention sinks (see _attn_layer): sink logit joins the
+        # max + denominator only
+        snk = lp["sinks"].astype(jnp.float32).reshape(
+            Hkv, G)[None, :, :, None, None]
+        m = jnp.maximum(m, snk)
+    p = jnp.exp(z - m)
+    den = p.sum(axis=-1, keepdims=True) + 1e-30
+    if "sinks" in lp:
+        den = den + jnp.exp(snk - m)
+    p = p / den
     pc, ps = p[..., :C], p[..., C:C + T]
     Dv = vf.shape[-1]
     attn = (jnp.einsum("bhgtc,bchd->bthgd", pc.astype(adt), vf,
@@ -751,6 +770,10 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
     return x, rows
 
 
+_SWIGLU_OAI_ALPHA = 1.702   # gpt-oss clamped-swiglu constants
+_SWIGLU_OAI_LIMIT = 7.0
+
+
 def _moe_ffn(h, lp, cfg: ModelConfig):
     """Mixture-of-experts FFN (mixtral/qwen2moe/qwen3moe; reference MoE runs
     via ggml's mul_mat_id). Decode batches are tiny, so experts are computed
@@ -761,6 +784,8 @@ def _moe_ffn(h, lp, cfg: ModelConfig):
     """
     X, K = cfg.expert_count, max(cfg.expert_used_count, 1)
     router = h @ lp["w_gate_inp"]                    # [B, T, X]
+    if "b_gate_inp" in lp:                           # gpt-oss router bias
+        router = router + lp["b_gate_inp"]
     if cfg.expert_gating_func == 2:                  # deepseek3 sigmoid
         probs = jax.nn.sigmoid(router.astype(jnp.float32))
     else:
@@ -792,9 +817,25 @@ def _moe_ffn(h, lp, cfg: ModelConfig):
                           lp["w_gate_exps"].astype(jnp.float32))
         up = jnp.einsum("bte,xef->btxf", hf,
                         lp["w_up_exps"].astype(jnp.float32))
-        act = jax.nn.silu(gate) * up                  # [B, T, X, F]
+        if "b_gate_exps" in lp:   # gpt-oss per-expert projection biases
+            gate = gate + lp["b_gate_exps"].astype(jnp.float32)[None, None]
+            up = up + lp["b_up_exps"].astype(jnp.float32)[None, None]
+        if cfg.act_fn == "swiglu_oai":
+            # gpt-oss clamped swiglu: gate clamps above, up symmetric;
+            # out = (up + 1) * gate * sigmoid(alpha * gate)
+            # (alpha/limit are fixed model constants, not GGUF hparams)
+            gate = jnp.minimum(gate, _SWIGLU_OAI_LIMIT)
+            up = jnp.clip(up, -_SWIGLU_OAI_LIMIT, _SWIGLU_OAI_LIMIT)
+            act = (up + 1.0) * gate * jax.nn.sigmoid(
+                gate * _SWIGLU_OAI_ALPHA)             # [B, T, X, F]
+        else:
+            act = _act(gate, cfg) * up                # [B, T, X, F]
         out = jnp.einsum("btxf,xfe->btxe", act,
                          lp["w_down_exps"].astype(jnp.float32))
+        if "b_down_exps" in lp:
+            # inside the route-weighted sum: weights renormalize to 1 so
+            # this matches HF's per-expert (out_k + bias) weighting
+            out = out + lp["b_down_exps"].astype(jnp.float32)[None, None]
         y = (out * route[..., None]).sum(axis=2)      # [B, T, E]
     if cfg.expert_weights_scale != 1.0:
         y = y * cfg.expert_weights_scale

@@ -80,6 +80,14 @@ _LAYER_OPTIONAL = {
     "w_up_exps": ("blk.{i}.ffn_up_exps.weight", "3d"),
     "w_down_exps": ("blk.{i}.ffn_down_exps.weight", "3d"),
     # shared expert (qwen2moe/deepseek2)
+    # gpt-oss: per-head attention-sink logits + router/expert biases
+    # (llama.cpp LLM_ARCH_OPENAI_MOE tensor names; sinks feed the softmax
+    # denominator, see _attn_layer)
+    "sinks": ("blk.{i}.attn_sinks.weight", False),
+    "b_gate_inp": ("blk.{i}.ffn_gate_inp.bias", False),
+    "b_gate_exps": ("blk.{i}.ffn_gate_exps.bias", False),
+    "b_up_exps": ("blk.{i}.ffn_up_exps.bias", False),
+    "b_down_exps": ("blk.{i}.ffn_down_exps.bias", False),
     "w_gate_shexp": ("blk.{i}.ffn_gate_shexp.weight", True),
     "w_up_shexp": ("blk.{i}.ffn_up_shexp.weight", True),
     "w_down_shexp": ("blk.{i}.ffn_down_shexp.weight", True),

@@ -47,6 +47,7 @@ def _make_env() -> jinja2.Environment:
 # -- template alias detection (reference llama_chat_template_alias) ----------
 
 _ALIAS_MARKERS = [
+    ("gpt-oss", ["<|channel|>"]),   # harmony format
     ("chatml", ["<|im_start|>"]),
     ("llama4", ["<|header_start|>", "<|header_end|>"]),
     ("llama3", ["<|start_header_id|>", "<|end_header_id|>"]),
@@ -144,6 +145,18 @@ def _builtin_phi3(msgs, add_gen):
     return "".join(out)
 
 
+def _builtin_gpt_oss(msgs, add_gen):
+    """Minimal harmony writer (gpt-oss): role header + message channel.
+    System turns map to harmony's developer role."""
+    out = []
+    for m in msgs:
+        role = "developer" if m["role"] == "system" else m["role"]
+        out.append(f"<|start|>{role}<|message|>{m['content']}<|end|>")
+    if add_gen:
+        out.append("<|start|>assistant")
+    return "".join(out)
+
+
 _BUILTINS = {
     "chatml": _builtin_chatml,
     "llama3": _builtin_llama3,
@@ -152,6 +165,7 @@ _BUILTINS = {
     "mistral": _builtin_llama2,
     "gemma": _builtin_gemma,
     "phi3": _builtin_phi3,
+    "gpt-oss": _builtin_gpt_oss,
 }
 
 

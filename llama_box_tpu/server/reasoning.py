@@ -16,8 +16,13 @@ MARKER_PAIRS = [
     ("<thinking>", "</thinking>"),
     ("<|START_THINKING|>", "<|END_THINKING|>"),
     ("<seed:think>", "</seed:think>"),
-    ("<|channel|>analysis<|message|>", "<|end|>"),   # gpt-oss
 ]
+
+# gpt-oss harmony: reasoning spans from the analysis channel to the FINAL
+# channel header (reference httpserver.hpp:3058-3060 keys this on the
+# template alias, not on marker presence)
+GPT_OSS_PAIR = ("<|channel|>analysis<|message|>",
+                "<|start|>assistant<|channel|>final<|message|>")
 
 
 def detect_reasoning_markers(template: str | None
@@ -26,6 +31,8 @@ def detect_reasoning_markers(template: str | None
     END marker (reference setup at httpserver.hpp:3027-3074)."""
     if not template:
         return None
+    if "<|channel|>" in template:   # harmony (gpt-oss) template
+        return GPT_OSS_PAIR
     for start, end in MARKER_PAIRS:
         if end in template:
             return (start, end)

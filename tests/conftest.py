@@ -5,6 +5,10 @@ strategy called for in SURVEY.md §4)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# never register the axon tunnel backend from tests: registration CLAIMS
+# the single-chip tunnel at import even under JAX_PLATFORMS=cpu, and a
+# second process then blocks inside `import jax` until the holder exits
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1022,6 +1022,70 @@ def test_mixtral_matches_transformers(tmp_path):
     _compare(hm, path, decode_check=True)
 
 
+def test_gpt_oss_matches_transformers(tmp_path):
+    """gpt-oss: per-head attention sinks (softmax denominator logit),
+    clamped swiglu-oai MoE (alpha=1.702, limit=7.0) with router/expert
+    biases, alternating SWA starting sliding at layer 0, neox rotary.
+    Export follows llama.cpp's GptOssModel conversion: interleaved
+    gate_up_proj de-interleaved (gate=even, up=odd columns) and expert
+    stacks transposed to ggml [X, F, E]/[X, E, F] layouts."""
+    from transformers import GptOssConfig, GptOssForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, X, K = 2, 4, 2
+    hc = GptOssConfig(vocab_size=len(vocab), hidden_size=E,
+                      num_hidden_layers=L, num_attention_heads=H,
+                      num_key_value_heads=HKV, head_dim=D,
+                      intermediate_size=FF, num_local_experts=X,
+                      num_experts_per_tok=K, sliding_window=8,
+                      rope_theta=10000.0, rope_scaling=None,
+                      rms_norm_eps=1e-5, use_cache=False,
+                      tie_word_embeddings=False)
+    hm = GptOssForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "gptoss.gguf")
+    w, V = _gguf_header(path, "gpt-oss", HKV, D,
+                        extra=[("expert_count", X),
+                               ("expert_used_count", K),
+                               ("attention.key_length", D),
+                               ("attention.value_length", D),
+                               ("attention.sliding_window", 8),
+                               ("attention.layer_norm_rms_epsilon", 1e-5)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        _qkvo(w, st, p, o, bias=True)
+        w.add_tensor(o + "attn_sinks.weight",
+                     _np(st, p + "self_attn.sinks"))
+        w.add_tensor(o + "ffn_gate_inp.weight",
+                     _np(st, p + "mlp.router.weight"))
+        w.add_tensor(o + "ffn_gate_inp.bias",
+                     _np(st, p + "mlp.router.bias"))
+        gu = _np(st, p + "mlp.experts.gate_up_proj")     # [X, E, 2F]
+        gub = _np(st, p + "mlp.experts.gate_up_proj_bias")  # [X, 2F]
+        w.add_tensor(o + "ffn_gate_exps.weight",
+                     gu[:, :, 0::2].transpose(0, 2, 1))  # -> [X, F, E]
+        w.add_tensor(o + "ffn_up_exps.weight",
+                     gu[:, :, 1::2].transpose(0, 2, 1))
+        w.add_tensor(o + "ffn_gate_exps.bias", gub[:, 0::2])
+        w.add_tensor(o + "ffn_up_exps.bias", gub[:, 1::2])
+        w.add_tensor(o + "ffn_down_exps.weight",
+                     _np(st, p + "mlp.experts.down_proj")
+                     .transpose(0, 2, 1))                # -> [X, E, F]
+        w.add_tensor(o + "ffn_down_exps.bias",
+                     _np(st, p + "mlp.experts.down_proj_bias"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
 def test_qwen3moe_matches_transformers(tmp_path):
     """qwen3moe: per-head q/k RMS norms + ALWAYS-renormalized top-k
     routing (the reference hardcodes norm_w=true for this arch)."""

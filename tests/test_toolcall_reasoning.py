@@ -213,3 +213,37 @@ def test_lazy_grammar_sampler_flow():
     assert hs.grammar is None          # call complete: re-armed
     for b in b"</tool_call> done":
         hs.accept(b)                   # trailing text unconstrained
+
+
+def test_gpt_oss_harmony_reasoning_split():
+    """gpt-oss harmony: reasoning spans from the analysis channel to the
+    FINAL channel header (reference httpserver.hpp:3058-3060); commentary
+    between <|end|> and the final header stays inside reasoning."""
+    from llama_box_tpu.server.reasoning import GPT_OSS_PAIR
+    tmpl = "{%...%}<|start|>assistant<|channel|>final<|message|>"
+    assert detect_reasoning_markers(tmpl) == GPT_OSS_PAIR
+    # any harmony template activates the pair even without the end marker
+    assert detect_reasoning_markers("<|channel|>x") == GPT_OSS_PAIR
+
+    r = ReasoningSplitter(*GPT_OSS_PAIR)
+    text = ("<|channel|>analysis<|message|>think think<|end|>"
+            "<|start|>assistant<|channel|>final<|message|>Hello!")
+    content, reasoning = "", ""
+    for i in range(0, len(text), 7):   # ragged chunks exercise holdback
+        c, g = r.feed(text[i:i + 7])
+        content += c
+        reasoning += g
+    c, g = r.flush()
+    content += c
+    reasoning += g
+    assert content == "Hello!"
+    assert reasoning == "think think<|end|>"
+
+
+def test_gpt_oss_alias_and_builtin_writer():
+    from llama_box_tpu.server.chat import detect_alias, _builtin_gpt_oss
+    assert detect_alias("{{'<|channel|>'}}...") == "gpt-oss"
+    out = _builtin_gpt_oss([{"role": "system", "content": "S"},
+                            {"role": "user", "content": "U"}], True)
+    assert out == ("<|start|>developer<|message|>S<|end|>"
+                   "<|start|>user<|message|>U<|end|><|start|>assistant")
