@@ -71,6 +71,9 @@ class ModelConfig:
     expert_weights_norm: bool = True  # renormalize top-k router probs
     expert_weights_scale: float = 1.0  # deepseek routed-output multiplier
     expert_gating_func: int = 1        # 1 softmax, 2 sigmoid (deepseek3)
+    # deepseek3 noaux_tc group-limited routing (with exp_probs_b bias)
+    expert_group_count: int = 1
+    expert_group_used_count: int = 1
     # deepseek2 multi-head latent attention
     q_lora_rank: int = 0
     kv_lora_rank: int = 0
@@ -193,6 +196,9 @@ class ModelConfig:
             expert_gating_func=int(kv("expert_gating_func",
                                        2 if arch == "llama4" else 1)
                                    or 1),
+            expert_group_count=int(kv("expert_group_count", 1) or 1),
+            expert_group_used_count=int(
+                kv("expert_group_used_count", 1) or 1),
             q_lora_rank=int(kv("attention.q_lora_rank", 0) or 0),
             kv_lora_rank=int(kv("attention.kv_lora_rank", 0) or 0),
             v_head_dim=int(kv("attention.value_length", 0) or 0),

@@ -790,7 +790,28 @@ def _moe_ffn(h, lp, cfg: ModelConfig):
         probs = jax.nn.sigmoid(router.astype(jnp.float32))
     else:
         probs = jax.nn.softmax(router.astype(jnp.float32), axis=-1)
-    topv, topi = jax.lax.top_k(probs, K)             # [B, T, K]
+    if "exp_probs_b" in lp:
+        # deepseek3 noaux_tc: selection runs on bias-corrected scores with
+        # group-limited top-k (sum of each group's top-2 picks the allowed
+        # groups); the mixing WEIGHTS stay the uncorrected sigmoid scores
+        # (HF DeepseekV3TopkRouter; llama.cpp build_moe_ffn exp_probs_b)
+        choice = probs + lp["exp_probs_b"].astype(jnp.float32)
+        ng, ug = cfg.expert_group_count, cfg.expert_group_used_count
+        if ng > 1 and ug < ng:
+            Bb, Tt = choice.shape[:2]
+            gsc = choice.reshape(Bb, Tt, ng, X // ng)
+            g2 = jax.lax.top_k(gsc, min(2, X // ng))[0].sum(-1)
+            _, gi = jax.lax.top_k(g2, ug)                  # [B, T, ug]
+            gmask = jnp.zeros_like(g2).at[
+                jnp.arange(Bb)[:, None, None],
+                jnp.arange(Tt)[None, :, None], gi].set(1.0)
+            # HF masks non-selected groups to 0.0 (not -inf); replicated
+            # for bit-parity on models with negative corrected scores
+            choice = (gsc * gmask[..., None]).reshape(Bb, Tt, X)
+        _, topi = jax.lax.top_k(choice, K)               # [B, T, K]
+        topv = jnp.take_along_axis(probs, topi, axis=-1)
+    else:
+        topv, topi = jax.lax.top_k(probs, K)             # [B, T, K]
     if cfg.expert_weights_norm:
         topv = topv / (topv.sum(-1, keepdims=True) + 1e-9)
     # dense mask of routing weights [B, T, X]

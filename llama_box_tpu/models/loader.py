@@ -84,6 +84,8 @@ _LAYER_OPTIONAL = {
     # (llama.cpp LLM_ARCH_OPENAI_MOE tensor names; sinks feed the softmax
     # denominator, see _attn_layer)
     "sinks": ("blk.{i}.attn_sinks.weight", False),
+    # deepseek3: expert-score correction bias (selection only, not weights)
+    "exp_probs_b": ("blk.{i}.exp_probs_b.bias", False),
     "b_gate_inp": ("blk.{i}.ffn_gate_inp.bias", False),
     "b_gate_exps": ("blk.{i}.ffn_gate_exps.bias", False),
     "b_up_exps": ("blk.{i}.ffn_up_exps.bias", False),

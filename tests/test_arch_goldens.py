@@ -965,6 +965,108 @@ def test_deepseek2_mla_matches_transformers(tmp_path):
     _compare(hm, path, atol=5e-4, decode_check=True)
 
 
+def test_deepseek3_noaux_tc_routing_matches_transformers(tmp_path):
+    """deepseek-v3/r1 routing on the deepseek2 arch: sigmoid scores,
+    exp_probs_b selection bias, group-limited top-k (top-2-sum group
+    scores), weights from UNCORRECTED scores, renormalized and scaled by
+    routed_scaling_factor."""
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+    vocab, _, _ = build_vocab()
+    V = len(vocab)
+    torch.manual_seed(0)
+    QLORA, KVLORA, ROPE, NOPE, VD, FFD = 32, 32, 8, 16, 24, 96
+    X, K = 8, 2
+    hc = DeepseekV3Config(
+        vocab_size=V, hidden_size=E, num_hidden_layers=L,
+        num_attention_heads=H, num_key_value_heads=H,
+        q_lora_rank=QLORA, kv_lora_rank=KVLORA,
+        qk_rope_head_dim=ROPE, qk_nope_head_dim=NOPE, v_head_dim=VD,
+        intermediate_size=FFD, moe_intermediate_size=FFD // 2,
+        n_routed_experts=X, num_experts_per_tok=K, n_shared_experts=1,
+        first_k_dense_replace=1, moe_layer_freq=1, n_group=4, topk_group=2,
+        norm_topk_prob=True, routed_scaling_factor=2.5,
+        rms_norm_eps=1e-5, use_cache=False, rope_theta=10000.0,
+        rope_scaling=None, tie_word_embeddings=False, attention_bias=False)
+    hm = DeepseekV3ForCausalLM(hc).eval()
+    st = hm.state_dict()
+    # random correction bias (init is zeros, which would not exercise the
+    # biased-selection path)
+    with torch.no_grad():
+        for i in range(1, L):
+            st[f"model.layers.{i}.mlp.gate.e_score_correction_bias"] \
+                .normal_(0.0, 0.5)
+
+    idx = np.concatenate([np.arange(0, ROPE, 2), np.arange(1, ROPE, 2)])
+    path = str(tmp_path / "ds3.gguf")
+    w, _ = _gguf_header(path, "deepseek2", H, ROPE, ff=FFD,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("attention.q_lora_rank", QLORA),
+                               ("attention.kv_lora_rank", KVLORA),
+                               ("attention.key_length", NOPE + ROPE),
+                               ("attention.value_length", VD),
+                               ("expert_count", X),
+                               ("expert_used_count", K),
+                               ("expert_weights_scale", 2.5),
+                               ("expert_weights_norm", True),
+                               ("expert_gating_func", 2),
+                               ("expert_group_count", 4),
+                               ("expert_group_used_count", 2),
+                               ("expert_shared_count", 1)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        qb = _np(st, p + "self_attn.q_b_proj.weight") \
+            .reshape(H, NOPE + ROPE, QLORA).copy()
+        qb[:, NOPE:] = qb[:, NOPE:][:, idx]
+        kva = _np(st, p + "self_attn.kv_a_proj_with_mqa.weight").copy()
+        kva[KVLORA:] = kva[KVLORA:][idx]
+        w.add_tensor(o + "attn_q_a.weight",
+                     _np(st, p + "self_attn.q_a_proj.weight"))
+        w.add_tensor(o + "attn_q_a_norm.weight",
+                     _np(st, p + "self_attn.q_a_layernorm.weight"))
+        w.add_tensor(o + "attn_q_b.weight",
+                     qb.reshape(H * (NOPE + ROPE), QLORA))
+        w.add_tensor(o + "attn_kv_a_mqa.weight", kva)
+        w.add_tensor(o + "attn_kv_a_norm.weight",
+                     _np(st, p + "self_attn.kv_a_layernorm.weight"))
+        w.add_tensor(o + "attn_kv_b.weight",
+                     _np(st, p + "self_attn.kv_b_proj.weight"))
+        w.add_tensor(o + "attn_output.weight",
+                     _np(st, p + "self_attn.o_proj.weight"))
+        if i == 0:
+            w.add_tensor(o + "ffn_gate.weight",
+                         _np(st, p + "mlp.gate_proj.weight"))
+            w.add_tensor(o + "ffn_up.weight",
+                         _np(st, p + "mlp.up_proj.weight"))
+            w.add_tensor(o + "ffn_down.weight",
+                         _np(st, p + "mlp.down_proj.weight"))
+        else:
+            w.add_tensor(o + "ffn_gate_inp.weight",
+                         _np(st, p + "mlp.gate.weight"))
+            w.add_tensor(o + "exp_probs_b.bias",
+                         _np(st, p + "mlp.gate.e_score_correction_bias"))
+            for hfk, gg in (("gate_proj", "ffn_gate_exps"),
+                            ("up_proj", "ffn_up_exps"),
+                            ("down_proj", "ffn_down_exps")):
+                w.add_tensor(o + gg + ".weight", np.stack([
+                    _np(st, p + f"mlp.experts.{j}.{hfk}.weight")
+                    for j in range(X)]))
+            for hfk, gg in (("gate_proj", "ffn_gate_shexp"),
+                            ("up_proj", "ffn_up_shexp"),
+                            ("down_proj", "ffn_down_shexp")):
+                w.add_tensor(o + gg + ".weight",
+                             _np(st, p + f"mlp.shared_experts.{hfk}.weight"))
+    w.write()
+    _compare(hm, path, atol=1e-3, decode_check=True)
+
+
 def _permute_llama_qk(w, n_head):
     """llama.cpp's LlamaModel.permute for 'norm'-mode rope conversion."""
     return (w.reshape(n_head, 2, w.shape[0] // n_head // 2, *w.shape[1:])
