@@ -16,24 +16,25 @@ import numpy as np
 _LN_ARCHS = {
     # LayerNorm (optionally biased) instead of RMSNorm
     "falcon", "gptneox", "phi2", "stablelm", "starcoder2", "command-r",
-    "nemotron", "gpt2", "bloom", "mpt", "starcoder", "gptj",
+    "nemotron", "gpt2", "bloom", "mpt", "starcoder", "gptj", "cohere2",
 }
 # position-independent q/k (learned pos embd, ALiBi, or none); no rotation
 _NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2", "jamba"}
 _PARALLEL_ARCHS = {
     # x + attn(norm(x)) + ffn(norm(x)) parallel-residual blocks
-    "falcon", "phi2", "command-r",
+    "falcon", "phi2", "command-r", "cohere2", "gptj",
 }
 _UNGATED_FFN_ARCHS = {
     # act(up) @ down, no gate projection
     "falcon", "gptneox", "phi2", "starcoder2", "nemotron",
-    "gpt2", "bloom", "mpt", "starcoder", "gptj",
+    "gpt2", "bloom", "mpt", "starcoder", "gptj", "apertus",
 }
 _NEOX_ROPE_ARCHS = {
     "qwen2", "qwen2moe", "qwen3", "qwen3moe", "falcon", "gemma", "gemma2",
     "gemma3", "phi2", "phi3", "stablelm", "gptneox", "starcoder2", "olmo2",
     "internlm2", "deepseek2", "minicpm3", "smollm3", "nemotron", "olmoe",
-    "bamba", "granitehybrid", "gpt-oss",
+    "bamba", "granitehybrid", "gpt-oss", "exaone4", "dots1", "seed_oss",
+    "ernie4_5", "ernie4_5-moe", "apertus",
 }
 
 
@@ -178,9 +179,14 @@ class ModelConfig:
             # softmax-over-all + renorm == HF's topk-then-softmax exactly)
             expert_weights_norm=bool(kv("expert_weights_norm",
                                         arch in ("llama", "mixtral",
-                                                 "qwen3moe", "gpt-oss"))),
+                                                 "qwen3moe", "gpt-oss",
+                                                 "granitemoe"))),
+            # cohere2 (command-r7b) / exaone4: every 4th layer is global,
+            # full-context AND unroped (llama.cpp keys rope on is_swa)
             nope_layer_step=int(kv("attention.no_rope_layer_step",
-                                   4 if arch == "llama4" else 0) or 0),
+                                   4 if arch in ("llama4", "cohere2",
+                                                 "exaone4")
+                                   else 0) or 0),
             chunked_window=int(kv("attention.chunk_size",
                                   8192 if arch == "llama4" else 0) or 0),
             attn_temp_scale=float(kv("attention.temperature_scale",
@@ -206,10 +212,12 @@ class ModelConfig:
             # gpt-oss alternates sliding/full starting sliding at layer 0
             # (llama.cpp hardcodes set_swa_pattern(2) for LLM_ARCH_OPENAI_MOE)
             swa_pattern=int(kv("attention.sliding_window_pattern",
-                               {"gemma2": 2, "gemma3": 6,
-                                "gpt-oss": 2}.get(arch, 0))
+                               {"gemma2": 2, "gemma3": 6, "gpt-oss": 2,
+                                "cohere2": 4, "exaone4": 4}.get(arch, 0))
                             or 0) if (arch.startswith("gemma")
-                                      or arch == "gpt-oss") else 0,
+                                      or arch in ("gpt-oss", "cohere2",
+                                                  "exaone4"))
+            else 0,
             # ungated-FFN families use GELU (falcon/gptneox/phi2/
             # starcoder2/gpt2/bloom/mpt); nemotron uses squared ReLU
             act_fn=("gelu" if (arch.startswith("gemma")
@@ -217,7 +225,8 @@ class ModelConfig:
                                            "starcoder2", "gpt2", "bloom",
                                            "mpt", "starcoder", "gptj"))
                     else "relu2" if arch == "nemotron"
-                    else "swiglu_oai" if arch == "gpt-oss" else "silu"),
+                    else "swiglu_oai" if arch == "gpt-oss"
+                    else "xielu" if arch == "apertus" else "silu"),
             embd_scale=float(kv("embedding_scale",
                                 float(n_embd) ** 0.5
                                 if arch.startswith("gemma") else 1.0)

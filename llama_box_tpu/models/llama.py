@@ -467,6 +467,16 @@ def _act(gate, cfg: ModelConfig):
     return jax.nn.silu(gate)
 
 
+def _xielu(x, p):
+    """apertus xIELU (HF XIELUActivation._xielu_python): p = raw
+    [alpha_p, alpha_n, beta, eps]; softplus applied here, in the forward."""
+    ap = jax.nn.softplus(p[0])
+    beta = p[2]
+    an = beta + jax.nn.softplus(p[1])
+    return jnp.where(x > 0, ap * x * x + beta * x,
+                     (jnp.expm1(jnp.minimum(x, p[3])) - x) * an + beta * x)
+
+
 def _ffn_block(h, lp, cfg: ModelConfig, lora_scales, dtype):
     if "w_gate_inp" in lp:
         return _moe_ffn(h, lp, cfg).astype(dtype)
@@ -475,7 +485,10 @@ def _ffn_block(h, lp, cfg: ModelConfig, lora_scales, dtype):
         up = mm(h, lp["w_up"]) + _lora_delta(h, lp, "w_up", lora_scales)
         if "b_up" in lp:
             up = up + lp["b_up"]
-        act = _act(up.astype(jnp.float32), cfg).astype(dtype)
+        if cfg.act_fn == "xielu" and "xielu" in lp:
+            act = _xielu(up.astype(jnp.float32), lp["xielu"]).astype(dtype)
+        else:
+            act = _act(up.astype(jnp.float32), cfg).astype(dtype)
         out = mm(act, lp["w_down"]) + _lora_delta(act, lp, "w_down",
                                                   lora_scales)
         if "b_down" in lp:

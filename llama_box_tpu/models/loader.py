@@ -340,6 +340,20 @@ def load_model(
                     per_layer[i][kk] = layers[kk][counters[kk]]
                     counters[kk] += 1
 
+    # apertus xIELU per-layer activation params ride GGUF metadata arrays
+    # (%arch%.xielu.alpha_p/alpha_n/beta/eps — RAW learned values; softplus
+    # is applied in the forward like HF's XIELUActivation)
+    _xap = g.metadata.get(f"{cfg.arch}.xielu.alpha_p")
+    if _xap is not None:
+        _xan = g.metadata.get(f"{cfg.arch}.xielu.alpha_n")
+        _xb = g.metadata.get(f"{cfg.arch}.xielu.beta",
+                             [0.5] * cfg.n_layers)
+        _xe = g.metadata.get(f"{cfg.arch}.xielu.eps",
+                             [-1e-6] * cfg.n_layers)
+        for i in range(cfg.n_layers):
+            per_layer[i]["xielu"] = np.array(
+                [_xap[i], _xan[i], _xb[i], _xe[i]], np.float32)
+
     def stack_group(group: list[dict]) -> dict:
         out = {}
         for key in group[0]:

@@ -24,10 +24,11 @@ torch = pytest.importorskip("torch")
 L, E, H, D, FF = 2, 64, 4, 16, 128
 
 
-def _gguf_header(path, arch, n_kv_heads, rope_dim, extra=(), ff=FF):
+def _gguf_header(path, arch, n_kv_heads, rope_dim, extra=(), ff=FF,
+                 n_layers=L):
     vocab, scores, types = build_vocab()
     w = GGUFWriter(path, architecture=arch)
-    w.add_kv(f"{arch}.block_count", L)
+    w.add_kv(f"{arch}.block_count", n_layers)
     w.add_kv(f"{arch}.context_length", 256)
     w.add_kv(f"{arch}.embedding_length", E)
     w.add_kv(f"{arch}.feed_forward_length", ff)
@@ -463,6 +464,46 @@ def test_cohere_matches_transformers(tmp_path):
     _compare(hm, path, decode_check=True)
 
 
+def test_cohere2_matches_transformers(tmp_path):
+    """cohere2 (command-r7b): 3-sliding:1-full layer pattern where the
+    full-attention layers are UNROPED (llama.cpp applies rope only on
+    is_swa layers); shared-norm parallel residual + logit_scale like
+    command-r."""
+    from transformers import Cohere2Config, Cohere2ForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, NL = 2, 4
+    hc = Cohere2Config(vocab_size=len(vocab), hidden_size=E,
+                       num_hidden_layers=NL, num_attention_heads=H,
+                       num_key_value_heads=HKV, intermediate_size=FF,
+                       sliding_window=8, sliding_window_pattern=4,
+                       layer_norm_eps=1e-5, logit_scale=0.5,
+                       use_cache=False, rope_theta=10000.0,
+                       tie_word_embeddings=True)
+    hm = Cohere2ForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "cohere2.gguf")
+    w, V = _gguf_header(path, "cohere2", HKV, D, n_layers=NL,
+                        extra=[("logit_scale", 0.5),
+                               ("attention.sliding_window", 8)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    for i in range(NL):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
 def test_stablelm_matches_transformers(tmp_path):
     """stablelm: partial rotary, biased LayerNorm, gated SiLU FFN."""
     from transformers import StableLmConfig, StableLmForCausalLM
@@ -547,6 +588,57 @@ def test_granite_matches_transformers(tmp_path):
         w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
         w.add_tensor(o + "ffn_down.weight",
                      _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_granitemoe_matches_transformers(tmp_path):
+    """granitemoe: the granite multipliers + MoE with fused input_linear
+    (rows 0..F = gate, F..2F = up, split at export like llama.cpp) and
+    topk-then-softmax routing (== softmax + renormalize)."""
+    from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, X, K = 2, 4, 2
+    hc = GraniteMoeConfig(vocab_size=len(vocab), hidden_size=E,
+                          num_hidden_layers=L, num_attention_heads=H,
+                          num_key_value_heads=HKV, intermediate_size=FF,
+                          num_local_experts=X, num_experts_per_tok=K,
+                          rms_norm_eps=1e-5, use_cache=False,
+                          rope_theta=10000.0, embedding_multiplier=2.0,
+                          residual_multiplier=0.5, logits_scaling=4.0,
+                          attention_multiplier=0.125,
+                          tie_word_embeddings=False)
+    hm = GraniteMoeForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "granitemoe.gguf")
+    w, V = _gguf_header(path, "granitemoe", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("embedding_scale", 2.0),
+                               ("residual_scale", 0.5),
+                               ("logit_scale", 1.0 / 4.0),
+                               ("attention.scale", 0.125),
+                               ("expert_count", X),
+                               ("expert_used_count", K)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        _qkvo(w, st, p, o, permute_heads=H, hkv=HKV)
+        w.add_tensor(o + "ffn_gate_inp.weight",
+                     _np(st, p + "block_sparse_moe.router.layer.weight"))
+        inp = _np(st, p + "block_sparse_moe.input_linear.weight")  # [X,2F,E]
+        w.add_tensor(o + "ffn_gate_exps.weight", inp[:, :FF])
+        w.add_tensor(o + "ffn_up_exps.weight", inp[:, FF:])
+        w.add_tensor(o + "ffn_down_exps.weight",
+                     _np(st, p + "block_sparse_moe.output_linear.weight"))
     w.write()
     _compare(hm, path, decode_check=True)
 
@@ -1240,6 +1332,307 @@ def test_qwen3moe_matches_transformers(tmp_path):
                 _np(st, p + f"mlp.experts.{j}.{hfk}.weight")
                 for j in range(X)])
             w.add_tensor(o + gg + ".weight", stacked)
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_ernie4_5_matches_transformers(tmp_path):
+    """ernie4.5 (dense): plain llama skeleton under the ernie4_5 arch
+    name (neox rotary, no biases, tied embeddings common)."""
+    from transformers import Ernie4_5Config, Ernie4_5ForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = Ernie4_5Config(vocab_size=len(vocab), hidden_size=E,
+                        num_hidden_layers=L, num_attention_heads=H,
+                        num_key_value_heads=HKV, head_dim=D,
+                        intermediate_size=FF, use_bias=False,
+                        rms_norm_eps=1e-5, use_cache=False,
+                        rope_theta=10000.0, tie_word_embeddings=True)
+    hm = Ernie4_5ForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "ernie.gguf")
+    w, V = _gguf_header(path, "ernie4_5", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_seed_oss_matches_transformers(tmp_path):
+    """seed-oss: llama skeleton + q/k/v biases, explicit head_dim."""
+    from transformers import SeedOssConfig, SeedOssForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = SeedOssConfig(vocab_size=len(vocab), hidden_size=E,
+                       num_hidden_layers=L, num_attention_heads=H,
+                       num_key_value_heads=HKV, head_dim=D,
+                       intermediate_size=FF, attention_bias=True,
+                       rms_norm_eps=1e-5, use_cache=False,
+                       rope_theta=10000.0, tie_word_embeddings=False)
+    hm = SeedOssForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "seedoss.gguf")
+    w, V = _gguf_header(path, "seed_oss", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("attention.key_length", D),
+                               ("attention.value_length", D)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        _qkvo(w, st, p, o, bias=True)
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_exaone4_matches_transformers(tmp_path):
+    """exaone4: post-norm-only blocks (olmo2 style), per-head QK norms,
+    3-sliding:1-full pattern with NoPE on the full layers."""
+    from transformers import Exaone4Config, Exaone4ForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, NL = 2, 4
+    hc = Exaone4Config(vocab_size=len(vocab), hidden_size=E,
+                       num_hidden_layers=NL, num_attention_heads=H,
+                       num_key_value_heads=HKV, head_dim=D,
+                       intermediate_size=FF, sliding_window=8,
+                       sliding_window_pattern=4, rms_norm_eps=1e-5,
+                       use_cache=False, rope_theta=10000.0,
+                       tie_word_embeddings=False)
+    hm = Exaone4ForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "exaone4.gguf")
+    w, V = _gguf_header(path, "exaone4", HKV, D, n_layers=NL,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("attention.key_length", D),
+                               ("attention.value_length", D),
+                               ("attention.sliding_window", 8),
+                               ("attention.sliding_window_pattern", 4)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(NL):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "post_attention_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "post_ffw_norm.weight",
+                     _np(st, p + "post_feedforward_layernorm.weight"))
+        w.add_tensor(o + "attn_q_norm.weight",
+                     _np(st, p + "self_attn.q_norm.weight"))
+        w.add_tensor(o + "attn_k_norm.weight",
+                     _np(st, p + "self_attn.k_norm.weight"))
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_dots1_matches_transformers(tmp_path):
+    """dots1: qwen3-style per-head QK norms + deepseek-v3 MoE (sigmoid
+    scores, exp_probs_b selection bias, group-limited top-k, shared
+    expert, routed scaling)."""
+    from transformers import Dots1Config, Dots1ForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, X, K, FFD = 2, 8, 2, 96
+    hc = Dots1Config(vocab_size=len(vocab), hidden_size=E,
+                     num_hidden_layers=L, num_attention_heads=H,
+                     num_key_value_heads=HKV, head_dim=D,
+                     intermediate_size=FFD, moe_intermediate_size=FFD // 2,
+                     n_routed_experts=X, num_experts_per_tok=K,
+                     n_shared_experts=1, first_k_dense_replace=1,
+                     n_group=4, topk_group=2, norm_topk_prob=True,
+                     routed_scaling_factor=2.5, rms_norm_eps=1e-5,
+                     use_cache=False, rope_theta=10000.0,
+                     tie_word_embeddings=False)
+    hm = Dots1ForCausalLM(hc).eval()
+    st = hm.state_dict()
+    with torch.no_grad():
+        st["model.layers.1.mlp.gate.e_score_correction_bias"] \
+            .normal_(0.0, 0.5)
+
+    path = str(tmp_path / "dots1.gguf")
+    w, V = _gguf_header(path, "dots1", HKV, D, ff=FFD,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("attention.key_length", D),
+                               ("attention.value_length", D),
+                               ("expert_count", X),
+                               ("expert_used_count", K),
+                               ("expert_weights_scale", 2.5),
+                               ("expert_weights_norm", True),
+                               ("expert_gating_func", 2),
+                               ("expert_group_count", 4),
+                               ("expert_group_used_count", 2),
+                               ("expert_shared_count", 1)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "attn_q_norm.weight",
+                     _np(st, p + "self_attn.q_norm.weight"))
+        w.add_tensor(o + "attn_k_norm.weight",
+                     _np(st, p + "self_attn.k_norm.weight"))
+        _qkvo(w, st, p, o)
+        if i == 0:
+            w.add_tensor(o + "ffn_gate.weight",
+                         _np(st, p + "mlp.gate_proj.weight"))
+            w.add_tensor(o + "ffn_up.weight",
+                         _np(st, p + "mlp.up_proj.weight"))
+            w.add_tensor(o + "ffn_down.weight",
+                         _np(st, p + "mlp.down_proj.weight"))
+        else:
+            w.add_tensor(o + "ffn_gate_inp.weight",
+                         _np(st, p + "mlp.gate.weight"))
+            w.add_tensor(o + "exp_probs_b.bias",
+                         _np(st, p + "mlp.gate.e_score_correction_bias"))
+            for hfk, gg in (("gate_proj", "ffn_gate_exps"),
+                            ("up_proj", "ffn_up_exps"),
+                            ("down_proj", "ffn_down_exps")):
+                w.add_tensor(o + gg + ".weight", np.stack([
+                    _np(st, p + f"mlp.experts.{j}.{hfk}.weight")
+                    for j in range(X)]))
+            for hfk, gg in (("gate_proj", "ffn_gate_shexp"),
+                            ("up_proj", "ffn_up_shexp"),
+                            ("down_proj", "ffn_down_shexp")):
+                w.add_tensor(o + gg + ".weight",
+                             _np(st, p + f"mlp.shared_experts.{hfk}.weight"))
+    w.write()
+    _compare(hm, path, atol=1e-3, decode_check=True)
+
+
+def test_gptj_matches_transformers(tmp_path):
+    """gpt-j: single-shared-norm parallel residual, interleaved partial
+    rotary (rotary_dim), biased fc/out layers, gelu_new FFN."""
+    from transformers import GPTJConfig, GPTJForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    hc = GPTJConfig(vocab_size=len(vocab), n_embd=E, n_layer=L, n_head=H,
+                    n_inner=FF, rotary_dim=D // 2,
+                    activation_function="gelu_new", layer_norm_epsilon=1e-5,
+                    use_cache=False, tie_word_embeddings=False)
+    hm = GPTJForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "gptj.gguf")
+    w, V = _gguf_header(path, "gptj", H, D // 2)
+    w.add_tensor("token_embd.weight", _np(st, "transformer.wte.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "transformer.ln_f.weight"))
+    w.add_tensor("output_norm.bias", _np(st, "transformer.ln_f.bias"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    w.add_tensor("output.bias", _np(st, "lm_head.bias"))
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", _np(st, p + "ln_1.weight"))
+        w.add_tensor(o + "attn_norm.bias", _np(st, p + "ln_1.bias"))
+        w.add_tensor(o + "attn_q.weight", _np(st, p + "attn.q_proj.weight"))
+        w.add_tensor(o + "attn_k.weight", _np(st, p + "attn.k_proj.weight"))
+        w.add_tensor(o + "attn_v.weight", _np(st, p + "attn.v_proj.weight"))
+        w.add_tensor(o + "attn_output.weight",
+                     _np(st, p + "attn.out_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.fc_in.weight"))
+        w.add_tensor(o + "ffn_up.bias", _np(st, p + "mlp.fc_in.bias"))
+        w.add_tensor(o + "ffn_down.weight", _np(st, p + "mlp.fc_out.weight"))
+        w.add_tensor(o + "ffn_down.bias", _np(st, p + "mlp.fc_out.bias"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_apertus_matches_transformers(tmp_path):
+    """apertus: ungated xIELU FFN with per-layer learnable activation
+    params (shipped as %arch%.xielu.* metadata arrays, raw pre-softplus
+    values), per-head QK norms."""
+    from transformers import ApertusConfig, ApertusForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = ApertusConfig(vocab_size=len(vocab), hidden_size=E,
+                       num_hidden_layers=L, num_attention_heads=H,
+                       num_key_value_heads=HKV, intermediate_size=FF,
+                       rms_norm_eps=1e-5, use_cache=False,
+                       rope_theta=10000.0, tie_word_embeddings=False)
+    hm = ApertusForCausalLM(hc).eval()
+    st = hm.state_dict()
+    # randomize the learned activation params away from their init
+    with torch.no_grad():
+        for i in range(L):
+            st[f"model.layers.{i}.mlp.act_fn.alpha_p"].normal_(0.5, 0.2)
+            st[f"model.layers.{i}.mlp.act_fn.alpha_n"].normal_(0.5, 0.2)
+
+    def sc(key):
+        return [float(st[f"model.layers.{i}.mlp.act_fn.{key}"]
+                      .reshape(-1)[0]) for i in range(L)]
+
+    path = str(tmp_path / "apertus.gguf")
+    w, V = _gguf_header(path, "apertus", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("xielu.alpha_p",
+                                np.array(sc("alpha_p"), np.float32)),
+                               ("xielu.alpha_n",
+                                np.array(sc("alpha_n"), np.float32)),
+                               ("xielu.beta",
+                                np.array(sc("beta"), np.float32)),
+                               ("xielu.eps",
+                                np.array(sc("eps"), np.float32))])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "attention_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "feedforward_layernorm.weight"))
+        w.add_tensor(o + "attn_q_norm.weight",
+                     _np(st, p + "self_attn.q_norm.weight"))
+        w.add_tensor(o + "attn_k_norm.weight",
+                     _np(st, p + "self_attn.k_norm.weight"))
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
     w.write()
     _compare(hm, path, decode_check=True)
 
