@@ -595,8 +595,10 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
     else:
         rows = (k.astype(k_cache.dtype), v.astype(v_cache.dtype))
 
+    snk = (lp["sinks"].astype(jnp.float32).reshape(Hkv, G)
+           if "sinks" in lp else None)
     if flash_meta is not None and T >= 64 and _flash_ok() \
-            and cfg.alibi_max_bias == 0.0 and "sinks" not in lp \
+            and cfg.alibi_max_bias == 0.0 \
             and (_flash_on_tpu() or _flash_forced()):
         # per-layer window/chunk scalars: one compiled kernel serves the
         # alternating local/global layer patterns
@@ -614,7 +616,7 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         o = flash_prefill_batched(
             qg, k_cache, v_cache, k.astype(adt), v.astype(adt),
             flash_meta, win, k_scale=k_scale, v_scale=v_scale,
-            softcap=cfg.attn_softcap,
+            sinks=snk, softcap=cfg.attn_softcap,
             scale=(cfg.attn_scale or None),
             interpret=not _flash_on_tpu())
         Dv = v_cache.shape[-1]
@@ -623,7 +625,7 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
 
     if chain is not None and k_scale is not None and T == 1 \
             and D == v_cache.shape[-1] and _flash_ok() \
-            and cfg.alibi_max_bias == 0.0 and "sinks" not in lp \
+            and cfg.alibi_max_bias == 0.0 \
             and (_flash_on_tpu() or _flash_forced()):
         # int8-KV chained decode through the flash kernel: the cache
         # dequantizes block-by-block in VMEM instead of materializing a
@@ -657,7 +659,7 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
                          jnp.asarray(cw, jnp.int32)])
         o = flash_prefill_batched(
             qg, k_cache, v_cache, kr, vr, meta, win,
-            k_scale=k_scale, v_scale=v_scale,
+            k_scale=k_scale, v_scale=v_scale, sinks=snk,
             scale=(cfg.attn_scale or None), softcap=cfg.attn_softcap,
             interpret=not _flash_on_tpu())
         Dv = v_cache.shape[-1]

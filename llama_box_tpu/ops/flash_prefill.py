@@ -73,7 +73,7 @@ def _masked_update(h, s, mask, v, m_ref, l_ref, acc_ref):
 
 
 def _flash_batched_kernel(meta_ref, win_ref, q_ref, k_ref, v_ref,
-                          ks_ref, vs_ref, kr_ref, vr_ref, o_ref,
+                          ks_ref, vs_ref, kr_ref, vr_ref, snk_ref, o_ref,
                           m_ref, l_ref, acc_ref, *,
                           bq: int, bc: int, n_c: int, n_kv: int, T: int,
                           scale: float, softcap: float, quant: bool):
@@ -153,8 +153,20 @@ def _flash_batched_kernel(meta_ref, win_ref, q_ref, k_ref, v_ref,
             k = kr_ref[0, :, h, :].astype(qdt)     # [T, Dk]
             v = vr_ref[0, :, h, :].astype(qdt)
             _masked_update(h, scores(h, k), mask, v, m_ref, l_ref, acc_ref)
-            o_ref[0, h] = acc_ref[h] \
-                / jnp.maximum(l_ref[h], 1e-30)[:, :, None]
+            if snk_ref is not None:
+                # gpt-oss attention sinks: a per-head logit joins the
+                # softmax max + denominator (no value row) — folded into
+                # the final normalize of the streaming softmax
+                snk = snk_ref[h][:, None]                     # [G, 1]
+                m_fin = jnp.maximum(m_ref[h], snk)
+                l_fin = (l_ref[h] * jnp.exp(m_ref[h] - m_fin)
+                         + jnp.exp(snk - m_fin))
+                o_ref[0, h] = (acc_ref[h]
+                               * jnp.exp(m_ref[h] - m_fin)[:, :, None]) \
+                    / jnp.maximum(l_fin, 1e-30)[:, :, None]
+            else:
+                o_ref[0, h] = acc_ref[h] \
+                    / jnp.maximum(l_ref[h], 1e-30)[:, :, None]
 
 
 # soft budget for operand blocks + scratch + score intermediates (real VMEM
@@ -184,7 +196,7 @@ def _fit_blocks(Hkv, G, T, C, D, Dv, bq, bc, itemsize):
 
 
 def flash_prefill_batched(q, k_cache, v_cache, k_rows, v_rows, meta, win,
-                          k_scale=None, v_scale=None, *,
+                          k_scale=None, v_scale=None, *, sinks=None,
                           scale: float | None = None, softcap: float = 0.0,
                           bq: int = 256, bc: int = 512,
                           interpret: bool = False):
@@ -196,6 +208,7 @@ def flash_prefill_batched(q, k_cache, v_cache, k_rows, v_rows, meta, win,
     meta:             [B, 4] int32 (pos0, n_valid, bidir_st, bidir_en)
     win:              [2] int32 (swa_window, chunked_window) this layer
     k_scale/v_scale:  [B, C, Hkv] f32 when the cache is int8
+    sinks:            [Hkv, G] f32 per-head attention-sink logits (gpt-oss)
     Returns [B, Hkv, G, T, Dv] f32.
     """
     B, Hkv, G, T, D = q.shape
@@ -249,16 +262,29 @@ def flash_prefill_batched(q, k_cache, v_cache, k_rows, v_rows, meta, win,
                      memory_space=pltpu.VMEM),
     ]
     operands += [k_rows, v_rows]
+    if sinks is not None:
+        in_specs.append(pl.BlockSpec((Hkv, G), lambda b, i, j, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(sinks.astype(jnp.float32))
 
     kern = functools.partial(
         _flash_batched_kernel, bq=bq, bc=bc, n_c=n_c, n_kv=Hkv, T=T,
         scale=scale, softcap=softcap, quant=quant)
-    if not quant:
+    has_sinks = sinks is not None
+    if quant and has_sinks:
+        kern2 = kern
+    elif quant:
+        def kern2(meta, win, q_r, k_r, v_r, ks_r, vs_r, kr_r, vr_r, *rest):
+            return kern(meta, win, q_r, k_r, v_r, ks_r, vs_r, kr_r, vr_r,
+                        None, *rest)
+    elif has_sinks:
+        def kern2(meta, win, q_r, k_r, v_r, kr_r, vr_r, snk_r, *rest):
+            return kern(meta, win, q_r, k_r, v_r, None, None, kr_r, vr_r,
+                        snk_r, *rest)
+    else:
         def kern2(meta, win, q_r, k_r, v_r, kr_r, vr_r, *rest):
             return kern(meta, win, q_r, k_r, v_r, None, None, kr_r, vr_r,
-                        *rest)
-    else:
-        kern2 = kern
+                        None, *rest)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

@@ -13,7 +13,8 @@ import jax.numpy as jnp
 from llama_box_tpu.ops.flash_prefill import flash_prefill_batched
 
 
-def ref_attn(q, kc, vc, kr, vr, meta, win, ks=None, vs=None, softcap=0.0):
+def ref_attn(q, kc, vc, kr, vr, meta, win, ks=None, vs=None, softcap=0.0,
+             sinks=None):
     q = np.asarray(q, np.float32)
     B, Hkv, G, T, D = q.shape
     C = kc.shape[1]
@@ -49,9 +50,14 @@ def ref_attn(q, kc, vc, kr, vr, meta, win, ks=None, vs=None, softcap=0.0):
                     & kvalid[None, :]
                 mask |= bid
                 s = np.where(mask, s, -1e30)
-                s = s - s.max(-1, keepdims=True)
-                p = np.exp(s)
-                p /= p.sum(-1, keepdims=True) + 1e-30
+                m = s.max(-1, keepdims=True)
+                if sinks is not None:
+                    m = np.maximum(m, sinks[h, g])
+                p = np.exp(s - m)
+                den = p.sum(-1, keepdims=True) + 1e-30
+                if sinks is not None:
+                    den = den + np.exp(sinks[h, g] - m)
+                p /= den
                 out[b, h, g] = p @ vall
     return out
 
@@ -89,6 +95,22 @@ def test_flash_matches_reference(win, softcap, spans):
         jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
         jnp.asarray(kr), jnp.asarray(vr), jnp.asarray(meta),
         jnp.asarray(win), softcap=softcap, bq=32, bc=32, interpret=True)
+    assert_valid_rows_close(np.asarray(got), want, meta)
+
+
+def test_flash_attention_sinks():
+    """gpt-oss sinks: per-head logit in the softmax denominator, folded
+    into the kernel's final normalize."""
+    rng = np.random.default_rng(4)
+    q, kc, vc, kr, vr, meta = make_case(rng)
+    sinks = rng.standard_normal((2, 2)).astype(np.float32) * 2.0
+    win = np.zeros((2,), np.int32)
+    want = ref_attn(q, kc, vc, kr, vr, meta, win, sinks=sinks)
+    got = flash_prefill_batched(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+        jnp.asarray(kr), jnp.asarray(vr), jnp.asarray(meta),
+        jnp.asarray(win), sinks=jnp.asarray(sinks),
+        bq=32, bc=32, interpret=True)
     assert_valid_rows_close(np.asarray(got), want, meta)
 
 
@@ -169,6 +191,8 @@ def _variant_cfg(name):
                 rope_dim=16)
     if name == "swa_alt":        # gemma3-style alternating sliding window
         base.update(swa_window=48, swa_pattern=2)
+    elif name == "sinks":        # gpt-oss attention sinks + alternating SWA
+        base.update(swa_window=48, swa_pattern=2)
     elif name == "chunked":      # llama4-style chunked attention + nope
         base.update(chunked_window=64, nope_layer_step=3)
     elif name == "softcap":      # gemma2 logit softcap
@@ -184,7 +208,7 @@ def _variant_params(rng, cfg):
     def r(*shape):
         return jnp.asarray(rng.normal(size=shape, scale=0.05), jnp.float32)
 
-    return {
+    params = {
         "tok_embd": r(V, E),
         "output_norm": jnp.ones((E,), jnp.float32),
         "output": r(E, V),
@@ -197,6 +221,7 @@ def _variant_params(rng, cfg):
             "w_down": r(L, FF, E),
         },
     }
+    return params
 
 
 def _run_prefills(cfg, params, kv_dtype, batched, span=None):
@@ -266,6 +291,24 @@ def test_model_prefill_flash_int8_kv(monkeypatch, batched):
     got_out, _ = _run_prefills(cfg, params, jnp.int8, batched)
     for r, g in zip(ref_out, got_out):
         np.testing.assert_allclose(g, r, rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("batched", [False, True])
+def test_model_prefill_flash_sinks(monkeypatch, batched):
+    """gpt-oss attention sinks through the flash kernel match the
+    masked-einsum path (incl. alternating SWA)."""
+    cfg = _variant_cfg("sinks")
+    params = _variant_params(np.random.default_rng(5), cfg)
+    rng = np.random.default_rng(6)
+    params["layers"]["sinks"] = jnp.asarray(
+        rng.normal(size=(cfg.n_layers, cfg.n_heads), scale=2.0),
+        jnp.float32)
+    monkeypatch.delenv("LLAMA_BOX_TPU_FORCE_FLASH", raising=False)
+    ref_out, _ = _run_prefills(cfg, params, jnp.float32, batched)
+    monkeypatch.setenv("LLAMA_BOX_TPU_FORCE_FLASH", "1")
+    got_out, _ = _run_prefills(cfg, params, jnp.float32, batched)
+    for r, g in zip(ref_out, got_out):
+        np.testing.assert_allclose(g, r, rtol=2e-4, atol=2e-4)
 
 
 def test_model_prefill_flash_bidir_span(monkeypatch):
