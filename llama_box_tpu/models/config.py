@@ -34,7 +34,7 @@ _NEOX_ROPE_ARCHS = {
     "gemma3", "phi2", "phi3", "stablelm", "gptneox", "starcoder2", "olmo2",
     "internlm2", "deepseek2", "minicpm3", "smollm3", "nemotron", "olmoe",
     "bamba", "granitehybrid", "gpt-oss", "exaone4", "dots1", "seed_oss",
-    "ernie4_5", "ernie4_5-moe", "apertus",
+    "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1",
 }
 
 

@@ -202,7 +202,7 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
                 cos, sin, k_scale=None, v_scale=None,
                 lora_scales=None, is_local=jnp.int32(0), mrope_pos=None,
                 deferred_kv=False, flash_meta=None, chain=None,
-                rope_pre=False):
+                rope_pre=False, extra_residual=None):
     """x: [B,T,E]; k_cache/v_cache: [B,C,Hkv,D]; mask: [B,T,C] True=attend.
     k_scale/v_scale: [B,C,Hkv] when the cache is int8-quantized.
     flash_meta: [B,4] (pos0, n_valid, bidir_st, bidir_en) when the chunk
@@ -320,7 +320,7 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         return _attn_deferred(x, lp, positions, k_cache, v_cache, mask,
                               cfg, q, k, v, is_local, k_scale, v_scale,
                               lora_scales, flash_meta=flash_meta,
-                              chain=chain)
+                              chain=chain, extra_residual=extra_residual)
 
     # non-deferred path (embeddings forward: cache == chunk, bidirectional
     # masks): scatter current K/V in, then attend the whole cache
@@ -385,7 +385,8 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
                       preferred_element_type=jnp.float32) \
         .reshape(B, T, H * Dv)
 
-    x = _layer_tail(x, lp, cfg, attn, lora_scales)
+    x = _layer_tail(x, lp, cfg, attn, lora_scales,
+                    extra_residual=extra_residual)
     return x, k_cache, v_cache, k_scale, v_scale
 
 
@@ -512,11 +513,14 @@ def _ffn_block(h, lp, cfg: ModelConfig, lora_scales, dtype):
     return out.astype(dtype)
 
 
-def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales):
+def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales,
+                extra_residual=None):
     """Shared post-attention tail: output proj (+post norm) + FFN/MoE.
     Sequential residual by default; parallel_residual archs
-    (falcon/phi2/command-r) add attn and FFN of the SAME normed input."""
-    if _fuse_tail_ok(cfg, lp, lora_scales, x):
+    (falcon/phi2/command-r) add attn and FFN of the SAME normed input.
+    extra_residual: a parallel mixer's output joining the attention
+    residual (falcon-h1: x + attn + mamba, then the FFN block)."""
+    if extra_residual is None and _fuse_tail_ok(cfg, lp, lora_scales, x):
         # decode hot path: wo + residual + ffn_norm + gate|up + act +
         # down + residual as ONE Pallas program (ops/fused_decode)
         from ..ops.fused_decode import fused_layer_tail
@@ -539,6 +543,10 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales):
                              lp.get("attn_post_norm_b"), cfg)
 
     rs = cfg.residual_scale
+    if extra_residual is not None:
+        # joins the attention residual exactly when rs == 1 (falcon-h1);
+        # the /rs keeps the shared `x + attn_out*rs` lines below intact
+        attn_out = attn_out + extra_residual.astype(x.dtype) / rs
     if cfg.parallel_residual:
         # the FFN input: a second norm of x when present (falcon-40b
         # attn_norm_2), else the shared attention-input norm
@@ -566,7 +574,7 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales):
 
 def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
                    is_local, k_scale, v_scale, lora_scales,
-                   flash_meta=None, chain=None):
+                   flash_meta=None, chain=None, extra_residual=None):
     """Read-only-cache attention for the batched decode/verify step AND
     (via the flash kernel) batched prefill.
     Returns (x_out, rows) where rows are the new K/V entries (quantized
@@ -621,7 +629,8 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
             interpret=not _flash_on_tpu())
         Dv = v_cache.shape[-1]
         attn = o.transpose(0, 3, 1, 2, 4).reshape(B, T, H * Dv)
-        return _layer_tail(x, lp, cfg, attn, lora_scales), rows
+        return _layer_tail(x, lp, cfg, attn, lora_scales,
+                           extra_residual=extra_residual), rows
 
     if chain is not None and k_scale is not None and T == 1 \
             and D == v_cache.shape[-1] and _flash_ok() \
@@ -665,7 +674,8 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         Dv = v_cache.shape[-1]
         attn = jax.lax.dynamic_slice_in_dim(o, nc_t, 1, axis=3)
         attn = attn.transpose(0, 3, 1, 2, 4).reshape(B, 1, H * Dv)
-        return _layer_tail(x, lp, cfg, attn, lora_scales), rows
+        return _layer_tail(x, lp, cfg, attn, lora_scales,
+                           extra_residual=extra_residual), rows
 
     if k_scale is not None:
         kf = k_cache.astype(adt) * k_scale.astype(adt)[..., None]
@@ -781,7 +791,8 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
                                  preferred_element_type=jnp.float32)
     attn = attn.reshape(B, T, H * Dv)
 
-    x = _layer_tail(x, lp, cfg, attn, lora_scales)
+    x = _layer_tail(x, lp, cfg, attn, lora_scales,
+                    extra_residual=extra_residual)
     return x, rows
 
 

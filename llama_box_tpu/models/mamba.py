@@ -75,7 +75,8 @@ def _count_layers(params) -> tuple[int, int]:
         n = lead.qs.shape[0] if hasattr(lead, "qs") else lead.shape[0]
         if "ssm_in" in gp:
             nr += n
-        else:
+        if "wq" in gp or "ssm_in" not in gp:
+            # parallel-hybrid layers (falcon-h1) count in BOTH caches
             na += n
     return nr, na
 
@@ -269,11 +270,13 @@ def _mixer2(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
     y = y + lp["ssm_d"].astype(jnp.float32).reshape(nh)[..., None] * x
     y = y.reshape(S, T, di)
     # gated RMSNorm: rms_norm(y * silu(z)) * w (transformers
-    # MambaRMSNormGated over the full inner width)
+    # MambaRMSNormGated over the full inner width); falcon-h1 ships
+    # without the norm (mamba_rms_norm=False) — plain silu(z) gating
     y = y * jax.nn.silu(z)
-    var = jnp.mean(y * y, axis=-1, keepdims=True)
-    y = y * jax.lax.rsqrt(var + cfg.rms_eps)
-    y = y * lp["ssm_norm"].astype(jnp.float32)
+    if "ssm_norm" in lp:
+        var = jnp.mean(y * y, axis=-1, keepdims=True)
+        y = y * jax.lax.rsqrt(var + cfg.rms_eps)
+        y = y * lp["ssm_norm"].astype(jnp.float32)
     return mm(y.astype(r.dtype), lp["ssm_out"]), conv1, ssm1
 
 
@@ -302,6 +305,10 @@ def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens,
     arch's real rope: none for jamba, rotary for bamba) against their KV
     slices, and all attention rows scatter in one fused write."""
     groups = params.get("layer_groups")
+    if groups is None and "wq" in params["layers"]:
+        # homogeneous parallel-hybrid stack (falcon-h1): every layer
+        # carries both mixers — run it through the group path below
+        groups = [params["layers"]]
     if groups is None:
         mixer = _mixer2 if _ssm_style(params, cfg) else _mixer
 
@@ -324,7 +331,34 @@ def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens,
     for gp in groups:
         lead = next(iter(gp.values()))
         n = lead.qs.shape[0] if hasattr(lead, "qs") else lead.shape[0]
-        if "ssm_in" in gp:
+        if "ssm_in" in gp and "wq" in gp:
+            # falcon-h1 parallel hybrid: attention AND the mamba2 mixer
+            # run on the SAME normed input, outputs joining one residual
+            # (x + attn + mamba), then the FFN block — the mixer result
+            # rides _attn_layer's extra_residual hook
+            mixer = _mixer2 if _ssm_style(gp, cfg) else _mixer
+
+            def pbody(x, inp, mixer=mixer):
+                lp, conv0, ssm0, k_c, v_c = inp
+                r = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+                mo, conv1, ssm1 = mixer(lp, r, conv0, ssm0, seq_lens, cfg)
+                x, rows = _attn_layer(
+                    x, lp, positions, k_c, v_c, mask, cfg,
+                    rope_cos, rope_sin, deferred_kv=True,
+                    extra_residual=mo)
+                return x, (conv1, ssm1, rows)
+
+            x, (cn, sn, rows) = jax.lax.scan(
+                pbody, x, (gp, cache.conv[o_r:o_r + n],
+                           cache.ssm[o_r:o_r + n],
+                           cache.k[o_a:o_a + n], cache.v[o_a:o_a + n]))
+            conv_parts.append(cn)
+            ssm_parts.append(sn)
+            k_rows.append(rows[0])
+            v_rows.append(rows[1])
+            o_r += n
+            o_a += n
+        elif "ssm_in" in gp:
             mixer = _mixer2 if _ssm_style(gp, cfg) else _mixer
 
             def body(x, inp, mixer=mixer):

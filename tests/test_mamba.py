@@ -699,3 +699,146 @@ def test_mamba_length_cap_at_slot_boundary(hf_setup):
         assert len(p) + len(f.generated) <= 32
     finally:
         eng.stop()
+
+
+@pytest.fixture(scope="module")
+def falcon_h1_setup(tmp_path_factory):
+    """Tiny HF FalconH1: EVERY layer runs attention and a mamba2 mixer in
+    PARALLEL on the same normed input (x + attn + mamba, then the FFN).
+    The mup/branch multipliers are all linear-boundary scalings, so the
+    export folds them into the adjacent weights exactly like llama.cpp's
+    FalconH1 converter (no multiplier hparams in the GGUF)."""
+    torch = pytest.importorskip("torch")
+    from transformers import FalconH1Config, FalconH1ForCausalLM
+
+    from llama_box_tpu.gguf import GGUFWriter
+    vocab, _, _ = build_vocab()
+    E, H, HKV, D, FFB = 64, 4, 2, 16, 96
+    DI, DS, NH, NG, DC = 64, 16, 8, 1, 4
+    torch.manual_seed(0)
+    hc = FalconH1Config(
+        vocab_size=len(vocab), hidden_size=E, intermediate_size=FFB,
+        num_hidden_layers=2, num_attention_heads=H, num_key_value_heads=HKV,
+        head_dim=D, mamba_d_ssm=DI, mamba_n_heads=NH, mamba_d_head=DI // NH,
+        mamba_d_state=DS, mamba_n_groups=NG, mamba_d_conv=DC,
+        mamba_expand=1, rope_theta=10000.0, rms_norm_eps=1e-5,
+        use_cache=False, pad_token_id=0, tie_word_embeddings=False,
+        embedding_multiplier=2.0, attention_in_multiplier=0.5,
+        attention_out_multiplier=1.5, ssm_in_multiplier=0.8,
+        ssm_out_multiplier=1.2, key_multiplier=2.0,
+        mlp_multipliers=[1.3, 0.7], lm_head_multiplier=0.9,
+        ssm_multipliers=[1.1, 0.9, 1.2, 0.8, 1.05])
+    hm = FalconH1ForCausalLM(hc).eval()
+    st = {k: v.detach().to(torch.float32).numpy()
+          for k, v in hm.state_dict().items()}
+
+    # mup vector over the zxbcdt layout: z | x | B | C | dt
+    mup = np.concatenate([
+        np.full(DI, 1.1), np.full(DI, 0.9), np.full(NG * DS, 1.2),
+        np.full(NG * DS, 0.8), np.full(NH, 1.05)]).astype(np.float32)
+
+    path = str(tmp_path_factory.mktemp("fh1") / "tiny_falcon_h1.gguf")
+    w = GGUFWriter(path, architecture="falcon-h1")
+    conv_dim = DI + 2 * NG * DS
+    for k, v in [("block_count", 2), ("context_length", 1024),
+                 ("embedding_length", E), ("feed_forward_length", FFB),
+                 ("attention.head_count", H),
+                 ("attention.head_count_kv", HKV),
+                 ("attention.key_length", D),
+                 ("attention.layer_norm_rms_epsilon", 1e-5),
+                 ("rope.freq_base", 10000.0),
+                 ("rope.dimension_count", D),
+                 ("ssm.conv_kernel", DC), ("ssm.inner_size", DI),
+                 ("ssm.state_size", DS), ("ssm.time_step_rank", NH),
+                 ("ssm.group_count", NG), ("vocab_size", len(vocab))]:
+        w.add_kv(f"falcon-h1.{k}", v)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", vocab)
+    w.add_kv("tokenizer.ggml.scores", np.zeros(len(vocab), np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.ones(len(vocab), np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_tensor("token_embd.weight",
+                 st["model.embed_tokens.weight"] * 2.0)
+    w.add_tensor("output_norm.weight", st["model.final_layernorm.weight"])
+    w.add_tensor("output.weight", st["lm_head.weight"] * 0.9)
+    for i in range(2):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     st[p + "input_layernorm.weight"])
+        w.add_tensor(o + "ffn_norm.weight",
+                     st[p + "pre_ff_layernorm.weight"])
+        w.add_tensor(o + "attn_q.weight",
+                     st[p + "self_attn.q_proj.weight"] * 0.5)
+        w.add_tensor(o + "attn_k.weight",
+                     st[p + "self_attn.k_proj.weight"] * 0.5 * 2.0)
+        w.add_tensor(o + "attn_v.weight",
+                     st[p + "self_attn.v_proj.weight"] * 0.5)
+        w.add_tensor(o + "attn_output.weight",
+                     st[p + "self_attn.o_proj.weight"] * 1.5)
+        w.add_tensor(o + "ssm_in.weight",
+                     st[p + "mamba.in_proj.weight"] * 0.8
+                     * mup[:, None])
+        w.add_tensor(o + "ssm_conv1d.weight",
+                     st[p + "mamba.conv1d.weight"].reshape(conv_dim, DC))
+        w.add_tensor(o + "ssm_conv1d.bias", st[p + "mamba.conv1d.bias"])
+        w.add_tensor(o + "ssm_dt.bias", st[p + "mamba.dt_bias"])
+        w.add_tensor(o + "ssm_a.weight", -np.exp(st[p + "mamba.A_log"]))
+        w.add_tensor(o + "ssm_d.weight", st[p + "mamba.D"])
+        w.add_tensor(o + "ssm_out.weight",
+                     st[p + "mamba.out_proj.weight"] * 1.2)
+        w.add_tensor(o + "ffn_gate.weight",
+                     st[p + "feed_forward.gate_proj.weight"] * 1.3)
+        w.add_tensor(o + "ffn_up.weight",
+                     st[p + "feed_forward.up_proj.weight"])
+        w.add_tensor(o + "ffn_down.weight",
+                     st[p + "feed_forward.down_proj.weight"] * 0.7)
+    w.write()
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    return hm, cfg, params, tok
+
+
+def test_falcon_h1_matches_transformers(falcon_h1_setup):
+    """Parallel-hybrid prefill logits match transformers FalconH1."""
+    import torch
+    from llama_box_tpu.models.llama import make_rope
+    hm, cfg, params, _ = falcon_h1_setup
+    assert cfg.recurrent and cfg.rope_mode == "neox"
+    rng = np.random.default_rng(31)
+    T = 13
+    toks = rng.integers(3, cfg.vocab_size, (T,)).astype(np.int32)
+    with torch.no_grad():
+        ref = hm(torch.tensor(toks[None].astype(np.int64))).logits[0]
+    cache = init_rec_cache(cfg, 2, capacity=64, params=params)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = rec_prefill_impl(params, cfg, jnp.asarray(toks), cache,
+                                 jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                                 cos, sin)
+    np.testing.assert_allclose(np.asarray(logits), ref[-1].numpy(),
+                               atol=5e-4, rtol=2e-3)
+
+
+def test_falcon_h1_engine_greedy_matches_transformers(falcon_h1_setup):
+    import torch
+    hm, cfg, params, tok = falcon_h1_setup
+    prompt = tok.encode("a b c a b")
+    N = 10
+    with torch.no_grad():
+        ref = hm.generate(torch.tensor([prompt]), max_new_tokens=N,
+                          do_sample=False)
+    ref_new = ref[0, len(prompt):].tolist()
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=2, n_ctx=256, n_ubatch=8,
+                              decode_chain=4))
+    eng.start()
+    try:
+        final, _ = run_task(eng, CompletionsTask(
+            prompt, greedy(), tokenizer=tok, max_tokens=N, stream=False))
+    finally:
+        eng.stop()
+    got = final.generated[:len(ref_new)]
+    assert got == ref_new[:len(got)] and len(got) >= min(N, 4), \
+        (got, ref_new)
