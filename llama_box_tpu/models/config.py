@@ -34,7 +34,7 @@ _NEOX_ROPE_ARCHS = {
     "gemma3", "phi2", "phi3", "stablelm", "gptneox", "starcoder2", "olmo2",
     "internlm2", "deepseek2", "minicpm3", "smollm3", "nemotron", "olmoe",
     "bamba", "granitehybrid", "gpt-oss", "exaone4", "dots1", "seed_oss",
-    "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1",
+    "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1", "lfm2",
 }
 
 
@@ -106,6 +106,7 @@ class ModelConfig:
     ssm_dt_rank: int = 0     # dt low-rank projection width (mamba2: n_heads)
     ssm_n_group: int = 0     # mamba2 B/C group count
     ssm_dt_b_c_rms: bool = False  # falcon-mamba: RMS-norm dt/B/C
+    shortconv_l_cache: int = 0    # lfm2 gated short-conv width
     extra: dict = dataclasses.field(default_factory=dict, compare=False, hash=False)
 
     @property
@@ -115,7 +116,7 @@ class ModelConfig:
     @property
     def recurrent(self) -> bool:
         """Constant-memory recurrent state instead of a KV cache."""
-        return self.ssm_d_inner > 0
+        return self.ssm_d_inner > 0 or self.shortconv_l_cache > 0
 
     @classmethod
     def from_gguf(cls, g) -> "ModelConfig":
@@ -252,4 +253,5 @@ class ModelConfig:
             ssm_dt_rank=int(kv("ssm.time_step_rank", 0) or 0),
             ssm_n_group=int(kv("ssm.group_count", 0) or 0),
             ssm_dt_b_c_rms=bool(kv("ssm.dt_b_c_rms", False)),
+            shortconv_l_cache=int(kv("shortconv.l_cache", 0) or 0),
         )

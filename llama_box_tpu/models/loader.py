@@ -37,6 +37,8 @@ _LAYER_WEIGHTS = {
     "w_down": ("blk.{i}.ffn_down.weight", True),
     # mamba mixer projections (models/mamba.py); quantized residency OK
     "ssm_in": ("blk.{i}.ssm_in.weight", True),
+    "shortconv_in": ("blk.{i}.shortconv.in_proj.weight", True),
+    "shortconv_out": ("blk.{i}.shortconv.out_proj.weight", True),
     "ssm_x": ("blk.{i}.ssm_x.weight", True),
     "ssm_dt": ("blk.{i}.ssm_dt.weight", True),
     "ssm_out": ("blk.{i}.ssm_out.weight", True),
@@ -101,6 +103,9 @@ _LAYER_OPTIONAL = {
     "ssm_a": ("blk.{i}.ssm_a.weight", False),
     "ssm_d": ("blk.{i}.ssm_d.weight", False),
     "ssm_norm": ("blk.{i}.ssm_norm.weight", False),  # mamba2 gated norm
+    # lfm2 gated short-conv mixer
+    "shortconv_conv": ("blk.{i}.shortconv.conv.weight", False),
+    "shortconv_conv_b": ("blk.{i}.shortconv.conv.bias", False),
     # jamba learned dt/B/C norms
     "ssm_dt_norm": ("blk.{i}.ssm_dt_norm.weight", False),
     "ssm_b_norm": ("blk.{i}.ssm_b_norm.weight", False),

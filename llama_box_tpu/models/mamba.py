@@ -73,9 +73,10 @@ def _count_layers(params) -> tuple[int, int]:
     for gp in groups:
         lead = next(iter(gp.values()))
         n = lead.qs.shape[0] if hasattr(lead, "qs") else lead.shape[0]
-        if "ssm_in" in gp:
+        rec = "ssm_in" in gp or "shortconv_in" in gp
+        if rec:
             nr += n
-        if "wq" in gp or "ssm_in" not in gp:
+        if "wq" in gp or not rec:
             # parallel-hybrid layers (falcon-h1) count in BOTH caches
             na += n
     return nr, na
@@ -112,6 +113,14 @@ def init_rec_cache(cfg: ModelConfig, n_slots: int, capacity: int = 0,
     nh = cfg.ssm_dt_rank
     if params is not None:
         for gp in (params.get("layer_groups") or [params["layers"]]):
+            if "shortconv_in" in gp:   # lfm2: conv tail only, no SSM state
+                conv_dim = gp["shortconv_conv"].shape[-2]
+                dc = gp["shortconv_conv"].shape[-1]
+                return RecCache(
+                    conv=jnp.zeros((Lr, n_slots, dc - 1, conv_dim),
+                                   jnp.float32),
+                    ssm=jnp.zeros((Lr, n_slots, 1, 1), jnp.float32),
+                    k=k, v=v)
             if "ssm_in" in gp:
                 conv_dim = gp["ssm_conv_w"].shape[-2]
                 mamba2 = gp["ssm_a"].ndim == 2
@@ -280,6 +289,27 @@ def _mixer2(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
     return mm(y.astype(r.dtype), lp["ssm_out"]), conv1, ssm1
 
 
+def _mixer_shortconv(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
+    """lfm2 gated short conv: in_proj -> (B, C, x) thirds; y =
+    C * causal_conv(B * x); out_proj. Carries only the conv tail
+    (ssm0 passes through untouched)."""
+    bcx = mm(r, lp["shortconv_in"])               # [S, T, 3E]
+    E3 = bcx.shape[-1] // 3
+    B = bcx[..., :E3].astype(jnp.float32)
+    C = bcx[..., E3:2 * E3].astype(jnp.float32)
+    xg = bcx[..., 2 * E3:].astype(jnp.float32)
+    conv, conv1 = _causal_conv(conv0, B * xg, lp["shortconv_conv"],
+                               lp.get("shortconv_conv_b"), seq_lens)
+    y = C * conv
+    return mm(y.astype(r.dtype), lp["shortconv_out"]), conv1, ssm0
+
+
+def _pick_mixer(gp, cfg: ModelConfig):
+    if "shortconv_in" in gp:
+        return _mixer_shortconv
+    return _mixer2 if _ssm_style(gp, cfg) else _mixer
+
+
 def _rec_layer(lp, x, conv0, ssm0, seq_lens, cfg: ModelConfig, mixer):
     """One recurrent layer: norm -> mixer -> residual, plus the per-layer
     FFN tail hybrid models (jamba) attach after the mixer."""
@@ -310,7 +340,7 @@ def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens,
         # carries both mixers — run it through the group path below
         groups = [params["layers"]]
     if groups is None:
-        mixer = _mixer2 if _ssm_style(params, cfg) else _mixer
+        mixer = _pick_mixer(params["layers"], cfg)
 
         def body(x, inp):
             lp, conv0, ssm0 = inp
@@ -331,12 +361,13 @@ def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens,
     for gp in groups:
         lead = next(iter(gp.values()))
         n = lead.qs.shape[0] if hasattr(lead, "qs") else lead.shape[0]
-        if "ssm_in" in gp and "wq" in gp:
+        rec = "ssm_in" in gp or "shortconv_in" in gp
+        if rec and "wq" in gp:
             # falcon-h1 parallel hybrid: attention AND the mamba2 mixer
             # run on the SAME normed input, outputs joining one residual
             # (x + attn + mamba), then the FFN block — the mixer result
             # rides _attn_layer's extra_residual hook
-            mixer = _mixer2 if _ssm_style(gp, cfg) else _mixer
+            mixer = _pick_mixer(gp, cfg)
 
             def pbody(x, inp, mixer=mixer):
                 lp, conv0, ssm0, k_c, v_c = inp
@@ -358,8 +389,8 @@ def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens,
             v_rows.append(rows[1])
             o_r += n
             o_a += n
-        elif "ssm_in" in gp:
-            mixer = _mixer2 if _ssm_style(gp, cfg) else _mixer
+        elif rec:
+            mixer = _pick_mixer(gp, cfg)
 
             def body(x, inp, mixer=mixer):
                 lp, conv0, ssm0 = inp

@@ -782,7 +782,8 @@ class Engine:
             from ..models.mamba import rec_prefill_batch
             logits, self.kv = rec_prefill_batch(
                 self.params, self.cfg, jnp.asarray(tokens),
-                jnp.asarray(pos_base), jnp.asarray(n_valid), self.kv)
+                jnp.asarray(pos_base), jnp.asarray(n_valid), self.kv,
+                self.rope_cos, self.rope_sin)
         else:
             logits, self.kv = prefill_batch(
                 self.params, self.cfg, jnp.asarray(tokens),
@@ -879,7 +880,8 @@ class Engine:
                 from ..models.mamba import rec_prefill
                 logits, self.kv = rec_prefill(
                     self.params, self.cfg, jnp.asarray(buf), self.kv,
-                    jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk))
+                    jnp.int32(s.idx), jnp.int32(s.pos), jnp.int32(chunk),
+                    self.rope_cos, self.rope_sin)
             else:
                 logits, self.kv = prefill(
                     self.params, self.cfg, jnp.asarray(buf), self.kv,

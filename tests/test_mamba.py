@@ -842,3 +842,129 @@ def test_falcon_h1_engine_greedy_matches_transformers(falcon_h1_setup):
     got = final.generated[:len(ref_new)]
     assert got == ref_new[:len(got)] and len(got) >= min(N, 4), \
         (got, ref_new)
+
+
+@pytest.fixture(scope="module")
+def lfm2_setup(tmp_path_factory):
+    """Tiny HF LFM2: gated short-conv mixer layers (y = C *
+    causal_conv(B*x), conv-tail-only state) interleaved with per-head-
+    QK-normed attention layers."""
+    torch = pytest.importorskip("torch")
+    from transformers import Lfm2Config, Lfm2ForCausalLM
+
+    from llama_box_tpu.gguf import GGUFWriter
+    vocab, _, _ = build_vocab()
+    E, H, HKV, D, FFL, LC = 64, 4, 2, 16, 96, 3
+    torch.manual_seed(0)
+    hc = Lfm2Config(vocab_size=len(vocab), hidden_size=E,
+                    num_hidden_layers=4, num_attention_heads=H,
+                    num_key_value_heads=HKV, intermediate_size=FFL,
+                    conv_L_cache=LC, rope_theta=10000.0, norm_eps=1e-5,
+                    layer_types=["conv", "full_attention",
+                                 "conv", "full_attention"],
+                    use_cache=False, pad_token_id=0,
+                    tie_word_embeddings=False)
+    hm = Lfm2ForCausalLM(hc).eval()
+    st = {k: v.detach().to(torch.float32).numpy()
+          for k, v in hm.state_dict().items()}
+
+    path = str(tmp_path_factory.mktemp("lfm2") / "tiny_lfm2.gguf")
+    w = GGUFWriter(path, architecture="lfm2")
+    for k, v in [("block_count", 4), ("context_length", 1024),
+                 ("embedding_length", E), ("feed_forward_length", FFL),
+                 ("attention.head_count", H),
+                 ("attention.head_count_kv", HKV),
+                 ("attention.key_length", D),
+                 ("attention.layer_norm_rms_epsilon", 1e-5),
+                 ("rope.freq_base", 10000.0),
+                 ("rope.dimension_count", D),
+                 ("shortconv.l_cache", LC), ("vocab_size", len(vocab))]:
+        w.add_kv(f"lfm2.{k}", v)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", vocab)
+    w.add_kv("tokenizer.ggml.scores", np.zeros(len(vocab), np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.ones(len(vocab), np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_tensor("token_embd.weight", st["model.embed_tokens.weight"])
+    w.add_tensor("output_norm.weight", st["model.embedding_norm.weight"])
+    w.add_tensor("output.weight", st["lm_head.weight"])
+    for i in range(4):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     st[p + "operator_norm.weight"])
+        w.add_tensor(o + "ffn_norm.weight", st[p + "ffn_norm.weight"])
+        if i % 2 == 0:   # gated short-conv mixer
+            w.add_tensor(o + "shortconv.in_proj.weight",
+                         st[p + "conv.in_proj.weight"])
+            w.add_tensor(o + "shortconv.out_proj.weight",
+                         st[p + "conv.out_proj.weight"])
+            w.add_tensor(o + "shortconv.conv.weight",
+                         st[p + "conv.conv.weight"].reshape(E, LC))
+        else:
+            w.add_tensor(o + "attn_q.weight",
+                         st[p + "self_attn.q_proj.weight"])
+            w.add_tensor(o + "attn_k.weight",
+                         st[p + "self_attn.k_proj.weight"])
+            w.add_tensor(o + "attn_v.weight",
+                         st[p + "self_attn.v_proj.weight"])
+            w.add_tensor(o + "attn_output.weight",
+                         st[p + "self_attn.out_proj.weight"])
+            w.add_tensor(o + "attn_q_norm.weight",
+                         st[p + "self_attn.q_layernorm.weight"])
+            w.add_tensor(o + "attn_k_norm.weight",
+                         st[p + "self_attn.k_layernorm.weight"])
+        w.add_tensor(o + "ffn_gate.weight",
+                     st[p + "feed_forward.w1.weight"])
+        w.add_tensor(o + "ffn_down.weight",
+                     st[p + "feed_forward.w2.weight"])
+        w.add_tensor(o + "ffn_up.weight",
+                     st[p + "feed_forward.w3.weight"])
+    w.write()
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    return hm, cfg, params, tok
+
+
+def test_lfm2_matches_transformers(lfm2_setup):
+    import torch
+    from llama_box_tpu.models.llama import make_rope
+    hm, cfg, params, _ = lfm2_setup
+    assert cfg.recurrent and cfg.shortconv_l_cache == 3
+    rng = np.random.default_rng(41)
+    T = 13
+    toks = rng.integers(3, cfg.vocab_size, (T,)).astype(np.int32)
+    with torch.no_grad():
+        ref = hm(torch.tensor(toks[None].astype(np.int64))).logits[0]
+    cache = init_rec_cache(cfg, 2, capacity=64, params=params)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = rec_prefill_impl(params, cfg, jnp.asarray(toks), cache,
+                                 jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                                 cos, sin)
+    np.testing.assert_allclose(np.asarray(logits), ref[-1].numpy(),
+                               atol=5e-4, rtol=2e-3)
+
+
+def test_lfm2_engine_greedy_matches_transformers(lfm2_setup):
+    import torch
+    hm, cfg, params, tok = lfm2_setup
+    prompt = tok.encode("a b c a b")
+    N = 10
+    with torch.no_grad():
+        ref = hm.generate(torch.tensor([prompt]), max_new_tokens=N,
+                          do_sample=False)
+    ref_new = ref[0, len(prompt):].tolist()
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=2, n_ctx=256, n_ubatch=8,
+                              decode_chain=4))
+    eng.start()
+    try:
+        final, _ = run_task(eng, CompletionsTask(
+            prompt, greedy(), tokenizer=tok, max_tokens=N, stream=False))
+    finally:
+        eng.stop()
+    got = final.generated[:len(ref_new)]
+    assert got == ref_new[:len(got)] and len(got) >= min(N, 4), \
+        (got, ref_new)
