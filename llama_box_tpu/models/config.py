@@ -35,6 +35,7 @@ _NEOX_ROPE_ARCHS = {
     "internlm2", "deepseek2", "minicpm3", "smollm3", "nemotron", "olmoe",
     "bamba", "granitehybrid", "gpt-oss", "exaone4", "dots1", "seed_oss",
     "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1", "lfm2",
+    "qwen3next",
 }
 
 
@@ -180,7 +181,8 @@ class ModelConfig:
             # softmax-over-all + renorm == HF's topk-then-softmax exactly)
             expert_weights_norm=bool(kv("expert_weights_norm",
                                         arch in ("llama", "mixtral",
-                                                 "qwen3moe", "gpt-oss",
+                                                 "qwen3moe", "qwen3next",
+                                                 "gpt-oss",
                                                  "granitemoe"))),
             # cohere2 (command-r7b) / exaone4: every 4th layer is global,
             # full-context AND unroped (llama.cpp keys rope on is_swa)

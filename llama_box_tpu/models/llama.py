@@ -534,6 +534,12 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales,
             act_fn=cfg.act_fn, interpret=not _flash_on_tpu())
         return out[:R].reshape(B, T, E).astype(x.dtype)
     ao = attn.astype(x.dtype)
+    if "wq_gate" in lp:
+        # qwen3-next output gating: attn *= sigmoid(gate(norm_input))
+        # before o_proj (the gate projection is split out of the fused
+        # q_proj at conversion)
+        hg = _pre_norm(x, lp, "attn_norm", cfg)
+        ao = ao * jax.nn.sigmoid(mm(hg, lp["wq_gate"])).astype(x.dtype)
     attn_out = (mm(ao, lp["wo"])
                 + _lora_delta(ao, lp, "wo", lora_scales)).astype(x.dtype)
     if "bo" in lp:
@@ -959,7 +965,7 @@ def _fuse_tail_ok(cfg: ModelConfig, lp, lora_scales, x) -> bool:
             and "ffn_norm" in lp and "ffn_norm_b" not in lp
             and "bo" not in lp and "b_down" not in lp
             and "attn_post_norm" not in lp and "ffn_post_norm" not in lp
-            and "w_gate_inp" not in lp
+            and "w_gate_inp" not in lp and "wq_gate" not in lp
             and _pick_tile(x.shape[-1], (256, 128)) != 0
             and _pick_tile(lp["w_down"].in_dim, (512, 256, 128)) != 0)
 

@@ -39,6 +39,10 @@ _LAYER_WEIGHTS = {
     "ssm_in": ("blk.{i}.ssm_in.weight", True),
     "shortconv_in": ("blk.{i}.shortconv.in_proj.weight", True),
     "shortconv_out": ("blk.{i}.shortconv.out_proj.weight", True),
+    # qwen3-next gated DeltaNet: fused q|k|v|z projection rides ssm_in;
+    # beta|alpha gates and the per-head attention output gate are new
+    "ssm_ba": ("blk.{i}.ssm_beta_alpha.weight", True),
+    "wq_gate": ("blk.{i}.attn_gate.weight", True),
     "ssm_x": ("blk.{i}.ssm_x.weight", True),
     "ssm_dt": ("blk.{i}.ssm_dt.weight", True),
     "ssm_out": ("blk.{i}.ssm_out.weight", True),

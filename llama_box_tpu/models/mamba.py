@@ -121,6 +121,17 @@ def init_rec_cache(cfg: ModelConfig, n_slots: int, capacity: int = 0,
                                    jnp.float32),
                     ssm=jnp.zeros((Lr, n_slots, 1, 1), jnp.float32),
                     k=k, v=v)
+            if "ssm_ba" in gp:   # qwen3-next gated DeltaNet
+                conv_dim = gp["ssm_conv_w"].shape[-2]
+                dc = gp["ssm_conv_w"].shape[-1]
+                nhd = gp["ssm_a"].shape[-1]
+                Dv = gp["ssm_norm"].shape[-1]
+                return RecCache(
+                    conv=jnp.zeros((Lr, n_slots, dc - 1, conv_dim),
+                                   jnp.float32),
+                    ssm=jnp.zeros((Lr, n_slots, nhd, cfg.ssm_d_state, Dv),
+                                  jnp.float32),
+                    k=k, v=v)
             if "ssm_in" in gp:
                 conv_dim = gp["ssm_conv_w"].shape[-2]
                 mamba2 = gp["ssm_a"].ndim == 2
@@ -304,7 +315,88 @@ def _mixer_shortconv(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
     return mm(y.astype(r.dtype), lp["shortconv_out"]), conv1, ssm0
 
 
+def _l2norm(x, eps=1e-6):
+    return x * jax.lax.rsqrt(jnp.sum(x * x, -1, keepdims=True) + eps)
+
+
+def _mixer_deltanet(lp, r, conv0, ssm0, seq_lens, cfg: ModelConfig):
+    """qwen3-next gated DeltaNet mixer (HF torch_recurrent_gated_delta_rule
+    is the golden): conv+silu over the flattened q|k|v, L2-normed q/k,
+    per-v-head decay alpha = exp(A * softplus(a + dt_bias)) and write
+    strength beta = sigmoid(b); state S [nh, Dk, Dv] evolves as
+    S' = alpha*S + k (beta (v - (alpha*S)^T k))^T, out = S'^T q / sqrt(Dk).
+    Gated per-head RMSNorm (norm-then-silu(z)-gate) before out_proj.
+    ssm_a stores -exp(A_log) like the mamba exports."""
+    Sb, T, _ = r.shape
+    nh = lp["ssm_a"].shape[-1]                     # v heads
+    Dv = lp["ssm_norm"].shape[-1]
+    Dk = cfg.ssm_d_state
+    conv_dim = lp["ssm_conv_w"].shape[-2]          # 2*key_dim + value_dim
+    value_dim = nh * Dv
+    key_dim = (conv_dim - value_dim) // 2
+    hk = key_dim // Dk
+    R = nh // hk
+
+    qkvz = mm(r, lp["ssm_in"]).astype(jnp.float32) \
+        .reshape(Sb, T, hk, 2 * Dk + 2 * R * Dv)   # per-k-head interleave
+    ba = mm(r, lp["ssm_ba"]).astype(jnp.float32).reshape(Sb, T, hk, 2 * R)
+    q = qkvz[..., :Dk]
+    k = qkvz[..., Dk:2 * Dk]
+    v = qkvz[..., 2 * Dk:2 * Dk + R * Dv]
+    z = qkvz[..., 2 * Dk + R * Dv:].reshape(Sb, T, nh, Dv)
+    b = ba[..., :R].reshape(Sb, T, nh)
+    a = ba[..., R:].reshape(Sb, T, nh)
+
+    # conv runs over the flattened q | k | v concat
+    mixed = jnp.concatenate([q.reshape(Sb, T, key_dim),
+                             k.reshape(Sb, T, key_dim),
+                             v.reshape(Sb, T, value_dim)], axis=-1)
+    conv, conv1 = _causal_conv(conv0, mixed, lp["ssm_conv_w"],
+                               lp.get("ssm_conv_b"), seq_lens)
+    mixed = jax.nn.silu(conv)
+    q = mixed[..., :key_dim].reshape(Sb, T, hk, Dk)
+    k = mixed[..., key_dim:2 * key_dim].reshape(Sb, T, hk, Dk)
+    v = mixed[..., 2 * key_dim:].reshape(Sb, T, nh, Dv)
+
+    q = _l2norm(q) * (Dk ** -0.5)
+    k = _l2norm(k)
+    if R > 1:
+        q = jnp.repeat(q, R, axis=2)
+        k = jnp.repeat(k, R, axis=2)
+
+    beta = jax.nn.sigmoid(b)                       # [S, T, nh]
+    dtb = lp["ssm_dt_b"].astype(jnp.float32)
+    alpha = jnp.exp(lp["ssm_a"].astype(jnp.float32) * _softplus(a + dtb))
+    valid = jnp.arange(T)[None, :] < seq_lens[:, None]
+
+    def step(S0, inp):
+        q_t, k_t, v_t, al_t, be_t, ok_t = inp
+        Sg = S0 * al_t[..., None, None]            # [S, nh, Dk, Dv]
+        kv = (Sg * k_t[..., :, None]).sum(-2)      # [S, nh, Dv]
+        delta = (v_t - kv) * be_t[..., None]
+        S1 = Sg + k_t[..., :, None] * delta[..., None, :]
+        S1 = jnp.where(ok_t[:, None, None, None], S1, S0)
+        out = (S1 * q_t[..., :, None]).sum(-2)     # [S, nh, Dv]
+        return S1, out
+
+    tm = lambda x: jnp.moveaxis(x, 1, 0)           # time-major for scan
+    ssm1, outs = jax.lax.scan(
+        step, ssm0.astype(jnp.float32),
+        (tm(q), tm(k), tm(v), tm(alpha), tm(beta), tm(valid)))
+    y = jnp.moveaxis(outs, 0, 1)                   # [S, T, nh, Dv]
+
+    # gated per-head RMSNorm: norm, scale, then silu(z) gate
+    var = jnp.mean(y * y, axis=-1, keepdims=True)
+    y = y * jax.lax.rsqrt(var + cfg.rms_eps)
+    y = y * lp["ssm_norm"].astype(jnp.float32)
+    y = y * jax.nn.silu(z)
+    y = y.reshape(Sb, T, value_dim)
+    return mm(y.astype(r.dtype), lp["ssm_out"]), conv1, ssm1
+
+
 def _pick_mixer(gp, cfg: ModelConfig):
+    if "ssm_ba" in gp:
+        return _mixer_deltanet
     if "shortconv_in" in gp:
         return _mixer_shortconv
     return _mixer2 if _ssm_style(gp, cfg) else _mixer

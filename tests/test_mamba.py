@@ -968,3 +968,167 @@ def test_lfm2_engine_greedy_matches_transformers(lfm2_setup):
     got = final.generated[:len(ref_new)]
     assert got == ref_new[:len(got)] and len(got) >= min(N, 4), \
         (got, ref_new)
+
+
+@pytest.fixture(scope="module")
+def qwen3next_setup(tmp_path_factory):
+    """Tiny HF Qwen3Next: gated-DeltaNet linear-attention layers (3:1)
+    interleaved with gated full attention (per-head output gate split out
+    of the fused q_proj at export), qwen2moe-style MoE with shared
+    expert + gate, partial rotary."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen3NextConfig, Qwen3NextForCausalLM
+
+    from llama_box_tpu.gguf import GGUFWriter
+    vocab, _, _ = build_vocab()
+    E, H, HKV, D = 64, 4, 2, 16
+    HK, HV, DK, DV, DC = 2, 4, 16, 16, 4
+    X, K = 4, 2
+    torch.manual_seed(0)
+    hc = Qwen3NextConfig(
+        vocab_size=len(vocab), hidden_size=E, num_hidden_layers=4,
+        num_attention_heads=H, num_key_value_heads=HKV, head_dim=D,
+        intermediate_size=96, moe_intermediate_size=48,
+        shared_expert_intermediate_size=48, num_experts=X,
+        num_experts_per_tok=K, decoder_sparse_step=1, norm_topk_prob=True,
+        linear_num_value_heads=HV, linear_num_key_heads=HK,
+        linear_key_head_dim=DK, linear_value_head_dim=DV,
+        linear_conv_kernel_dim=DC, partial_rotary_factor=0.25,
+        rope_theta=10000.0, rms_norm_eps=1e-5, use_cache=False,
+        pad_token_id=0, tie_word_embeddings=False)
+    hm = Qwen3NextForCausalLM(hc).eval()
+    st = {k: v.detach().to(torch.float32).numpy()
+          for k, v in hm.state_dict().items()}
+
+    path = str(tmp_path_factory.mktemp("q3n") / "tiny_qwen3next.gguf")
+    w = GGUFWriter(path, architecture="qwen3next")
+    conv_dim = 2 * HK * DK + HV * DV
+    for k, v in [("block_count", 4), ("context_length", 1024),
+                 ("embedding_length", E), ("feed_forward_length", 96),
+                 ("attention.head_count", H),
+                 ("attention.head_count_kv", HKV),
+                 ("attention.key_length", D),
+                 ("attention.layer_norm_rms_epsilon", 1e-5),
+                 ("rope.freq_base", 10000.0),
+                 ("rope.dimension_count", D // 4),
+                 ("expert_count", X), ("expert_used_count", K),
+                 ("expert_weights_norm", True),
+                 ("ssm.conv_kernel", DC), ("ssm.inner_size", HV * DV),
+                 ("ssm.state_size", DK), ("ssm.time_step_rank", HV),
+                 ("ssm.group_count", HK), ("vocab_size", len(vocab))]:
+        w.add_kv(f"qwen3next.{k}", v)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", vocab)
+    w.add_kv("tokenizer.ggml.scores", np.zeros(len(vocab), np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.ones(len(vocab), np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    # Qwen3NextRMSNorm is ZERO-CENTERED ((1+w) * normed) — store the
+    # effective weight like llama.cpp's gemma/nemotron +1 convention.
+    # The gated DeltaNet norm (Qwen3NextRMSNormGated) is NOT zero-centered.
+    w.add_tensor("token_embd.weight", st["model.embed_tokens.weight"])
+    w.add_tensor("output_norm.weight", st["model.norm.weight"] + 1.0)
+    w.add_tensor("output.weight", st["lm_head.weight"])
+    for i in range(4):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     st[p + "input_layernorm.weight"] + 1.0)
+        w.add_tensor(o + "ffn_norm.weight",
+                     st[p + "post_attention_layernorm.weight"] + 1.0)
+        if (i + 1) % 4 == 0:   # gated full attention
+            qg = st[p + "self_attn.q_proj.weight"] \
+                .reshape(H, 2 * D, E)
+            w.add_tensor(o + "attn_q.weight",
+                         qg[:, :D].reshape(H * D, E))
+            w.add_tensor(o + "attn_gate.weight",
+                         qg[:, D:].reshape(H * D, E))
+            w.add_tensor(o + "attn_k.weight",
+                         st[p + "self_attn.k_proj.weight"])
+            w.add_tensor(o + "attn_v.weight",
+                         st[p + "self_attn.v_proj.weight"])
+            w.add_tensor(o + "attn_output.weight",
+                         st[p + "self_attn.o_proj.weight"])
+            w.add_tensor(o + "attn_q_norm.weight",
+                         st[p + "self_attn.q_norm.weight"] + 1.0)
+            w.add_tensor(o + "attn_k_norm.weight",
+                         st[p + "self_attn.k_norm.weight"] + 1.0)
+        else:                  # gated DeltaNet
+            w.add_tensor(o + "ssm_in.weight",
+                         st[p + "linear_attn.in_proj_qkvz.weight"])
+            w.add_tensor(o + "ssm_beta_alpha.weight",
+                         st[p + "linear_attn.in_proj_ba.weight"])
+            w.add_tensor(o + "ssm_conv1d.weight",
+                         st[p + "linear_attn.conv1d.weight"]
+                         .reshape(conv_dim, DC))
+            if p + "linear_attn.conv1d.bias" in st:
+                w.add_tensor(o + "ssm_conv1d.bias",
+                             st[p + "linear_attn.conv1d.bias"])
+            w.add_tensor(o + "ssm_dt.bias", st[p + "linear_attn.dt_bias"])
+            w.add_tensor(o + "ssm_a.weight",
+                         -np.exp(st[p + "linear_attn.A_log"]))
+            w.add_tensor(o + "ssm_norm.weight",
+                         st[p + "linear_attn.norm.weight"])
+            w.add_tensor(o + "ssm_out.weight",
+                         st[p + "linear_attn.out_proj.weight"])
+        w.add_tensor(o + "ffn_gate_inp.weight", st[p + "mlp.gate.weight"])
+        for hfk, gg in (("gate_proj", "ffn_gate_exps"),
+                        ("up_proj", "ffn_up_exps"),
+                        ("down_proj", "ffn_down_exps")):
+            w.add_tensor(o + gg + ".weight", np.stack([
+                st[p + f"mlp.experts.{j}.{hfk}.weight"]
+                for j in range(X)]))
+        for hfk, gg in (("gate_proj", "ffn_gate_shexp"),
+                        ("up_proj", "ffn_up_shexp"),
+                        ("down_proj", "ffn_down_shexp")):
+            w.add_tensor(o + gg + ".weight",
+                         st[p + f"mlp.shared_expert.{hfk}.weight"])
+        w.add_tensor(o + "ffn_gate_inp_shexp.weight",
+                     st[p + "mlp.shared_expert_gate.weight"])
+    w.write()
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    return hm, cfg, params, tok
+
+
+def test_qwen3next_matches_transformers(qwen3next_setup):
+    import torch
+    from llama_box_tpu.models.llama import make_rope
+    hm, cfg, params, _ = qwen3next_setup
+    assert cfg.recurrent
+    rng = np.random.default_rng(51)
+    T = 13
+    toks = rng.integers(3, cfg.vocab_size, (T,)).astype(np.int32)
+    with torch.no_grad():
+        ref = hm(torch.tensor(toks[None].astype(np.int64))).logits[0]
+    cache = init_rec_cache(cfg, 2, capacity=64, params=params)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = rec_prefill_impl(params, cfg, jnp.asarray(toks), cache,
+                                 jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                                 cos, sin)
+    np.testing.assert_allclose(np.asarray(logits), ref[-1].numpy(),
+                               atol=1e-3, rtol=2e-3)
+
+
+def test_qwen3next_engine_greedy_matches_transformers(qwen3next_setup):
+    import torch
+    hm, cfg, params, tok = qwen3next_setup
+    prompt = tok.encode("a b c a b")
+    N = 10
+    with torch.no_grad():
+        ref = hm.generate(torch.tensor([prompt]), max_new_tokens=N,
+                          do_sample=False)
+    ref_new = ref[0, len(prompt):].tolist()
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=2, n_ctx=256, n_ubatch=8,
+                              decode_chain=4))
+    eng.start()
+    try:
+        final, _ = run_task(eng, CompletionsTask(
+            prompt, greedy(), tokenizer=tok, max_tokens=N, stream=False))
+    finally:
+        eng.stop()
+    got = final.generated[:len(ref_new)]
+    assert got == ref_new[:len(got)] and len(got) >= min(N, 4), \
+        (got, ref_new)
