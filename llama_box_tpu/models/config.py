@@ -17,6 +17,7 @@ _LN_ARCHS = {
     # LayerNorm (optionally biased) instead of RMSNorm
     "falcon", "gptneox", "phi2", "stablelm", "starcoder2", "command-r",
     "nemotron", "gpt2", "bloom", "mpt", "starcoder", "gptj", "cohere2",
+    "olmo",   # non-parametric LN: loader synthesizes unit weights
 }
 # position-independent q/k (learned pos embd, ALiBi, or none); no rotation
 _NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2", "jamba"}
@@ -35,7 +36,7 @@ _NEOX_ROPE_ARCHS = {
     "internlm2", "deepseek2", "minicpm3", "smollm3", "nemotron", "olmoe",
     "bamba", "granitehybrid", "gpt-oss", "exaone4", "dots1", "seed_oss",
     "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1", "lfm2",
-    "qwen3next",
+    "qwen3next", "olmo", "chameleon",
 }
 
 
@@ -98,6 +99,7 @@ class ModelConfig:
     residual_scale: float = 1.0   # granite residual multiplier
     logit_scale: float = 1.0      # command-r / granite logits multiplier
     attn_scale: float = 0.0       # score scale override (0 = 1/sqrt(D))
+    attn_clamp: float = 0.0       # olmo clip_qkv: clamp q/k/v projections
     alibi_max_bias: float = 0.0   # ALiBi (bloom/mpt); 0 = off
     rope_freq_base_swa: float = 0.0  # local-layer rope base (gemma3)
     # recurrent (mamba) state-space hyperparameters (models/mamba.py)
@@ -246,6 +248,7 @@ class ModelConfig:
             residual_scale=float(kv("residual_scale", 1.0) or 1.0),
             logit_scale=float(kv("logit_scale", 1.0) or 1.0),
             attn_scale=float(kv("attention.scale", 0.0) or 0.0),
+            attn_clamp=float(kv("attention.clamp_kqv", 0.0) or 0.0),
             alibi_max_bias=float(
                 kv("attention.max_alibi_bias",
                    8.0 if arch in ("bloom", "mpt") else 0.0) or 0.0),

@@ -240,11 +240,17 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
             q = q + lp["bq"]
             k = k + lp["bk"]
             v = v + lp["bv"]
+        if cfg.attn_clamp > 0.0:  # olmo clip_qkv
+            c = cfg.attn_clamp
+            q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
         q = q.reshape(B, T, H, D)
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, D)
         if "q_norm" in lp:
-            if lp["q_norm"].shape[-1] == D:   # per-head QK norm (qwen3)
+            if "q_norm_b" in lp:   # chameleon per-head biased LayerNorm
+                q = _ln_per_head(q, lp["q_norm"], lp["q_norm_b"], H, D)
+                k = _ln_per_head(k, lp["k_norm"], lp["k_norm_b"], Hkv, D)
+            elif lp["q_norm"].shape[-1] == D:  # per-head QK norm (qwen3)
                 q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
                 k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
             else:                              # whole-row norm (olmo2)
@@ -260,11 +266,17 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
             q = q + lp["bq"]
             k = k + lp["bk"]
             v = v + lp["bv"]
+        if cfg.attn_clamp > 0.0:  # olmo clip_qkv
+            c = cfg.attn_clamp
+            q, k, v = (jnp.clip(t, -c, c) for t in (q, k, v))
         q = q.reshape(B, T, H, D)
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, D)
         if "q_norm" in lp:
-            if lp["q_norm"].shape[-1] == D:   # per-head QK norm (qwen3)
+            if "q_norm_b" in lp:   # chameleon per-head biased LayerNorm
+                q = _ln_per_head(q, lp["q_norm"], lp["q_norm_b"], H, D)
+                k = _ln_per_head(k, lp["k_norm"], lp["k_norm_b"], Hkv, D)
+            elif lp["q_norm"].shape[-1] == D:  # per-head QK norm (qwen3)
                 q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
                 k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
             else:                              # whole-row norm (olmo2)
@@ -388,6 +400,18 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     x = _layer_tail(x, lp, cfg, attn, lora_scales,
                     extra_residual=extra_residual)
     return x, k_cache, v_cache, k_scale, v_scale
+
+
+def _ln_per_head(t, w, b, Hn, D):
+    """chameleon ChameleonLayerNorm: LayerNorm over head_dim with
+    DISTINCT per-head weight/bias (stored flattened [H*D])."""
+    tf = t.astype(jnp.float32)
+    mu = tf.mean(-1, keepdims=True)
+    var = jnp.mean(jnp.square(tf - mu), -1, keepdims=True)
+    y = (tf - mu) * jax.lax.rsqrt(var + 1e-5)
+    y = y * w.astype(jnp.float32).reshape(Hn, D) \
+        + b.astype(jnp.float32).reshape(Hn, D)
+    return y.astype(t.dtype)
 
 
 def _alibi_slopes(cfg: ModelConfig):

@@ -69,6 +69,9 @@ _LAYER_OPTIONAL = {
     "bv": ("blk.{i}.attn_v.bias", False),
     "q_norm": ("blk.{i}.attn_q_norm.weight", False),
     "k_norm": ("blk.{i}.attn_k_norm.weight", False),
+    # chameleon: per-head BIASED LayerNorm on q/k
+    "q_norm_b": ("blk.{i}.attn_q_norm.bias", False),
+    "k_norm_b": ("blk.{i}.attn_k_norm.bias", False),
     # gemma2/3 sandwich norms
     "attn_post_norm": ("blk.{i}.post_attention_norm.weight", False),
     "ffn_post_norm": ("blk.{i}.post_ffw_norm.weight", False),
@@ -254,7 +257,14 @@ def load_model(
         if "token_embd_norm.bias" in g.tensors:
             params["tok_embd_norm_b"] = put(
                 "tok_embd_norm_b", fetch("token_embd_norm.bias", False))
-    params["output_norm"] = put("output_norm", fetch("output_norm.weight", False))
+    if "output_norm.weight" in g.tensors:
+        params["output_norm"] = put("output_norm",
+                                    fetch("output_norm.weight", False))
+    else:
+        # olmo (v1): non-parametric LayerNorm everywhere — the GGUF ships
+        # no norm tensors at all; unit weights make _norm_any exact
+        params["output_norm"] = put(
+            "output_norm", np.ones((cfg.n_embd,), np.float32))
     if "output_norm.bias" in g.tensors:   # LN archs (falcon/gptneox/phi2)
         params["output_norm_b"] = put("output_norm_b",
                                       fetch("output_norm.bias", False))
@@ -348,6 +358,13 @@ def load_model(
                 if kk in layers and counters.get(kk, 0) < len(layers[kk]):
                     per_layer[i][kk] = layers[kk][counters[kk]]
                     counters[kk] += 1
+
+    # olmo (v1): synthesize unit weights for the non-parametric LNs
+    if cfg.arch == "olmo":
+        ones = np.ones((cfg.n_embd,), np.float32)
+        for i in range(cfg.n_layers):
+            per_layer[i].setdefault("attn_norm", ones)
+            per_layer[i].setdefault("ffn_norm", ones)
 
     # apertus xIELU per-layer activation params ride GGUF metadata arrays
     # (%arch%.xielu.alpha_p/alpha_n/beta/eps — RAW learned values; softplus

@@ -1541,6 +1541,101 @@ def test_dots1_matches_transformers(tmp_path):
     _compare(hm, path, atol=1e-3, decode_check=True)
 
 
+def test_chameleon_matches_transformers(tmp_path):
+    """chameleon (text path): per-head BIASED LayerNorm on q/k with
+    distinct per-head params, llama skeleton otherwise (swin_norm=False
+    7B layout)."""
+    import transformers
+    from transformers import ChameleonConfig, ChameleonVQVAEConfig
+    mc = transformers.models.chameleon.modeling_chameleon
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    vq = ChameleonVQVAEConfig(embed_dim=32, num_embeddings=8,
+                              latent_channels=32, resolution=32,
+                              base_channels=32, channel_multiplier=[1],
+                              num_res_blocks=1, attn_resolutions=[])
+    hc = ChameleonConfig(vocab_size=len(vocab), hidden_size=E,
+                         num_hidden_layers=L, num_attention_heads=H,
+                         num_key_value_heads=HKV, intermediate_size=FF,
+                         rms_norm_eps=1e-5, use_cache=False,
+                         rope_theta=10000.0, tie_word_embeddings=False,
+                         swin_norm=False, vq_config=vq.to_dict(),
+                         vocabulary_map={"<image>": 1})
+    hm = mc.ChameleonForConditionalGeneration(hc).eval()
+    st = hm.state_dict()
+    # randomize the norm params away from their ones/zeros init
+    with torch.no_grad():
+        for i in range(L):
+            for n in ("q_norm", "k_norm"):
+                st[f"model.layers.{i}.self_attn.{n}.weight"].normal_(1.0, 0.2)
+                st[f"model.layers.{i}.self_attn.{n}.bias"].normal_(0.0, 0.1)
+
+    path = str(tmp_path / "chameleon.gguf")
+    w, V = _gguf_header(path, "chameleon", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "attn_q_norm.weight",
+                     _np(st, p + "self_attn.q_norm.weight").reshape(-1))
+        w.add_tensor(o + "attn_q_norm.bias",
+                     _np(st, p + "self_attn.q_norm.bias").reshape(-1))
+        w.add_tensor(o + "attn_k_norm.weight",
+                     _np(st, p + "self_attn.k_norm.weight").reshape(-1))
+        w.add_tensor(o + "attn_k_norm.bias",
+                     _np(st, p + "self_attn.k_norm.bias").reshape(-1))
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_olmo_matches_transformers(tmp_path):
+    """olmo v1: NON-PARAMETRIC LayerNorm (the GGUF ships no norm tensors;
+    the loader synthesizes unit weights) + clip_qkv clamping."""
+    from transformers import OlmoConfig, OlmoForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = OlmoConfig(vocab_size=len(vocab), hidden_size=E,
+                    num_hidden_layers=L, num_attention_heads=H,
+                    num_key_value_heads=HKV, intermediate_size=FF,
+                    clip_qkv=0.03, use_cache=False, rope_theta=10000.0,
+                    tie_word_embeddings=False)
+    hm = OlmoForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "olmo.gguf")
+    w, V = _gguf_header(path, "olmo", HKV, D,
+                        extra=[("attention.layer_norm_epsilon", 1e-5),
+                               ("attention.clamp_kqv", 0.03)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
 def test_gptj_matches_transformers(tmp_path):
     """gpt-j: single-shared-norm parallel residual, interleaved partial
     rotary (rotary_dim), biased fc/out layers, gelu_new FFN."""
