@@ -36,7 +36,7 @@ _NEOX_ROPE_ARCHS = {
     "internlm2", "deepseek2", "minicpm3", "smollm3", "nemotron", "olmoe",
     "bamba", "granitehybrid", "gpt-oss", "exaone4", "dots1", "seed_oss",
     "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1", "lfm2",
-    "qwen3next", "olmo", "chameleon",
+    "qwen3next", "olmo", "chameleon", "gemma3n",
 }
 
 
@@ -217,7 +217,8 @@ class ModelConfig:
             # gpt-oss alternates sliding/full starting sliding at layer 0
             # (llama.cpp hardcodes set_swa_pattern(2) for LLM_ARCH_OPENAI_MOE)
             swa_pattern=int(kv("attention.sliding_window_pattern",
-                               {"gemma2": 2, "gemma3": 6, "gpt-oss": 2,
+                               {"gemma2": 2, "gemma3": 6, "gemma3n": 5,
+                                "gpt-oss": 2,
                                 "cohere2": 4, "exaone4": 4}.get(arch, 0))
                             or 0) if (arch.startswith("gemma")
                                       or arch in ("gpt-oss", "cohere2",
@@ -238,7 +239,8 @@ class ModelConfig:
                              or 1.0),
             rope_freq_base_swa=float(
                 kv("rope.local_freq_base",
-                   10000.0 if arch == "gemma3" else 0.0) or 0.0),
+                   10000.0 if arch in ("gemma3", "gemma3n") else 0.0)
+                or 0.0),
             logit_softcap=float(kv("final_logit_softcapping", 0.0) or 0.0),
             attn_softcap=float(kv("attn_logit_softcapping", 0.0) or 0.0),
             norm_style="ln" if arch in _LN_ARCHS else "rms",
@@ -247,7 +249,9 @@ class ModelConfig:
             ffn_gated=arch not in _UNGATED_FFN_ARCHS,
             residual_scale=float(kv("residual_scale", 1.0) or 1.0),
             logit_scale=float(kv("logit_scale", 1.0) or 1.0),
-            attn_scale=float(kv("attention.scale", 0.0) or 0.0),
+            # gemma3n attends UNSCALED (HF Gemma3nTextAttention scaling=1.0)
+            attn_scale=float(kv("attention.scale",
+                                1.0 if arch == "gemma3n" else 0.0) or 0.0),
             attn_clamp=float(kv("attention.clamp_kqv", 0.0) or 0.0),
             alibi_max_bias=float(
                 kv("attention.max_alibi_bias",

@@ -604,7 +604,8 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales,
 
 def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
                    is_local, k_scale, v_scale, lora_scales,
-                   flash_meta=None, chain=None, extra_residual=None):
+                   flash_meta=None, chain=None, extra_residual=None,
+                   tail=True):
     """Read-only-cache attention for the batched decode/verify step AND
     (via the flash kernel) batched prefill.
     Returns (x_out, rows) where rows are the new K/V entries (quantized
@@ -659,6 +660,8 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
             interpret=not _flash_on_tpu())
         Dv = v_cache.shape[-1]
         attn = o.transpose(0, 3, 1, 2, 4).reshape(B, T, H * Dv)
+        if not tail:
+            return attn, rows
         return _layer_tail(x, lp, cfg, attn, lora_scales,
                            extra_residual=extra_residual), rows
 
@@ -704,6 +707,8 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         Dv = v_cache.shape[-1]
         attn = jax.lax.dynamic_slice_in_dim(o, nc_t, 1, axis=3)
         attn = attn.transpose(0, 3, 1, 2, 4).reshape(B, 1, H * Dv)
+        if not tail:
+            return attn, rows
         return _layer_tail(x, lp, cfg, attn, lora_scales,
                            extra_residual=extra_residual), rows
 
@@ -821,6 +826,8 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
                                  preferred_element_type=jnp.float32)
     attn = attn.reshape(B, T, H * Dv)
 
+    if not tail:
+        return attn, rows
     x = _layer_tail(x, lp, cfg, attn, lora_scales,
                     extra_residual=extra_residual)
     return x, rows
@@ -1001,6 +1008,14 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
     """Scan the layer stack; returns (hidden, k_new, v_new, ks_new, vs_new).
     chain: per-layer decode-chain row accumulators
     (ck [L,B,Kc,Hkv,D], cv, cks|None, cvs|None, nc) — see _attn_deferred."""
+    if "altup_proj" in params:
+        # gemma3n: altup-stream stack with its own (unrolled) layer loop;
+        # same signature/return contract so every caller works unchanged
+        from .gemma3n import g3n_run_stack
+        return g3n_run_stack(params, cfg, x, positions, kv_k, kv_v, mask,
+                             cos, sin, kv_ks=kv_ks, kv_vs=kv_vs,
+                             deferred_kv=deferred_kv, emit_rows=emit_rows,
+                             flash_meta=flash_meta, chain=chain)
     quant = kv_ks is not None
     lora_scales = params.get("lora_scales")
     is_local = _layer_is_local(cfg)
@@ -1228,6 +1243,17 @@ def _embed_tokens(params, cfg: ModelConfig, tokens):
     if "tok_embd_norm" in params:   # bloom embedding LayerNorm
         x = _norm_any(x, params["tok_embd_norm"],
                       params.get("tok_embd_norm_b"), cfg)
+    if "per_layer_token_embd" in params:
+        # gemma3n: per-layer token embeddings ride CONCATENATED onto the
+        # embedding channels so the [*, E] plumbing to _run_stack carries
+        # them (split + consumed in gemma3n.g3n_run_stack); ids beyond the
+        # per-layer vocab (vision/audio tokens) embed as zeros (HF pads)
+        tbl = params["per_layer_token_embd"]
+        pe = jnp.take(tbl, tokens, axis=0, mode="clip")
+        pe = jnp.where((tokens < tbl.shape[0])[..., None], pe, 0.0)
+        P = params["per_layer_proj_norm"].shape[-1]
+        pe = pe * jnp.asarray(float(P) ** 0.5, pe.dtype)
+        x = jnp.concatenate([x, pe.astype(x.dtype)], axis=-1)
     return x
 
 

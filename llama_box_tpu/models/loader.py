@@ -110,6 +110,18 @@ _LAYER_OPTIONAL = {
     "ssm_a": ("blk.{i}.ssm_a.weight", False),
     "ssm_d": ("blk.{i}.ssm_d.weight", False),
     "ssm_norm": ("blk.{i}.ssm_norm.weight", False),  # mamba2 gated norm
+    # gemma3n: altup / laurel / per-layer-input blocks (per-layer)
+    "altup_correct_coef": ("blk.{i}.altup_correct_coef.weight", True),
+    "altup_predict_coef": ("blk.{i}.altup_predict_coef.weight", True),
+    "altup_router": ("blk.{i}.altup_router.weight", True),
+    "altup_router_norm": ("blk.{i}.altup_router_norm.weight", False),
+    "altup_correct_scale": ("blk.{i}.altup_correct_scale.weight", False),
+    "laurel_l": ("blk.{i}.laurel_l.weight", True),
+    "laurel_r": ("blk.{i}.laurel_r.weight", True),
+    "laurel_post_norm": ("blk.{i}.laurel_post_norm.weight", False),
+    "ple_gate": ("blk.{i}.inp_gate.weight", True),
+    "ple_proj": ("blk.{i}.proj.weight", True),
+    "ple_post_norm": ("blk.{i}.post_norm.weight", False),
     # lfm2 gated short-conv mixer
     "shortconv_conv": ("blk.{i}.shortconv.conv.weight", False),
     "shortconv_conv_b": ("blk.{i}.shortconv.conv.bias", False),
@@ -193,6 +205,18 @@ def load_model(
     SRV_INF("load_model", "arch=%s layers=%d embd=%d heads=%d/%d ff=%d "
             "vocab=%d quantized=%s", cfg.arch, cfg.n_layers, cfg.n_embd,
             cfg.n_heads, cfg.n_kv_heads, cfg.n_ff, cfg.vocab_size, quantized)
+    if cfg.arch == "gemma3n":
+        # the altup stack runs UNROLLED (per-layer dict indexing); keep
+        # dense residency until QTensor stacks support per-layer slicing
+        if quantized:
+            SRV_WRN("load_model", "gemma3n: quantized residency not yet "
+                    "supported; loading dense")
+        quantized = False
+        cfg.extra["g3n_kv_shared"] = int(
+            g.metadata.get("gemma3n.attention.shared_kv_layers", 0) or 0)
+        sp = g.metadata.get("gemma3n.activation_sparsity_scale")
+        if sp is not None:
+            cfg.extra["g3n_act_sparsity"] = tuple(float(x) for x in sp)
 
     def fetch(name: str, transpose) -> np.ndarray:
         # NOTE: gemma GGUFs store RMSNorm weights in EFFECTIVE form —
@@ -257,6 +281,23 @@ def load_model(
         if "token_embd_norm.bias" in g.tensors:
             params["tok_embd_norm_b"] = put(
                 "tok_embd_norm_b", fetch("token_embd_norm.bias", False))
+    if "per_layer_token_embd.weight" in g.tensors:   # gemma3n
+        params["per_layer_token_embd"] = put(
+            "per_layer_token_embd",
+            fetch("per_layer_token_embd.weight", False))
+        params["per_layer_model_proj"] = put(
+            "per_layer_model_proj",
+            fetch("per_layer_model_proj.weight", True))
+        params["per_layer_proj_norm"] = put(
+            "per_layer_proj_norm", fetch("per_layer_proj_norm.weight",
+                                         False))
+        # [N-1, E, E] stacks; swap to (in, out) per slice for x @ W
+        params["altup_proj"] = put(
+            "altup_proj", np.swapaxes(
+                g.tensor_f32("altup_proj.weight"), 1, 2))
+        params["altup_unembed_proj"] = put(
+            "altup_unembed_proj", np.swapaxes(
+                g.tensor_f32("altup_unembed_proj.weight"), 1, 2))
     if "output_norm.weight" in g.tensors:
         params["output_norm"] = put("output_norm",
                                     fetch("output_norm.weight", False))
@@ -452,6 +493,9 @@ def fuse_projections(params: dict, cfg: ModelConfig) -> dict:
         if not isinstance(layers, dict):
             continue
         layers = dict(layers)
+        if "altup_router" in layers:   # gemma3n stack uses split tensors
+            out[field] = layers
+            continue
         if all(k in layers for k in ("wq", "wk", "wv")) \
                 and "wkv_a" not in layers:
             f = _cat_weights([layers["wq"], layers["wk"], layers["wv"]])

@@ -1541,6 +1541,116 @@ def test_dots1_matches_transformers(tmp_path):
     _compare(hm, path, atol=1e-3, decode_check=True)
 
 
+def test_gemma3n_text_matches_transformers(tmp_path):
+    """gemma3n: AltUp streams (predict/correct), Laurel residuals,
+    per-layer token embeddings with gated injection, KV-shared tail
+    layers (per attention type), activation sparsity on early layers,
+    unscaled attention, 4-sliding:1-full pattern with dual rope bases."""
+    from transformers import Gemma3nTextConfig
+    from transformers.models.gemma3n.modeling_gemma3n import (
+        Gemma3nForCausalLM,
+    )
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, NL, P, NALT, RANK = 2, 10, 8, 2, 4
+    spars = [0.95, 0.95] + [0.0] * (NL - 2)
+    lt = ["full_attention" if (i + 1) % 5 == 0 else "sliding_attention"
+          for i in range(NL)]
+    hc = Gemma3nTextConfig(
+        vocab_size=len(vocab), vocab_size_per_layer_input=len(vocab),
+        hidden_size=E, hidden_size_per_layer_input=P,
+        num_hidden_layers=NL, num_attention_heads=H,
+        num_key_value_heads=HKV, head_dim=D, intermediate_size=FF,
+        altup_num_inputs=NALT, altup_active_idx=0, altup_coef_clip=None,
+        altup_correct_scale=True, laurel_rank=RANK,
+        num_kv_shared_layers=4, activation_sparsity_pattern=spars,
+        layer_types=lt, sliding_window=8, rope_theta=10000.0,
+        rope_local_base_freq=10000.0, rms_norm_eps=1e-6,
+        final_logit_softcapping=30.0, use_cache=True,
+        tie_word_embeddings=False)
+    # use_cache=True: HF only activates KV sharing when a cache exists
+    # (uncached forwards compute per-layer k/v and silently skip sharing)
+    hm = Gemma3nForCausalLM(hc).eval()
+    st = hm.state_dict()
+    # randomize correct_output_scale away from zeros init
+    with torch.no_grad():
+        for i in range(NL):
+            st[f"model.layers.{i}.altup.correct_output_scale"] \
+                .normal_(1.0, 0.2)
+
+    path = str(tmp_path / "g3n.gguf")
+    w, V = _gguf_header(path, "gemma3n", HKV, D, n_layers=NL,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-6),
+                               ("attention.key_length", D),
+                               ("attention.value_length", D),
+                               ("attention.sliding_window", 8),
+                               ("attention.sliding_window_pattern", 5),
+                               ("attention.shared_kv_layers", 4),
+                               ("activation_sparsity_scale",
+                                np.array(spars, np.float32)),
+                               ("final_logit_softcapping", 30.0)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    w.add_tensor("per_layer_token_embd.weight",
+                 _np(st, "model.embed_tokens_per_layer.weight"))
+    w.add_tensor("per_layer_model_proj.weight",
+                 _np(st, "model.per_layer_model_projection.weight"))
+    w.add_tensor("per_layer_proj_norm.weight",
+                 _np(st, "model.per_layer_projection_norm.weight"))
+    w.add_tensor("altup_proj.weight", np.stack(
+        [_np(st, f"model.altup_projections.{i}.weight")
+         for i in range(NALT - 1)]))
+    w.add_tensor("altup_unembed_proj.weight", np.stack(
+        [_np(st, f"model.altup_unembed_projections.{i}.weight")
+         for i in range(NALT - 1)]))
+    for i in range(NL):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "post_attention_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "pre_feedforward_layernorm.weight"))
+        w.add_tensor(o + "post_ffw_norm.weight",
+                     _np(st, p + "post_feedforward_layernorm.weight"))
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "attn_q_norm.weight",
+                     _np(st, p + "self_attn.q_norm.weight"))
+        w.add_tensor(o + "attn_k_norm.weight",
+                     _np(st, p + "self_attn.k_norm.weight"))
+        w.add_tensor(o + "altup_correct_coef.weight",
+                     _np(st, p + "altup.correction_coefs.weight"))
+        w.add_tensor(o + "altup_predict_coef.weight",
+                     _np(st, p + "altup.prediction_coefs.weight"))
+        w.add_tensor(o + "altup_router.weight",
+                     _np(st, p + "altup.modality_router.weight"))
+        w.add_tensor(o + "altup_router_norm.weight",
+                     _np(st, p + "altup.router_norm.weight"))
+        w.add_tensor(o + "altup_correct_scale.weight",
+                     _np(st, p + "altup.correct_output_scale"))
+        w.add_tensor(o + "laurel_l.weight",
+                     _np(st, p + "laurel.linear_left.weight"))
+        w.add_tensor(o + "laurel_r.weight",
+                     _np(st, p + "laurel.linear_right.weight"))
+        w.add_tensor(o + "laurel_post_norm.weight",
+                     _np(st, p + "laurel.post_laurel_norm.weight"))
+        w.add_tensor(o + "inp_gate.weight",
+                     _np(st, p + "per_layer_input_gate.weight"))
+        w.add_tensor(o + "proj.weight",
+                     _np(st, p + "per_layer_projection.weight"))
+        w.add_tensor(o + "post_norm.weight",
+                     _np(st, p + "post_per_layer_input_norm.weight"))
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, atol=5e-3, decode_check=True)
+
+
 def test_chameleon_matches_transformers(tmp_path):
     """chameleon (text path): per-head BIASED LayerNorm on q/k with
     distinct per-head params, llama skeleton otherwise (swin_norm=False
