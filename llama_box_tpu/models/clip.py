@@ -45,7 +45,8 @@ class ClipConfig:
     minicpmv_version: int = 0    # >0 => resampler projector + tiling
     wa_pattern: int = 0          # qwen2.5vl: every n-th block full-attn,
                                  # the rest attend within 8x8-patch windows
-    vit_rms: bool = False        # qwen2.5vl: RMSNorm tower
+    vit_rms: bool = False        # qwen2.5vl / pixtral: RMSNorm tower
+    rope_theta: float = 10000.0  # pixtral 2D rope base
 
     @property
     def n_patches_side(self) -> int:
@@ -88,7 +89,8 @@ def load_clip(path: str, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
         minicpmv_version=int(md.get("clip.minicpmv_version",
                                     2 if proj == "resampler" else 0)),
         wa_pattern=int(kv("n_wa_pattern", 0) or 0),
-        vit_rms="2.5" in proj or "qwen25" in proj,
+        vit_rms="2.5" in proj or "qwen25" in proj or proj == "pixtral",
+        rope_theta=float(kv("rope_theta", 10000.0) or 10000.0),
     )
 
     def t(name, transpose=False):
@@ -125,6 +127,9 @@ def load_clip(path: str, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
             "b_down": t(p + "ffn_down.bias"),
             "w_gate": t(p + "ffn_gate.weight", True),   # qwen2.5vl SwiGLU
             "b_gate": t(p + "ffn_gate.bias"),
+            # internvl layer-scale (per-channel residual gains)
+            "ls1": t(p + "ls1.weight"),
+            "ls2": t(p + "ls2.weight"),
         })
     # stack for lax.scan (all layers homogeneous)
     params["layers"] = {
@@ -214,7 +219,10 @@ def encode_image_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
         scores = jnp.einsum("qhd,khd->hqk", q, k) * (D ** -0.5)
         probs = jax.nn.softmax(scores, axis=-1)
         attn = jnp.einsum("hqk,khd->qhd", probs, v).reshape(-1, E)
-        x = x + (attn @ lp["wo"] + lp.get("bo", 0.0))
+        ao = attn @ lp["wo"] + lp.get("bo", 0.0)
+        if "ls1" in lp:   # internvl layer-scale
+            ao = ao * lp["ls1"]
+        x = x + ao
         h = _ln(x, lp["ln2"], lp.get("ln2_b"), cfg.eps)
         h = h @ lp["w_up"] + lp.get("b_up", 0.0)
         if cfg.use_silu:
@@ -224,6 +232,8 @@ def encode_image_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
         else:
             h = jax.nn.gelu(h, approximate=False)
         h = h @ lp["w_down"] + lp.get("b_down", 0.0)
+        if "ls2" in lp:
+            h = h * lp["ls2"]
         return x + h, None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])
@@ -243,6 +253,18 @@ def encode_image_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
     if params.get("resampler") is not None:
         return _resampler_project(params["resampler"], cfg, x)
 
+    if cfg.projector == "internvl":
+        # pixel shuffle (0.5 downscale; HF InternVLModel.pixel_shuffle's
+        # exact view/permute sequence) + mlp1 (LN -> fc -> GELU -> fc;
+        # original mlp1.{0,1,3} indices -> mm.0/mm.1/mm.3)
+        v = x.reshape(S, S // 2, 2 * E)
+        v = v.transpose(1, 0, 2).reshape(S // 2, S // 2, 4 * E)
+        x = v.transpose(1, 0, 2).reshape((S // 2) * (S // 2), 4 * E)
+        x = _ln(x, params["mm_0_weight"], params.get("mm_0_bias"), cfg.eps)
+        x = x @ params["mm_1_weight"] + params.get("mm_1_bias", 0.0)
+        x = jax.nn.gelu(x, approximate=False)
+        return x @ params["mm_3_weight"] + params.get("mm_3_bias", 0.0)
+
     # projector: mm.0 (+gelu) mm.2 for mlp; single mm.0 otherwise
     if "mm_0_weight" in params:
         x = x @ params["mm_0_weight"] + params.get("mm_0_bias", 0.0)
@@ -250,6 +272,96 @@ def encode_image_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
             x = jax.nn.gelu(x, approximate=False)
             x = x @ params["mm_2_weight"] + params.get("mm_2_bias", 0.0)
     return x
+
+
+def encode_image_pixtral_impl(params, cfg: ClipConfig, pixels: jnp.ndarray,
+                              grid_hw: tuple[int, int]) -> jnp.ndarray:
+    """Pixtral tower at the image's NATIVE (patch-quantized) size
+    (transformers PixtralVisionModel is the golden; reference serves this
+    family via its clip.cpp pixtral branch): patch conv without bias or
+    CLS or learned positions, RMS norms, 2D rope whose head dims
+    alternate height/width frequency slices, gated SiLU FFN, llava-style
+    2-layer GELU projector (mm.1 / mm.2)."""
+    gh, gw = grid_hw
+    P = cfg.patch_size
+    E = cfg.n_embd
+    H = cfg.n_heads
+    D = E // H
+
+    patches = pixels.reshape(gh, P, gw, P, 3).transpose(0, 2, 4, 1, 3)
+    patches = patches.reshape(gh * gw, 3 * P * P)
+    w = params["patch_embd"].reshape(E, 3 * P * P).T
+    x = patches @ w
+    if params.get("patch_embd_b") is not None:
+        x = x + params["patch_embd_b"]
+
+    def rms(x, wt):
+        xf = x.astype(jnp.float32)
+        y = xf * jax.lax.rsqrt(jnp.mean(xf * xf, -1, keepdims=True)
+                               + cfg.eps)
+        return (y * wt).astype(x.dtype)
+
+    if params.get("pre_ln") is not None:
+        x = rms(x, params["pre_ln"])
+
+    # 2D rope: even head-dim pairs rotate by height freqs, odd by width
+    # (PixtralRotaryEmbedding: freqs_h = outer(h, freqs[::2]),
+    # freqs_w = outer(w, freqs[1::2]), concat per (h, w) position)
+    half = D // 2
+    freqs = 1.0 / (cfg.rope_theta
+                   ** (np.arange(0, D, 2, dtype=np.float32) / D))
+    fh = np.outer(np.arange(gh, dtype=np.float32), freqs[0::2])
+    fw = np.outer(np.arange(gw, dtype=np.float32), freqs[1::2])
+    ang = np.concatenate(
+        [np.repeat(fh[:, None, :], gw, 1),
+         np.repeat(fw[None, :, :], gh, 0)], axis=-1).reshape(gh * gw, half)
+    cos = jnp.asarray(np.cos(ang), x.dtype)
+    sin = jnp.asarray(np.sin(ang), x.dtype)
+
+    def rope(t):   # [N, H, D] half-split rotate
+        t1, t2 = t[..., :half], t[..., half:]
+        c = cos[:, None, :]
+        s = sin[:, None, :]
+        return jnp.concatenate([t1 * c - t2 * s, t2 * c + t1 * s], -1)
+
+    def layer(x, lp):
+        h = rms(x, lp["ln1"])
+        q = rope((h @ lp["wq"]).reshape(-1, H, D))
+        k = rope((h @ lp["wk"]).reshape(-1, H, D))
+        v = (h @ lp["wv"]).reshape(-1, H, D)
+        scores = jnp.einsum("qhd,khd->hqk", q, k) * (D ** -0.5)
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("hqk,khd->qhd", probs, v).reshape(-1, E)
+        x = x + attn @ lp["wo"]
+        h = rms(x, lp["ln2"])
+        h = jax.nn.silu(h @ lp["w_gate"]) * (h @ lp["w_up"])
+        return x + h @ lp["w_down"], None
+
+    x, _ = jax.lax.scan(layer, x, params["layers"])
+
+    if "mm_1_weight" in params:
+        x = x @ params["mm_1_weight"] + params.get("mm_1_bias", 0.0)
+        if "mm_2_weight" in params:
+            x = jax.nn.gelu(x, approximate=False)
+            x = x @ params["mm_2_weight"] + params.get("mm_2_bias", 0.0)
+    return x
+
+
+encode_image_pixtral = jax.jit(encode_image_pixtral_impl,
+                               static_argnames=("cfg", "grid_hw"))
+
+
+def pixtral_fit_resize(w: int, h: int, cfg: ClipConfig,
+                       cap: int = 0) -> tuple[int, int]:
+    """Pixtral native sizing: scale so the longest side fits image_size
+    (and the optional server cap), then ceil to patch multiples."""
+    import math
+    P = cfg.patch_size
+    limit = cfg.image_size if cap <= 0 else min(cfg.image_size, cap)
+    scale = min(1.0, limit / max(w, h))
+    W = max(P, math.ceil(w * scale / P) * P)
+    H = max(P, math.ceil(h * scale / P) * P)
+    return W, H
 
 
 def _sincos_pos_2d(dim: int, side: int) -> np.ndarray:

@@ -230,7 +230,7 @@ class ModelConfig:
                                or arch in ("falcon", "gptneox", "phi2",
                                            "starcoder2", "gpt2", "bloom",
                                            "mpt", "starcoder", "gptj"))
-                    else "relu2" if arch == "nemotron"
+                    else "relu2" if arch in ("nemotron", "bitnet")
                     else "swiglu_oai" if arch == "gpt-oss"
                     else "xielu" if arch == "apertus" else "silu"),
             embd_scale=float(kv("embedding_scale",

@@ -530,6 +530,8 @@ def _ffn_block(h, lp, cfg: ModelConfig, lora_scales, dtype):
         up = mm(h, lp["w_up"]) + _lora_delta(h, lp, "w_up", lora_scales)
     gate = gate.astype(jnp.float32)
     act = (_act(gate, cfg) * up.astype(jnp.float32)).astype(dtype)
+    if "ffn_sub_norm" in lp:    # bitnet: norm before the down proj
+        act = _norm_any(act, lp["ffn_sub_norm"], None, cfg)
     out = mm(act, lp["w_down"]) + _lora_delta(act, lp, "w_down",
                                               lora_scales)
     if "b_down" in lp:
@@ -558,6 +560,8 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales,
             act_fn=cfg.act_fn, interpret=not _flash_on_tpu())
         return out[:R].reshape(B, T, E).astype(x.dtype)
     ao = attn.astype(x.dtype)
+    if "attn_sub_norm" in lp:   # bitnet: norm before the output proj
+        ao = _norm_any(ao, lp["attn_sub_norm"], None, cfg)
     if "wq_gate" in lp:
         # qwen3-next output gating: attn *= sigmoid(gate(norm_input))
         # before o_proj (the gate projection is split out of the fused
@@ -997,6 +1001,7 @@ def _fuse_tail_ok(cfg: ModelConfig, lp, lora_scales, x) -> bool:
             and "bo" not in lp and "b_down" not in lp
             and "attn_post_norm" not in lp and "ffn_post_norm" not in lp
             and "w_gate_inp" not in lp and "wq_gate" not in lp
+            and "attn_sub_norm" not in lp and "ffn_sub_norm" not in lp
             and _pick_tile(x.shape[-1], (256, 128)) != 0
             and _pick_tile(lp["w_down"].in_dim, (512, 256, 128)) != 0)
 

@@ -69,6 +69,9 @@ _LAYER_OPTIONAL = {
     "bv": ("blk.{i}.attn_v.bias", False),
     "q_norm": ("blk.{i}.attn_q_norm.weight", False),
     "k_norm": ("blk.{i}.attn_k_norm.weight", False),
+    # bitnet b1.58: sub-norms before the attn/ffn output projections
+    "attn_sub_norm": ("blk.{i}.attn_sub_norm.weight", False),
+    "ffn_sub_norm": ("blk.{i}.ffn_sub_norm.weight", False),
     # chameleon: per-head BIASED LayerNorm on q/k
     "q_norm_b": ("blk.{i}.attn_q_norm.bias", False),
     "k_norm_b": ("blk.{i}.attn_k_norm.bias", False),

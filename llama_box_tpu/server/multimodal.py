@@ -87,7 +87,18 @@ class MultimodalProcessor:
             img.thumbnail((self.max_image_size, self.max_image_size),
                           Image.BICUBIC)
         qwen2 = "qwen2" in self.cfg.projector
-        if qwen2:                               # qwen2vl + qwen2.5vl
+        pixtral = self.cfg.projector == "pixtral"
+        if pixtral:
+            # native-size rope-2D tower (reference clip.cpp pixtral branch)
+            from ..models.clip import (encode_image_pixtral,
+                                       pixtral_fit_resize,
+                                       preprocess_image_native)
+            W, H = pixtral_fit_resize(*img.size, self.cfg,
+                                      self.max_image_size)
+            pixels = preprocess_image_native(img, self.cfg, (W, H))
+            P = self.cfg.patch_size
+            gh, gw = H // P, W // P
+        elif qwen2:                             # qwen2vl + qwen2.5vl
             # dynamic resolution: run the tower at the image's native
             # grid-quantized size (reference clip.patch max_image_size)
             from ..models.clip import (encode_image_qwen2vl,
@@ -102,7 +113,12 @@ class MultimodalProcessor:
             pixels = preprocess_image(img, self.cfg)
         with self._lock:
             if h not in self._cache:
-                if qwen2:
+                if pixtral:
+                    from ..models.clip import encode_image_pixtral
+                    emb = np.asarray(encode_image_pixtral(
+                        self.params, self.cfg, pixels, grid_hw=(gh, gw)))
+                    self._grids[h] = (gh, gw)
+                elif qwen2:
                     from ..models.clip import encode_image_qwen2vl
                     emb = np.asarray(encode_image_qwen2vl(
                         self.params, self.cfg, pixels, grid_hw=(gh, gw)))

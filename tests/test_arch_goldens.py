@@ -1541,6 +1541,51 @@ def test_dots1_matches_transformers(tmp_path):
     _compare(hm, path, atol=1e-3, decode_check=True)
 
 
+def test_bitnet_matches_transformers(tmp_path):
+    """bitnet b1.58: sub-norms before the attention/FFN output
+    projections + squared-ReLU GATED FFN (the ternary quantization is a
+    storage format, orthogonal to the graph — tested in test_quants)."""
+    import transformers
+    from transformers import BitNetConfig
+    mb = transformers.models.bitnet.modeling_bitnet
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = BitNetConfig(vocab_size=len(vocab), hidden_size=E,
+                      num_hidden_layers=L, num_attention_heads=H,
+                      num_key_value_heads=HKV, intermediate_size=FF,
+                      rms_norm_eps=1e-5, use_cache=False,
+                      rope_theta=10000.0, tie_word_embeddings=False)
+    hm = mb.BitNetForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "bitnet.gguf")
+    w, V = _gguf_header(path, "bitnet", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        _qkvo(w, st, p, o, permute_heads=H, hkv=HKV)
+        w.add_tensor(o + "attn_sub_norm.weight",
+                     _np(st, p + "self_attn.attn_sub_norm.weight"))
+        w.add_tensor(o + "ffn_sub_norm.weight",
+                     _np(st, p + "mlp.ffn_sub_norm.weight"))
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
 def test_gemma3n_text_matches_transformers(tmp_path):
     """gemma3n: AltUp streams (predict/correct), Laurel residuals,
     per-layer token embeddings with gated injection, KV-shared tail
