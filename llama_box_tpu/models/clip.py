@@ -47,6 +47,8 @@ class ClipConfig:
                                  # the rest attend within 8x8-patch windows
     vit_rms: bool = False        # qwen2.5vl / pixtral: RMSNorm tower
     rope_theta: float = 10000.0  # pixtral 2D rope base
+    proj_scale: int = 2          # idefics3/smolvlm pixel-shuffle factor
+    gelu_tanh: bool = False      # siglip gelu_pytorch_tanh towers
 
     @property
     def n_patches_side(self) -> int:
@@ -91,6 +93,9 @@ def load_clip(path: str, dtype=jnp.float32) -> tuple[ClipConfig, dict]:
         wa_pattern=int(kv("n_wa_pattern", 0) or 0),
         vit_rms="2.5" in proj or "qwen25" in proj or proj == "pixtral",
         rope_theta=float(kv("rope_theta", 10000.0) or 10000.0),
+        proj_scale=int(kv("projector.scale_factor", 2) or 2),
+        gelu_tanh=bool(md.get("clip.use_gelu_tanh",
+                              proj == "idefics3")),
     )
 
     def t(name, transpose=False):
@@ -203,7 +208,15 @@ def encode_image_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
     if cfg.has_class_embd and params.get("class_embd") is not None:
         x = jnp.concatenate([params["class_embd"][None, :], x], axis=0)
     n_pos = x.shape[0]
-    if params.get("pos_embd") is not None:
+    if cfg.projector == "idefics3" and params.get("pos_embd") is not None:
+        # HF Idefics3VisionEmbeddings buckets fractional coordinates
+        # (torch.bucketize right=True == searchsorted side='left'), which
+        # at full size yields ids like [0, 0, 1, 2] per axis — NOT arange
+        bounds = np.arange(1, S) / S
+        axis = np.searchsorted(bounds, np.arange(S) / S, side="left")
+        ids = (axis[:, None] * S + axis[None, :]).reshape(-1)
+        x = x + params["pos_embd"][jnp.asarray(ids)]
+    elif params.get("pos_embd") is not None:
         x = x + params["pos_embd"][:n_pos]
     if params.get("pre_ln") is not None:
         x = _ln(x, params["pre_ln"], params.get("pre_ln_b"), cfg.eps)
@@ -230,7 +243,7 @@ def encode_image_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
         elif cfg.use_gelu_quick:
             h = _gelu_quick(h)
         else:
-            h = jax.nn.gelu(h, approximate=False)
+            h = jax.nn.gelu(h, approximate=cfg.gelu_tanh)
         h = h @ lp["w_down"] + lp.get("b_down", 0.0)
         if "ls2" in lp:
             h = h * lp["ls2"]
@@ -264,6 +277,16 @@ def encode_image_impl(params, cfg: ClipConfig, pixels: jnp.ndarray
         x = x @ params["mm_1_weight"] + params.get("mm_1_bias", 0.0)
         x = jax.nn.gelu(x, approximate=False)
         return x @ params["mm_3_weight"] + params.get("mm_3_bias", 0.0)
+
+    if cfg.projector == "idefics3":
+        # smolvlm/idefics3 connector: pixel shuffle (HF Idefics3Connector's
+        # exact view/permute sequence, scale from metadata) + one linear
+        sf = cfg.proj_scale
+        v = x.reshape(S, S // sf, E * sf)
+        v = v.transpose(1, 0, 2).reshape(S // sf, S // sf, E * sf * sf)
+        x = v.transpose(1, 0, 2).reshape((S // sf) ** 2, E * sf * sf)
+        return x @ params["mm_model_fc_weight"] \
+            + params.get("mm_model_fc_bias", 0.0)
 
     # projector: mm.0 (+gelu) mm.2 for mlp; single mm.0 otherwise
     if "mm_0_weight" in params:

@@ -284,3 +284,88 @@ def test_internvl_tower_matches_transformers(tmp_path):
         ref = proj(v.reshape(1, -1, 4 * E))[0].numpy()
     got = encode_image_impl(params, cfg, jnp.asarray(pixels))
     np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=2e-3)
+
+
+def test_idefics3_smolvlm_matches_transformers(tmp_path):
+    """SmolVLM/Idefics3: SigLIP tower (tanh-GELU, learned positions, no
+    CLS) + pixel-shuffle connector with a single modality projection;
+    matches transformers Idefics3VisionTransformer + Idefics3Connector."""
+    import numpy as np
+    import torch
+    import jax.numpy as jnp
+    from transformers import Idefics3VisionConfig
+    from transformers.models.idefics3 import modeling_idefics3 as mi
+
+    from llama_box_tpu.gguf import GGUFWriter
+    from llama_box_tpu.models.clip import encode_image_impl, load_clip
+
+    E, FF, NL, H, P, IMG, SF = 64, 96, 2, 4, 8, 32, 2
+    S = IMG // P
+    torch.manual_seed(0)
+    hc = Idefics3VisionConfig(hidden_size=E, intermediate_size=FF,
+                              num_hidden_layers=NL, num_attention_heads=H,
+                              image_size=IMG, patch_size=P,
+                              hidden_act="gelu_pytorch_tanh",
+                              layer_norm_eps=1e-6)
+    hm = mi.Idefics3VisionTransformer._from_config(hc).eval()
+    st = {k: v.detach().numpy() for k, v in hm.state_dict().items()}
+
+    class _CCfg:
+        scale_factor = SF
+        class vision_config:
+            hidden_size = E
+        class text_config:
+            hidden_size = 48
+    torch.manual_seed(1)
+    conn = mi.Idefics3Connector(_CCfg()).eval()
+    cst = {k: v.detach().numpy() for k, v in conn.state_dict().items()}
+
+    path = str(tmp_path / "smolvlm_mmproj.gguf")
+    w = GGUFWriter(path, architecture="clip")
+    w.add_kv("clip.projector_type", "idefics3")
+    w.add_kv("clip.vision.image_size", IMG)
+    w.add_kv("clip.vision.patch_size", P)
+    w.add_kv("clip.vision.embedding_length", E)
+    w.add_kv("clip.vision.feed_forward_length", FF)
+    w.add_kv("clip.vision.block_count", NL)
+    w.add_kv("clip.vision.attention.head_count", H)
+    w.add_kv("clip.vision.attention.layer_norm_epsilon", 1e-6)
+    w.add_kv("clip.vision.projector.scale_factor", SF)
+    w.add_kv("clip.use_gelu", True)
+    w.add_tensor("v.patch_embd.weight",
+                 st["embeddings.patch_embedding.weight"])
+    w.add_tensor("v.patch_embd.bias", st["embeddings.patch_embedding.bias"])
+    w.add_tensor("v.position_embd.weight",
+                 st["embeddings.position_embedding.weight"])
+    w.add_tensor("v.post_ln.weight", st["post_layernorm.weight"])
+    w.add_tensor("v.post_ln.bias", st["post_layernorm.bias"])
+    for i in range(NL):
+        p = f"encoder.layers.{i}."
+        o = f"v.blk.{i}."
+        w.add_tensor(o + "ln1.weight", st[p + "layer_norm1.weight"])
+        w.add_tensor(o + "ln1.bias", st[p + "layer_norm1.bias"])
+        w.add_tensor(o + "ln2.weight", st[p + "layer_norm2.weight"])
+        w.add_tensor(o + "ln2.bias", st[p + "layer_norm2.bias"])
+        for hf, gg in (("q_proj", "attn_q"), ("k_proj", "attn_k"),
+                       ("v_proj", "attn_v"), ("out_proj", "attn_out")):
+            w.add_tensor(o + gg + ".weight",
+                         st[p + f"self_attn.{hf}.weight"])
+            w.add_tensor(o + gg + ".bias", st[p + f"self_attn.{hf}.bias"])
+        w.add_tensor(o + "ffn_up.weight", st[p + "mlp.fc1.weight"])
+        w.add_tensor(o + "ffn_up.bias", st[p + "mlp.fc1.bias"])
+        w.add_tensor(o + "ffn_down.weight", st[p + "mlp.fc2.weight"])
+        w.add_tensor(o + "ffn_down.bias", st[p + "mlp.fc2.bias"])
+    w.add_tensor("mm.model.fc.weight",
+                 cst["modality_projection.proj.weight"])
+    w.write()
+    cfg, params = load_clip(path)
+    assert cfg.projector == "idefics3" and cfg.gelu_tanh
+
+    rng = np.random.default_rng(0)
+    pixels = rng.standard_normal((IMG, IMG, 3)).astype(np.float32)
+    with torch.no_grad():
+        hid = hm(torch.tensor(pixels.transpose(2, 0, 1)[None])) \
+            .last_hidden_state
+        ref = conn(hid)[0].numpy()
+    got = encode_image_impl(params, cfg, jnp.asarray(pixels))
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-4, rtol=2e-3)
