@@ -961,10 +961,15 @@ def _flash_forced() -> bool:
 
 
 def _fused_on() -> bool:
+    """Opt-in only: on-chip A/B (2026-08-18) measured the fused
+    decode-layer kernels at 1435 tok/s vs 1936 for the XLA path on the
+    TinyLlama b=4 w8a8 bench — Mosaic's phased weight streaming loses
+    more than the ~15us/layer VPU tail it recovers. Kept (exact, tested)
+    for retuning; enable with LLAMA_BOX_TPU_FORCE_FUSED=1."""
     import os
     if os.environ.get("LLAMA_BOX_TPU_NO_FUSED"):
         return False
-    return _flash_on_tpu() or bool(os.environ.get("LLAMA_BOX_TPU_FORCE_FUSED"))
+    return bool(os.environ.get("LLAMA_BOX_TPU_FORCE_FUSED"))
 
 
 def _w8(w) -> bool:
