@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "decode path (amortizes dispatch + host-sync "
                         "cost; tokens still stream, in bursts; 1 = "
                         "per-token dispatch like the reference)")
+    g.add_argument("--no-decode-pipeline", dest="pipeline_chain",
+                   action="store_false", default=True,
+                   help="disable speculative dispatch of the next decode "
+                        "chain (chain N+1 launches while chain N's tokens "
+                        "are still syncing to the host)")
     g.add_argument("-ctk", "--cache-type-k", default="bf16",
                    choices=["f32", "f16", "bf16", "q8_0", "int8"])
     g.add_argument("-ctv", "--cache-type-v", default="bf16",
@@ -764,6 +769,7 @@ def main(argv: list[str] | None = None) -> int:
         draft_min=args.draft_min,
         draft_p_min=args.draft_p_min,
         decode_chain=max(1, args.decode_chain),
+        pipeline_chain=args.pipeline_chain,
         lookup_ngram_min=args.lookup_ngram_min,
     )
     engine = Engine(cfg, params, tokenizer, ecfg, draft=draft, mesh=mesh)

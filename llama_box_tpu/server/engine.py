@@ -236,6 +236,10 @@ class EngineConfig:
     # chained decode: sample this many tokens per device dispatch when no
     # draft/grammar/rate-limit path needs per-token host control (1 = off)
     decode_chain: int = 1
+    # pipelined chains: dispatch chain N+1 (device-resident token0) before
+    # syncing chain N, overlapping the device with the host's sync +
+    # detokenize/stop-scan work (False = strictly alternating)
+    pipeline_chain: bool = True
 
 
 class Slot:
@@ -286,6 +290,7 @@ class Engine:
         self.upscale_repeats = upscale_repeats
         self.image_tasks: list[ImagesTask] = []
         self.embed_tasks: list = []   # embeddings/rerank, chunked per pass
+        self._chain_pending: dict | None = None  # speculative decode chain
 
         S = self.ecfg.n_slots
         self.slot_ctx = max(16, self.ecfg.n_ctx // S)
@@ -1023,6 +1028,12 @@ class Engine:
             s.draft_pos = s.pos + 1  # next_token now in the draft KV
 
     def _decode_pass(self, dec: list) -> None:
+        # a speculatively dispatched chain from the previous pass holds
+        # the tokens these slots must consume next (their device sampler
+        # state already advanced through it) — use it, never re-dispatch
+        if self._chain_pending is not None:
+            if self._consume_pending_chain(dec):
+                return
         # chained decode: K tokens per dispatch when no per-token host
         # control is needed this pass (drafts/grammar/rate buckets)
         K = self.ecfg.decode_chain
@@ -1201,12 +1212,86 @@ class Engine:
             self.kv, self.sstate, self.arrs, jnp.asarray(active),
             self.rope_cos, self.rope_sin, n_steps=K,
             mrope_delta=mrope_delta, attn_len=AL)
+        # pipelining: enqueue chain N+1 (token0 = the device-resident last
+        # sampled tokens) BEFORE the host sync below, so the device works
+        # through the sync + detokenize/stop-scan window instead of idling
+        self._maybe_speculate_chain(dec, K, toks, pos0, active,
+                                    arrays.get("mrope_delta"))
         toks_h = np.asarray(toks)
         want_probs = any(s.task.n_probs > 0 for s in dec)
         ids_h = np.asarray(ids) if want_probs else None
         probs_h = np.asarray(probs) if want_probs else None
         tokps_h = np.asarray(tokps) if want_probs else None
+        self._emit_chain(dec, K, toks_h, ids_h, probs_h, tokps_h, t0)
 
+    def _maybe_speculate_chain(self, dec: list, K: int, toks, pos0,
+                               active, mrope_np) -> None:
+        """Dispatch the NEXT K-step chain for these slots with the chain
+        just dispatched still in flight. Safe because: a slot either
+        consumes all K tokens (its pos/sampler state match the speculated
+        chain exactly) or its task finishes, in which case the slot is
+        released and `reset_slot`/prefill rewrite its sampler state and KV
+        at re-admission. Context shift is the one transition that would
+        desync a CONTINUING slot, so slots within 2K of capacity gate
+        speculation off. Workers replay host-broadcast ops and cannot see
+        device-resident token0, so the control plane also gates it off."""
+        if (not self.ecfg.pipeline_chain or self.control is not None
+                or self.rec or self.encdec):
+            return
+        if any(s.pos + 2 * K > s.capacity for s in dec):
+            return
+        pos1 = pos0.copy()
+        for s in dec:
+            pos1[s.idx] += K
+        need = max(s.pos for s in dec) + 2 * K
+        AL = min(self.slot_ctx, -(-need // 256) * 256)
+        mrope_delta = jnp.asarray(mrope_np) if mrope_np is not None else None
+        toks2, ids2, probs2, tokps2, self.kv, self.sstate = _decode_chain(
+            self.params, self.cfg, toks[:, -1], jnp.asarray(pos1),
+            self.kv, self.sstate, self.arrs, jnp.asarray(active),
+            self.rope_cos, self.rope_sin, n_steps=K,
+            mrope_delta=mrope_delta, attn_len=AL)
+        tasks = [None] * len(self.slots)
+        for s in dec:
+            tasks[s.idx] = s.task
+        self._chain_pending = {
+            "toks": toks2, "ids": ids2, "probs": probs2, "tokps": tokps2,
+            "pos0": pos1, "active": active.copy(), "tasks": tasks, "k": K,
+            "mrope": mrope_np,
+        }
+
+    def _consume_pending_chain(self, dec: list) -> bool:
+        """Emit the speculatively dispatched chain's tokens. Covered =
+        same task object at the expected position (a released/readmitted
+        slot fails the identity check and its state is rebuilt by
+        admission). Returns False (pending dropped) when nothing is
+        covered; uncovered slots in `dec` wait one pass."""
+        pend = self._chain_pending
+        self._chain_pending = None
+        K = pend["k"]
+        covered = [s for s in dec
+                   if s.task is not None
+                   and pend["tasks"][s.idx] is s.task
+                   and s.pos == int(pend["pos0"][s.idx])]
+        if not covered:
+            return False
+        t0 = time.monotonic()
+        # keep the pipeline full: chain N+2 goes out before syncing N+1
+        act = np.zeros_like(pend["active"])
+        for s in covered:
+            act[s.idx] = True
+        self._maybe_speculate_chain(covered, K, pend["toks"], pend["pos0"],
+                                    act, pend["mrope"])
+        toks_h = np.asarray(pend["toks"])
+        want_probs = any(s.task.n_probs > 0 for s in covered)
+        ids_h = np.asarray(pend["ids"]) if want_probs else None
+        probs_h = np.asarray(pend["probs"]) if want_probs else None
+        tokps_h = np.asarray(pend["tokps"]) if want_probs else None
+        self._emit_chain(covered, K, toks_h, ids_h, probs_h, tokps_h, t0)
+        return True
+
+    def _emit_chain(self, dec: list, K: int, toks_h, ids_h, probs_h,
+                    tokps_h, t0: float) -> None:
         n_tok = 0
         for s in dec:
             inp = s.next_token

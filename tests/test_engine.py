@@ -403,6 +403,48 @@ def test_decode_chain_identity(tmp_path):
         e4.stop()
 
 
+def test_decode_chain_pipeline_identity(tmp_path):
+    """Pipelined chains (chain N+1 speculatively dispatched before chain N
+    is synced, engine._maybe_speculate_chain) must be byte-identical to
+    strictly-alternating chains and to per-token decode — including the
+    hard transitions: a task finishing while a speculated chain is in
+    flight, and a NEW task re-admitted to that slot (reset_slot + prefill
+    must fully override the stale speculative sampler/KV state)."""
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+    # 4 staggered tasks over 2 slots: finishes + re-admissions mid-pipeline
+    prompts = [("a b c", 17), ("x y", 5), ("c d a", 9), ("b", 13)]
+    results = {}
+    for name, kw in (("pipe", dict(chain=4)),
+                     ("alt", dict(chain=4, pipeline_chain=False)),
+                     ("tok", dict(chain=1))):
+        eng = _chain_engine(path, **kw)
+        try:
+            tasks = []
+            for i, (p, n) in enumerate(prompts):
+                t = CompletionsTask(eng.tokenizer.encode(p),
+                                    SamplerParams(temp=0.8, seed=100 + i,
+                                                  penalty_repeat=1.1),
+                                    tokenizer=eng.tokenizer, max_tokens=n,
+                                    stream=False)
+                eng.submit(t)
+                tasks.append(t)
+            outs = []
+            for t in tasks:
+                while True:
+                    kind, payload = t.result_q.get(timeout=120)
+                    if kind == "final":
+                        outs.append(payload.generated)
+                        break
+                    if kind == "error":
+                        raise payload
+            results[name] = outs
+        finally:
+            eng.stop()
+    assert results["pipe"] == results["alt"], results
+    assert results["pipe"] == results["tok"], results
+
+
 def test_empty_prompt_degrades_to_bos(engine):
     """A prompt that tokenizes to nothing serves as [BOS] (reference
     add_special semantics) instead of crashing the reconcile pass."""
