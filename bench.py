@@ -232,7 +232,7 @@ def main():
     # real host transfer (block_until_ready is an async no-op through the
     # tunnel).
     from llama_box_tpu.server.engine import _decode_chain
-    KCH = 8
+    KCH = 16   # K-sweep 2026-08-19: 2020us/step vs 2068 (K=8), 2165 (K=32)
 
     def run(params):
         from llama_box_tpu.models.loader import fuse_projections
