@@ -299,7 +299,8 @@ def main():
         print(f"# prefill512: p50_ttft={p50 * 1e3:.1f} ms, "
               f"{P / p50:.0f} tok/s", file=sys.stderr, flush=True)
 
-    tok_s_q4 = 0.0
+    tok_s_q4 = tok_s_q4_packed = tok_s_w8 = 0.0
+    quant_mode = "q4k_packed"
     if on_tpu:
         qparams = make_q4_params(rng, L, E, H, HKV, D, FF, V)
         try:
@@ -307,10 +308,10 @@ def main():
         except Exception as exc:  # noqa: BLE001 — report bf16 if q4 fails
             import sys
             print(f"# q4 variant failed: {exc!r}", file=sys.stderr, flush=True)
+        tok_s_q4_packed = tok_s_q4
         qbytes = sum(x.size * x.dtype.itemsize
                      for x in jax.tree.leaves(qparams))
         import sys
-        tok_s_w8 = 0.0
         try:
             qp8 = make_q4_params(rng, L, E, H, HKV, D, FF, V, w8a8=True)
             tok_s_w8, _ = run(qp8)
@@ -319,8 +320,12 @@ def main():
         print(f"# bf16={tok_s_bf16:.1f} tok/s, q4k={tok_s_q4:.1f} tok/s, "
               f"w8a8={tok_s_w8:.1f} tok/s",
               file=sys.stderr, flush=True)
+        quant_mode = "q4k_packed"
         if tok_s_w8 > tok_s_q4:
-            tok_s_q4 = tok_s_w8         # report the best quantized mode
+            # w8a8 is the serving default residency (PPL_STUDY.md: +0.066%
+            # over shared Q4_K error) — label the metric accordingly
+            quant_mode = "w8a8"
+            tok_s_q4 = tok_s_w8
             qbytes = sum(x.size * x.dtype.itemsize
                          for x in jax.tree.leaves(qp8))
 
@@ -337,10 +342,16 @@ def main():
     pbytes = sum(x.size * x.dtype.itemsize
                  for x in jax.tree.leaves(dense_params))
     extra = {"serving": serving} if serving else {}
+    if on_tpu:
+        # every measured mode, explicitly labeled (never report a w8a8
+        # number under a q4k name)
+        extra["modes"] = {"bf16": round(tok_s_bf16, 1),
+                          "q4k_packed": round(tok_s_q4_packed, 1),
+                          "w8a8": round(tok_s_w8, 1)}
     if tok_s_q4 > tok_s_bf16:
         sol_steps = hbm_bw / (qbytes + kv_bytes)
         print(json.dumps({
-            "metric": "decode_tok_s_tinyllama1.1b_q4k_b4",
+            "metric": f"decode_tok_s_tinyllama1.1b_{quant_mode}_b4",
             "value": round(tok_s_q4, 2),
             "unit": "tok/s",
             "vs_baseline": round(tok_s_q4 / (sol_steps * S), 4),

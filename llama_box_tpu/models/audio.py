@@ -134,6 +134,9 @@ def load_audio_tower(path: str, dtype=jnp.float32):
         "n_heads": int(kv("attention.head_count", 8)),
         "eps": float(kv("attention.layer_norm_epsilon", 1e-5)),
         "proj_dim": int(kv("projection_dim", 2048)),
+        # drives the audio prompt scaffold (reference clip_is_qwen2a /
+        # clip_is_ultravox, httpserver.hpp:6000-6030)
+        "proj_type": str(md.get("clip.projector_type", "")),
     }
 
     def t(name, transpose=False):
@@ -172,7 +175,8 @@ def load_audio_tower(path: str, dtype=jnp.float32):
         for k in layers[0] if layers[0][k] is not None
     }
     for name in list(g.tensors):
-        if name.startswith("mm.a.") or name.startswith("mm.audio"):
+        if name.startswith("mm.a.") or name.startswith("mm.audio") \
+                or name.startswith("mm.fc"):
             params[name.replace(".", "_")] = t(
                 name, transpose=name.endswith(".weight"))
     g.close()
@@ -226,6 +230,22 @@ def encode_audio_impl(cfg: dict, params, mel: jnp.ndarray) -> jnp.ndarray:
         return x + (h @ lp["w_down"] + lp.get("b_down", 0.0)), None
 
     x, _ = jax.lax.scan(layer, x, params["layers"])
+
+    if cfg.get("proj_type") == "qwen2a":
+        # qwen2-audio head (HF Qwen2AudioEncoder): avg-pool pairs of
+        # frames BEFORE the final layer norm, then one linear projector
+        # (reference routes qwen2a through clip.patch's audio context,
+        # clip.patch PROJECTOR_TYPE_QWEN2A)
+        n2 = (x.shape[0] // 2) * 2
+        x = x[:n2].reshape(-1, 2, E).mean(axis=1)
+        if params.get("post_ln") is not None:
+            x = _ln(x, params["post_ln"], params.get("post_ln_b"), eps)
+        w = params.get("mm_fc1_weight", params.get("mm_a_fc1_weight"))
+        if w is not None:
+            x = x @ w + params.get("mm_fc1_bias",
+                                   params.get("mm_a_fc1_bias", 0.0))
+        return x
+
     if params.get("post_ln") is not None:
         x = _ln(x, params["post_ln"], params.get("post_ln_b"), eps)
 

@@ -363,7 +363,9 @@ class HTTPServer:
         if images:
             from .multimodal import (build_chunks, build_chunks_mrope,
                                      scaffold_prompt)
-            prompt = scaffold_prompt(prompt, self.engine.cfg.arch)
+            prompt = scaffold_prompt(
+                prompt, self.engine.cfg.arch, media=images,
+                audio_family=getattr(self.mp, "audio_family", None))
             try:
                 if self.engine.cfg.mrope_sections:
                     side = self.mp.cfg.n_patches_side // max(

@@ -67,6 +67,20 @@ class MultimodalProcessor:
         return self.audio_cfg is not None
 
     @property
+    def audio_family(self) -> str | None:
+        """Audio tower family for prompt scaffolding: "qwen2a" (qwen2-
+        audio) or "ultravox" (reference clip_is_qwen2a/clip_is_ultravox,
+        httpserver.hpp:6000-6030)."""
+        if self.audio_cfg is None:
+            return None
+        pt = self.audio_cfg.get("proj_type", "")
+        if "qwen2a" in pt or "qwen2.5o" in pt:
+            return "qwen2a"
+        if "ultravox" in pt:
+            return "ultravox"
+        return None
+
+    @property
     def n_image_tokens(self) -> int:
         side = self.cfg.n_patches_side // max(self.cfg.merge_size, 1)
         return side * side
@@ -321,12 +335,35 @@ _SCAFFOLDS = {
 }
 
 
-def scaffold_prompt(prompt: str, arch: str) -> str:
-    """Wrap each media marker in the model family's special tokens."""
-    wrap = _SCAFFOLDS.get(arch)
-    if not wrap:
-        return prompt
-    return prompt.replace(MTMD_MARKER, wrap)
+# per-audio-tower scaffolds (reference httpserver.hpp:6000-6030):
+# qwen2-audio wraps audio embeds in <|audio_bos|>/<|audio_eos|>;
+# ultravox prefixes [BEGIN_AUDIO] with no closing token
+_AUDIO_SCAFFOLDS = {
+    "qwen2a": "<|audio_bos|>" + MTMD_MARKER + "<|audio_eos|>",
+    "ultravox": "[BEGIN_AUDIO]" + MTMD_MARKER,
+}
+
+
+def scaffold_prompt(prompt: str, arch: str, media: list | None = None,
+                    audio_family: str | None = None) -> str:
+    """Wrap each media marker in the model family's special tokens.
+    With `media` (list of (kind, bytes)), each marker is wrapped per its
+    own modality: image markers get the vision arch scaffold, audio
+    markers the audio tower family's (reference applies scaffolds chunk
+    by chunk, httpserver.hpp:5741-6054)."""
+    img_wrap = _SCAFFOLDS.get(arch) or MTMD_MARKER
+    aud_wrap = _AUDIO_SCAFFOLDS.get(audio_family or "") or MTMD_MARKER
+    if media is None:
+        return prompt.replace(MTMD_MARKER, img_wrap)
+    kinds = [m[0] if isinstance(m, tuple) else "image" for m in media]
+    parts = prompt.split(MTMD_MARKER)
+    if len(parts) != len(kinds) + 1:
+        return prompt.replace(MTMD_MARKER, img_wrap)
+    out = [parts[0]]
+    for kind, part in zip(kinds, parts[1:]):
+        out.append(aud_wrap if kind == "audio" else img_wrap)
+        out.append(part)
+    return "".join(out)
 
 
 def build_chunks_mrope(prompt: str, media: list, tokenizer, mp,

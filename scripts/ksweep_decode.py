@@ -44,7 +44,7 @@ def run(KCH: int, iters: int, warmup: int = 4, trace: str | None = None):
     sstate = init_sampler_state(S, V)
     tokens = jnp.asarray(rng.integers(0, V, (S,)), jnp.int32)
     pos = C // 2
-    AL = min(C, -(-(C // 2 + 16 * KCH) // 256) * 256)
+    AL = min(C, -(-(C // 2 + 128) // 256) * 256)
 
     def step(tokens, kv, sstate, p):
         pos0 = jnp.full((S,), p, jnp.int32)
@@ -53,7 +53,8 @@ def run(KCH: int, iters: int, warmup: int = 4, trace: str | None = None):
             cos, sin, n_steps=KCH, attn_len=AL)
         return toks[:, -1], kv, sstate
 
-    n_wrap = max(1, (16 * KCH) // KCH - 1)
+    # fixed 128-token span so every K sweeps the same cache-fill range
+    n_wrap = max(1, 128 // KCH)
     for i in range(warmup):
         tokens, kv, sstate = step(tokens, kv, sstate, pos + (i % n_wrap) * KCH)
     np.asarray(tokens)

@@ -119,6 +119,54 @@ def test_context_shift_unbounded_generation(engine):
         assert final.n_shifted >= 1
 
 
+def test_context_shift_reference_amounts(engine):
+    """Reactive shift discards min(n_left/4, n_ubatch) after n_keep
+    (httpserver.hpp:3472-3473, 3514-3515) — NOT n_left/2, which is only
+    the prompt-side block size. White-box: drive _context_shift on a
+    prepared slot and check the retained token count."""
+    s = engine.slots[0]
+    assert s.task is None
+    task = CompletionsTask(engine.tokenizer.encode("a"), greedy(),
+                           tokenizer=engine.tokenizer, max_tokens=1,
+                           n_keep=4)
+    s.task = task
+    s.cache_tokens = list(range(engine.slot_ctx))
+    s.pos = engine.slot_ctx
+    s.drafts = []
+    s.state = "decode"
+    try:
+        engine._context_shift(s)
+        n_left = engine.slot_ctx - 4
+        expect = max(1, min(n_left // 4, engine.ecfg.n_ubatch))
+        assert s.pos == engine.slot_ctx - expect
+        # kept: [0, n_keep) then the tail after the discard window
+        assert s.cache_tokens == (
+            list(range(4)) + list(range(4 + expect, engine.slot_ctx)))
+    finally:
+        s.task = None
+        s.cache_tokens = []
+        s.pos = 0
+        s.state = "idle"
+
+
+def test_prompt_squeeze_block_erasure(engine):
+    """Over-long prompts are squeezed by whole blocks of size
+    (max_len - n_keep)/2 after n_keep (httpserver.hpp:5603-5615)."""
+    n_keep = 4
+    max_len = engine.slot_ctx - engine.ecfg.defrag_headroom
+    L = engine.slot_ctx + 20
+    toks = [int(t) for t in
+            np.random.default_rng(1).integers(3, 200, size=L)]
+    task = CompletionsTask(toks, greedy(), tokenizer=engine.tokenizer,
+                           max_tokens=2, stream=False, n_keep=n_keep)
+    final, _ = run_task(engine, task, timeout=120)
+    n_block = max(1, (max_len - n_keep) // 2)
+    n_erased = max(1, (L - n_keep - n_block) // n_block)
+    drop = max(n_erased * n_block, L - max_len)
+    assert task.truncated
+    assert task.prompt_tokens == toks[:n_keep] + toks[n_keep + drop:]
+
+
 def test_long_prompt_squeeze(engine):
     """Prompts longer than the slot context are block-erased, not rejected."""
     toks = list(np.random.default_rng(0).integers(3, 200, size=engine.slot_ctx + 20))
@@ -443,6 +491,70 @@ def test_decode_chain_pipeline_identity(tmp_path):
             eng.stop()
     assert results["pipe"] == results["alt"], results
     assert results["pipe"] == results["tok"], results
+
+
+def test_pipeline_no_starvation(tmp_path):
+    """A slot admitted while another slot's chains are pipelined must join
+    a joint chain within a bounded number of passes (r2 advisor high: the
+    engine re-speculated covered-only chains every pass, so a new slot got
+    zero decodes until the covered task finished or hit the capacity
+    gate — the reference decodes ALL running slots each batch)."""
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=2, n_ctx=128, n_ubatch=16,
+                              decode_chain=4))
+    eng.start()
+    try:
+        long_t = CompletionsTask(eng.tokenizer.encode("a b c"), greedy(),
+                                 tokenizer=eng.tokenizer, max_tokens=40,
+                                 stream=True)
+        eng.submit(long_t)
+        # wait until the long task is mid-stream (pipeline active)
+        n_seen = 0
+        while n_seen < 4:
+            kind, payload = long_t.result_q.get(timeout=60)
+            if kind == "delta":
+                n_seen += 1
+            elif kind in ("final", "error"):
+                raise AssertionError(f"long task ended early: {kind}")
+        short_t = CompletionsTask(eng.tokenizer.encode("x"), greedy(),
+                                  tokenizer=eng.tokenizer, max_tokens=2,
+                                  stream=False)
+        eng.submit(short_t)
+        # count long-task tokens that arrive before the short task's final
+        long_during = 0
+        short_final = None
+        deadline = time.time() + 120
+        while short_final is None and time.time() < deadline:
+            try:
+                kind, payload = short_t.result_q.get(timeout=0.05)
+                if kind == "final":
+                    short_final = payload
+                elif kind == "error":
+                    raise payload
+            except queue.Empty:
+                pass
+            while True:
+                try:
+                    kind, payload = long_t.result_q.get_nowait()
+                except queue.Empty:
+                    break
+                if kind == "delta":
+                    long_during += 1
+                elif kind == "error":
+                    raise payload
+        assert short_final is not None, "short task starved"
+        assert len(short_final.generated) == 2
+        # fixed engine: <=~3 drain/joint passes of K=4 before the short
+        # slot decodes; the starvation bug yielded ~36 here (long task ran
+        # to completion first)
+        assert long_during <= 20, long_during
+    finally:
+        eng.stop()
 
 
 def test_empty_prompt_degrades_to_bos(engine):
