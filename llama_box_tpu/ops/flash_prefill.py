@@ -211,6 +211,9 @@ def flash_prefill_batched(q, k_cache, v_cache, k_rows, v_rows, meta, win,
     sinks:            [Hkv, G] f32 per-head attention-sink logits (gpt-oss)
     Returns [B, Hkv, G, T, Dv] f32.
     """
+    import os
+    bq = int(os.environ.get("LLAMA_BOX_TPU_FLASH_BQ", bq))
+    bc = int(os.environ.get("LLAMA_BOX_TPU_FLASH_BC", bc))
     B, Hkv, G, T, D = q.shape
     C = k_cache.shape[1]
     Dv = v_cache.shape[-1]

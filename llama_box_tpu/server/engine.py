@@ -291,6 +291,13 @@ class Engine:
         self.image_tasks: list[ImagesTask] = []
         self.embed_tasks: list = []   # embeddings/rerank, chunked per pass
         self._chain_pending: dict | None = None  # speculative decode chain
+        # LLAMA_BOX_TPU_CHAIN_PROF=1: per-chain (pre-sync, sync, emit)
+        # host-side seconds, dumped at stop() — serving-cycle breakdown
+        import os
+        self._chain_prof = ([] if os.environ.get("LLAMA_BOX_TPU_CHAIN_PROF")
+                            else None)
+        self._chain_prof_last = 0.0
+        self._chain_prof_spec = 0.0
 
         S = self.ecfg.n_slots
         self.slot_ctx = max(16, self.ecfg.n_ctx // S)
@@ -435,6 +442,23 @@ class Engine:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=30)
+        if self._chain_prof:
+            import sys
+            n = len(self._chain_prof)
+            pre = sum(p[0] for p in self._chain_prof[1:]) / max(n - 1, 1)
+            spc = sum(p[1] for p in self._chain_prof) / n
+            syn = sum(p[2] for p in self._chain_prof) / n
+            emi = sum(p[3] for p in self._chain_prof) / n
+            print(f"# chain_prof n={n} gap={pre * 1e3:.2f}ms "
+                  f"spec={spc * 1e3:.2f}ms sync={syn * 1e3:.2f}ms "
+                  f"emit={emi * 1e3:.2f}ms",
+                  file=sys.stderr, flush=True)
+            print("# chain_prof rows (gap, spec, sync, emit) ms: "
+                  + "; ".join(
+                      ",".join(f"{v * 1e3:.1f}" for v in p)
+                      for p in self._chain_prof),
+                  file=sys.stderr, flush=True)
+            self._chain_prof = []
 
     def configure_lora(self, n_adapters: int,
                        default_scales: list[float]) -> None:
@@ -1353,18 +1377,28 @@ class Engine:
         # (reference decodes all running slots each batch): draining for
         # one pass lets the next _decode_pass dispatch a joint chain that
         # includes it.
+        ts0 = time.monotonic()
         if len(covered) == len(dec):
             act = np.zeros_like(pend["active"])
             for s in covered:
                 act[s.idx] = True
             self._maybe_speculate_chain(covered, K, pend["toks"],
                                         pend["pos0"], act, pend["mrope"])
+        tp0 = time.monotonic()
+        self._chain_prof_spec = tp0 - ts0
         toks_h = np.asarray(pend["toks"])
         want_probs = any(s.task.n_probs > 0 for s in covered)
         ids_h = np.asarray(pend["ids"]) if want_probs else None
         probs_h = np.asarray(pend["probs"]) if want_probs else None
         tokps_h = np.asarray(pend["tokps"]) if want_probs else None
+        tp1 = time.monotonic()
         self._emit_chain(covered, K, toks_h, ids_h, probs_h, tokps_h, t0)
+        if self._chain_prof is not None:
+            self._chain_prof.append(
+                (ts0 - self._chain_prof_last if self._chain_prof_last
+                 else 0.0, self._chain_prof_spec, tp1 - tp0,
+                 time.monotonic() - tp1))
+            self._chain_prof_last = time.monotonic()
         return True
 
     def _emit_chain(self, dec: list, K: int, toks_h, ids_h, probs_h,

@@ -95,3 +95,97 @@ def test_whisper_encoder_matches_transformers(tmp_path):
         ref = enc(torch.tensor(mel.T[None])).last_hidden_state[0].numpy()
     out = np.asarray(encode_audio_impl(acfg, aparams, jnp.asarray(mel)))
     np.testing.assert_allclose(out, ref, atol=3e-4, rtol=2e-3)
+
+
+def test_qwen2a_encoder_matches_transformers(tmp_path):
+    """qwen2-audio head: avg-pool pairs of frames BEFORE the final layer
+    norm, then one linear projector (HF Qwen2AudioEncoder + MultiModal
+    Projector; reference routes qwen2a via clip.patch
+    PROJECTOR_TYPE_QWEN2A and scaffolds with <|audio_bos|>/<|audio_eos|>,
+    httpserver.hpp:6000-6018)."""
+    from transformers.models.qwen2_audio import Qwen2AudioEncoderConfig
+    from transformers.models.qwen2_audio.modeling_qwen2_audio import (
+        Qwen2AudioEncoder,
+    )
+    torch.manual_seed(1)
+    PROJ = 48
+    hc = Qwen2AudioEncoderConfig(
+        d_model=E, encoder_layers=L, encoder_attention_heads=H,
+        encoder_ffn_dim=FF, num_mel_bins=MELS, max_source_positions=MAXSRC,
+        dropout=0.0, activation_dropout=0.0, attention_dropout=0.0)
+    enc = Qwen2AudioEncoder(hc).eval()
+    st = {k: v.detach().to(torch.float32).numpy()
+          for k, v in enc.state_dict().items()}
+    proj_w = (np.random.default_rng(2).normal(size=(PROJ, E)) * 0.05
+              ).astype(np.float32)
+    proj_b = (np.random.default_rng(3).normal(size=PROJ) * 0.01
+              ).astype(np.float32)
+
+    path = str(tmp_path / "qwen2a_mmproj.gguf")
+    w = GGUFWriter(path, architecture="clip")
+    w.add_kv("clip.has_audio_encoder", True)
+    w.add_kv("clip.projector_type", "qwen2a")
+    w.add_kv("clip.audio.num_mel_bins", MELS)
+    w.add_kv("clip.audio.embedding_length", E)
+    w.add_kv("clip.audio.feed_forward_length", FF)
+    w.add_kv("clip.audio.block_count", L)
+    w.add_kv("clip.audio.attention.head_count", H)
+    w.add_kv("clip.audio.attention.layer_norm_epsilon", 1e-5)
+    w.add_kv("clip.audio.projection_dim", PROJ)
+    w.add_tensor("a.conv1d.1.weight", st["conv1.weight"])
+    w.add_tensor("a.conv1d.1.bias", st["conv1.bias"])
+    w.add_tensor("a.conv1d.2.weight", st["conv2.weight"])
+    w.add_tensor("a.conv1d.2.bias", st["conv2.bias"])
+    w.add_tensor("a.position_embd.weight", st["embed_positions.weight"])
+    w.add_tensor("a.post_ln.weight", st["layer_norm.weight"])
+    w.add_tensor("a.post_ln.bias", st["layer_norm.bias"])
+    w.add_tensor("mm.fc1.weight", proj_w)
+    w.add_tensor("mm.fc1.bias", proj_b)
+    for i in range(L):
+        p = f"layers.{i}."
+        o = f"a.blk.{i}."
+        w.add_tensor(o + "ln1.weight", st[p + "self_attn_layer_norm.weight"])
+        w.add_tensor(o + "ln1.bias", st[p + "self_attn_layer_norm.bias"])
+        w.add_tensor(o + "attn_q.weight", st[p + "self_attn.q_proj.weight"])
+        w.add_tensor(o + "attn_q.bias", st[p + "self_attn.q_proj.bias"])
+        w.add_tensor(o + "attn_k.weight", st[p + "self_attn.k_proj.weight"])
+        w.add_tensor(o + "attn_v.weight", st[p + "self_attn.v_proj.weight"])
+        w.add_tensor(o + "attn_v.bias", st[p + "self_attn.v_proj.bias"])
+        w.add_tensor(o + "attn_out.weight",
+                     st[p + "self_attn.out_proj.weight"])
+        w.add_tensor(o + "attn_out.bias", st[p + "self_attn.out_proj.bias"])
+        w.add_tensor(o + "ln2.weight", st[p + "final_layer_norm.weight"])
+        w.add_tensor(o + "ln2.bias", st[p + "final_layer_norm.bias"])
+        w.add_tensor(o + "ffn_up.weight", st[p + "fc1.weight"])
+        w.add_tensor(o + "ffn_up.bias", st[p + "fc1.bias"])
+        w.add_tensor(o + "ffn_down.weight", st[p + "fc2.weight"])
+        w.add_tensor(o + "ffn_down.bias", st[p + "fc2.bias"])
+    w.write()
+
+    acfg, aparams = load_audio_tower(path)
+    assert acfg["proj_type"] == "qwen2a"
+    rng = np.random.default_rng(4)
+    mel = rng.normal(size=(2 * MAXSRC, MELS)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        hid = enc(torch.tensor(mel.T[None])).last_hidden_state[0].numpy()
+    ref = hid @ proj_w.T + proj_b
+    out = np.asarray(encode_audio_impl(acfg, aparams, jnp.asarray(mel)))
+    assert out.shape == ref.shape, (out.shape, ref.shape)
+    np.testing.assert_allclose(out, ref, atol=5e-4, rtol=2e-3)
+
+
+def test_audio_scaffolds_per_modality():
+    """Audio markers get the audio tower's scaffold, image markers the
+    vision arch's — in the same prompt (httpserver.hpp:5741-6054)."""
+    from llama_box_tpu.server.multimodal import MTMD_MARKER, scaffold_prompt
+    p = f"look {MTMD_MARKER} hear {MTMD_MARKER} ok"
+    media = [("image", b"i"), ("audio", b"a")]
+    out = scaffold_prompt(p, "qwen2vl", media=media, audio_family="qwen2a")
+    assert out == (f"look <|vision_start|>{MTMD_MARKER}<|vision_end|> "
+                   f"hear <|audio_bos|>{MTMD_MARKER}<|audio_eos|> ok")
+    out = scaffold_prompt(p, "llama", media=media, audio_family="ultravox")
+    assert out == (f"look {MTMD_MARKER} "
+                   f"hear [BEGIN_AUDIO]{MTMD_MARKER} ok")
+    # no media list: legacy behavior (vision wrap on every marker)
+    out = scaffold_prompt(f"a {MTMD_MARKER} b", "internvl")
+    assert out == f"a <img>{MTMD_MARKER}</img> b"
