@@ -245,14 +245,18 @@ def main():
 
         # ranged attention at the representative half-full fill level:
         # the engine reads only the occupied region (256-bucketed), like
-        # the reference's graphs computing over n_kv cells
-        AL = min(C, -(-(C // 2 + 16 * KCH) // 256) * 256)
+        # the reference's graphs computing over n_kv cells. The flash
+        # decode kernel ranges per slot inside the kernel (attn_len=0).
+        from llama_box_tpu.models.llama import flash_decode_active
+        AL = (0 if flash_decode_active(cfg, C)
+              else min(C, -(-(C // 2 + 16 * KCH) // 256) * 256))
 
         def step(tokens, kv, sstate, p):
             pos0 = jnp.full((S,), p, jnp.int32)
             toks, _, _, _, kv, sstate = _decode_chain(
                 params, cfg, tokens, pos0, kv, sstate, arrs, active,
-                cos, sin, n_steps=KCH, attn_len=AL)
+                cos, sin, n_steps=KCH, attn_len=AL,
+                samp_extras=False)  # plain params: the serving fast path
             return toks[:, -1], kv, sstate
 
         n_wrap = 15   # positions cycle within [C/2, C/2 + 15*KCH + KCH)

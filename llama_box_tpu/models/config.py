@@ -18,9 +18,11 @@ _LN_ARCHS = {
     "falcon", "gptneox", "phi2", "stablelm", "starcoder2", "command-r",
     "nemotron", "gpt2", "bloom", "mpt", "starcoder", "gptj", "cohere2",
     "olmo",   # non-parametric LN: loader synthesizes unit weights
+    "rwkv6", "rwkv7",   # RWKV blocks use biased LayerNorm throughout
 }
 # position-independent q/k (learned pos embd, ALiBi, or none); no rotation
-_NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2", "jamba"}
+_NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2", "jamba",
+                  "rwkv6", "rwkv7"}
 _PARALLEL_ARCHS = {
     # x + attn(norm(x)) + ffn(norm(x)) parallel-residual blocks
     "falcon", "phi2", "command-r", "cohere2", "gptj",
@@ -110,6 +112,11 @@ class ModelConfig:
     ssm_n_group: int = 0     # mamba2 B/C group count
     ssm_dt_b_c_rms: bool = False  # falcon-mamba: RMS-norm dt/B/C
     shortconv_l_cache: int = 0    # lfm2 gated short-conv width
+    # rwkv6/7 (models/rwkv.py): linear-attention head size; recurrent
+    wkv_head_size: int = 0
+    time_mix_extra_dim: int = 0   # rwkv6 data-dependent lerp LoRA width
+    time_decay_extra_dim: int = 0
+    rescale_every: int = 0        # halve activations every N layers
     extra: dict = dataclasses.field(default_factory=dict, compare=False, hash=False)
 
     @property
@@ -119,7 +126,8 @@ class ModelConfig:
     @property
     def recurrent(self) -> bool:
         """Constant-memory recurrent state instead of a KV cache."""
-        return self.ssm_d_inner > 0 or self.shortconv_l_cache > 0
+        return (self.ssm_d_inner > 0 or self.shortconv_l_cache > 0
+                or self.wkv_head_size > 0)
 
     @classmethod
     def from_gguf(cls, g) -> "ModelConfig":
@@ -263,4 +271,8 @@ class ModelConfig:
             ssm_n_group=int(kv("ssm.group_count", 0) or 0),
             ssm_dt_b_c_rms=bool(kv("ssm.dt_b_c_rms", False)),
             shortconv_l_cache=int(kv("shortconv.l_cache", 0) or 0),
+            wkv_head_size=int(kv("wkv.head_size", 0) or 0),
+            time_mix_extra_dim=int(kv("time_mix_extra_dim", 0) or 0),
+            time_decay_extra_dim=int(kv("time_decay_extra_dim", 0) or 0),
+            rescale_every=int(kv("rescale_every_n_layers", 0) or 0),
         )

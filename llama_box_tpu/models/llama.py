@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import NEG_INF
+from ..ops.flash_decode import flash_decode
 from ..ops.flash_prefill import flash_prefill_batched
 from ..ops.norm import rms_norm
 from ..ops.qmatmul import mm
@@ -202,11 +203,15 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
                 cos, sin, k_scale=None, v_scale=None,
                 lora_scales=None, is_local=jnp.int32(0), mrope_pos=None,
                 deferred_kv=False, flash_meta=None, chain=None,
-                rope_pre=False, extra_residual=None):
+                rope_pre=False, extra_residual=None, layer_idx=None):
     """x: [B,T,E]; k_cache/v_cache: [B,C,Hkv,D]; mask: [B,T,C] True=attend.
     k_scale/v_scale: [B,C,Hkv] when the cache is int8-quantized.
     flash_meta: [B,4] (pos0, n_valid, bidir_st, bidir_en) when the chunk
-    is contiguous (prefill) — enables the batched flash kernel."""
+    is contiguous (prefill) — enables the batched flash kernel.
+    layer_idx: chained-decode flash path — k/v_cache (and scales) are the
+    FULL layer-stacked arrays and this is the layer index; the kernel
+    slices the layer via its index maps (a lax.scan slice fed to a
+    pallas operand would be materialized as a real copy)."""
     B, T, E = x.shape
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
@@ -332,7 +337,8 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         return _attn_deferred(x, lp, positions, k_cache, v_cache, mask,
                               cfg, q, k, v, is_local, k_scale, v_scale,
                               lora_scales, flash_meta=flash_meta,
-                              chain=chain, extra_residual=extra_residual)
+                              chain=chain, extra_residual=extra_residual,
+                              layer_idx=layer_idx)
 
     # non-deferred path (embeddings forward: cache == chunk, bidirectional
     # masks): scatter current K/V in, then attend the whole cache
@@ -609,7 +615,7 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales,
 def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
                    is_local, k_scale, v_scale, lora_scales,
                    flash_meta=None, chain=None, extra_residual=None,
-                   tail=True):
+                   tail=True, layer_idx=None):
     """Read-only-cache attention for the batched decode/verify step AND
     (via the flash kernel) batched prefill.
     Returns (x_out, rows) where rows are the new K/V entries (quantized
@@ -624,7 +630,7 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
     positions are stale and get masked out). Stored in cache dtype so
     chained output is bit-comparable to step-by-step decode."""
     B, T = positions.shape
-    C = k_cache.shape[1]
+    C = k_cache.shape[2] if layer_idx is not None else k_cache.shape[1]
     H = q.shape[2]
     Hkv = k.shape[2]
     D = q.shape[-1]
@@ -669,31 +675,32 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         return _layer_tail(x, lp, cfg, attn, lora_scales,
                            extra_residual=extra_residual), rows
 
-    if chain is not None and k_scale is not None and T == 1 \
-            and D == v_cache.shape[-1] and _flash_ok() \
-            and cfg.alibi_max_bias == 0.0 \
-            and (_flash_on_tpu() or _flash_forced()):
-        # int8-KV chained decode through the flash kernel: the cache
-        # dequantizes block-by-block in VMEM instead of materializing a
-        # full dequantized copy per layer (the einsum path's cost). The
-        # chain rows ride the kernel's chunk-rows operand: dequantized
-        # acc rows 0..nc-1 plus the current row at index nc, with
-        # n_valid = nc+1 and pos0 = the chain start.
+    if chain is not None and T == 1 and layer_idx is not None:
+        # chained decode through the single-query flash kernel
+        # (ops/flash_decode): the cache is read block-by-block in its
+        # DEFAULT layout (no whole-cache relayout copies at the dispatch
+        # boundary, the einsum path's cost) and only blocks below the
+        # live position are fetched (position-proportional traffic, no
+        # attn_len bucketing). int8 caches dequantize in VMEM. The chain
+        # rows ride the kernel's rows operand: rows 0..nc-1 plus the
+        # current row at index nc, with nv = nc+1.
         ck, cv, cks, cvs, nc_t = chain
         Kc = ck.shape[1]
-        ckf = ck.astype(adt) * cks.astype(adt)[..., None]
-        cvf0 = cv.astype(adt) * cvs.astype(adt)[..., None]
+        if cks is not None:
+            ckf = ck.astype(adt) * cks.astype(adt)[..., None]
+            cvf0 = cv.astype(adt) * cvs.astype(adt)[..., None]
+        else:
+            ckf = ck.astype(adt)
+            cvf0 = cv.astype(adt)
         onehot = (jnp.arange(Kc) == nc_t)[None, :, None, None]
         kr = jnp.where(onehot, k.astype(adt)[:, :1], ckf)
         vr = jnp.where(onehot, v.astype(adt)[:, :1], cvf0)
-        qcur = (q.astype(adt).reshape(B, 1, Hkv, G, D)
-                .transpose(0, 2, 3, 1, 4))          # [B,Hkv,G,1,D]
-        qg = jnp.zeros((B, Hkv, G, Kc, D), adt)
-        qg = jax.lax.dynamic_update_slice(qg, qcur, (0, 0, 0, nc_t, 0))
-        pos0c = positions[:, 0] - nc_t
-        meta = jnp.stack([pos0c, jnp.broadcast_to(nc_t + 1, (B,)),
-                          jnp.zeros((B,), jnp.int32),
-                          jnp.zeros((B,), jnp.int32)], axis=1)
+        qd = q.astype(adt).reshape(B, Hkv, G, D)
+        # inactive slots carry the position >= C sentinel: clamp their
+        # cpos to 0 so the kernel's index maps fetch nothing for them
+        # (fully-masked rows yield zeros, discarded host-side)
+        cpos = jnp.where(positions[:, 0] >= C, 0, positions[:, 0])
+        meta = jnp.stack([cpos, jnp.broadcast_to(nc_t + 1, (B,))], axis=1)
         w = jnp.int32(0)
         cw = jnp.int32(0)
         if cfg.swa_window > 0:
@@ -703,14 +710,13 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
             cw = jnp.where(is_local > 0, cfg.chunked_window, 0)
         win = jnp.stack([jnp.asarray(w, jnp.int32),
                          jnp.asarray(cw, jnp.int32)])
-        o = flash_prefill_batched(
-            qg, k_cache, v_cache, kr, vr, meta, win,
-            k_scale=k_scale, v_scale=v_scale, sinks=snk,
+        o = flash_decode(
+            qd, k_cache, v_cache, kr, vr, meta, win,
+            k_scale=k_scale, v_scale=v_scale, layer=layer_idx, sinks=snk,
             scale=(cfg.attn_scale or None), softcap=cfg.attn_softcap,
             interpret=not _flash_on_tpu())
         Dv = v_cache.shape[-1]
-        attn = jax.lax.dynamic_slice_in_dim(o, nc_t, 1, axis=3)
-        attn = attn.transpose(0, 3, 1, 2, 4).reshape(B, 1, H * Dv)
+        attn = o.astype(adt).reshape(B, 1, H * Dv)
         if not tail:
             return attn, rows
         return _layer_tail(x, lp, cfg, attn, lora_scales,
@@ -957,7 +963,43 @@ def _flash_forced() -> bool:
     return bool(os.environ.get("LLAMA_BOX_TPU_FORCE_FLASH"))
 
 
+def flash_decode_active(cfg: "ModelConfig", capacity: int) -> bool:
+    """True when the chained decode will route through ops/flash_decode
+    (mirror of _attn_deferred's chain gate). The engine checks this to
+    skip attn_len bucketing: the kernel's index maps already clamp cache
+    traffic to the live region per slot, so ranged-attention slicing
+    (and its per-bucket program variants) would only add copies.
+
+    DEFAULT OFF on-chip (LLAMA_BOX_TPU_FLASH_DECODE=1 opts in): measured
+    2026-08-19 at the TinyLlama b=4 w8a8 bench, the kernel runs ~115us
+    per layer-step vs ~6us for the masked einsum — the per-(head, block)
+    streaming-softmax VPU chains serialize where XLA's einsum fusion
+    vectorizes across heads and batch, and single-query decode has no
+    q-row axis to amortize them over (the batched PREFILL kernel, 256
+    q rows, is where the same structure wins). The ~650us/dispatch of
+    einsum boundary relayout+slice copies it eliminates don't pay for
+    ~2400us/step of kernel overhead. Kept exact + tested for retuning
+    (head-concatenated score layout is the known next step)."""
+    import os
+    if not (os.environ.get("LLAMA_BOX_TPU_FLASH_DECODE")
+            or _flash_forced()):
+        return False
+    return (_flash_ok() and cfg.alibi_max_bias == 0.0
+            and (capacity % 128 == 0 or capacity & (capacity - 1) == 0)
+            and (_flash_on_tpu() or _flash_forced()))
+
+
 # -- fused w8a8 decode-layer dispatch (ops/fused_decode) ----------------------
+
+
+def _layer_unroll() -> int:
+    """Unroll factor for the decode-chain layer scan
+    (LLAMA_BOX_TPU_LAYER_UNROLL, default 1). Unrolling trades compile
+    time for removing the per-iteration parameter dynamic-slice ops
+    (~2.5us/layer profiled) and letting XLA fuse across layer
+    boundaries."""
+    import os
+    return int(os.environ.get("LLAMA_BOX_TPU_LAYER_UNROLL", 1))
 
 
 def _fused_on() -> bool:
@@ -1011,6 +1053,30 @@ def _fuse_tail_ok(cfg: ModelConfig, lp, lora_scales, x) -> bool:
             and _pick_tile(lp["w_down"].in_dim, (512, 256, 128)) != 0)
 
 
+def _apply_smalls(lp, cfg: ModelConfig):
+    """Rebuild a scanned layer dict from the bundled small tensors
+    (loader._bundle_smalls): two dynamic-slices per layer instead of six.
+    Byte-identical values/dtypes — outputs don't change."""
+    if "smalls_f32" not in lp:
+        return lp
+    from ..ops.qmatmul import QTensor
+    lp = dict(lp)
+    sf = lp.pop("smalls_f32")
+    sn = lp.pop("smalls_norm")
+    E = cfg.n_embd
+    lp["attn_norm"] = sn[:E]
+    lp["ffn_norm"] = sn[E:]
+    off = 0
+    from .loader import SMALLS_KEYS
+    for key in SMALLS_KEYS:
+        w = lp[key]
+        n = w.out_dim
+        lp[key] = QTensor(w.qs, jax.lax.slice_in_dim(sf, off, off + n),
+                          None, w.in_dim, w.group, w.packed4, w.w8a8)
+        off += n
+    return lp
+
+
 def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
                cos, sin, kv_ks=None, kv_vs=None,
                mrope_pos=None, deferred_kv=False,
@@ -1040,10 +1106,20 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
         sin = jnp.take(sin, positions, axis=0, mode="clip")
         rope_pre = True
 
+    # chained decode through ops/flash_decode: the kernel receives the
+    # FULL layer-stacked cache (closure, not scan xs) plus the layer
+    # index — its BlockSpec index maps do the layer slicing. Feeding a
+    # lax.scan-sliced per-layer cache to a pallas operand materializes
+    # the slice as a real buffer (~4 MB x 2 per layer-step at the bench
+    # shape, measured 2.6x slower than the einsum path).
+    fullkv = (chain is not None and deferred_kv
+              and flash_decode_active(cfg, kv_k.shape[2]))
+
     def body(x, layer):
         if cvec is not None:
             *layer, cv = layer
         lchain = None
+        li_x = None
         if chain is not None:
             if quant:
                 *layer, ck_l, cv_l, cks_l, cvs_l = layer
@@ -1051,18 +1127,22 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
             else:
                 *layer, ck_l, cv_l = layer
                 lchain = (ck_l, cv_l, None, None, nc)
-        if quant:
+        if fullkv:
+            lp, loc, li_x = layer
+            k_c, v_c, ks, vs = kv_k, kv_v, kv_ks, kv_vs
+        elif quant:
             lp, k_c, v_c, ks, vs, loc = layer
         else:
             lp, k_c, v_c, loc = layer
             ks = vs = None
+        lp = _apply_smalls(lp, cfg)
         if deferred_kv:
             x, rows = _attn_layer(x, lp, positions, k_c, v_c, mask,
                                   cfg, cos, sin, ks, vs,
                                   lora_scales=lora_scales, is_local=loc,
                                   mrope_pos=mrope_pos, deferred_kv=True,
                                   flash_meta=flash_meta, chain=lchain,
-                                  rope_pre=rope_pre)
+                                  rope_pre=rope_pre, layer_idx=li_x)
             if cvec is not None:
                 x = x + cv.astype(x.dtype)
             return x, rows
@@ -1151,12 +1231,20 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
         return x, k_new, v_new, None, None
 
     if deferred_kv:
-        xs = ((params["layers"], kv_k, kv_v, kv_ks, kv_vs, is_local)
-              if quant else (params["layers"], kv_k, kv_v, is_local))
+        if fullkv:
+            L = kv_k.shape[0]
+            xs = (params["layers"], is_local,
+                  jnp.arange(L, dtype=jnp.int32))
+        elif quant:
+            xs = (params["layers"], kv_k, kv_v, kv_ks, kv_vs, is_local)
+        else:
+            xs = (params["layers"], kv_k, kv_v, is_local)
         if chain is not None:
             xs = xs + ((chain[0], chain[1], chain[2], chain[3]) if quant
                        else (chain[0], chain[1]))
-        x, rows = jax.lax.scan(body, x, with_cv(xs))
+        x, rows = jax.lax.scan(body, x, with_cv(xs),
+                               unroll=_layer_unroll() if chain is not None
+                               else 1)
         if emit_rows:
             return x, rows
         k_new, v_new, ks_new, vs_new = scatter_rows(rows)

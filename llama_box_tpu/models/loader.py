@@ -46,6 +46,16 @@ _LAYER_WEIGHTS = {
     "ssm_x": ("blk.{i}.ssm_x.weight", True),
     "ssm_dt": ("blk.{i}.ssm_dt.weight", True),
     "ssm_out": ("blk.{i}.ssm_out.weight", True),
+    # rwkv6/7 time-mix and channel-mix projections (models/rwkv.py;
+    # llama.cpp LLM_ARCH_RWKV6/RWKV7 tensor names)
+    "tm_k": ("blk.{i}.time_mix_key.weight", True),
+    "tm_v": ("blk.{i}.time_mix_value.weight", True),
+    "tm_r": ("blk.{i}.time_mix_receptance.weight", True),
+    "tm_g": ("blk.{i}.time_mix_gate.weight", True),
+    "tm_o": ("blk.{i}.time_mix_output.weight", True),
+    "cm_k": ("blk.{i}.channel_mix_key.weight", True),
+    "cm_r": ("blk.{i}.channel_mix_receptance.weight", True),
+    "cm_v": ("blk.{i}.channel_mix_value.weight", True),
 }
 
 # optional per-layer tensors (qwen2 attention biases etc.)
@@ -132,6 +142,40 @@ _LAYER_OPTIONAL = {
     "ssm_dt_norm": ("blk.{i}.ssm_dt_norm.weight", False),
     "ssm_b_norm": ("blk.{i}.ssm_b_norm.weight", False),
     "ssm_c_norm": ("blk.{i}.ssm_c_norm.weight", False),
+    # rwkv6 time-mix smalls: data-dependent lerp LoRA, decay LoRA, bonus,
+    # per-head group norm. w1 is (out=5*edim, in=E) -> [E, 5*edim]; w2 is
+    # 3D (5, E, edim) -> [5, edim, E] via the "3d" swap
+    "tm_w1": ("blk.{i}.time_mix_w1.weight", True),
+    "tm_w2": ("blk.{i}.time_mix_w2.weight", "3d"),
+    "tm_lerp_x": ("blk.{i}.time_mix_lerp_x.weight", False),
+    "tm_lerp_w": ("blk.{i}.time_mix_lerp_w.weight", False),
+    "tm_lerp_k": ("blk.{i}.time_mix_lerp_k.weight", False),
+    "tm_lerp_v": ("blk.{i}.time_mix_lerp_v.weight", False),
+    "tm_lerp_r": ("blk.{i}.time_mix_lerp_r.weight", False),
+    "tm_lerp_g": ("blk.{i}.time_mix_lerp_g.weight", False),
+    "tm_lerp_fused": ("blk.{i}.time_mix_lerp_fused.weight", False),
+    "tm_first": ("blk.{i}.time_mix_first.weight", False),
+    "tm_decay": ("blk.{i}.time_mix_decay.weight", False),
+    "tm_decay_w1": ("blk.{i}.time_mix_decay_w1.weight", True),
+    "tm_decay_w2": ("blk.{i}.time_mix_decay_w2.weight", True),
+    "tm_ln": ("blk.{i}.time_mix_ln.weight", False),
+    "tm_ln_b": ("blk.{i}.time_mix_ln.bias", False),
+    "cm_lerp_k": ("blk.{i}.channel_mix_lerp_k.weight", False),
+    "cm_lerp_r": ("blk.{i}.channel_mix_lerp_r.weight", False),
+    # rwkv7 extras: w0/a0/a1/a2/v0/v1/v2/g1/g2 LoRAs, k_k/k_a/r_k gates
+    "tm_w0": ("blk.{i}.time_mix_w0.weight", False),
+    "tm_a0": ("blk.{i}.time_mix_a0.weight", False),
+    "tm_a1": ("blk.{i}.time_mix_a1.weight", True),
+    "tm_a2": ("blk.{i}.time_mix_a2.weight", True),
+    "tm_v0": ("blk.{i}.time_mix_v0.weight", False),
+    "tm_v1": ("blk.{i}.time_mix_v1.weight", True),
+    "tm_v2": ("blk.{i}.time_mix_v2.weight", True),
+    "tm_g1": ("blk.{i}.time_mix_g1.weight", True),
+    "tm_g2": ("blk.{i}.time_mix_g2.weight", True),
+    "tm_lerp_a": ("blk.{i}.time_mix_lerp_a.weight", False),
+    "tm_kk": ("blk.{i}.time_mix_k_k.weight", False),
+    "tm_ka": ("blk.{i}.time_mix_k_a.weight", False),
+    "tm_rk": ("blk.{i}.time_mix_r_k.weight", False),
 }
 
 
@@ -228,8 +272,10 @@ def load_model(
         # (An earlier +1.0 here double-counted; caught by the gemma2
         # transformers golden, tests/test_arch_goldens.py.)
         x = g.tensor_f32(name)
-        if transpose == "3d" and x.ndim == 3:
-            return np.swapaxes(x, 1, 2)  # (X, FF, E) -> (X, E, FF)
+        if transpose == "3d":
+            if x.ndim == 3:
+                return np.swapaxes(x, 1, 2)  # (X, FF, E) -> (X, E, FF)
+            return x.T if x.ndim == 2 else x  # rwkv7 2D time_mix_w2
         return x.T if (transpose is True and x.ndim == 2) else x
 
     def fetch_maybe_q(name: str, transpose: bool):
@@ -511,5 +557,36 @@ def fuse_projections(params: dict, cfg: ModelConfig) -> dict:
             if f is not None:
                 layers["w_gateup"] = f
                 del layers["w_gate"], layers["w_up"]
+        _bundle_smalls(layers)
         out[field] = layers
     return out
+
+
+# the w8a8 decode-layer weights whose per-column scales ride the bundle,
+# in bundle order (models/llama._apply_smalls splits by these offsets)
+SMALLS_KEYS = ("wqkv", "wo", "w_gateup", "w_down")
+
+
+def _bundle_smalls(layers: dict) -> None:
+    """Concatenate the per-layer SMALL tensors the decode layer reads —
+    the two norm weights and the four w8a8 per-column scale rows — into
+    two dtype-segregated bundles ([L, 2E] norms + [L, sum(out)] f32
+    scales). A lax.scan layer step then issues TWO parameter
+    dynamic-slices instead of six (~0.4-0.9us of fixed cost each at the
+    bench shape; the replaced leaves die by DCE). Values and dtypes are
+    byte-identical, so outputs don't change."""
+    from ..ops.qmatmul import QTensor
+    if not all(k in layers for k in ("attn_norm", "ffn_norm")
+               + SMALLS_KEYS):
+        return
+    ws = [layers[k] for k in SMALLS_KEYS]
+    if not all(isinstance(w, QTensor) and w.w8a8 and not w.sharded
+               and w.scales.dtype == jnp.float32 for w in ws):
+        return
+    an, fn = layers["attn_norm"], layers["ffn_norm"]
+    if isinstance(an, QTensor) or isinstance(fn, QTensor) \
+            or an.dtype != fn.dtype or an.ndim != 2:
+        return
+    layers["smalls_norm"] = jnp.concatenate([an, fn], axis=-1)
+    layers["smalls_f32"] = jnp.concatenate([w.scales for w in ws],
+                                           axis=-1)

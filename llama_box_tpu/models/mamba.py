@@ -73,7 +73,7 @@ def _count_layers(params) -> tuple[int, int]:
     for gp in groups:
         lead = next(iter(gp.values()))
         n = lead.qs.shape[0] if hasattr(lead, "qs") else lead.shape[0]
-        rec = "ssm_in" in gp or "shortconv_in" in gp
+        rec = "ssm_in" in gp or "shortconv_in" in gp or "tm_k" in gp
         if rec:
             nr += n
         if "wq" in gp or not rec:
@@ -111,6 +111,14 @@ def init_rec_cache(cfg: ModelConfig, n_slots: int, capacity: int = 0,
     conv_dim = di
     mamba2 = cfg.arch == "mamba2"
     nh = cfg.ssm_dt_rank
+    if cfg.wkv_head_size > 0:
+        # rwkv6/7: two token-shift rows (att/ffn) + the WKV matrix state
+        hs = cfg.wkv_head_size
+        H = cfg.n_embd // hs
+        return RecCache(
+            conv=jnp.zeros((Lr, n_slots, 2, cfg.n_embd), jnp.float32),
+            ssm=jnp.zeros((Lr, n_slots, H, hs, hs), jnp.float32),
+            k=k, v=v)
     if params is not None:
         for gp in (params.get("layer_groups") or [params["layers"]]):
             if "shortconv_in" in gp:   # lfm2: conv tail only, no SSM state
@@ -426,6 +434,9 @@ def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens,
     attention groups run the standard deferred attention layer (with the
     arch's real rope: none for jamba, rotary for bamba) against their KV
     slices, and all attention rows scatter in one fused write."""
+    from .rwkv import is_rwkv, rwkv_run_stack
+    if is_rwkv(params):
+        return rwkv_run_stack(params, cfg, x, cache, seq_lens)
     groups = params.get("layer_groups")
     if groups is None and "wq" in params["layers"]:
         # homogeneous parallel-hybrid stack (falcon-h1): every layer

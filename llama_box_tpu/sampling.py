@@ -101,6 +101,23 @@ class SamplerParams:
                 or (bool(self.samplers)
                     and not samplers_order_canonical(self.samplers)))
 
+    @property
+    def plain(self) -> bool:
+        """True when sampling needs only the common chain (top-k / top-p /
+        min-p / temperature): no logit bias, no repetition penalties, no
+        typical-p / xtc / top-n-sigma / dynatemp. Batches where every slot
+        is plain take sample_impl's extras=False fast path, which skips
+        the full-vocab bias/penalty passes and the penalty-ring update
+        (~40us/step of VPU fixed cost at the bench shape)."""
+        return (not self.logit_bias
+                and self.penalty_repeat == 1.0
+                and self.penalty_freq == 0.0
+                and self.penalty_present == 0.0
+                and self.typ_p >= 1.0
+                and self.xtc_probability <= 0.0
+                and self.top_n_sigma <= 0.0
+                and self.dynatemp_range <= 0.0)
+
 
 # -- sampler chain selection (reference common_sampler_types_from_names /
 #    _from_chars; llama-box parses both forms at httpserver.hpp:162-172) ------
@@ -405,6 +422,24 @@ def _chain_mask(cvals, arrs: SamplerArrays, xtc_draw):
     return mask
 
 
+def _plain_mask(cvals, arrs: SamplerArrays):
+    """Survivor mask for `plain` batches: top-k, top-p, min-p only —
+    the exact same formulas as _chain_mask with the typical-p / xtc /
+    top-n-sigma stages (data-gated no-ops for plain params) removed."""
+    B, K = cvals.shape
+    col = jnp.arange(K)[None, :]
+    k = jnp.where(arrs.top_k <= 0, K, jnp.minimum(arrs.top_k, K))[:, None]
+    mask = col < k
+    z = jnp.where(mask, cvals, NEG_INF)
+    z = z - z.max(-1, keepdims=True)
+    e = jnp.exp(z) * mask
+    p = e / (e.sum(-1, keepdims=True) + 1e-30)
+    cum = jnp.cumsum(p, axis=-1)
+    mask = mask & (((cum - p) < arrs.top_p[:, None]) | (col == 0))
+    pmax = p.max(-1, keepdims=True)
+    return mask & ((p >= arrs.min_p[:, None] * pmax) | (col == 0))
+
+
 def _top_candidates(logits: jnp.ndarray, kcap: int):
     """Descending top-kcap candidates. On TPU the exact lax.top_k costs a
     ~0.6ms full-vocab sort per step; approx_max_k (the TPU-native
@@ -443,19 +478,27 @@ def _top_candidates(logits: jnp.ndarray, kcap: int):
 
 
 def sample_impl(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
-                active: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray,
-                                              jnp.ndarray, SamplerState]:
+                active: jnp.ndarray, extras: bool = True
+                ) -> tuple[jnp.ndarray, jnp.ndarray,
+                           jnp.ndarray, SamplerState]:
     """Sample one token per slot from [B, V] logits.
 
     active: [B] bool — slots actually decoding (state only advances there).
-    Returns (tokens [B] i32, top_ids [B, N_PROBS] i32, top_probs [B, N_PROBS]
-    f32 — post-filter distribution for logprobs rendering, tok_prob [B] f32 —
-    the sampled token's own reported probability, new state).
+    extras (STATIC): False = every slot's params are `plain`
+    (SamplerParams.plain) — skip the full-vocab bias/penalty passes, the
+    typical-p/xtc/top-n-sigma/dynatemp filters, and the penalty-ring
+    update. Bit-identical to extras=True for plain params (those filters
+    are data-gated no-ops there and the gumbel key derivation is shared).
+    Returns (tokens [B] i32, top_ids [B, N_PROBS] i32, top_probs
+    [B, N_PROBS] f32 — post-filter distribution for logprobs rendering,
+    tok_prob [B] f32 — the sampled token's own reported probability,
+    new state).
     """
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
-    logits = _apply_bias(logits, arrs)
-    logits = _apply_penalties(logits, state.counts, arrs)
+    if extras:
+        logits = _apply_bias(logits, arrs)
+        logits = _apply_penalties(logits, state.counts, arrs)
 
     kcap = min(N_CAND, V)
     cvals, cidx = _top_candidates(logits, kcap)      # descending
@@ -463,22 +506,28 @@ def sample_impl(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
     keys = jax.vmap(lambda s, st: jax.random.fold_in(jax.random.PRNGKey(s), st)
                     )(state.keys.astype(jnp.uint32), state.step)
     kx, kg = jax.vmap(jax.random.split, out_axes=1)(keys)
-    xtc_draw = jax.vmap(jax.random.uniform)(kx)
 
-    mask = _chain_mask(cvals, arrs, xtc_draw)
+    if extras:
+        xtc_draw = jax.vmap(jax.random.uniform)(kx)
+        mask = _chain_mask(cvals, arrs, xtc_draw)
+    else:
+        mask = _plain_mask(cvals, arrs)
 
     # temperature + final softmax over survivors; dynatemp (range > 0)
     # rescales temp in [temp-range, temp+range] by the normalized entropy
     # of the surviving candidates (llama.cpp llama_sampler_temp_ext)
-    p_surv = jnp.exp(jnp.where(mask, cvals - cvals[:, :1], NEG_INF))
-    p_surv = p_surv / (p_surv.sum(-1, keepdims=True) + 1e-30)
-    ent = -jnp.sum(p_surv * jnp.log(p_surv + 1e-30), axis=-1)
-    n_kept = jnp.maximum(mask.sum(-1), 2).astype(jnp.float32)
-    norm_ent = jnp.clip(ent / jnp.log(n_kept), 0.0, 1.0)
-    t_min = jnp.maximum(arrs.temp - arrs.dyna_range, 0.0)
-    t_max = arrs.temp + arrs.dyna_range
-    t_dyn = t_min + (t_max - t_min) * norm_ent ** arrs.dyna_exp
-    temp = jnp.where(arrs.dyna_range > 0.0, t_dyn, arrs.temp)
+    if extras:
+        p_surv = jnp.exp(jnp.where(mask, cvals - cvals[:, :1], NEG_INF))
+        p_surv = p_surv / (p_surv.sum(-1, keepdims=True) + 1e-30)
+        ent = -jnp.sum(p_surv * jnp.log(p_surv + 1e-30), axis=-1)
+        n_kept = jnp.maximum(mask.sum(-1), 2).astype(jnp.float32)
+        norm_ent = jnp.clip(ent / jnp.log(n_kept), 0.0, 1.0)
+        t_min = jnp.maximum(arrs.temp - arrs.dyna_range, 0.0)
+        t_max = arrs.temp + arrs.dyna_range
+        t_dyn = t_min + (t_max - t_min) * norm_ent ** arrs.dyna_exp
+        temp = jnp.where(arrs.dyna_range > 0.0, t_dyn, arrs.temp)
+    else:
+        temp = arrs.temp
     temp = jnp.maximum(temp, 1e-4)[:, None]
     z = jnp.where(mask, cvals / temp, NEG_INF)
     z = z - z.max(-1, keepdims=True)
@@ -500,15 +549,19 @@ def sample_impl(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
     top_ids = cidx[:, :N_PROBS]
     tok_prob = jnp.take_along_axis(report, pick[:, None], -1)[:, 0]
 
-    # advance penalty window + step on active slots
-    def upd(c, r, l, tok, last_n, act):
-        c2, r2, l2 = _push_one(c, r, l, tok, last_n)
-        return (jnp.where(act, c2, c), jnp.where(act, r2, r),
-                jnp.where(act, l2, l))
+    # advance penalty window + step on active slots (a plain batch never
+    # reads the ring/counts for the lifetime of its tasks — skip the push)
+    if extras:
+        def upd(c, r, l, tok, last_n, act):
+            c2, r2, l2 = _push_one(c, r, l, tok, last_n)
+            return (jnp.where(act, c2, c), jnp.where(act, r2, r),
+                    jnp.where(act, l2, l))
 
-    counts, ring, ring_len = jax.vmap(upd)(
-        state.counts, state.ring, state.ring_len, tokens,
-        arrs.pen_last_n, active)
+        counts, ring, ring_len = jax.vmap(upd)(
+            state.counts, state.ring, state.ring_len, tokens,
+            arrs.pen_last_n, active)
+    else:
+        counts, ring, ring_len = state.counts, state.ring, state.ring_len
     new_state = SamplerState(
         counts=counts, ring=ring, ring_len=ring_len,
         step=state.step + active.astype(jnp.int32),

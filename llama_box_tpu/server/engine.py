@@ -77,11 +77,13 @@ def _decode_verify_rows(params, cfg: ModelConfig, tokens, positions,
     return toks, n_emitted, ids, probs, tokps, logits[:, 0], rows, sstate
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_steps", "attn_len"),
+@partial(jax.jit,
+         static_argnames=("cfg", "n_steps", "attn_len", "samp_extras"),
          donate_argnames=("kv", "sstate"))
 def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
                   arrs, active, cos, sin, n_steps: int,
-                  mrope_delta=None, attn_len: int = 0):
+                  mrope_delta=None, attn_len: int = 0,
+                  samp_extras: bool = True):
     """Chained multi-step decode: n_steps sequential forward+sample steps
     in ONE dispatch. The cache stays READ-ONLY through the whole chain —
     each step's K/V rows land in a tiny per-layer accumulator (the
@@ -149,7 +151,7 @@ def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
             deferred_kv=True, emit_rows=True, chain=chain)
         logits = _output_logits(params, cfg, x[:, -1])            # [S,V]
         tok2, ids, probs, tokp, sstate = sample_impl(
-            logits, sstate, arrs, active)
+            logits, sstate, arrs, active, extras=samp_extras)
         # store this step's rows at chain index j (leaves [L,S,1,...])
         acc = tuple(
             jax.lax.dynamic_update_slice(
@@ -162,22 +164,33 @@ def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
         step, (token0, acc, sstate), jnp.arange(Kc, dtype=jnp.int32))
     toks, ids, probs, tokps = ys                   # [K, S, ...]
 
-    # one scatter of the whole chain into the cache (inactive slots write
-    # to the position >= C sentinel and drop)
-    positions = jnp.where(active[:, None],
-                          pos0[:, None] + jnp.arange(Kc)[None, :], C)
-    li = jnp.arange(L)[:, None, None]
-    bi = jnp.arange(S)[None, :, None]
-    pi = jnp.broadcast_to(positions[None], (L, S, Kc))
-    if quant:
-        kv = KVCache(
-            k=kv.k.at[li, bi, pi].set(acc[0], mode="drop"),
-            v=kv.v.at[li, bi, pi].set(acc[1], mode="drop"),
-            k_scale=kv.k_scale.at[li, bi, pi].set(acc[2], mode="drop"),
-            v_scale=kv.v_scale.at[li, bi, pi].set(acc[3], mode="drop"))
-    else:
-        kv = KVCache(k=kv.k.at[li, bi, pi].set(acc[0], mode="drop"),
-                     v=kv.v.at[li, bi, pi].set(acc[1], mode="drop"))
+    # write the chain's rows into the cache: each slot's window is
+    # CONTIGUOUS ([pos0, pos0+K), the engine gates chains to fit), so one
+    # dynamic_update_slice per slot updates in place on the donated
+    # buffer — a gather-scatter over (L, S, K) indices instead forced
+    # XLA to stream the WHOLE cache through a read+write (~118us/dispatch
+    # profiled at the bench shape). Inactive slots (pos >= C sentinel)
+    # write their current contents back (clipped no-op window).
+    def write_slot(leaf, acc_leaf, s):
+        start = jnp.clip(pos0[s], 0, C - Kc)
+        idx = (jnp.int32(0), jnp.int32(s), start) \
+            + (jnp.int32(0),) * (leaf.ndim - 3)
+        cur = jax.lax.dynamic_slice(
+            leaf, idx, (L, 1, Kc) + leaf.shape[3:])
+        upd = jax.lax.dynamic_slice_in_dim(acc_leaf, s, 1, axis=1)
+        new = jnp.where(active[s], upd.astype(leaf.dtype), cur)
+        return jax.lax.dynamic_update_slice(leaf, new, idx)
+
+    k_new, v_new = kv.k, kv.v
+    ks_new, vs_new = (kv.k_scale, kv.v_scale) if quant else (None, None)
+    for s in range(S):
+        k_new = write_slot(k_new, acc[0], s)
+        v_new = write_slot(v_new, acc[1], s)
+        if quant:
+            ks_new = write_slot(ks_new, acc[2], s)
+            vs_new = write_slot(vs_new, acc[3], s)
+    kv = (KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)
+          if quant else KVCache(k=k_new, v=v_new))
     swap = lambda a: jnp.swapaxes(a, 0, 1)  # noqa: E731 — [K,S]->[S,K]
     return (swap(toks), swap(ids), swap(probs), swap(tokps), kv, sstate)
 
@@ -1263,6 +1276,15 @@ class Engine:
                 if s.task is None:  # finished/cancelled mid-emission
                     break
 
+    def _flash_chain(self) -> bool:
+        """True when chained decode routes through ops/flash_decode
+        (per-slot ranged traffic inside the kernel — no attn_len
+        bucketing needed)."""
+        if self.rec or self.encdec:
+            return False
+        from ..models.llama import flash_decode_active
+        return flash_decode_active(self.cfg, self.slot_ctx)
+
     def _decode_pass_chain(self, dec: list, K: int) -> None:
         """K sequential decode steps in ONE device dispatch + ONE host
         sync (see _decode_chain). Tokens a slot generates past its own
@@ -1288,9 +1310,14 @@ class Engine:
             arrays["mrope_delta"] = mrope_delta
             mrope_delta = jnp.asarray(mrope_delta)
         # ranged attention: read only the occupied cache region, bucketed
-        # to 256 so a few program variants cover every fill level
-        need = max(s.pos for s in dec) + K
-        AL = min(self.slot_ctx, -(-need // 256) * 256)
+        # to 256 so a few program variants cover every fill level. The
+        # flash decode kernel ranges per-slot by itself (index-map
+        # clamping) — pass the full capacity there (one program variant,
+        # no slice copies).
+        AL = 0
+        if not self._flash_chain():
+            need = max(s.pos for s in dec) + K
+            AL = min(self.slot_ctx, -(-need // 256) * 256)
         if self.control is not None:
             self.control.broadcast("decode_chain", arrays,
                                    {"k": K, "attn_len": AL})
@@ -1302,11 +1329,16 @@ class Engine:
             chain_fn = t5_decode_chain
         else:
             chain_fn = _decode_chain
+        kw = {}
+        if chain_fn is _decode_chain:
+            # static fast path: every slot plain -> skip the full-vocab
+            # bias/penalty passes + ring updates (bit-identical there)
+            kw["samp_extras"] = not all(s.task.sparams.plain for s in dec)
         toks, ids, probs, tokps, self.kv, self.sstate = chain_fn(
             self.params, self.cfg, jnp.asarray(token0), jnp.asarray(pos0),
             self.kv, self.sstate, self.arrs, jnp.asarray(active),
             self.rope_cos, self.rope_sin, n_steps=K,
-            mrope_delta=mrope_delta, attn_len=AL)
+            mrope_delta=mrope_delta, attn_len=AL, **kw)
         # pipelining: enqueue chain N+1 (token0 = the device-resident last
         # sampled tokens) BEFORE the host sync below, so the device works
         # through the sync + detokenize/stop-scan window instead of idling
@@ -1338,14 +1370,17 @@ class Engine:
         pos1 = pos0.copy()
         for s in dec:
             pos1[s.idx] += K
-        need = max(s.pos for s in dec) + 2 * K
-        AL = min(self.slot_ctx, -(-need // 256) * 256)
+        AL = 0
+        if not self._flash_chain():
+            need = max(s.pos for s in dec) + 2 * K
+            AL = min(self.slot_ctx, -(-need // 256) * 256)
         mrope_delta = jnp.asarray(mrope_np) if mrope_np is not None else None
         toks2, ids2, probs2, tokps2, self.kv, self.sstate = _decode_chain(
             self.params, self.cfg, toks[:, -1], jnp.asarray(pos1),
             self.kv, self.sstate, self.arrs, jnp.asarray(active),
             self.rope_cos, self.rope_sin, n_steps=K,
-            mrope_delta=mrope_delta, attn_len=AL)
+            mrope_delta=mrope_delta, attn_len=AL,
+            samp_extras=not all(s.task.sparams.plain for s in dec))
         tasks = [None] * len(self.slots)
         for s in dec:
             tasks[s.idx] = s.task

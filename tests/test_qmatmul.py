@@ -164,3 +164,46 @@ def test_w8a8_bounded_error(rng):
     want = x @ golden
     denom = np.abs(want).max()
     assert np.abs(got - want).max() / denom < 0.02
+
+
+def test_smalls_bundle_identity():
+    """fuse_projections bundles the per-layer norm weights + w8a8 scale
+    rows (loader._bundle_smalls); forward results are bit-identical to
+    the unbundled params."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from bench import make_q4_params
+    from llama_box_tpu.models.config import ModelConfig
+    from llama_box_tpu.models.llama import (forward_impl, init_kv_cache,
+                                            make_rope)
+    from llama_box_tpu.models.loader import fuse_projections
+
+    L, H, HKV, D, FF, V = 3, 4, 2, 16, 96, 128
+    E = H * D
+    cfg = ModelConfig(arch="llama", n_layers=L, n_embd=E, n_heads=H,
+                      n_kv_heads=HKV, head_dim=D, n_ff=FF, vocab_size=V,
+                      rope_dim=D)
+    rng = np.random.default_rng(0)
+    params = make_q4_params(rng, L, E, H, HKV, D, FF, V, w8a8=True)
+    fused = fuse_projections(params, cfg)
+    assert "smalls_f32" in fused["layers"]
+    assert "smalls_norm" in fused["layers"]
+    unbundled = dict(fused)
+    unbundled["layers"] = {k: v for k, v in fused["layers"].items()
+                           if not k.startswith("smalls_")}
+
+    cos, sin = make_rope(cfg, 64)
+    toks = jnp.asarray(rng.integers(0, V, (2, 4)), jnp.int32)
+    pos = jnp.asarray([[0, 1, 2, 3]] * 2, jnp.int32)
+    lens = jnp.asarray([4, 4], jnp.int32)
+
+    def run(p):
+        kv = init_kv_cache(cfg, 2, 64, jnp.bfloat16)
+        logits, kv = forward_impl(p, cfg, toks, pos, kv, lens, cos, sin)
+        return np.asarray(logits), np.asarray(kv.k)
+
+    l1, k1 = run(fused)
+    l2, k2 = run(unbundled)
+    np.testing.assert_array_equal(l1, l2)
+    np.testing.assert_array_equal(k1, k2)

@@ -333,3 +333,56 @@ def test_host_sampler_honors_order():
     reordered = kept_tokens(("temperature", "top_p"))
     # temp=4 first flattens: top_p=0.9 then keeps far more tokens
     assert len(reordered) > len(canonical)
+
+
+def test_plain_fast_path_bit_identical():
+    """extras=False (the serving fast path for `plain` batches) must be
+    bit-identical to the full chain when every slot's params are plain —
+    tokens, logprob views, and the advanced state (except the untouched
+    penalty ring)."""
+    from llama_box_tpu.sampling import sample_impl
+    rng = np.random.default_rng(11)
+    params = [SamplerParams(seed=5, temp=0.9, top_k=20, top_p=0.9,
+                            min_p=0.02),
+              SamplerParams(seed=7, temp=0.0),          # greedy row
+              SamplerParams(seed=9, temp=1.3, top_k=0, top_p=1.0,
+                            min_p=0.0)]
+    assert all(p.plain for p in params)
+    B = len(params)
+    logits = jnp.asarray(rng.standard_normal((B, V)) * 3.0, jnp.float32)
+    arrs = make_sampler_arrays(params)
+    active = jnp.ones((B,), bool)
+
+    def run(extras):
+        state = init_sampler_state(B, V)
+        for b, p in enumerate(params):
+            state = reset_slot(state, jnp.int32(b), jnp.uint32(p.seed))
+        outs = []
+        for _ in range(4):
+            tok, ids, probs, tokp, state = jax.jit(
+                sample_impl, static_argnames=("extras",),
+            )(logits, state, arrs, active, extras=extras)
+            outs.append((np.asarray(tok), np.asarray(ids),
+                         np.asarray(probs), np.asarray(tokp)))
+        return outs, state
+
+    full, st_full = run(True)
+    fast, st_fast = run(False)
+    for (t1, i1, p1, q1), (t2, i2, p2, q2) in zip(full, fast):
+        np.testing.assert_array_equal(t1, t2)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(q1, q2)
+    np.testing.assert_array_equal(np.asarray(st_full.step),
+                                  np.asarray(st_fast.step))
+
+
+def test_plain_property_matrix():
+    assert SamplerParams().plain
+    assert not SamplerParams(penalty_repeat=1.1).plain
+    assert not SamplerParams(penalty_freq=0.2).plain
+    assert not SamplerParams(logit_bias={3: 1.0}).plain
+    assert not SamplerParams(typ_p=0.9).plain
+    assert not SamplerParams(xtc_probability=0.5).plain
+    assert not SamplerParams(top_n_sigma=2.0).plain
+    assert not SamplerParams(dynatemp_range=0.4).plain
