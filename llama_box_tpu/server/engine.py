@@ -253,12 +253,18 @@ class EngineConfig:
     # syncing chain N, overlapping the device with the host's sync +
     # detokenize/stop-scan work (False = strictly alternating)
     pipeline_chain: bool = True
+    # adaptive first-chain length: a freshly prefilled slot forces the
+    # joint chain down to this many steps (then x4 per chain until it
+    # reaches decode_chain), so the first streamed tokens reach the host
+    # after a ~chain_ramp-step dispatch instead of a full decode_chain one
+    # — TTFT stops scaling with decode_chain. 0 disables.
+    chain_ramp: int = 4
 
 
 class Slot:
     __slots__ = ("idx", "capacity", "task", "cache_tokens", "pos", "state",
                  "cursor", "next_token", "last_used", "drafts", "draft_pos",
-                 "rec_dirty")
+                 "rec_dirty", "chain_ramp")
 
     def __init__(self, idx: int, capacity: int):
         self.idx = idx
@@ -276,6 +282,9 @@ class Slot:
         # cache_tokens (a decode chain discarded tail tokens) — the state
         # no longer corresponds to any token prefix, so it can't be reused
         self.rec_dirty = False
+        # adaptive chain length: >0 caps the next joint chain's K for this
+        # slot (set at prefill finish, x4 per chain; 0 = full decode_chain)
+        self.chain_ramp = 0
 
 
 class Engine:
@@ -896,6 +905,7 @@ class Engine:
             for s in dev:
                 s.task.t_prefilled = time.monotonic()
                 s.state = "decode"
+                s.chain_ramp = self.ecfg.chain_ramp
                 self._accept_token(
                     s, int(tok_h[s.idx]),
                     ids_h[s.idx] if ids_h is not None else None,
@@ -910,6 +920,7 @@ class Engine:
                     s.task.host_sampler.sample(batch[k])
                 s.task.t_prefilled = time.monotonic()
                 s.state = "decode"
+                s.chain_ramp = self.ecfg.chain_ramp
                 self._accept_token(s, first, ids_row, probs_row, tok_prob)
 
     def _t5_prefill_slot(self, s: Slot) -> None:
@@ -962,6 +973,7 @@ class Engine:
             tok_prob = float(tokp[s.idx]) if task.n_probs > 0 else 0.0
         task.t_prefilled = time.monotonic()
         s.state = "decode"
+        s.chain_ramp = self.ecfg.chain_ramp
         self._accept_token(s, first, ids_row, probs_row, tok_prob)
 
     def _prefill_chunk(self, s: Slot) -> None:
@@ -1143,8 +1155,11 @@ class Engine:
             if self._consume_pending_chain(dec):
                 return
         # chained decode: K tokens per dispatch when no per-token host
-        # control is needed this pass (drafts/grammar/rate buckets)
-        K = self.ecfg.decode_chain
+        # control is needed this pass (drafts/grammar/rate buckets).
+        # Freshly prefilled slots cap K via their ramp so the first tokens
+        # stream after a short dispatch (TTFT), growing back to the
+        # configured chain over the next passes.
+        K = self._chain_k(dec)
         if K > 1 and self.draft_params is None \
                 and self.ecfg.lookup_ngram_min == 0 \
                 and "layer_groups" not in self.params \
@@ -1276,6 +1291,21 @@ class Engine:
                 if s.task is None:  # finished/cancelled mid-emission
                     break
 
+    def _chain_k(self, dec: list) -> int:
+        """Effective chain length for a joint pass: the configured
+        decode_chain capped by any participating slot's ramp."""
+        K = self.ecfg.decode_chain
+        ramps = [s.chain_ramp for s in dec if s.chain_ramp > 0]
+        return min([K] + ramps)
+
+    def _bump_ramps(self, dec: list) -> None:
+        """One chain dispatched: quadruple each ramping slot's cap (0 =
+        fully ramped to decode_chain)."""
+        for s in dec:
+            if s.chain_ramp > 0:
+                nxt = s.chain_ramp * 4
+                s.chain_ramp = 0 if nxt >= self.ecfg.decode_chain else nxt
+
     def _flash_chain(self) -> bool:
         """True when chained decode routes through ops/flash_decode
         (per-slot ranged traffic inside the kernel — no attn_len
@@ -1342,8 +1372,9 @@ class Engine:
         # pipelining: enqueue chain N+1 (token0 = the device-resident last
         # sampled tokens) BEFORE the host sync below, so the device works
         # through the sync + detokenize/stop-scan window instead of idling
-        self._maybe_speculate_chain(dec, K, toks, pos0, active,
-                                    arrays.get("mrope_delta"))
+        self._bump_ramps(dec)
+        self._maybe_speculate_chain(dec, K, self._chain_k(dec), toks, pos0,
+                                    active, arrays.get("mrope_delta"))
         toks_h = np.asarray(toks)
         want_probs = any(s.task.n_probs > 0 for s in dec)
         ids_h = np.asarray(ids) if want_probs else None
@@ -1351,34 +1382,35 @@ class Engine:
         tokps_h = np.asarray(tokps) if want_probs else None
         self._emit_chain(dec, K, toks_h, ids_h, probs_h, tokps_h, t0)
 
-    def _maybe_speculate_chain(self, dec: list, K: int, toks, pos0,
-                               active, mrope_np) -> None:
-        """Dispatch the NEXT K-step chain for these slots with the chain
-        just dispatched still in flight. Safe because: a slot either
-        consumes all K tokens (its pos/sampler state match the speculated
-        chain exactly) or its task finishes, in which case the slot is
-        released and `reset_slot`/prefill rewrite its sampler state and KV
-        at re-admission. Context shift is the one transition that would
-        desync a CONTINUING slot, so slots within 2K of capacity gate
-        speculation off. Workers replay host-broadcast ops and cannot see
-        device-resident token0, so the control plane also gates it off."""
+    def _maybe_speculate_chain(self, dec: list, K: int, K2: int, toks,
+                               pos0, active, mrope_np) -> None:
+        """Dispatch the NEXT chain (K2 steps) for these slots with the
+        K-step chain just dispatched still in flight. Safe because: a slot
+        either consumes all K2 tokens (its pos/sampler state match the
+        speculated chain exactly) or its task finishes, in which case the
+        slot is released and `reset_slot`/prefill rewrite its sampler
+        state and KV at re-admission. Context shift is the one transition
+        that would desync a CONTINUING slot, so slots within K+K2 of
+        capacity gate speculation off. Workers replay host-broadcast ops
+        and cannot see device-resident token0, so the control plane also
+        gates it off."""
         if (not self.ecfg.pipeline_chain or self.control is not None
                 or self.rec or self.encdec):
             return
-        if any(s.pos + 2 * K > s.capacity for s in dec):
+        if any(s.pos + K + K2 > s.capacity for s in dec):
             return
         pos1 = pos0.copy()
         for s in dec:
             pos1[s.idx] += K
         AL = 0
         if not self._flash_chain():
-            need = max(s.pos for s in dec) + 2 * K
+            need = max(s.pos for s in dec) + K + K2
             AL = min(self.slot_ctx, -(-need // 256) * 256)
         mrope_delta = jnp.asarray(mrope_np) if mrope_np is not None else None
         toks2, ids2, probs2, tokps2, self.kv, self.sstate = _decode_chain(
             self.params, self.cfg, toks[:, -1], jnp.asarray(pos1),
             self.kv, self.sstate, self.arrs, jnp.asarray(active),
-            self.rope_cos, self.rope_sin, n_steps=K,
+            self.rope_cos, self.rope_sin, n_steps=K2,
             mrope_delta=mrope_delta, attn_len=AL,
             samp_extras=not all(s.task.sparams.plain for s in dec))
         tasks = [None] * len(self.slots)
@@ -1386,7 +1418,7 @@ class Engine:
             tasks[s.idx] = s.task
         self._chain_pending = {
             "toks": toks2, "ids": ids2, "probs": probs2, "tokps": tokps2,
-            "pos0": pos1, "active": active.copy(), "tasks": tasks, "k": K,
+            "pos0": pos1, "active": active.copy(), "tasks": tasks, "k": K2,
             "mrope": mrope_np, "t0": time.monotonic(),
         }
 
@@ -1417,8 +1449,10 @@ class Engine:
             act = np.zeros_like(pend["active"])
             for s in covered:
                 act[s.idx] = True
-            self._maybe_speculate_chain(covered, K, pend["toks"],
-                                        pend["pos0"], act, pend["mrope"])
+            self._bump_ramps(covered)
+            self._maybe_speculate_chain(covered, K, self._chain_k(covered),
+                                        pend["toks"], pend["pos0"], act,
+                                        pend["mrope"])
         tp0 = time.monotonic()
         self._chain_prof_spec = tp0 - ts0
         toks_h = np.asarray(pend["toks"])

@@ -655,7 +655,7 @@ class HTTPServer:
             raise bad_request("image edits require multipart/form-data")
         form = await request.post()
         body = {k: form[k] for k in form if not hasattr(form[k], "file")}
-        for k in ("n", "sample_steps", "steps", "seed"):
+        for k in ("n", "sampling_steps", "sample_steps", "steps", "seed"):
             if k in body:
                 try:
                     body[k] = int(body[k])
@@ -702,6 +702,22 @@ class HTTPServer:
         import base64 as _b64
         self._submit(task)
         created = int(time.time())
+        so = getattr(task, "stream_options", None) or {
+            "include_usage": True, "chunk_result": False,
+            "chunk_size": 4096, "preview": False}
+
+        def item(idx, prog_done, prog_total, b64, stop):
+            """One data[] entry (reference images_task::to_json,
+            httpserver.hpp:2560-2574)."""
+            return {"index": idx, "object": "image",
+                    "progressed_steps": prog_done,
+                    "progress_steps": prog_total,
+                    "progress": (100.0 if stop else
+                                 round(100.0 * prog_done
+                                       / max(prog_total, 1), 2)),
+                    "finish_reason": "stop" if stop else None,
+                    "b64_json": b64}
+
         if not task.stream:
             while True:
                 kind, payload = await self._await_event(task, timeout=3600)
@@ -709,15 +725,44 @@ class HTTPServer:
                     raise RequestError(500, str(payload),
                                        err_type="server_error")
                 if kind == "final":
+                    steps = task.gp.steps
                     return web.json_response({
                         "created": created,
-                        "data": [{"b64_json":
-                                  _b64.b64encode(png).decode()}
-                                 for png in payload.images],
+                        "model": self.model_name,
+                        "object": "list",
+                        "data": [item(i, steps, steps,
+                                      _b64.b64encode(png).decode(), True)
+                                 for i, png in enumerate(payload.images)],
                         "usage": payload.usage(),
                     })
         resp = web.StreamResponse(status=200, headers=dict(SSE_HEADERS))
         await resp.prepare(request)
+
+        async def send_item(it, usage=None):
+            """Emit one image item, split into chunk_size b64 chunks when
+            chunk_result — progress interpolates within the step like the
+            reference bridge (httpserver.hpp:5068-5100)."""
+            base = {"created": created, "model": self.model_name,
+                    "object": "list", "usage": usage}
+            b64 = it["b64_json"]
+            csz = int(so["chunk_size"])
+            if not so.get("chunk_result") or not b64 or len(b64) <= csz:
+                await resp.write(b"data: " + json.dumps(
+                    {**base, "data": [it]}).encode() + b"\n\n")
+                return
+            n_chunks = len(b64) // csz + 1
+            p_base = (it["progressed_steps"] - 1) / max(
+                it["progress_steps"], 1)
+            p_scale = 1.0 / max(it["progress_steps"], 1)
+            for ci in range(0, len(b64), csz):
+                part = dict(it)
+                part["b64_json"] = b64[ci:ci + csz]
+                part["progress"] = round(
+                    100.0 * (p_base + (ci // csz + 1) / n_chunks * p_scale),
+                    2)
+                await resp.write(b"data: " + json.dumps(
+                    {**base, "data": [part]}).encode() + b"\n\n")
+
         try:
             while True:
                 kind, payload = await self._await_event(task, timeout=3600)
@@ -728,9 +773,7 @@ class HTTPServer:
                                      + b"\n\n")
                     break
                 if kind == "progress":
-                    ev = {"created": created,
-                          "data": [{"index": payload["index"],
-                                    "progress": payload["progress"]}]}
+                    b64 = ""
                     if "preview" in payload:
                         import io as _io
 
@@ -738,18 +781,20 @@ class HTTPServer:
                         buf = _io.BytesIO()
                         _Image.fromarray(payload["preview"]).save(
                             buf, format="PNG")
-                        ev["data"][0]["b64_json"] = _b64.b64encode(
-                            buf.getvalue()).decode()
-                    await resp.write(b"data: " + json.dumps(ev).encode()
-                                     + b"\n\n")
+                        b64 = _b64.b64encode(buf.getvalue()).decode()
+                    await send_item(item(payload["index"], payload["step"],
+                                         payload["total_steps"], b64, False))
                 elif kind == "final":
-                    ev = {"created": created,
-                          "data": [{"index": i, "progress": 100.0,
-                                    "b64_json": _b64.b64encode(png).decode()}
-                                   for i, png in enumerate(payload.images)],
-                          "usage": payload.usage()}
-                    await resp.write(b"data: " + json.dumps(ev).encode()
-                                     + b"\n\n")
+                    steps = task.gp.steps
+                    last = len(payload.images) - 1
+                    for i, png in enumerate(payload.images):
+                        usage = (payload.usage()
+                                 if i == last and so.get("include_usage",
+                                                         True) else None)
+                        await send_item(
+                            item(i, steps, steps,
+                                 _b64.b64encode(png).decode(), True),
+                            usage=usage)
                     await resp.write(b"data: [DONE]\n\n")
                     break
         except (asyncio.CancelledError, ConnectionResetError):
@@ -867,9 +912,13 @@ def _images_task_from_body(body: dict, rid: str, init_image=None,
         prompt=prompt,
         negative_prompt=str(body.get("negative_prompt", "")),
         width=w, height=h,
-        steps=max(1, min(int(body.get("sample_steps",
-                                      body.get("steps",
-                                               d.get("steps", 20)))), 150)),
+        # accepted spellings: sampling_steps > sample_steps > steps
+        # (reference parser httpserver.hpp:243-249)
+        steps=max(1, min(int(body.get("sampling_steps",
+                                      body.get("sample_steps",
+                                               body.get("steps",
+                                                        d.get("steps",
+                                                              20))))), 150)),
         cfg_scale=float(body.get("cfg_scale", d.get("cfg_scale", 7.0))),
         sampler=sampler,
         seed=seed,
@@ -894,10 +943,35 @@ def _images_task_from_body(body: dict, rid: str, init_image=None,
         if d.get("control_canny"):
             from ..diffusion.controlnet import canny
             control = canny(control)
+    # stream options: JSON nested object {"preview","chunk_result",
+    # "chunk_size","include_usage"} or multipart-flattened
+    # stream_options_* fields (reference image_req defaults,
+    # httpserver.hpp:1546-1552, multipart mapping :1818-1844)
+    so_defaults = {"include_usage": True, "chunk_result": False,
+                   "chunk_size": 4096, "preview": False}
+    so_in = body.get("stream_options")
+    if so_in is not None and not isinstance(so_in, dict):
+        raise bad_request("\"stream_options\" must be an object",
+                          "stream_options")
+    so = dict(so_defaults, **(so_in or {}))
+    for k in ("preview", "chunk_result", "include_usage"):
+        flat = body.get(f"stream_options_{k}")
+        if flat is not None:
+            so[k] = str(flat).lower() in ("1", "true")
+    flat = body.get("stream_options_chunk_size")
+    if flat is not None:
+        try:
+            so["chunk_size"] = int(flat)
+        except ValueError:
+            raise bad_request("\"stream_options_chunk_size\" is invalid",
+                              "stream_options_chunk_size")
+    so["chunk_size"] = max(256, int(so.get("chunk_size") or 4096))
+    preview = bool(body.get("preview", False)) or bool(so["preview"])
     task = ImagesTask(gp, n=n, stream=bool(body.get("stream", False)),
-                      preview=bool(body.get("preview", False)),
+                      preview=preview,
                       init_image=init_image, mask=mask, control=control,
                       rid=rid)
+    task.stream_options = so
     up = body.get("upscale", 1)
     if not isinstance(up, int) or isinstance(up, bool) or up not in (1, 2, 4):
         raise bad_request("\"upscale\" must be 1, 2 or 4", "upscale")

@@ -49,7 +49,7 @@ def step(tokens, kv, sstate, p):
     pos0 = jnp.full((S,), p, jnp.int32)
     toks, _, _, _, kv, sstate = _decode_chain(
         params, cfg, tokens, pos0, kv, sstate, arrs, active,
-        cos, sin, n_steps=KCH, attn_len=AL)
+        cos, sin, n_steps=KCH, attn_len=AL, samp_extras=False)
     return toks[:, -1], kv, sstate
 
 

@@ -557,6 +557,58 @@ def test_pipeline_no_starvation(tmp_path):
         eng.stop()
 
 
+def test_chain_ramp_short_first_chain(tmp_path):
+    """Adaptive chain ramp: the first chain after prefill must be
+    chain_ramp steps (so TTFT doesn't scale with decode_chain), growing
+    x4 per chain to the configured K — and output must stay identical to
+    per-token decode."""
+    from llama_box_tpu.server import engine as engine_mod
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+    ks = []
+    orig = engine_mod._decode_chain
+
+    def spy(*args, n_steps, **kw):
+        ks.append(n_steps)
+        return orig(*args, n_steps=n_steps, **kw)
+
+    cfg, params = load_model(path, dtype=jnp.float32)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    eng = Engine(cfg, params, tok,
+                 EngineConfig(n_slots=1, n_ctx=256, n_ubatch=16,
+                              decode_chain=16, chain_ramp=2))
+    engine_mod._decode_chain = spy
+    eng.start()
+    try:
+        t = CompletionsTask(tok.encode("a b c"),
+                            SamplerParams(temp=0.8, seed=3),
+                            tokenizer=tok, max_tokens=40, stream=False)
+        f, _ = run_task(eng, t, timeout=120)
+        out_ramp = f.generated
+    finally:
+        eng.stop()
+        engine_mod._decode_chain = orig
+    # ramp schedule: 2, 8, then the configured 16 (direct + speculated
+    # dispatches both count)
+    assert ks[0] == 2 and ks[1] == 8 and 16 in ks, ks
+
+    e1 = Engine(cfg, params, tok,
+                EngineConfig(n_slots=1, n_ctx=256, n_ubatch=16,
+                             decode_chain=1))
+    e1.start()
+    try:
+        t = CompletionsTask(tok.encode("a b c"),
+                            SamplerParams(temp=0.8, seed=3),
+                            tokenizer=tok, max_tokens=40,
+                            stream=False)
+        f, _ = run_task(e1, t, timeout=120)
+        assert f.generated == out_ramp
+    finally:
+        e1.stop()
+
+
 def test_empty_prompt_degrades_to_bos(engine):
     """A prompt that tokenizes to nothing serves as [BOS] (reference
     add_special semantics) instead of crashing the reconcile pass."""

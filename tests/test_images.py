@@ -165,4 +165,47 @@ def test_http_images_endpoint(tiny_engine_with_images):
               if l.startswith(b"data: ") and l != b"data: [DONE]"]
     assert any("progress" in e["data"][0] for e in events)
     assert "b64_json" in events[-1]["data"][0]
+
+    # chunked result streaming (reference stream bridge,
+    # httpserver.hpp:5068-5100): the final image's b64 arrives split
+    # into chunk_size pieces; only the per-event item schema changes —
+    # reassembling the chunks must give back the identical PNG
+    r = requests.post(url + "/v1/images/generations", json={
+        "prompt": "x", "size": "64x64", "sample_steps": 3, "seed": 3,
+        "stream": True, "cfg_scale": 1.0,
+        "stream_options": {"chunk_result": True, "chunk_size": 512,
+                           "include_usage": True}}, stream=True)
+    events = [json.loads(l[6:]) for l in r.iter_lines()
+              if l.startswith(b"data: ") and l != b"data: [DONE]"]
+    items = [e["data"][0] for e in events]
+    for it in items:
+        assert {"index", "object", "progressed_steps", "progress_steps",
+                "progress", "finish_reason"} <= set(it)
+    finals = [it for it in items if it["finish_reason"] == "stop"]
+    assert len(finals) > 1            # chunked: > 1 piece
+    assert all(len(it["b64_json"]) <= 512 for it in finals)
+    png2 = base64.b64decode("".join(it["b64_json"] for it in finals))
+    from PIL import Image as _I
+    assert _I.open(io.BytesIO(png2)).size == (64, 64)
+    assert any(e.get("usage") for e in events)
+
+    # multipart-flattened stream options parse (image edits path)
+    import os
+    buf = io.BytesIO()
+    _I.new("RGB", (64, 64), (200, 30, 30)).save(buf, format="PNG")
+    r = requests.post(url + "/v1/images/edits",
+                      data={"prompt": "bluer", "size": "64x64",
+                            "sample_steps": "2", "stream": "true",
+                            "cfg_scale": "1.0",
+                            "stream_options_chunk_result": "true",
+                            "stream_options_chunk_size": "600"},
+                      files={"image": ("a.png", buf.getvalue(),
+                                       "image/png")}, stream=True)
+    assert r.status_code == 200, r.text
+    events = [json.loads(l[6:]) for l in r.iter_lines()
+              if l.startswith(b"data: ") and l != b"data: [DONE]"]
+    finals = [e["data"][0] for e in events
+              if e["data"][0]["finish_reason"] == "stop"]
+    assert len(finals) > 1
+    assert all(len(it["b64_json"]) <= 600 for it in finals)
     loop.call_soon_threadsafe(loop.stop)
