@@ -19,6 +19,7 @@ _LN_ARCHS = {
     "nemotron", "gpt2", "bloom", "mpt", "starcoder", "gptj", "cohere2",
     "olmo",   # non-parametric LN: loader synthesizes unit weights
     "rwkv6", "rwkv7",   # RWKV blocks use biased LayerNorm throughout
+    "dbrx",   # LayerNorm without bias
 }
 # position-independent q/k (learned pos embd, ALiBi, or none); no rotation
 _NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2", "jamba",
@@ -38,7 +39,7 @@ _NEOX_ROPE_ARCHS = {
     "internlm2", "deepseek2", "minicpm3", "smollm3", "nemotron", "olmoe",
     "bamba", "granitehybrid", "gpt-oss", "exaone4", "dots1", "seed_oss",
     "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1", "lfm2",
-    "qwen3next", "olmo", "chameleon", "gemma3n",
+    "qwen3next", "olmo", "chameleon", "gemma3n", "dbrx", "grok",
 }
 
 
@@ -192,7 +193,7 @@ class ModelConfig:
             expert_weights_norm=bool(kv("expert_weights_norm",
                                         arch in ("llama", "mixtral",
                                                  "qwen3moe", "qwen3next",
-                                                 "gpt-oss",
+                                                 "gpt-oss", "dbrx",
                                                  "granitemoe"))),
             # cohere2 (command-r7b) / exaone4: every 4th layer is global,
             # full-context AND unroped (llama.cpp keys rope on is_swa)

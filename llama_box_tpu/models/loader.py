@@ -69,6 +69,11 @@ _LAYER_OPTIONAL = {
     "attn_norm_2_b": ("blk.{i}.attn_norm_2.bias", False),
     "ffn_norm": ("blk.{i}.ffn_norm.weight", False),
     "ffn_norm_b": ("blk.{i}.ffn_norm.bias", False),
+    # dbrx stores its pre-MoE norm (HF norm_attn_norm.norm_2) as
+    # attn_output_norm (llama.cpp LLM_TENSOR_ATTN_OUT_NORM) — aliased to
+    # ffn_norm after load when no ffn_norm exists
+    "attn_out_norm": ("blk.{i}.attn_output_norm.weight", False),
+    "attn_out_norm_b": ("blk.{i}.attn_output_norm.bias", False),
     "attn_post_norm_b": ("blk.{i}.post_attention_norm.bias", False),
     "ffn_post_norm_b": ("blk.{i}.post_ffw_norm.bias", False),
     "bo": ("blk.{i}.attn_output.bias", False),
@@ -448,6 +453,15 @@ def load_model(
                 if kk in layers and counters.get(kk, 0) < len(layers[kk]):
                     per_layer[i][kk] = layers[kk][counters[kk]]
                     counters[kk] += 1
+
+    # dbrx: attn_output_norm plays the pre-FFN norm role
+    for i in range(cfg.n_layers):
+        if "ffn_norm" not in per_layer[i] \
+                and "attn_out_norm" in per_layer[i]:
+            per_layer[i]["ffn_norm"] = per_layer[i].pop("attn_out_norm")
+            if "attn_out_norm_b" in per_layer[i]:
+                per_layer[i]["ffn_norm_b"] = \
+                    per_layer[i].pop("attn_out_norm_b")
 
     # olmo (v1): synthesize unit weights for the non-parametric LNs
     if cfg.arch == "olmo":

@@ -253,6 +253,13 @@ class EngineConfig:
     # syncing chain N, overlapping the device with the host's sync +
     # detokenize/stop-scan work (False = strictly alternating)
     pipeline_chain: bool = True
+    # how many speculative chains to keep in flight beyond the one being
+    # synced. Default 1: through the axon tunnel a host sync queues
+    # behind every already-dispatched chain, so depth 2 made each sync
+    # wait an extra chain (serving decode 1838 -> 1462 tok/s measured);
+    # the host-side dispatch cost is hidden with copy_to_host_async
+    # instead. Depth >1 kept for runtimes with out-of-band transfers.
+    pipeline_depth: int = 1
     # adaptive first-chain length: a freshly prefilled slot forces the
     # joint chain down to this many steps (then x4 per chain until it
     # reaches decode_chain), so the first streamed tokens reach the host
@@ -312,7 +319,9 @@ class Engine:
         self.upscale_repeats = upscale_repeats
         self.image_tasks: list[ImagesTask] = []
         self.embed_tasks: list = []   # embeddings/rerank, chunked per pass
-        self._chain_pending: dict | None = None  # speculative decode chain
+        # speculative decode chains in flight (oldest first, up to
+        # ecfg.pipeline_depth) — see _speculate_chain
+        self._chain_q: list[dict] = []
         # LLAMA_BOX_TPU_CHAIN_PROF=1: per-chain (pre-sync, sync, emit)
         # host-side seconds, dumped at stop() — serving-cycle breakdown
         import os
@@ -1151,7 +1160,7 @@ class Engine:
         # a speculatively dispatched chain from the previous pass holds
         # the tokens these slots must consume next (their device sampler
         # state already advanced through it) — use it, never re-dispatch
-        if self._chain_pending is not None:
+        if self._chain_q:
             if self._consume_pending_chain(dec):
                 return
         # chained decode: K tokens per dispatch when no per-token host
@@ -1291,9 +1300,26 @@ class Engine:
                 if s.task is None:  # finished/cancelled mid-emission
                     break
 
-    def _chain_k(self, dec: list) -> int:
+    def _remaining(self, s: "Slot") -> int:
+        """Tokens this slot's task can still emit (max_tokens budget;
+        stop words/EOG can end it earlier — unknowable ahead of time)."""
+        task = s.task
+        if task is None:
+            return 0
+        mt = getattr(task, "max_tokens", 0) or 0
+        if mt <= 0:
+            return 1 << 30
+        return max(0, mt - len(task.generated))
+
+    def _chain_k(self, dec: list, off: int = 0) -> int:
         """Effective chain length for a joint pass: the configured
-        decode_chain capped by any participating slot's ramp."""
+        decode_chain capped by any participating slot's ramp. The tail is
+        NOT shortened to the remaining token budget: overshooting one
+        chain costs < 30ms of discarded device steps, while an exact tail
+        costs one ~27ms tunnel sync per extra (shorter) chain — only
+        chains ENTIRELY past every budget are skipped (_fill_chain_queue).
+        """
+        del off
         K = self.ecfg.decode_chain
         ramps = [s.chain_ramp for s in dec if s.chain_ramp > 0]
         return min([K] + ramps)
@@ -1369,12 +1395,13 @@ class Engine:
             self.kv, self.sstate, self.arrs, jnp.asarray(active),
             self.rope_cos, self.rope_sin, n_steps=K,
             mrope_delta=mrope_delta, attn_len=AL, **kw)
-        # pipelining: enqueue chain N+1 (token0 = the device-resident last
-        # sampled tokens) BEFORE the host sync below, so the device works
-        # through the sync + detokenize/stop-scan window instead of idling
+        # pipelining: enqueue the next chains (token0 = device-resident
+        # last sampled tokens) BEFORE the host sync below, so the device
+        # works through the sync + detokenize/stop-scan window instead of
+        # idling
         self._bump_ramps(dec)
-        self._maybe_speculate_chain(dec, K, self._chain_k(dec), toks, pos0,
-                                    active, arrays.get("mrope_delta"))
+        self._fill_chain_queue(dec, K, K, toks, pos0, active,
+                               arrays.get("mrope_delta"))
         toks_h = np.asarray(toks)
         want_probs = any(s.task.n_probs > 0 for s in dec)
         ids_h = np.asarray(ids) if want_probs else None
@@ -1382,81 +1409,107 @@ class Engine:
         tokps_h = np.asarray(tokps) if want_probs else None
         self._emit_chain(dec, K, toks_h, ids_h, probs_h, tokps_h, t0)
 
-    def _maybe_speculate_chain(self, dec: list, K: int, K2: int, toks,
-                               pos0, active, mrope_np) -> None:
-        """Dispatch the NEXT chain (K2 steps) for these slots with the
-        K-step chain just dispatched still in flight. Safe because: a slot
-        either consumes all K2 tokens (its pos/sampler state match the
-        speculated chain exactly) or its task finishes, in which case the
-        slot is released and `reset_slot`/prefill rewrite its sampler
-        state and KV at re-admission. Context shift is the one transition
-        that would desync a CONTINUING slot, so slots within K+K2 of
-        capacity gate speculation off. Workers replay host-broadcast ops
-        and cannot see device-resident token0, so the control plane also
-        gates it off."""
+    def _fill_chain_queue(self, dec: list, k_unemitted: int, base_k: int,
+                          toks, pos0, active, mrope_np) -> None:
+        """Top the speculative-chain queue up to pipeline_depth, each new
+        chain feeding off the previous chain's device-resident last tokens
+        (toks/pos0 = the NEWEST dispatched chain's outputs/starts). Safe
+        because: a slot either consumes all tokens of a speculated chain
+        (its pos/sampler state match exactly) or its task finishes, in
+        which case the slot is released and `reset_slot`/prefill rewrite
+        its sampler state and KV at re-admission. Context shift is the one
+        transition that would desync a CONTINUING slot, so a chain is only
+        speculated while every covered position stays within capacity
+        (k_unemitted = steps of already-dispatched-but-unemitted chains).
+        Workers replay host-broadcast ops and cannot see device-resident
+        token0, so the control plane gates speculation off."""
         if (not self.ecfg.pipeline_chain or self.control is not None
                 or self.rec or self.encdec):
             return
-        if any(s.pos + K + K2 > s.capacity for s in dec):
-            return
-        pos1 = pos0.copy()
-        for s in dec:
-            pos1[s.idx] += K
-        AL = 0
-        if not self._flash_chain():
-            need = max(s.pos for s in dec) + K + K2
-            AL = min(self.slot_ctx, -(-need // 256) * 256)
-        mrope_delta = jnp.asarray(mrope_np) if mrope_np is not None else None
-        toks2, ids2, probs2, tokps2, self.kv, self.sstate = _decode_chain(
-            self.params, self.cfg, toks[:, -1], jnp.asarray(pos1),
-            self.kv, self.sstate, self.arrs, jnp.asarray(active),
-            self.rope_cos, self.rope_sin, n_steps=K2,
-            mrope_delta=mrope_delta, attn_len=AL,
-            samp_extras=not all(s.task.sparams.plain for s in dec))
-        tasks = [None] * len(self.slots)
-        for s in dec:
-            tasks[s.idx] = s.task
-        self._chain_pending = {
-            "toks": toks2, "ids": ids2, "probs": probs2, "tokps": tokps2,
-            "pos0": pos1, "active": active.copy(), "tasks": tasks, "k": K2,
-            "mrope": mrope_np, "t0": time.monotonic(),
-        }
+        pos_end = pos0
+        while len(self._chain_q) < max(1, self.ecfg.pipeline_depth):
+            if max(self._remaining(s) for s in dec) <= k_unemitted:
+                return      # every slot's budget is already covered
+            K2 = self._chain_k(dec, off=k_unemitted)
+            if any(s.pos + k_unemitted + K2 > s.capacity for s in dec):
+                return
+            pos1 = pos_end.copy()
+            for s in dec:
+                pos1[s.idx] += base_k
+            AL = 0
+            if not self._flash_chain():
+                need = max(s.pos for s in dec) + k_unemitted + K2
+                AL = min(self.slot_ctx, -(-need // 256) * 256)
+            mrope_delta = (jnp.asarray(mrope_np)
+                           if mrope_np is not None else None)
+            toks, ids2, probs2, tokps2, self.kv, self.sstate = \
+                _decode_chain(
+                    self.params, self.cfg, toks[:, -1], jnp.asarray(pos1),
+                    self.kv, self.sstate, self.arrs, jnp.asarray(active),
+                    self.rope_cos, self.rope_sin, n_steps=K2,
+                    mrope_delta=mrope_delta, attn_len=AL,
+                    samp_extras=not all(s.task.sparams.plain for s in dec))
+            tasks = [None] * len(self.slots)
+            for s in dec:
+                tasks[s.idx] = s.task
+            self._chain_q.append({
+                "toks": toks, "ids": ids2, "probs": probs2,
+                "tokps": tokps2, "pos0": pos1, "active": active.copy(),
+                "tasks": tasks, "k": K2, "mrope": mrope_np,
+                "t0": time.monotonic(),
+            })
+            self._bump_ramps(dec)
+            pos_end = pos1
+            base_k = K2
+            k_unemitted += K2
 
     def _consume_pending_chain(self, dec: list) -> bool:
-        """Emit the speculatively dispatched chain's tokens. Covered =
-        same task object at the expected position (a released/readmitted
-        slot fails the identity check and its state is rebuilt by
-        admission). Returns False (pending dropped) when nothing is
-        covered; uncovered slots in `dec` wait one pass."""
-        pend = self._chain_pending
-        self._chain_pending = None
+        """Emit the OLDEST speculatively dispatched chain's tokens.
+        Covered = same task object at the expected position (a released/
+        readmitted slot fails the identity check and its state is rebuilt
+        by admission). Returns False (whole queue dropped — the later
+        chains assumed the continuation) when nothing is covered;
+        uncovered slots in `dec` wait one pass."""
+        pend = self._chain_q.pop(0)
         K = pend["k"]
         covered = [s for s in dec
                    if s.task is not None
                    and pend["tasks"][s.idx] is s.task
                    and s.pos == int(pend["pos0"][s.idx])]
         if not covered:
+            self._chain_q.clear()
             return False
         t0 = pend.get("t0", time.monotonic())
-        # keep the pipeline full: chain N+2 goes out before syncing N+1 —
-        # but ONLY when the pending chain covers every decoding slot. A
-        # slot admitted while others are pipelined must not be starved
-        # (reference decodes all running slots each batch): draining for
-        # one pass lets the next _decode_pass dispatch a joint chain that
+        # keep the pipeline full: the next chain goes out before syncing
+        # this one — but ONLY when the pending chain covers every decoding
+        # slot. A slot admitted while others are pipelined must not be
+        # starved (reference decodes all running slots each batch):
+        # draining lets the next _decode_pass dispatch a joint chain that
         # includes it.
         ts0 = time.monotonic()
+        want_probs = any(s.task.n_probs > 0 for s in covered)
+        # issue the device->host transfer BEFORE dispatching the next
+        # chain: the tunnel serves requests in order, so a transfer
+        # requested after a dispatch waits out that whole chain
+        try:
+            pend["toks"].copy_to_host_async()
+            if want_probs:
+                for key in ("ids", "probs", "tokps"):
+                    pend[key].copy_to_host_async()
+        except Exception:  # noqa: BLE001 — backend without async copies
+            pass
         if len(covered) == len(dec):
             act = np.zeros_like(pend["active"])
             for s in covered:
                 act[s.idx] = True
-            self._bump_ramps(covered)
-            self._maybe_speculate_chain(covered, K, self._chain_k(covered),
-                                        pend["toks"], pend["pos0"], act,
-                                        pend["mrope"])
+            newest = self._chain_q[-1] if self._chain_q else pend
+            off = K + sum(p["k"] for p in self._chain_q)
+            self._fill_chain_queue(covered, off, newest["k"],
+                                   newest["toks"], newest["pos0"], act,
+                                   pend["mrope"])
         tp0 = time.monotonic()
         self._chain_prof_spec = tp0 - ts0
         toks_h = np.asarray(pend["toks"])
-        want_probs = any(s.task.n_probs > 0 for s in covered)
         ids_h = np.asarray(pend["ids"]) if want_probs else None
         probs_h = np.asarray(pend["probs"]) if want_probs else None
         tokps_h = np.asarray(pend["tokps"]) if want_probs else None

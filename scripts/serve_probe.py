@@ -35,10 +35,13 @@ for ch in chains:
         from llama_box_tpu.sampling import SamplerParams
         from llama_box_tpu.server import (CompletionsTask, Engine,
                                           EngineConfig)
+        import os
         r = np.random.default_rng(7)
+        ramp = int(os.environ.get("SERVE_RAMP", "4"))
         eng = Engine(cfg, params, bench._BenchTokenizer(V),
                      EngineConfig(n_slots=4, n_ctx=4096, n_ubatch=512,
-                                  prompt_cache=False, decode_chain=chain))
+                                  prompt_cache=False, decode_chain=chain,
+                                  chain_ramp=ramp))
         eng.start()
         try:
             def submit_all():

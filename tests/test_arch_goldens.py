@@ -592,6 +592,58 @@ def test_granite_matches_transformers(tmp_path):
     _compare(hm, path, decode_check=True)
 
 
+def test_minicpm_matches_transformers(tmp_path):
+    """minicpm (v1/v2): a llama skeleton with embedding scale (scale_emb),
+    residual scale (scale_depth/sqrt(L)) and logit scale
+    (1/(hidden/dim_model_base)), tied embeddings. Mathematically the
+    granite multiplier set with the default attention scale — the golden
+    anchors the minicpm.* metadata spellings against transformers'
+    Granite implementation with identical multipliers."""
+    from transformers import GraniteConfig, GraniteForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(2)
+    HKV = 2
+    scale_emb, scale_depth, dim_base = 12.0, 1.4, 16
+    hc = GraniteConfig(vocab_size=len(vocab), hidden_size=E,
+                       num_hidden_layers=L, num_attention_heads=H,
+                       num_key_value_heads=HKV, intermediate_size=FF,
+                       rms_norm_eps=1e-5, use_cache=False,
+                       rope_theta=10000.0,
+                       embedding_multiplier=scale_emb,
+                       residual_multiplier=scale_depth / (L ** 0.5),
+                       logits_scaling=E / dim_base,
+                       attention_multiplier=D ** -0.5,
+                       tie_word_embeddings=True)
+    hm = GraniteForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "minicpm.gguf")
+    w, V = _gguf_header(path, "minicpm", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("embedding_scale", scale_emb),
+                               ("residual_scale",
+                                scale_depth / (L ** 0.5)),
+                               ("logit_scale", dim_base / E)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    # tied embeddings: no output.weight in the GGUF
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        _qkvo(w, st, p, o, permute_heads=H, hkv=HKV)
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
 def test_granitemoe_matches_transformers(tmp_path):
     """granitemoe: the granite multipliers + MoE with fused input_linear
     (rows 0..F = gate, F..2F = up, split at export like llama.cpp) and
@@ -1276,6 +1328,60 @@ def test_gpt_oss_matches_transformers(tmp_path):
                      .transpose(0, 2, 1))                # -> [X, E, F]
         w.add_tensor(o + "ffn_down_exps.bias",
                      _np(st, p + "mlp.experts.down_proj_bias"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_dbrx_matches_transformers(tmp_path):
+    """dbrx: fused Wqkv with clip_qkv clamp, LayerNorm WITHOUT biases,
+    neox rotary (no q/k permute at conversion), pre-MoE norm stored as
+    attn_output_norm (HF norm_attn_norm.norm_2), 16-expert top-k routing
+    with p1-renormalized weights. Export follows llama.cpp's DbrxModel
+    conversion: flat [X*FF, E] expert mats viewed to [X, FF, E]; w2
+    (down) additionally transposed to [X, E, FF]."""
+    from transformers import DbrxConfig, DbrxForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, X, K = 2, 4, 2
+    hc = DbrxConfig(d_model=E, n_heads=H, n_layers=L, max_seq_len=256,
+                    vocab_size=len(vocab),
+                    attn_config={"clip_qkv": 6.0, "kv_n_heads": HKV,
+                                 "rope_theta": 10000.0},
+                    ffn_config={"ffn_hidden_size": FF,
+                                "moe_num_experts": X, "moe_top_k": K,
+                                "moe_jitter_eps": None,
+                                "moe_normalize_expert_weights": 1.0},
+                    use_cache=False)
+    hm = DbrxForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "dbrx.gguf")
+    w, V = _gguf_header(path, "dbrx", HKV, D,
+                        extra=[("expert_count", X),
+                               ("expert_used_count", K),
+                               ("attention.clamp_kqv", 6.0)])
+    w.add_tensor("token_embd.weight", _np(st, "transformer.wte.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "transformer.norm_f.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"transformer.blocks.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "norm_attn_norm.norm_1.weight"))
+        w.add_tensor(o + "attn_qkv.weight",
+                     _np(st, p + "norm_attn_norm.attn.Wqkv.weight"))
+        w.add_tensor(o + "attn_output.weight",
+                     _np(st, p + "norm_attn_norm.attn.out_proj.weight"))
+        w.add_tensor(o + "attn_output_norm.weight",
+                     _np(st, p + "norm_attn_norm.norm_2.weight"))
+        w.add_tensor(o + "ffn_gate_inp.weight",
+                     _np(st, p + "ffn.router.layer.weight"))
+        w1 = _np(st, p + "ffn.experts.mlp.w1").reshape(X, FF, E)
+        v1 = _np(st, p + "ffn.experts.mlp.v1").reshape(X, FF, E)
+        w2 = _np(st, p + "ffn.experts.mlp.w2").reshape(X, FF, E)
+        w.add_tensor(o + "ffn_gate_exps.weight", w1)
+        w.add_tensor(o + "ffn_up_exps.weight", v1)
+        w.add_tensor(o + "ffn_down_exps.weight", w2.transpose(0, 2, 1))
     w.write()
     _compare(hm, path, decode_check=True)
 

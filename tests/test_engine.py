@@ -464,6 +464,7 @@ def test_decode_chain_pipeline_identity(tmp_path):
     prompts = [("a b c", 17), ("x y", 5), ("c d a", 9), ("b", 13)]
     results = {}
     for name, kw in (("pipe", dict(chain=4)),
+                     ("deep", dict(chain=4, pipeline_depth=2)),
                      ("alt", dict(chain=4, pipeline_chain=False)),
                      ("tok", dict(chain=1))):
         eng = _chain_engine(path, **kw)
