@@ -239,14 +239,14 @@ def vision_bench(cfg, dense_params, V):
     # M-RoPE position streams: text counts all 3 equally; the image block
     # holds t and walks the (y, x) grid (reference mrope prefill
     # httpserver.hpp:3914-3949)
-    pos = np.zeros((3, 1, T), np.int32)
-    pos[:, 0, :n_txt] = np.arange(n_txt)
+    pos = np.zeros((3, T), np.int32)   # engine passes mrope_pos [3, T]
+    pos[:, :n_txt] = np.arange(n_txt)
     yy, xx = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
-    pos[0, 0, n_txt:n_txt + n_vis] = n_txt
-    pos[1, 0, n_txt:n_txt + n_vis] = n_txt + yy.ravel()
-    pos[2, 0, n_txt:n_txt + n_vis] = n_txt + xx.ravel()
+    pos[0, n_txt:n_txt + n_vis] = n_txt
+    pos[1, n_txt:n_txt + n_vis] = n_txt + yy.ravel()
+    pos[2, n_txt:n_txt + n_vis] = n_txt + xx.ravel()
     tail0 = n_txt + grid          # qwen2vl: max(grid)+1 after the image
-    pos[:, 0, n_txt + n_vis:] = tail0 + np.arange(n_txt)
+    pos[:, n_txt + n_vis:] = tail0 + np.arange(n_txt)
     mrope_pos = jnp.asarray(pos)
     txt_embd = r(T, cfg.n_embd)   # text rows (vision rows overwritten)
 

@@ -23,7 +23,8 @@ _LN_ARCHS = {
 }
 # position-independent q/k (learned pos embd, ALiBi, or none); no rotation
 _NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2", "jamba",
-                  "rwkv6", "rwkv7"}
+                  "rwkv6", "rwkv7",
+                  "nemotron_h"}   # hybrid attention layers are unroped
 _PARALLEL_ARCHS = {
     # x + attn(norm(x)) + ffn(norm(x)) parallel-residual blocks
     "falcon", "phi2", "command-r", "cohere2", "gptj",
@@ -32,6 +33,7 @@ _UNGATED_FFN_ARCHS = {
     # act(up) @ down, no gate projection
     "falcon", "gptneox", "phi2", "starcoder2", "nemotron",
     "gpt2", "bloom", "mpt", "starcoder", "gptj", "apertus",
+    "nemotron_h",
 }
 _NEOX_ROPE_ARCHS = {
     "qwen2", "qwen2moe", "qwen3", "qwen3moe", "falcon", "gemma", "gemma2",
@@ -72,6 +74,7 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     logit_softcap: float = 0.0
     attn_softcap: float = 0.0
+    router_softcap: float = 0.0   # grok: tanh-cap router logits
     expert_count: int = 0
     expert_used_count: int = 0
     expert_weights_norm: bool = True  # renormalize top-k router probs
@@ -238,26 +241,43 @@ class ModelConfig:
             act_fn=("gelu" if (arch.startswith("gemma")
                                or arch in ("falcon", "gptneox", "phi2",
                                            "starcoder2", "gpt2", "bloom",
-                                           "mpt", "starcoder", "gptj"))
-                    else "relu2" if arch in ("nemotron", "bitnet")
+                                           "mpt", "starcoder", "gptj",
+                                           "grok"))
+                    else "relu2" if arch in ("nemotron", "nemotron_h",
+                                             "bitnet")
                     else "swiglu_oai" if arch == "gpt-oss"
                     else "xielu" if arch == "apertus" else "silu"),
+            # grok-1 scales the embedding by sqrt(n_embd) like gemma
             embd_scale=float(kv("embedding_scale",
                                 float(n_embd) ** 0.5
-                                if arch.startswith("gemma") else 1.0)
+                                if arch.startswith("gemma")
+                                or arch == "grok" else 1.0)
                              or 1.0),
             rope_freq_base_swa=float(
                 kv("rope.local_freq_base",
                    10000.0 if arch in ("gemma3", "gemma3n") else 0.0)
                 or 0.0),
-            logit_softcap=float(kv("final_logit_softcapping", 0.0) or 0.0),
-            attn_softcap=float(kv("attn_logit_softcapping", 0.0) or 0.0),
+            # grok-1 constants (llm_build_grok): logits * 1/sqrt(3) then
+            # tanh-capped at 30; attention scores tanh-capped at 30;
+            # router logits tanh-capped at 30 — newer GGUFs carry them as
+            # metadata, older grok-1 conversions rely on the defaults
+            logit_softcap=float(kv("final_logit_softcapping",
+                                   30.0 if arch == "grok" else 0.0)
+                                or 0.0),
+            attn_softcap=float(kv("attn_logit_softcapping",
+                                  30.0 if arch == "grok" else 0.0)
+                               or 0.0),
+            router_softcap=float(kv("router_logit_softcapping",
+                                    30.0 if arch == "grok" else 0.0)
+                                 or 0.0),
             norm_style="ln" if arch in _LN_ARCHS else "rms",
             parallel_residual=bool(
                 kv("use_parallel_residual", arch in _PARALLEL_ARCHS)),
             ffn_gated=arch not in _UNGATED_FFN_ARCHS,
             residual_scale=float(kv("residual_scale", 1.0) or 1.0),
-            logit_scale=float(kv("logit_scale", 1.0) or 1.0),
+            logit_scale=float(kv("logit_scale",
+                                 0.5773502691896257 if arch == "grok"
+                                 else 1.0) or 1.0),
             # gemma3n attends UNSCALED (HF Gemma3nTextAttention scaling=1.0)
             attn_scale=float(kv("attention.scale",
                                 1.0 if arch == "gemma3n" else 0.0) or 0.0),

@@ -604,6 +604,9 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales,
         return x + (attn_out + ffn_out) * rs
 
     x = x + attn_out * rs
+    if not any(k_ in lp for k_ in ("w_up", "w_gate", "w_gate_inp",
+                                   "w_gateup")):
+        return x   # attention-only block (nemotron-h hybrid)
     h = _pre_norm(x, lp, "ffn_norm", cfg)
     ffn_out = _ffn_block(h, lp, cfg, lora_scales, x.dtype)
     if "ffn_post_norm" in lp:
@@ -859,6 +862,8 @@ def _moe_ffn(h, lp, cfg: ModelConfig):
     router = h @ lp["w_gate_inp"]                    # [B, T, X]
     if "b_gate_inp" in lp:                           # gpt-oss router bias
         router = router + lp["b_gate_inp"]
+    if cfg.router_softcap > 0.0:                     # grok tanh cap
+        router = cfg.router_softcap * jnp.tanh(router / cfg.router_softcap)
     if cfg.expert_gating_func == 2:                  # deepseek3 sigmoid
         probs = jax.nn.sigmoid(router.astype(jnp.float32))
     else:

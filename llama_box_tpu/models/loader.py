@@ -71,9 +71,13 @@ _LAYER_OPTIONAL = {
     "ffn_norm_b": ("blk.{i}.ffn_norm.bias", False),
     # dbrx stores its pre-MoE norm (HF norm_attn_norm.norm_2) as
     # attn_output_norm (llama.cpp LLM_TENSOR_ATTN_OUT_NORM) — aliased to
-    # ffn_norm after load when no ffn_norm exists
+    # ffn_norm after load when no ffn_norm exists; grok uses the same
+    # tensor as a SANDWICH norm (post-attention, pre-residual) alongside
+    # ffn_norm, aliased to attn_post_norm instead
     "attn_out_norm": ("blk.{i}.attn_output_norm.weight", False),
     "attn_out_norm_b": ("blk.{i}.attn_output_norm.bias", False),
+    # grok post-MoE sandwich norm (llama.cpp LLM_TENSOR_LAYER_OUT_NORM)
+    "layer_out_norm": ("blk.{i}.layer_output_norm.weight", False),
     "attn_post_norm_b": ("blk.{i}.post_attention_norm.bias", False),
     "ffn_post_norm_b": ("blk.{i}.post_ffw_norm.bias", False),
     "bo": ("blk.{i}.attn_output.bias", False),
@@ -454,14 +458,20 @@ def load_model(
                     per_layer[i][kk] = layers[kk][counters[kk]]
                     counters[kk] += 1
 
-    # dbrx: attn_output_norm plays the pre-FFN norm role
+    # dbrx: attn_output_norm plays the pre-FFN norm role; grok: it's the
+    # post-attention sandwich norm (ffn_norm exists there) and
+    # layer_output_norm the post-MoE one
     for i in range(cfg.n_layers):
-        if "ffn_norm" not in per_layer[i] \
-                and "attn_out_norm" in per_layer[i]:
-            per_layer[i]["ffn_norm"] = per_layer[i].pop("attn_out_norm")
+        if "attn_out_norm" in per_layer[i]:
+            key = ("attn_post_norm" if "ffn_norm" in per_layer[i]
+                   else "ffn_norm")
+            per_layer[i][key] = per_layer[i].pop("attn_out_norm")
             if "attn_out_norm_b" in per_layer[i]:
-                per_layer[i]["ffn_norm_b"] = \
+                per_layer[i][key + "_b"] = \
                     per_layer[i].pop("attn_out_norm_b")
+        if "layer_out_norm" in per_layer[i]:
+            per_layer[i]["ffn_post_norm"] = \
+                per_layer[i].pop("layer_out_norm")
 
     # olmo (v1): synthesize unit weights for the non-parametric LNs
     if cfg.arch == "olmo":

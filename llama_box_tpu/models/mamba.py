@@ -76,8 +76,9 @@ def _count_layers(params) -> tuple[int, int]:
         rec = "ssm_in" in gp or "shortconv_in" in gp or "tm_k" in gp
         if rec:
             nr += n
-        if "wq" in gp or not rec:
-            # parallel-hybrid layers (falcon-h1) count in BOTH caches
+        if "wq" in gp:
+            # parallel-hybrid layers (falcon-h1) count in BOTH caches;
+            # FFN-only blocks (nemotron-h) count in neither
             na += n
     return nr, na
 
@@ -505,7 +506,7 @@ def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens,
             conv_parts.append(cn)
             ssm_parts.append(sn)
             o_r += n
-        else:
+        elif "wq" in gp:
             def abody(x, inp):
                 lp, k_c, v_c = inp
                 return _attn_layer(x, lp, positions, k_c, v_c, mask, cfg,
@@ -517,6 +518,16 @@ def _run_rec_stack(params, cfg: ModelConfig, x, cache: RecCache, seq_lens,
             k_rows.append(rows[0])
             v_rows.append(rows[1])
             o_a += n
+        else:
+            # FFN-only block (nemotron-h: each block is norm + ONE of
+            # {mamba2, attention, MLP}) — no state of either kind
+            from .llama import _ffn_block, _pre_norm
+
+            def fbody(x, lp):
+                h = _pre_norm(x, lp, "attn_norm", cfg)
+                return x + _ffn_block(h, lp, cfg, None, x.dtype), None
+
+            x, _ = jax.lax.scan(fbody, x, gp)
     conv_n = jnp.concatenate(conv_parts, 0) if conv_parts else cache.conv
     ssm_n = jnp.concatenate(ssm_parts, 0) if ssm_parts else cache.ssm
     k_new, v_new = cache.k, cache.v

@@ -63,27 +63,26 @@ def bench_shape(K, N, label):
     x = jnp.asarray(rng.integers(-127, 127, (M, K), dtype=np.int8))
 
     def run(fn, tag):
-        def step(x8, _):
-            def body(carry, lw):
-                w, s = lw
-                y = fn(x8, w, s)            # [M, N] f32
-                # keep the FULL output live (DCE hazard: slicing lets XLA
-                # narrow the dot — CLAUDE.md measurement hazards)
-                return carry + y.sum(), None
-            acc, _ = jax.lax.scan(body, jnp.float32(0), (W, S))
-            return acc
-
+        # weights/scales MUST be jit ARGUMENTS (a closure-captured 500MB
+        # constant is the known pathological-compile trap, CLAUDE.md)
         @jax.jit
-        def many(x8):
+        def many(x8, Wa, Sa):
             def it(c, _):
-                return c + step(x8, None), None
+                def body(carry, lw):
+                    w, s = lw
+                    y = fn(x8, w, s)        # [M, N] f32
+                    # keep the FULL output live (DCE hazard: slicing lets
+                    # XLA narrow the dot — CLAUDE.md measurement hazards)
+                    return carry + y.sum(), None
+                acc, _ = jax.lax.scan(body, c, (Wa, Sa))
+                return acc, None
             out, _ = jax.lax.scan(it, jnp.float32(0), None, length=20)
             return out
 
-        r = many(x)
+        r = many(x, W, S)
         np.asarray(r)
         t0 = time.perf_counter()
-        r = many(x)
+        r = many(x, W, S)
         np.asarray(r)
         dt = time.perf_counter() - t0
         per = dt / (20 * L)

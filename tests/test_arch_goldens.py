@@ -1332,6 +1332,132 @@ def test_gpt_oss_matches_transformers(tmp_path):
     _compare(hm, path, decode_check=True)
 
 
+def test_grok_matches_numpy_reference(tmp_path):
+    """grok-1: sqrt(E) embedding scale, tanh softcaps on attention scores
+    (30), router logits (30) and final logits (30 after the 1/sqrt(3)
+    scale), sandwich norms stored as attn_output_norm/layer_output_norm,
+    gelu GeGLU MoE with top-2 renormalized routing, neox rope. No
+    transformers module exists for grok, so the golden is an independent
+    numpy implementation of the published architecture
+    (llama.cpp llm_build_grok)."""
+    vocab, _, _ = build_vocab()
+    rng = np.random.default_rng(9)
+    HKV, X, K = 2, 4, 2
+    V = len(vocab)
+
+    def r(*shape, scale=0.05):
+        return rng.normal(size=shape, scale=scale).astype(np.float32)
+
+    wts = {
+        "embd": r(V, E), "out_norm": 1 + r(E, scale=0.1), "out": r(V, E),
+        "layers": [
+            {"attn_norm": 1 + r(E, scale=0.1),
+             "wq": r(H * D, E), "wk": r(HKV * D, E), "wv": r(HKV * D, E),
+             "wo": r(E, H * D),
+             "attn_post": 1 + r(E, scale=0.1),
+             "ffn_norm": 1 + r(E, scale=0.1),
+             "ffn_post": 1 + r(E, scale=0.1),
+             "router": r(X, E),
+             "gate": r(X, FF, E), "up": r(X, FF, E), "down": r(X, E, FF)}
+            for _ in range(L)],
+    }
+
+    def rms(x, w):
+        return x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-5) * w
+
+    def rope_neox(x, pos):
+        # x [T, h, D]: neox half-split rotation
+        half = D // 2
+        inv = 1.0 / (10000.0 ** (np.arange(half) / half))
+        ang = np.outer(pos, inv)
+        c, s = np.cos(ang)[:, None, :], np.sin(ang)[:, None, :]
+        x0, x1 = x[..., :half], x[..., half:]
+        return np.concatenate([x0 * c - x1 * s, x0 * s + x1 * c], -1)
+
+    def gelu(x):
+        return 0.5 * x * (1 + np.tanh(
+            np.sqrt(2 / np.pi) * (x + 0.044715 * x ** 3)))
+
+    def ref(toks):
+        T = len(toks)
+        pos = np.arange(T)
+        x = wts["embd"][toks] * np.sqrt(E)
+        G = H // HKV
+        for lw in wts["layers"]:
+            h = rms(x, lw["attn_norm"])
+            q = (h @ lw["wq"].T).reshape(T, H, D)
+            k = (h @ lw["wk"].T).reshape(T, HKV, D)
+            v = (h @ lw["wv"].T).reshape(T, HKV, D)
+            q, k = rope_neox(q, pos), rope_neox(k, pos)
+            kx = np.repeat(k, G, axis=1)
+            vx = np.repeat(v, G, axis=1)
+            sc = np.einsum("qhd,khd->hqk", q, kx) / np.sqrt(D)
+            sc = 30.0 * np.tanh(sc / 30.0)
+            mask = np.tril(np.ones((T, T), bool))
+            sc = np.where(mask[None], sc, -1e30)
+            p = np.exp(sc - sc.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            attn = np.einsum("hqk,khd->qhd", p, vx).reshape(T, H * D)
+            attn = rms(attn @ lw["wo"].T, lw["attn_post"])
+            x = x + attn
+            h = rms(x, lw["ffn_norm"])
+            rl = h @ lw["router"].T
+            rl = 30.0 * np.tanh(rl / 30.0)
+            pr = np.exp(rl - rl.max(-1, keepdims=True))
+            pr /= pr.sum(-1, keepdims=True)
+            topi = np.argsort(-pr, axis=-1)[:, :K]
+            y = np.zeros_like(h)
+            for t in range(T):
+                wsum = pr[t, topi[t]].sum()
+                for j in topi[t]:
+                    g = gelu(h[t] @ lw["gate"][j].T)
+                    u = h[t] @ lw["up"][j].T
+                    y[t] += (pr[t, j] / wsum) * ((g * u) @ lw["down"][j].T)
+            x = x + rms(y, lw["ffn_post"])
+        x = rms(x, wts["out_norm"])
+        logits = (x @ wts["out"].T) * 0.5773502691896257
+        return 30.0 * np.tanh(logits / 30.0)
+
+    path = str(tmp_path / "grok.gguf")
+    w, _ = _gguf_header(path, "grok", HKV, D,
+                        extra=[("expert_count", X),
+                               ("expert_used_count", K),
+                               ("attention.layer_norm_rms_epsilon", 1e-5)])
+    w.add_tensor("token_embd.weight", wts["embd"])
+    w.add_tensor("output_norm.weight", wts["out_norm"])
+    w.add_tensor("output.weight", wts["out"])
+    for i, lw in enumerate(wts["layers"]):
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", lw["attn_norm"])
+        w.add_tensor(o + "attn_q.weight", lw["wq"])
+        w.add_tensor(o + "attn_k.weight", lw["wk"])
+        w.add_tensor(o + "attn_v.weight", lw["wv"])
+        w.add_tensor(o + "attn_output.weight", lw["wo"])
+        w.add_tensor(o + "attn_output_norm.weight", lw["attn_post"])
+        w.add_tensor(o + "ffn_norm.weight", lw["ffn_norm"])
+        w.add_tensor(o + "layer_output_norm.weight", lw["ffn_post"])
+        w.add_tensor(o + "ffn_gate_inp.weight", lw["router"])
+        w.add_tensor(o + "ffn_gate_exps.weight", lw["gate"])
+        w.add_tensor(o + "ffn_up_exps.weight", lw["up"])
+        w.add_tensor(o + "ffn_down_exps.weight", lw["down"])
+    w.write()
+
+    cfg, params = load_model(path, dtype=jnp.float32)
+    assert cfg.attn_softcap == 30.0 and cfg.router_softcap == 30.0
+    assert cfg.logit_softcap == 30.0
+    rng2 = np.random.default_rng(3)
+    T = 10
+    toks = rng2.integers(3, V, (T,)).astype(np.int32)
+    kv = init_kv_cache(cfg, 1, 64, jnp.float32)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = prefill_impl(params, cfg, jnp.asarray(toks), kv,
+                             jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                             cos, sin)
+    ref_logits = ref(toks)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits[-1],
+                               atol=3e-3, rtol=5e-3)
+
+
 def test_dbrx_matches_transformers(tmp_path):
     """dbrx: fused Wqkv with clip_qkv clamp, LayerNorm WITHOUT biases,
     neox rotary (no q/k permute at conversion), pre-MoE norm stored as

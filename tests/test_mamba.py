@@ -1132,3 +1132,158 @@ def test_qwen3next_engine_greedy_matches_transformers(qwen3next_setup):
     got = final.generated[:len(ref_new)]
     assert got == ref_new[:len(got)] and len(got) >= min(N, 4), \
         (got, ref_new)
+
+
+def test_nemotron_h_matches_composite_reference(tmp_path):
+    """nemotron-h hybrid: each block is norm + ONE of {mamba2 mixer,
+    unroped attention, squared-ReLU MLP}. No transformers module exists;
+    the golden composes independent references per block type — the
+    mamba2 block runs through transformers' Mamba2Block (torch_forward),
+    attention and MLP are numpy. Also checks engine greedy decode is
+    consistent with prefill next-token argmax (decode-path wiring of the
+    FFN-only group)."""
+    import torch
+    from transformers.models.mamba2.configuration_mamba2 import Mamba2Config
+    from transformers.models.mamba2.modeling_mamba2 import Mamba2Block
+
+    from llama_box_tpu.gguf import GGUFWriter
+    from llama_box_tpu.models.llama import make_rope
+
+    from .fixtures.make_tiny_mamba import (M2_D_CONV, M2_D_STATE,
+                                           M2_HEAD_DIM, M2_N_EMBD,
+                                           M2_N_GROUPS, M2_N_HEADS)
+    vocab, scores, types = build_vocab()
+    V = len(vocab)
+    E = M2_N_EMBD
+    H, HKV = 4, 2
+    D = E // H
+    FF = 96
+    di, ds, ng, nh = (M2_N_HEADS * M2_HEAD_DIM, M2_D_STATE, M2_N_GROUPS,
+                      M2_N_HEADS)
+    conv_dim = di + 2 * ng * ds
+
+    torch.manual_seed(0)
+    hc = Mamba2Config(vocab_size=V, hidden_size=E, state_size=ds,
+                      num_hidden_layers=1, conv_kernel=M2_D_CONV,
+                      head_dim=M2_HEAD_DIM, num_heads=nh, n_groups=ng,
+                      expand=2, use_cache=False, layer_norm_epsilon=1e-5)
+    block = Mamba2Block(hc, layer_idx=0).eval()
+    bs = {k: v.detach().numpy().astype(np.float32)
+          for k, v in block.state_dict().items()}
+
+    rng = np.random.default_rng(4)
+
+    def r(*shape, scale=0.05):
+        return rng.normal(size=shape, scale=scale).astype(np.float32)
+
+    embd = r(V, E)
+    out_norm = 1 + r(E, scale=0.1)
+    out_w = r(V, E)
+    attn = {"norm": 1 + r(E, scale=0.1), "wq": r(H * D, E),
+            "wk": r(HKV * D, E), "wv": r(HKV * D, E), "wo": r(E, H * D)}
+    ffn = {"norm": 1 + r(E, scale=0.1), "up": r(FF, E), "down": r(E, FF)}
+
+    def rms(x, w):
+        return x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-5) * w
+
+    def ref(toks):
+        T = len(toks)
+        x = embd[toks]
+        with torch.no_grad():
+            x = block(torch.tensor(x[None]))[0].numpy()   # mamba2 block
+        h = rms(x, attn["norm"])                          # attention block
+        q = (h @ attn["wq"].T).reshape(T, H, D)
+        k = (h @ attn["wk"].T).reshape(T, HKV, D)
+        v = (h @ attn["wv"].T).reshape(T, HKV, D)
+        kx = np.repeat(k, H // HKV, axis=1)
+        vx = np.repeat(v, H // HKV, axis=1)
+        sc = np.einsum("qhd,khd->hqk", q, kx) / np.sqrt(D)
+        sc = np.where(np.tril(np.ones((T, T), bool))[None], sc, -1e30)
+        p = np.exp(sc - sc.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ao = np.einsum("hqk,khd->qhd", p, vx).reshape(T, H * D)
+        x = x + ao @ attn["wo"].T
+        h = rms(x, ffn["norm"])                           # relu^2 MLP block
+        x = x + (np.maximum(h @ ffn["up"].T, 0) ** 2) @ ffn["down"].T
+        return rms(x, out_norm) @ out_w.T
+
+    path = str(tmp_path / "nemotron_h.gguf")
+    w = GGUFWriter(path, architecture="nemotron_h")
+    a = "nemotron_h"
+    w.add_kv(f"{a}.block_count", 3)
+    w.add_kv(f"{a}.context_length", 256)
+    w.add_kv(f"{a}.embedding_length", E)
+    w.add_kv(f"{a}.feed_forward_length", FF)
+    w.add_kv(f"{a}.attention.head_count", H)
+    w.add_kv(f"{a}.attention.head_count_kv", [0, HKV, 0])
+    w.add_kv(f"{a}.attention.layer_norm_rms_epsilon", 1e-5)
+    w.add_kv(f"{a}.ssm.conv_kernel", M2_D_CONV)
+    w.add_kv(f"{a}.ssm.inner_size", di)
+    w.add_kv(f"{a}.ssm.state_size", ds)
+    w.add_kv(f"{a}.ssm.time_step_rank", nh)
+    w.add_kv(f"{a}.ssm.group_count", ng)
+    w.add_kv(f"{a}.vocab_size", V)
+    w.add_kv("tokenizer.ggml.model", "llama")
+    w.add_kv("tokenizer.ggml.tokens", vocab)
+    w.add_kv("tokenizer.ggml.scores", np.array(scores, np.float32))
+    w.add_kv("tokenizer.ggml.token_type", np.array(types, np.int32))
+    w.add_kv("tokenizer.ggml.bos_token_id", 1)
+    w.add_kv("tokenizer.ggml.eos_token_id", 2)
+    w.add_kv("tokenizer.ggml.add_bos_token", True)
+    w.add_tensor("token_embd.weight", embd)
+    w.add_tensor("output_norm.weight", out_norm)
+    w.add_tensor("output.weight", out_w)
+    # blk.0: mamba2 (write_tiny_mamba2 conversion conventions)
+    w.add_tensor("blk.0.attn_norm.weight", bs["norm.weight"])
+    w.add_tensor("blk.0.ssm_in.weight", bs["mixer.in_proj.weight"])
+    w.add_tensor("blk.0.ssm_conv1d.weight",
+                 bs["mixer.conv1d.weight"].reshape(conv_dim, M2_D_CONV))
+    w.add_tensor("blk.0.ssm_conv1d.bias", bs["mixer.conv1d.bias"])
+    w.add_tensor("blk.0.ssm_dt.bias", bs["mixer.dt_bias"])
+    w.add_tensor("blk.0.ssm_a.weight", -np.exp(bs["mixer.A_log"]))
+    w.add_tensor("blk.0.ssm_d.weight", bs["mixer.D"])
+    w.add_tensor("blk.0.ssm_norm.weight", bs["mixer.norm.weight"])
+    w.add_tensor("blk.0.ssm_out.weight", bs["mixer.out_proj.weight"])
+    # blk.1: unroped attention
+    w.add_tensor("blk.1.attn_norm.weight", attn["norm"])
+    w.add_tensor("blk.1.attn_q.weight", attn["wq"])
+    w.add_tensor("blk.1.attn_k.weight", attn["wk"])
+    w.add_tensor("blk.1.attn_v.weight", attn["wv"])
+    w.add_tensor("blk.1.attn_output.weight", attn["wo"])
+    # blk.2: squared-ReLU MLP only
+    w.add_tensor("blk.2.attn_norm.weight", ffn["norm"])
+    w.add_tensor("blk.2.ffn_up.weight", ffn["up"])
+    w.add_tensor("blk.2.ffn_down.weight", ffn["down"])
+    w.write()
+
+    cfg, params = load_model(path, dtype=jnp.float32)
+    assert cfg.recurrent and cfg.rope_mode == "none" \
+        and cfg.act_fn == "relu2" and not cfg.ffn_gated
+    T = 12
+    toks = rng.integers(3, V, (T,)).astype(np.int32)
+    cache = init_rec_cache(cfg, 2, capacity=64, params=params)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = rec_prefill_impl(params, cfg, jnp.asarray(toks), cache,
+                                 jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                                 cos, sin)
+    ref_logits = ref(toks)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits[-1],
+                               atol=2e-3, rtol=5e-3)
+
+    # engine greedy must agree with prefill next-token argmax at every
+    # step (decode-path wiring of the hybrid incl. the FFN-only group)
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    prompt = toks[:6].tolist()
+    eng = Engine(cfg, params, tok, EngineConfig(n_slots=2, n_ctx=128))
+    eng.start()
+    try:
+        final, _ = run_task(eng, CompletionsTask(
+            prompt, greedy(), tokenizer=tok, max_tokens=6, stream=False))
+    finally:
+        eng.stop()
+    seq = list(prompt)
+    for got in final.generated:
+        want = int(np.argmax(ref(np.asarray(seq, np.int32))[-1]))
+        assert got == want, (final.generated, seq)
+        seq.append(got)
