@@ -42,6 +42,7 @@ _NEOX_ROPE_ARCHS = {
     "bamba", "granitehybrid", "gpt-oss", "exaone4", "dots1", "seed_oss",
     "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1", "lfm2",
     "qwen3next", "olmo", "chameleon", "gemma3n", "dbrx", "grok",
+    "openelm",
 }
 
 
@@ -157,7 +158,20 @@ class ModelConfig:
         if not vocab_size:
             toks = g.metadata.get("tokenizer.ggml.tokens")
             vocab_size = len(toks) if toks is not None else 32000
+        extra: dict = {}
+        if arch == "openelm":
+            # per-layer head/FFN geometry arrays — the loader pads every
+            # layer to the max so the stacked/scanned engine paths work
+            for suffix, key in (("attention.head_count",
+                                 "head_count_arr"),
+                                ("attention.head_count_kv",
+                                 "head_count_kv_arr"),
+                                ("feed_forward_length", "n_ff_arr")):
+                v = kv(suffix)
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    extra[key] = tuple(int(x) for x in v)
         return cls(
+            extra=extra,
             arch=arch,
             name=str(g.metadata.get("general.name", "")),
             n_layers=int(kv("block_count", 0)),
@@ -165,7 +179,7 @@ class ModelConfig:
             n_heads=n_heads,
             n_kv_heads=kv_int("attention.head_count_kv", n_heads),
             head_dim=head_dim,
-            n_ff=int(kv("feed_forward_length", 4 * n_embd)),
+            n_ff=kv_int("feed_forward_length", 4 * n_embd),
             vocab_size=vocab_size,
             n_ctx_train=int(kv("context_length", 2048)),
             rms_eps=float(kv("attention.layer_norm_rms_epsilon",

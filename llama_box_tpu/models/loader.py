@@ -273,6 +273,13 @@ def load_model(
         sp = g.metadata.get("gemma3n.activation_sparsity_scale")
         if sp is not None:
             cfg.extra["g3n_act_sparsity"] = tuple(float(x) for x in sp)
+    varheads = cfg.arch == "openelm" and (
+        "head_count_arr" in cfg.extra or "n_ff_arr" in cfg.extra)
+    if varheads and quantized:
+        # per-layer geometry is padded to the max AFTER load (dense numpy)
+        SRV_WRN("load_model", "openelm: variable per-layer geometry — "
+                "loading dense (padding precedes packing)")
+        quantized = False
 
     def fetch(name: str, transpose) -> np.ndarray:
         # NOTE: gemma GGUFs store RMSNorm weights in EFFECTIVE form —
@@ -374,14 +381,18 @@ def load_model(
     if "output.bias" in g.tensors:        # phi2
         params["output_b"] = put("output_b", fetch("output.bias", False))
 
+    hc_arr = cfg.extra.get("head_count_arr")
+    hckv_arr = cfg.extra.get("head_count_kv_arr")
+
     def split_qkv(i: int) -> dict | None:
-        """phi3/gptneox-style fused blk.N.attn_qkv.weight -> wq/wk/wv."""
+        """phi3/gptneox-style fused blk.N.attn_qkv.weight -> wq/wk/wv
+        (openelm: per-layer head counts)."""
         name = f"blk.{i}.attn_qkv.weight"
         if name not in g.tensors:
             return None
         w = fetch(name, True)  # [in, q+k+v]
-        qd = cfg.n_heads * cfg.head_dim
-        kvd = cfg.n_kv_heads * cfg.head_dim
+        qd = (hc_arr[i] if hc_arr else cfg.n_heads) * cfg.head_dim
+        kvd = (hckv_arr[i] if hckv_arr else cfg.n_kv_heads) * cfg.head_dim
         out = {"wq": w[:, :qd], "wk": w[:, qd:qd + kvd],
                "wv": w[:, qd + kvd:qd + 2 * kvd]}
         bname = f"blk.{i}.attn_qkv.bias"
@@ -479,6 +490,57 @@ def load_model(
         for i in range(cfg.n_layers):
             per_layer[i].setdefault("attn_norm", ones)
             per_layer[i].setdefault("ffn_norm", ones)
+
+    if varheads:
+        # openelm: per-layer head counts / FFN widths. Zero-pad every
+        # layer to the max geometry so the stacked/scanned engine paths
+        # (incl. decode chains and flash kernels) see uniform shapes:
+        # padded q heads contribute nothing (their wo rows are zero),
+        # padded KV heads see k=v=0 (wo-killed anyway), padded FFN
+        # columns give silu(0)*0 = 0. Q heads are laid out GROUPED by kv
+        # head at stride G_max so the GQA head->kv mapping stays
+        # h // (H_pad/Hkv_max) — matching HF's repeat_interleave.
+        import dataclasses
+        D = cfg.head_dim
+        L_ = cfg.n_layers
+        hc = list(hc_arr or [cfg.n_heads] * L_)
+        hk = list(hckv_arr or [cfg.n_kv_heads] * L_)
+        ffs = list(cfg.extra.get("n_ff_arr") or [cfg.n_ff] * L_)
+        gmax = max(hc[i] // hk[i] for i in range(L_))
+        hkv_max = max(hk)
+        h_pad = hkv_max * gmax
+        ff_max = max(ffs)
+
+        def padc(w, n):        # pad columns to n
+            out = np.zeros((w.shape[0], n), w.dtype)
+            out[:, :w.shape[1]] = w
+            return out
+
+        def padr(w, n):        # pad rows to n
+            out = np.zeros((n, w.shape[1]), w.dtype)
+            out[:w.shape[0]] = w
+            return out
+
+        for i, lp in enumerate(per_layer):
+            g_i = hc[i] // hk[i]
+            wq = np.zeros((cfg.n_embd, h_pad * D), lp["wq"].dtype)
+            wo = np.zeros((h_pad * D, cfg.n_embd), lp["wo"].dtype)
+            for k in range(hk[i]):
+                src = slice(k * g_i * D, (k + 1) * g_i * D)
+                dst = slice(k * gmax * D, (k * gmax + g_i) * D)
+                wq[:, dst] = lp["wq"][:, src]
+                wo[dst, :] = lp["wo"][src, :]
+            lp["wq"], lp["wo"] = wq, wo
+            lp["wk"] = padc(lp["wk"], hkv_max * D)
+            lp["wv"] = padc(lp["wv"], hkv_max * D)
+            if "w_gate" in lp:
+                lp["w_gate"] = padc(lp["w_gate"], ff_max)
+            lp["w_up"] = padc(lp["w_up"], ff_max)
+            lp["w_down"] = padr(lp["w_down"], ff_max)
+        cfg = dataclasses.replace(cfg, n_heads=h_pad, n_kv_heads=hkv_max,
+                                  n_ff=ff_max)
+        SRV_INF("load_model", "openelm: padded to %d/%d heads, ff=%d",
+                h_pad, hkv_max, ff_max)
 
     # apertus xIELU per-layer activation params ride GGUF metadata arrays
     # (%arch%.xielu.alpha_p/alpha_n/beta/eps — RAW learned values; softplus

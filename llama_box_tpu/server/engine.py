@@ -226,6 +226,41 @@ def _draft_forward_greedy(params, cfg: ModelConfig, tokens, positions, kv,
     return tok, p, kv
 
 
+@partial(jax.jit, static_argnames=("cfg", "n_steps"),
+         donate_argnames=("kv",))
+def _draft_chain_greedy(params, cfg: ModelConfig, token0, pos0, kv,
+                        active, cos, sin, p_min, n_steps: int):
+    """Whole greedy draft run in ONE dispatch: n_steps sequential draft
+    forwards, each feeding its argmax to the next. The p >= p_min gating
+    runs ON DEVICE (n_ok = length of the leading all-confident run) —
+    identical to drafting step-by-step (greedy continuation doesn't
+    depend on the gating), but without the per-step device->host sync
+    the step loop paid (~26 ms each through the axon tunnel; reference
+    draft loop httpserver.hpp:4699-4751 is in-process). Everything the
+    host needs returns as ONE packed [K+1, S] i32 array = one transfer.
+    """
+    C = kv.capacity
+
+    def step(carry, j):
+        tok, kv = carry
+        positions = jnp.where(active, pos0 + j, C)[:, None]
+        seq_lens = jnp.where(active, 1, 0)
+        logits, kv = forward_impl(params, cfg, tok[:, None], positions,
+                                  kv, seq_lens, cos, sin)
+        row = logits[:, 0]
+        nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+        p = jnp.take_along_axis(jax.nn.softmax(row, axis=-1),
+                                nxt[:, None], axis=1)[:, 0]
+        return (nxt, kv), (nxt, p)
+
+    (_, kv), (toks, ps) = jax.lax.scan(
+        step, (token0, kv), jnp.arange(n_steps, dtype=jnp.int32))
+    ok = (ps >= p_min).astype(jnp.int32)               # [K, S]
+    n_ok = jnp.cumprod(ok, axis=0).sum(axis=0)         # leading-run length
+    packed = jnp.concatenate([toks, n_ok[None]], axis=0)
+    return packed, kv
+
+
 @dataclasses.dataclass
 class EngineConfig:
     n_slots: int = 4
@@ -1111,48 +1146,22 @@ class Engine:
                 self.draft_params, self.draft_cfg, jnp.asarray(tokens),
                 jnp.asarray(positions), self.draft_kv, jnp.asarray(seq_lens),
                 self.draft_cos, self.draft_sin)
-        tokens = np.zeros((S, 1), np.int32)
-        positions = np.full((S, 1), self.slot_ctx, np.int32)
-        seq_lens = np.zeros((S,), np.int32)
+        token0 = np.zeros((S,), np.int32)
+        pos0 = np.full((S,), self.slot_ctx, np.int32)
+        active = np.zeros((S,), bool)
         for s in eligible:
-            tokens[s.idx, 0] = s.next_token
-            positions[s.idx, 0] = s.pos
-            seq_lens[s.idx] = 1
-        tok, p, self.draft_kv = _draft_forward_greedy(
-            self.draft_params, self.draft_cfg, jnp.asarray(tokens),
-            jnp.asarray(positions), self.draft_kv, jnp.asarray(seq_lens),
-            self.draft_cos, self.draft_sin)
-        drafts = {s.idx: [] for s in eligible}
-        alive = {s.idx: True for s in eligible}
-        for step in range(K):
-            tok_h = np.asarray(tok)
-            p_h = np.asarray(p)
-            tokens1 = np.zeros((S, 1), np.int32)
-            positions1 = np.full((S, 1), self.slot_ctx, np.int32)
-            seq1 = np.zeros((S,), np.int32)
-            any_alive = False
-            for s in eligible:
-                if not alive[s.idx]:
-                    continue
-                if p_h[s.idx] < self.ecfg.draft_p_min:
-                    alive[s.idx] = False
-                    continue
-                drafts[s.idx].append(int(tok_h[s.idx]))
-                if len(drafts[s.idx]) >= K:
-                    alive[s.idx] = False
-                    continue
-                tokens1[s.idx, 0] = tok_h[s.idx]
-                positions1[s.idx, 0] = s.pos + len(drafts[s.idx])
-                seq1[s.idx] = 1
-                any_alive = True
-            if not any_alive:
-                break
-            tok, p, self.draft_kv = _draft_forward_greedy(
-                self.draft_params, self.draft_cfg, jnp.asarray(tokens1),
-                jnp.asarray(positions1), self.draft_kv, jnp.asarray(seq1),
-                self.draft_cos, self.draft_sin)
+            token0[s.idx] = s.next_token
+            pos0[s.idx] = s.pos
+            active[s.idx] = True
+        packed, self.draft_kv = _draft_chain_greedy(
+            self.draft_params, self.draft_cfg, jnp.asarray(token0),
+            jnp.asarray(pos0), self.draft_kv, jnp.asarray(active),
+            self.draft_cos, self.draft_sin,
+            jnp.float32(self.ecfg.draft_p_min), n_steps=K)
+        packed_h = np.asarray(packed)   # ONE transfer for the whole run
         for s in eligible:
-            d = drafts[s.idx]
+            n_ok = int(packed_h[K, s.idx])
+            d = [int(t) for t in packed_h[:n_ok, s.idx]]
             s.drafts = d if len(d) >= self.ecfg.draft_min else []
             s.draft_pos = s.pos + 1  # next_token now in the draft KV
 
@@ -1246,8 +1255,12 @@ class Engine:
                 jnp.asarray(active), jnp.asarray(samp_active), self.sstate,
                 self.arrs, self.rope_cos, self.rope_sin,
                 mrope_delta=mrope_delta)
-        toks_h = np.asarray(toks)
-        n_emitted_h = np.asarray(n_emitted)
+        # one packed transfer (separate np.asarray calls each pay a full
+        # tunnel round trip)
+        packed_h = np.asarray(jnp.concatenate(
+            [toks, n_emitted[:, None].astype(toks.dtype)], axis=1))
+        toks_h = packed_h[:, :-1]
+        n_emitted_h = packed_h[:, -1]
         ids_h = probs_h = tokps_h = None
         if any(s.task.n_probs > 0 for s in dec):
             ids_h = np.asarray(ids)

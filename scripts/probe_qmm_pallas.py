@@ -65,24 +65,32 @@ def bench_shape(K, N, label):
     def run(fn, tag):
         # weights/scales MUST be jit ARGUMENTS (a closure-captured 500MB
         # constant is the known pathological-compile trap, CLAUDE.md)
+        K_, N_ = W.shape[1:]
+        rproj = jnp.asarray(rng.normal(size=(N_, 8), scale=0.1)
+                            .astype(np.float32))
+
         @jax.jit
-        def many(x8, Wa, Sa):
+        def many(x8, Wa, Sa, rp):
             def it(c, _):
                 def body(carry, lw):
                     w, s = lw
                     y = fn(x8, w, s)        # [M, N] f32
-                    # keep the FULL output live (DCE hazard: slicing lets
-                    # XLA narrow the dot — CLAUDE.md measurement hazards)
-                    return carry + y.sum(), None
+                    # keep the FULL matmul live: tanh(y) @ rp consumes
+                    # every column through a nonlinearity, so XLA can
+                    # neither narrow the dot (slice hazard) nor
+                    # reassociate sum(x@W) into x@W.sum() (measured: the
+                    # plain-sum version collapsed to a 240 GB/s reduce)
+                    return carry + jnp.tanh(y) @ rp, None
                 acc, _ = jax.lax.scan(body, c, (Wa, Sa))
                 return acc, None
-            out, _ = jax.lax.scan(it, jnp.float32(0), None, length=20)
+            out, _ = jax.lax.scan(it, jnp.zeros((M, 8), jnp.float32),
+                                  None, length=20)
             return out
 
-        r = many(x, W, S)
+        r = many(x, W, S, rproj)
         np.asarray(r)
         t0 = time.perf_counter()
-        r = many(x, W, S)
+        r = many(x, W, S, rproj)
         np.asarray(r)
         dt = time.perf_counter() - t0
         per = dt / (20 * L)

@@ -1332,6 +1332,142 @@ def test_gpt_oss_matches_transformers(tmp_path):
     _compare(hm, path, decode_check=True)
 
 
+def test_openelm_matches_numpy_reference(tmp_path):
+    """openelm: PER-LAYER head counts and FFN widths (metadata arrays),
+    fused qkv, shared [D] q/k RMS norms, neox rope over the full head
+    dim, SwiGLU FFN, tied embeddings. The loader zero-pads every layer
+    to the max geometry (grouped-by-kv-head q layout) so the stacked
+    engine paths work; the golden is an independent numpy implementation
+    computing each layer at its TRUE geometry — padding must be exact.
+    No transformers module exists for openelm."""
+    vocab, _, _ = build_vocab()
+    rng = np.random.default_rng(12)
+    V = len(vocab)
+    Dh = 16
+    hc = [4, 4, 8]
+    hk = [1, 2, 2]
+    ffs = [96, 128, 64]
+    NL = 3
+
+    def r(*shape, scale=0.05):
+        return rng.normal(size=shape, scale=scale).astype(np.float32)
+
+    embd = r(V, E)
+    out_norm = 1 + r(E, scale=0.1)
+    layers = []
+    for i in range(NL):
+        nq, nk, ff = hc[i], hk[i], ffs[i]
+        layers.append({
+            "attn_norm": 1 + r(E, scale=0.1),
+            "wqkv": r((nq + 2 * nk) * Dh, E),
+            "wo": r(E, nq * Dh),
+            "q_norm": 1 + r(Dh, scale=0.1),
+            "k_norm": 1 + r(Dh, scale=0.1),
+            "ffn_norm": 1 + r(E, scale=0.1),
+            "w_gate": r(ff, E), "w_up": r(ff, E), "w_down": r(E, ff),
+        })
+
+    def rms(x, w, eps=1e-5):
+        return x / np.sqrt((x ** 2).mean(-1, keepdims=True) + eps) * w
+
+    def rope_neox(x, pos):
+        half = Dh // 2
+        inv = 1.0 / (10000.0 ** (np.arange(half) / half))
+        ang = np.outer(pos, inv)
+        c, s = np.cos(ang)[:, None, :], np.sin(ang)[:, None, :]
+        x0, x1 = x[..., :half], x[..., half:]
+        return np.concatenate([x0 * c - x1 * s, x0 * s + x1 * c], -1)
+
+    def silu(x):
+        return x / (1 + np.exp(-x))
+
+    def ref(toks):
+        T = len(toks)
+        pos = np.arange(T)
+        x = embd[toks]
+        for i, lw in enumerate(layers):
+            nq, nk = hc[i], hk[i]
+            h = rms(x, lw["attn_norm"])
+            qkv = h @ lw["wqkv"].T
+            q = qkv[:, :nq * Dh].reshape(T, nq, Dh)
+            k = qkv[:, nq * Dh:(nq + nk) * Dh].reshape(T, nk, Dh)
+            v = qkv[:, (nq + nk) * Dh:].reshape(T, nk, Dh)
+            q = rope_neox(rms(q, lw["q_norm"]), pos)
+            k = rope_neox(rms(k, lw["k_norm"]), pos)
+            g = nq // nk
+            kx = np.repeat(k, g, axis=1)
+            vx = np.repeat(v, g, axis=1)
+            sc = np.einsum("qhd,khd->hqk", q, kx) / np.sqrt(Dh)
+            sc = np.where(np.tril(np.ones((T, T), bool))[None], sc, -1e30)
+            p = np.exp(sc - sc.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            ao = np.einsum("hqk,khd->qhd", p, vx).reshape(T, nq * Dh)
+            x = x + ao @ lw["wo"].T
+            h = rms(x, lw["ffn_norm"])
+            x = x + (silu(h @ lw["w_gate"].T) * (h @ lw["w_up"].T)) \
+                @ lw["w_down"].T
+        return rms(x, out_norm) @ embd.T   # tied embeddings
+
+    path = str(tmp_path / "openelm.gguf")
+    w, _ = _gguf_header(path, "openelm", hk, Dh,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("attention.key_length", Dh),
+                               ("feed_forward_length", ffs)],
+                        n_layers=NL)
+    # per-layer head-count arrays override the scalar header keys
+    w.add_kv("openelm.attention.head_count", hc)
+    w.add_kv("openelm.attention.head_count_kv", hk)
+    w.add_tensor("token_embd.weight", embd)
+    w.add_tensor("output_norm.weight", out_norm)
+    for i, lw in enumerate(layers):
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", lw["attn_norm"])
+        w.add_tensor(o + "attn_qkv.weight", lw["wqkv"])
+        w.add_tensor(o + "attn_output.weight", lw["wo"])
+        w.add_tensor(o + "attn_q_norm.weight", lw["q_norm"])
+        w.add_tensor(o + "attn_k_norm.weight", lw["k_norm"])
+        w.add_tensor(o + "ffn_norm.weight", lw["ffn_norm"])
+        w.add_tensor(o + "ffn_gate.weight", lw["w_gate"])
+        w.add_tensor(o + "ffn_up.weight", lw["w_up"])
+        w.add_tensor(o + "ffn_down.weight", lw["w_down"])
+    w.write()
+
+    cfg, params = load_model(path, dtype=jnp.float32)
+    assert cfg.n_heads == 8 and cfg.n_kv_heads == 2 and cfg.n_ff == 128
+    rng2 = np.random.default_rng(3)
+    T = 11
+    toks = rng2.integers(3, V, (T,)).astype(np.int32)
+    kv = init_kv_cache(cfg, 1, 64, jnp.float32)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = prefill_impl(params, cfg, jnp.asarray(toks), kv,
+                             jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                             cos, sin)
+    ref_logits = ref(toks)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits[-1],
+                               atol=3e-3, rtol=5e-3)
+
+    # engine greedy decode consistency with prefill argmax (padded-head
+    # decode path)
+    from llama_box_tpu.gguf import GGUFFile
+    from llama_box_tpu.tokenizer import Tokenizer
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    prompt = toks[:5].tolist()
+    eng = Engine(cfg, params, tok, EngineConfig(n_slots=2, n_ctx=128,
+                                                decode_chain=4))
+    eng.start()
+    try:
+        final, _ = run_task(eng, CompletionsTask(
+            prompt, greedy(), tokenizer=tok, max_tokens=5, stream=False))
+    finally:
+        eng.stop()
+    seq = list(prompt)
+    for got in final.generated:
+        want = int(np.argmax(ref(np.asarray(seq, np.int32))[-1]))
+        assert got == want, (final.generated, seq)
+        seq.append(got)
+
+
 def test_grok_matches_numpy_reference(tmp_path):
     """grok-1: sqrt(E) embedding scale, tanh softcaps on attention scores
     (30), router logits (30) and final logits (30 after the 1/sqrt(3)
