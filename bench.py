@@ -397,7 +397,12 @@ def spec_bench(cfg, V):
             "ngram": {**ngram,
                       "speedup": round(ngram["tok_s"] / base["tok_s"], 3)},
             "note": "synthetic high-agreement draft (target layers >= 4 "
-                    "are ~pass-through; full weight bytes still stream)"}
+                    "are ~pass-through; full weight bytes still stream). "
+                    "Each spec pass costs one ~26ms axon-tunnel round "
+                    "trip (vs ~us on a local chip) for ~36 tokens, while "
+                    "the no-draft baseline amortizes its sync over "
+                    "pipelined 16-token chains — the <1 speedup is "
+                    "tunnel-latency-bound, not a verify-path cost"}
 
 
 def main():

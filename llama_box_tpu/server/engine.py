@@ -1109,10 +1109,17 @@ class Engine:
             return ngram.draft(history, k)
         return []
 
-    def _draft_model_pass(self, dec: list) -> None:
+    def _draft_model_pass(self, dec: list, sync: bool = True):
         """Batched draft-model drafting for every decoding slot: catch the
         draft KV up to the main sequence, then greedy-draft up to draft_max
-        tokens, stopping per-slot when the draft prob dips below p_min."""
+        tokens, stopping per-slot when the draft prob dips below p_min.
+
+        sync=False (fused single-sync pass): returns the DEVICE packed
+        [K+1, S] draft array (rows 0..K-1 tokens, row K the confident-run
+        length) without transferring it — the verify dispatch consumes it
+        device-side and the host reads drafts + verify results in one
+        transfer (_decode_pass fused path). Returns None when nothing is
+        eligible."""
         K = self.ecfg.draft_max
         S = len(self.slots)
         eligible = [s for s in dec
@@ -1122,7 +1129,7 @@ class Engine:
         for s in dec:
             s.drafts = []
         if not eligible:
-            return
+            return None
         # catch-up: feed tokens the draft KV hasn't seen, in ubatch-sized
         # chunks (after a context shift this can be the whole history); the
         # final pass feeds exactly [next_token] so its logits start drafting
@@ -1158,12 +1165,87 @@ class Engine:
             jnp.asarray(pos0), self.draft_kv, jnp.asarray(active),
             self.draft_cos, self.draft_sin,
             jnp.float32(self.ecfg.draft_p_min), n_steps=K)
+        for s in eligible:
+            s.draft_pos = s.pos + 1  # next_token now in the draft KV
+        if not sync:
+            return packed, eligible
         packed_h = np.asarray(packed)   # ONE transfer for the whole run
         for s in eligible:
             n_ok = int(packed_h[K, s.idx])
             d = [int(t) for t in packed_h[:n_ok, s.idx]]
             s.drafts = d if len(d) >= self.ecfg.draft_min else []
-            s.draft_pos = s.pos + 1  # next_token now in the draft KV
+        return None
+
+    def _decode_pass_fused_draft(self, dec: list) -> None:
+        """Draft + verify with ONE device->host transfer per pass: the
+        verify dispatch consumes the draft chain's device-resident tokens
+        (host-side assembly would need a ~26ms tunnel sync first), and
+        drafts + verify results come back together. Host bookkeeping
+        (s.drafts, metrics, ngram) happens after the combined sync —
+        output-identical to the two-sync path (verification semantics
+        don't depend on where the arrays live)."""
+        out = self._draft_model_pass(dec, sync=False)
+        K = self.ecfg.draft_max
+        S = len(self.slots)
+        T = 1 + K
+        self._refresh_arrs()
+        t0 = time.monotonic()
+        elig_mask = np.zeros((S,), bool)
+        if out is not None:
+            packed_dev, eligible = out
+            for s in eligible:
+                elig_mask[s.idx] = True
+        col0 = np.zeros((S, 1), np.int32)
+        pos_base = np.full((S,), self.slot_ctx, np.int32)
+        active = np.zeros((S,), bool)
+        for s in dec:
+            col0[s.idx, 0] = s.next_token
+            pos_base[s.idx] = s.pos
+            active[s.idx] = True
+        elig_dev = jnp.asarray(elig_mask)
+        if out is not None:
+            draft_toks = jnp.where(elig_dev[:, None],
+                                   jnp.transpose(packed_dev[:K]), 0)
+            n_draft = jnp.where(elig_dev, packed_dev[K], 0)
+        else:
+            draft_toks = jnp.zeros((S, K), jnp.int32)
+            n_draft = jnp.zeros((S,), jnp.int32)
+        tokens = jnp.concatenate([jnp.asarray(col0), draft_toks], axis=1)
+        cols = jnp.arange(T, dtype=jnp.int32)[None, :]
+        act_dev = jnp.asarray(active)
+        positions = jnp.where(
+            act_dev[:, None] & (cols <= n_draft[:, None]),
+            jnp.asarray(pos_base)[:, None] + cols, self.slot_ctx)
+        mrope_delta = None
+        if self.cfg.mrope_sections:
+            mrope_delta = jnp.asarray(
+                [getattr(s.task, "mrope_delta", 0) if s.task else 0
+                 for s in self.slots], jnp.int32)
+        toks, n_emitted, ids, probs, tokps, logits0, self.kv, \
+            self.sstate = _decode_verify_sample(
+                self.params, self.cfg, tokens, positions, n_draft,
+                self.kv, act_dev, act_dev, self.sstate, self.arrs,
+                self.rope_cos, self.rope_sin, mrope_delta=mrope_delta)
+        # the ONE transfer: verify tokens + n_emitted + drafts + n_ok
+        packed_h = np.asarray(jnp.concatenate(
+            [toks, n_emitted[:, None], draft_toks,
+             n_draft[:, None]], axis=1))
+        toks_h = packed_h[:, :T]
+        n_emitted_h = packed_h[:, T]
+        for s in dec:
+            if elig_mask[s.idx]:
+                n_ok = int(packed_h[s.idx, -1])
+                s.drafts = [int(t)
+                            for t in packed_h[s.idx, T + 1:T + 1 + n_ok]]
+        ids_h = probs_h = tokps_h = None
+        if any(s.task.n_probs > 0 for s in dec):
+            ids_h = np.asarray(ids)
+            probs_h = np.asarray(probs)
+            tokps_h = np.asarray(tokps)
+        self.metrics.on_decode(int(n_emitted_h.sum()),
+                               (time.monotonic() - t0) * 1e3)
+        self._emit_verify(dec, toks_h, n_emitted_h, ids_h, probs_h,
+                          tokps_h)
 
     def _decode_pass(self, dec: list) -> None:
         # a speculatively dispatched chain from the previous pass holds
@@ -1187,6 +1269,18 @@ class Engine:
             # (slots near capacity fall through to per-token passes so the
             # context shift fires at exactly the unchained boundary)
             self._decode_pass_chain(dec, K)
+            return
+        # fused draft+verify: one device->host transfer per pass (the
+        # two-sync path pays ~52ms of tunnel round trips); falls back
+        # whenever a slot needs host control or could context-shift
+        if (self.draft_params is not None and self.control is None
+                and not self.rec and not self.encdec
+                and self.ecfg.draft_min <= 1
+                and all(getattr(s.task, "host_sampler", None) is None
+                        and s.task.rate_bucket is None
+                        and s.pos + 1 + self.ecfg.draft_max <= s.capacity
+                        for s in dec)):
+            self._decode_pass_fused_draft(dec)
             return
         # room check: each slot needs space for 1 + its drafts; shift first
         if self.draft_params is not None:
@@ -1279,7 +1373,13 @@ class Engine:
             idxs = [s.idx for s in hs_slots]
             batch = np.asarray(jnp.take(logits0, jnp.asarray(idxs), axis=0))
             hs_rows = {i: batch[k] for k, i in enumerate(idxs)}
+        self._emit_verify(dec, toks_h, n_emitted_h, ids_h, probs_h,
+                          tokps_h, hs_rows)
 
+    def _emit_verify(self, dec: list, toks_h, n_emitted_h, ids_h, probs_h,
+                     tokps_h, hs_rows=None) -> None:
+        """Emit a verify pass's accepted tokens (reference per-token
+        postprocess scan, httpserver.hpp:4284-4334)."""
         for s in dec:
             task = s.task
             hs = getattr(task, "host_sampler", None)
