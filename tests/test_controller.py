@@ -43,7 +43,8 @@ def test_pubsub_op_stream():
     wl = WorkerLoop(f"tcp://127.0.0.1:{port}",
                     {"prefill": make_op("prefill"),
                      "decode": make_op("decode")})
-    t = threading.Thread(target=wl.run_forever, daemon=True)
+    t = threading.Thread(target=lambda: _quiet_run(wl),
+                 daemon=True)
     t.start()
     time.sleep(0.3)  # SUB join
 
@@ -56,6 +57,16 @@ def test_pubsub_op_stream():
 
 
 # -- end-to-end: a REAL worker process replaying engine ops ------------------
+
+def _quiet_run(wl):
+    """run_forever in a test thread: the die/error scenarios END the
+    worker loop by raising — expected here, so swallow the exception
+    instead of tripping PytestUnhandledThreadExceptionWarning."""
+    try:
+        wl.run_forever()
+    except BaseException:  # noqa: BLE001 — deliberate worker death
+        pass
+
 
 def _greedy(seed=0, **kw):
     from llama_box_tpu.sampling import SamplerParams
@@ -177,7 +188,8 @@ def test_dead_worker_detected():
         raise SystemExit(1)  # simulates the process vanishing
 
     wl = WorkerLoop(f"tcp://127.0.0.1:{port}", {"ok": op_ok, "die": op_die})
-    t = threading.Thread(target=wl.run_forever, daemon=True)
+    t = threading.Thread(target=lambda: _quiet_run(wl),
+                 daemon=True)
     t.start()
     cp.wait_ready(timeout=30.0)
 
@@ -205,7 +217,8 @@ def test_worker_error_reported():
         raise ValueError("boom")
 
     wl = WorkerLoop(f"tcp://127.0.0.1:{port}", {"bad": op_bad})
-    t = threading.Thread(target=wl.run_forever, daemon=True)
+    t = threading.Thread(target=lambda: _quiet_run(wl),
+                 daemon=True)
     t.start()
     cp.wait_ready(timeout=30.0)
 
