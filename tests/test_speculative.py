@@ -188,3 +188,53 @@ def test_draft_shift_keeps_acceptance(spec_setup):
     finally:
         plain.stop()
         spec.stop()
+
+
+def test_fused_draft_pass_identity(spec_setup):
+    """The single-transfer fused draft+verify pass (device-assembled
+    verify inputs) must produce byte-identical output to the
+    host-assembled fallback — forced by monkeypatching the fused gate
+    off — including seeded non-greedy sampling and n_probs payloads."""
+    from llama_box_tpu.server import engine as em
+    cfg, params, tok = spec_setup
+    outs = {}
+    orig = em.Engine._decode_pass_fused_draft
+    for mode in ("fused", "fallback"):
+        calls = []
+
+        def spy(self, dec, _calls=calls, _orig=orig):
+            _calls.append(1)
+            return _orig(self, dec)
+
+        em.Engine._decode_pass_fused_draft = (
+            spy if mode == "fused" else orig)
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(n_slots=2, n_ctx=256, n_ubatch=32,
+                                  draft_max=4, draft_p_min=0.0,
+                                  # draft_min=2 fails the fused gate ->
+                                  # host-assembled two-sync path
+                                  draft_min=2 if mode == "fallback" else 1),
+                     draft=(cfg, params))
+        eng.start()
+        try:
+            toks = tok.encode("a b c x y")
+            f1 = _run(eng, toks, 18, seed=11)
+            t2 = CompletionsTask(toks, SamplerParams(temp=0.9, seed=5,
+                                                     n_probs=2),
+                                 tokenizer=tok, max_tokens=12, stream=False)
+            eng.submit(t2)
+            while True:
+                kind, payload = t2.result_q.get(timeout=120)
+                if kind == "final":
+                    f2 = payload
+                    break
+                if kind == "error":
+                    raise payload
+            outs[mode] = (f1.generated, f2.generated,
+                          [tuple(p.top_ids) for p in f2.probs])
+            if mode == "fused":
+                assert calls, "fused path was not exercised"
+        finally:
+            eng.stop()
+            em.Engine._decode_pass_fused_draft = orig
+    assert outs["fused"] == outs["fallback"], outs
