@@ -2302,3 +2302,45 @@ def test_falcon_matches_transformers(tmp_path):
                      _np(st, p + "mlp.dense_4h_to_h.weight"))
     w.write()
     _compare(hm, path, decode_check=True)
+
+
+@pytest.mark.parametrize("arch", ["baichuan"])
+def test_llama_graph_arch_aliases(tmp_path, arch):
+    """Arch strings the reference serves on a llama-identical graph:
+    baichuan-7b converts with the llama q/k permutation and runs the
+    standard rms+SwiGLU decoder (llama.cpp LLM_ARCH_BAICHUAN). A tiny HF
+    Llama exported under the arch name must produce identical logits +
+    engine greedy decode."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(1)
+    HKV = 2
+    hc = LlamaConfig(vocab_size=len(vocab), hidden_size=E,
+                     num_hidden_layers=L, num_attention_heads=H,
+                     num_key_value_heads=HKV, intermediate_size=FF,
+                     rms_norm_eps=1e-5, rope_theta=10000.0,
+                     use_cache=False, tie_word_embeddings=False)
+    hm = LlamaForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / f"{arch}.gguf")
+    w, V = _gguf_header(path, arch, HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        _qkvo(w, st, p, o, permute_heads=H, hkv=HKV)
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
