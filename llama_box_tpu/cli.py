@@ -191,6 +191,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--draft-p-min", dest="draft_p_min", type=float,
                    default=0.75)
     g.add_argument("--lookup-ngram-min", type=int, default=0)
+    # TPU extension: moving-acceptance gate for n-gram drafting (0 = off)
+    g.add_argument("--lookup-min-accept", dest="lookup_min_accept",
+                   type=float, default=0.66)
+    g.add_argument("--lookup-probe-every", dest="lookup_probe_every",
+                   type=int, default=64)
 
     g = p.add_argument_group("embedding")
     g.add_argument("--embeddings", action="store_true", default=False)
@@ -771,6 +776,8 @@ def main(argv: list[str] | None = None) -> int:
         decode_chain=max(1, args.decode_chain),
         pipeline_chain=args.pipeline_chain,
         lookup_ngram_min=args.lookup_ngram_min,
+        lookup_min_accept=args.lookup_min_accept,
+        lookup_probe_every=args.lookup_probe_every,
     )
     engine = Engine(cfg, params, tokenizer, ecfg, draft=draft, mesh=mesh)
     if lora_dynamic:

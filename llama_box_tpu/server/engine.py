@@ -281,6 +281,14 @@ class EngineConfig:
     lookup_ngram_min: int = 0     # n-gram prompt-lookup drafting; 0 = off
     draft_p_min: float = 0.75     # stop drafting below this draft prob
     draft_min: int = 1            # discard draft runs shorter than this
+    # adaptive n-gram gating: when a task's moving draft-acceptance rate
+    # (mean of its last <=4 drafted passes) dips below this, it stops
+    # drafting and rejoins chained decode, re-probing with one drafted
+    # pass every lookup_probe_every generated tokens. Low-acceptance
+    # prose otherwise forces per-token verify passes whose host sync
+    # costs ~7x of chained decode (VERDICT r3 #5). 0 disables gating.
+    lookup_min_accept: float = 0.66
+    lookup_probe_every: int = 64
     # chained decode: sample this many tokens per device dispatch when no
     # draft/grammar/rate-limit path needs per-token host control (1 = off)
     decode_chain: int = 1
@@ -1105,9 +1113,56 @@ class Engine:
             return []
         ngram = getattr(task, "ngram", None)
         if ngram is not None:
+            if not self._ngram_gate(task):
+                return []
             history = task.prompt_tokens + task.generated
             return ngram.draft(history, k)
         return []
+
+    def _ngram_gate(self, task) -> bool:
+        """May this task n-gram-draft this pass? Moving-acceptance gating
+        (VERDICT r3 #5): held tasks rejoin chained decode and re-probe
+        with ONE drafted pass every lookup_probe_every tokens (the n-gram
+        cache keeps learning from chain-emitted tokens meanwhile)."""
+        if self.ecfg.lookup_min_accept <= 0:
+            return True
+        if not hasattr(task, "spec_window"):
+            task.spec_window = []       # last <=4 per-pass accept ratios
+            task.spec_resume_at = -1    # generated-count to re-probe at
+            task.spec_probe = False     # next drafted pass is a probe
+            return True
+        if task.spec_resume_at >= 0:
+            if len(task.generated) < task.spec_resume_at:
+                return False
+            task.spec_resume_at = -1
+            task.spec_window = []
+            task.spec_probe = True      # one pass decides
+        return True
+
+    def _ngram_may_draft(self, task, ahead: int = 0) -> bool:
+        """Non-mutating hold check: could this task draft within the next
+        `ahead` emitted tokens? (Used to decide whether chain pipelining
+        would bypass a drafting opportunity.)"""
+        if self.ecfg.lookup_min_accept <= 0:
+            return True
+        ra = getattr(task, "spec_resume_at", -1)
+        return ra < 0 or len(task.generated) + ahead >= ra
+
+    def _ngram_observe(self, task, drafted: int, accepted: int) -> None:
+        """Fold one drafted pass's acceptance into the task's moving
+        window; hold drafting when the mean dips below the threshold."""
+        th = self.ecfg.lookup_min_accept
+        if th <= 0 or drafted <= 0 or not hasattr(task, "spec_window"):
+            return
+        win = task.spec_window
+        win.append(accepted / drafted)
+        if len(win) > 4:
+            win.pop(0)
+        need = 1 if task.spec_probe else 2
+        if len(win) >= need and sum(win) / len(win) < th:
+            task.spec_resume_at = (len(task.generated)
+                                   + self.ecfg.lookup_probe_every)
+        task.spec_probe = False
 
     def _draft_model_pass(self, dec: list, sync: bool = True):
         """Batched draft-model drafting for every decoding slot: catch the
@@ -1260,8 +1315,15 @@ class Engine:
         # stream after a short dispatch (TTFT), growing back to the
         # configured chain over the next passes.
         K = self._chain_k(dec)
+        # n-gram lookup: compute drafts up front — when NO slot drafts
+        # this pass (no match, or acceptance-gated hold), chained decode
+        # proceeds at full speed instead of a per-token verify pass
+        ngram_drafts = None
+        if self.draft_params is None and self.ecfg.lookup_ngram_min > 0:
+            ngram_drafts = {s.idx: self._make_drafts(s) for s in dec}
         if K > 1 and self.draft_params is None \
-                and self.ecfg.lookup_ngram_min == 0 \
+                and (ngram_drafts is None
+                     or not any(ngram_drafts.values())) \
                 and "layer_groups" not in self.params \
                 and all(getattr(s.task, "host_sampler", None) is None
                         and s.task.rate_bucket is None
@@ -1285,6 +1347,9 @@ class Engine:
         # room check: each slot needs space for 1 + its drafts; shift first
         if self.draft_params is not None:
             self._draft_model_pass(dec)
+        elif ngram_drafts is not None:
+            for s in dec:
+                s.drafts = ngram_drafts[s.idx]
         else:
             for s in dec:
                 s.drafts = self._make_drafts(s)
@@ -1396,6 +1461,8 @@ class Engine:
                 task.n_drafted += len(s.drafts)
                 task.n_draft_accepted += acc
                 self.metrics.on_draft(len(s.drafts), acc)
+                if getattr(task, "ngram", None) is not None:
+                    self._ngram_observe(task, len(s.drafts), acc)
             # KV now holds next_token + the accepted draft prefix
             kept = [s.next_token] + s.drafts[:acc]
             s.cache_tokens.extend(kept)
@@ -1538,6 +1605,16 @@ class Engine:
         token0, so the control plane gates speculation off."""
         if (not self.ecfg.pipeline_chain or self.control is not None
                 or self.rec or self.encdec):
+            return
+        if self.ecfg.lookup_ngram_min > 0 and any(
+                s.task is not None
+                and getattr(s.task, "ngram", None) is not None
+                and self._ngram_may_draft(s.task, k_unemitted)
+                for s in dec):
+            # a slot may n-gram-draft once these tokens emit: leave the
+            # queue empty so the next pass re-checks for drafts (a
+            # speculated chain MUST be consumed by continuing slots, so
+            # it cannot be dropped in favour of a late-found draft)
             return
         pos_end = pos0
         while len(self._chain_q) < max(1, self.ecfg.pipeline_depth):

@@ -124,6 +124,76 @@ def test_engine_ngram_speculative_matches_plain(spec_setup):
         spec.stop()
 
 
+def test_ngram_acceptance_gating_unit():
+    """Moving-acceptance gate: low-acceptance tasks stop drafting after
+    two observed passes, re-probe after lookup_probe_every tokens, and a
+    single bad probe re-holds; high acceptance never holds (VERDICT r3
+    #5: n-gram must not cost 7x at acceptance ~0.19)."""
+
+    class T:
+        generated: list = []
+
+    eng = Engine.__new__(Engine)   # only ecfg + the two methods used
+    eng.ecfg = EngineConfig(lookup_ngram_min=2, lookup_min_accept=0.66,
+                            lookup_probe_every=16)
+    t = T()
+    t.generated = []
+    assert eng._ngram_gate(t)          # cold: may draft
+    eng._ngram_observe(t, 4, 0)        # one bad pass: not yet held
+    assert eng._ngram_gate(t)
+    eng._ngram_observe(t, 4, 1)        # second bad pass: held
+    assert not eng._ngram_gate(t)
+    assert t.spec_resume_at == 16
+    t.generated = [0] * 15
+    assert not eng._ngram_gate(t)      # still held
+    t.generated = [0] * 16
+    assert eng._ngram_gate(t)          # probe pass allowed
+    eng._ngram_observe(t, 4, 0)        # bad probe: ONE pass re-holds
+    assert not eng._ngram_gate(t)
+    t.generated = [0] * 40
+    assert eng._ngram_gate(t)          # next probe
+    eng._ngram_observe(t, 4, 4)        # good probe: keeps drafting
+    assert eng._ngram_gate(t)
+    for _ in range(8):
+        eng._ngram_observe(t, 4, 4)    # high acceptance: never holds
+        assert eng._ngram_gate(t)
+
+    t2 = T()
+    t2.generated = []
+    eng.ecfg = EngineConfig(lookup_min_accept=0.0)
+    assert eng._ngram_gate(t2)         # gating disabled
+    eng._ngram_observe(t2, 4, 0)
+    assert eng._ngram_gate(t2)
+
+
+def test_engine_ngram_with_chain_matches_plain(spec_setup):
+    """n-gram drafting + chained decode (passes with no drafts join a
+    multi-step chain) must stay greedy-identical to plain decode."""
+    cfg, params, tok = spec_setup
+    plain = Engine(cfg, params, tok,
+                   EngineConfig(n_slots=2, n_ctx=256, n_ubatch=32,
+                                decode_chain=4))
+    # n_min=1 (unigram lookup): any repeated token drafts, so a 64-token
+    # greedy run from a 64-token vocab is certain to draft at least once
+    # even though chains emit 4 tokens between draft checks
+    spec = Engine(cfg, params, tok,
+                  EngineConfig(n_slots=2, n_ctx=256, n_ubatch=32,
+                               lookup_ngram_min=1, draft_max=4,
+                               decode_chain=4, lookup_probe_every=8))
+    plain.start()
+    spec.start()
+    try:
+        toks = tok.encode("a b c d a b c d a b c d")
+        f_plain = _run(plain, toks, 64)
+        f_spec = _run(spec, toks, 64)
+        assert f_spec.generated == f_plain.generated
+        # the chain pipeline must not bypass drafting forever
+        assert f_spec.n_drafted > 0
+    finally:
+        plain.stop()
+        spec.stop()
+
+
 def test_engine_draft_model_speculative_matches_plain(spec_setup):
     """Tiny model drafting for itself: greedy output identical to plain
     decode, with near-total draft acceptance (reference draft-model path)."""
