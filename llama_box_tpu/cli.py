@@ -191,6 +191,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--draft-p-min", dest="draft_p_min", type=float,
                    default=0.75)
     g.add_argument("--lookup-ngram-min", type=int, default=0)
+    # TPU extension: draft+verify rounds chained per device dispatch
+    g.add_argument("--spec-rounds", dest="spec_rounds", type=int,
+                   default=4)
     # TPU extension: moving-acceptance gate for n-gram drafting (0 = off)
     g.add_argument("--lookup-min-accept", dest="lookup_min_accept",
                    type=float, default=0.66)
@@ -778,6 +781,7 @@ def main(argv: list[str] | None = None) -> int:
         lookup_ngram_min=args.lookup_ngram_min,
         lookup_min_accept=args.lookup_min_accept,
         lookup_probe_every=args.lookup_probe_every,
+        spec_rounds=max(1, args.spec_rounds),
     )
     engine = Engine(cfg, params, tokenizer, ecfg, draft=draft, mesh=mesh)
     if lora_dynamic:

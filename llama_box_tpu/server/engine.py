@@ -261,6 +261,103 @@ def _draft_chain_greedy(params, cfg: ModelConfig, token0, pos0, kv,
     return packed, kv
 
 
+@partial(jax.jit, static_argnames=("cfg", "dcfg", "n_rounds", "draft_k"),
+         donate_argnames=("kv", "dkv", "sstate"))
+def _spec_chain(params, cfg: ModelConfig, dparams, dcfg: ModelConfig,
+                token0, pos0, kv, dkv, sstate, arrs, active,
+                cos, sin, dcos, dsin, p_min,
+                n_rounds: int, draft_k: int):
+    """n_rounds speculative draft+verify rounds in ONE dispatch, with all
+    accept/advance bookkeeping ON DEVICE — the reference's host-side draft
+    loop (httpserver.hpp:4695-4767) re-shaped so a pass amortizes the
+    device->host sync over ~n_rounds*(accepted+1) tokens instead of one
+    round (VERDICT r3 #4: the spec pass must pipeline like plain chains).
+
+    Each round m:
+      1. draft catch-up: feed round m-1's accepted tokens a_0..a_{nem-2}
+         into the draft KV (positions pos0+1..pos0+nem-1; round 0 skips —
+         the host caught the draft KV up before dispatch);
+      2. greedy draft chain: draft_k steps, p >= p_min run-length gating
+         on device (identical to _draft_chain_greedy);
+      3. target verify forward over [token0 | drafts] (T = draft_k + 1)
+         + verify_impl + row scatter at absolute positions;
+      4. token0' = toks[nem-1], pos0' = pos0 + nem (device-resident).
+
+    Greedy-identical to iterating the one-round fused pass: the math per
+    round is the same; only where the bookkeeping lives changes. Stale KV
+    rows from rejected drafts are overwritten by the next round's verify
+    chunk and are never read (deferred attention masks the cache to
+    strictly-before-chunk positions).
+
+    Returns (packed [M, S, T+2] int32: toks | n_emitted | n_draft,
+             ids [M, S, T, NP], probs, tokps, token_next [S], pos_end [S],
+             kv, dkv, sstate).
+    """
+    S = token0.shape[0]
+    K = draft_k
+    T = K + 1
+    C = kv.capacity
+    cols_t = jnp.arange(T, dtype=jnp.int32)[None, :]
+    cols_k = jnp.arange(K, dtype=jnp.int32)[None, :]
+    outs, ids_l, probs_l, tokps_l = [], [], [], []
+    prev = None                      # (toks [S,T], nem [S], pos0 [S])
+    tok_cur, pos_cur = token0, pos0
+    for m in range(n_rounds):
+        if prev is not None:
+            # catch-up: previous round's accepted tokens (idempotent for
+            # entries the draft KV already holds; overwrites stale rows
+            # from rejected drafts)
+            ptoks, pnem, ppos = prev
+            lens = jnp.where(active, jnp.maximum(pnem - 1, 0), 0)
+            cu_pos = jnp.where(cols_k < lens[:, None],
+                               ppos[:, None] + 1 + cols_k, C)
+            _, dkv = forward_impl(dparams, dcfg, ptoks[:, :K], cu_pos,
+                                  dkv, lens, dcos, dsin)
+
+        def dstep(carry, j, pos_cur=pos_cur):
+            tok, dkv = carry
+            positions = jnp.where(active, pos_cur + j, C)[:, None]
+            seq_lens = active.astype(jnp.int32)
+            logits, dkv = forward_impl(dparams, dcfg, tok[:, None],
+                                       positions, dkv, seq_lens,
+                                       dcos, dsin)
+            row = logits[:, 0]
+            nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
+            p = jnp.take_along_axis(jax.nn.softmax(row, axis=-1),
+                                    nxt[:, None], axis=1)[:, 0]
+            return (nxt, dkv), (nxt, p)
+
+        (_, dkv), (dtoks, dps) = jax.lax.scan(
+            dstep, (tok_cur, dkv), jnp.arange(K, dtype=jnp.int32))
+        ok = (dps >= p_min).astype(jnp.int32)            # [K, S]
+        n_draft = jnp.where(active, jnp.cumprod(ok, 0).sum(0), 0)
+        draft_toks = dtoks.T                             # [S, K]
+
+        tokens = jnp.concatenate([tok_cur[:, None], draft_toks], axis=1)
+        positions = jnp.where(
+            active[:, None] & (cols_t <= n_draft[:, None]),
+            pos_cur[:, None] + cols_t, C)
+        seq_lens = jnp.where(active, n_draft + 1, 0)
+        logits, rows = forward_rows_impl(params, cfg, tokens, positions,
+                                         kv, seq_lens, cos, sin)
+        toks, n_emitted, ids, probs, tokps, sstate = verify_impl(
+            logits, tokens, n_draft, sstate, arrs, active)
+        from ..models.llama import apply_rows_impl
+        kv = apply_rows_impl(kv, rows, positions)
+        outs.append(jnp.concatenate(
+            [toks, n_emitted[:, None], n_draft[:, None]], axis=1))
+        ids_l.append(ids)
+        probs_l.append(probs)
+        tokps_l.append(tokps)
+        prev = (toks, n_emitted, pos_cur)
+        tok_cur = jnp.take_along_axis(
+            toks, jnp.maximum(n_emitted - 1, 0)[:, None], axis=1)[:, 0]
+        tok_cur = jnp.where(active, tok_cur, token0)
+        pos_cur = pos_cur + jnp.where(active, n_emitted, 0)
+    return (jnp.stack(outs), jnp.stack(ids_l), jnp.stack(probs_l),
+            jnp.stack(tokps_l), tok_cur, pos_cur, kv, dkv, sstate)
+
+
 @dataclasses.dataclass
 class EngineConfig:
     n_slots: int = 4
@@ -289,6 +386,10 @@ class EngineConfig:
     # costs ~7x of chained decode (VERDICT r3 #5). 0 disables gating.
     lookup_min_accept: float = 0.66
     lookup_probe_every: int = 64
+    # draft-model speculative rounds per dispatch (see _spec_chain): the
+    # accept/advance bookkeeping runs on device so one host sync covers
+    # up to spec_rounds * (draft_max + 1) tokens. 1 = per-round syncs.
+    spec_rounds: int = 4
     # chained decode: sample this many tokens per device dispatch when no
     # draft/grammar/rate-limit path needs per-token host control (1 = off)
     decode_chain: int = 1
@@ -1185,29 +1286,7 @@ class Engine:
             s.drafts = []
         if not eligible:
             return None
-        # catch-up: feed tokens the draft KV hasn't seen, in ubatch-sized
-        # chunks (after a context shift this can be the whole history); the
-        # final pass feeds exactly [next_token] so its logits start drafting
-        missing = {s.idx: s.cache_tokens[s.draft_pos:] for s in eligible}
-        while any(missing.values()):
-            T = self._bucket(min(max(len(m) for m in missing.values()),
-                                 self.ecfg.n_ubatch))
-            tokens = np.zeros((S, T), np.int32)
-            positions = np.full((S, T), self.slot_ctx, np.int32)
-            seq_lens = np.zeros((S,), np.int32)
-            for s in eligible:
-                m = missing[s.idx][:T]
-                if not m:
-                    continue
-                start = s.pos - len(missing[s.idx])
-                tokens[s.idx, :len(m)] = m
-                positions[s.idx, :len(m)] = np.arange(start, start + len(m))
-                seq_lens[s.idx] = len(m)
-                missing[s.idx] = missing[s.idx][len(m):]
-            _, _, self.draft_kv = _draft_forward_greedy(
-                self.draft_params, self.draft_cfg, jnp.asarray(tokens),
-                jnp.asarray(positions), self.draft_kv, jnp.asarray(seq_lens),
-                self.draft_cos, self.draft_sin)
+        self._draft_catch_up(eligible)
         token0 = np.zeros((S,), np.int32)
         pos0 = np.full((S,), self.slot_ctx, np.int32)
         active = np.zeros((S,), bool)
@@ -1230,6 +1309,97 @@ class Engine:
             d = [int(t) for t in packed_h[:n_ok, s.idx]]
             s.drafts = d if len(d) >= self.ecfg.draft_min else []
         return None
+
+    def _draft_catch_up(self, eligible: list) -> None:
+        """Feed tokens the draft KV hasn't seen, in ubatch-sized chunks
+        (after a context shift this can be the whole history); the final
+        chunk feeds through [next_token]'s predecessor so drafting can
+        start from next_token."""
+        S = len(self.slots)
+        missing = {s.idx: s.cache_tokens[s.draft_pos:] for s in eligible}
+        while any(missing.values()):
+            T = self._bucket(min(max(len(m) for m in missing.values()),
+                                 self.ecfg.n_ubatch))
+            tokens = np.zeros((S, T), np.int32)
+            positions = np.full((S, T), self.slot_ctx, np.int32)
+            seq_lens = np.zeros((S,), np.int32)
+            for s in eligible:
+                m = missing[s.idx][:T]
+                if not m:
+                    continue
+                start = s.pos - len(missing[s.idx])
+                tokens[s.idx, :len(m)] = m
+                positions[s.idx, :len(m)] = np.arange(start,
+                                                      start + len(m))
+                seq_lens[s.idx] = len(m)
+                missing[s.idx] = missing[s.idx][len(m):]
+            _, _, self.draft_kv = _draft_forward_greedy(
+                self.draft_params, self.draft_cfg, jnp.asarray(tokens),
+                jnp.asarray(positions), self.draft_kv,
+                jnp.asarray(seq_lens), self.draft_cos, self.draft_sin)
+
+    def _decode_pass_spec_chain(self, dec: list, M: int) -> None:
+        """M draft+verify rounds in ONE dispatch + ONE host sync (see
+        _spec_chain). Tokens past a task's finish point are discarded
+        host-side, mirroring _decode_pass_chain's overshoot semantics."""
+        K = self.ecfg.draft_max
+        T = K + 1
+        S = len(self.slots)
+        self._draft_catch_up(dec)
+        self._refresh_arrs()
+        t0 = time.monotonic()
+        token0 = np.zeros((S,), np.int32)
+        pos0 = np.full((S,), self.slot_ctx, np.int32)
+        active = np.zeros((S,), bool)
+        for s in dec:
+            token0[s.idx] = s.next_token
+            pos0[s.idx] = s.pos
+            active[s.idx] = True
+        packed, ids, probs, tokps, _tok_next, _pos_end, self.kv, \
+            self.draft_kv, self.sstate = _spec_chain(
+                self.params, self.cfg, self.draft_params, self.draft_cfg,
+                jnp.asarray(token0), jnp.asarray(pos0), self.kv,
+                self.draft_kv, self.sstate, self.arrs,
+                jnp.asarray(active), self.rope_cos, self.rope_sin,
+                self.draft_cos, self.draft_sin,
+                jnp.float32(self.ecfg.draft_p_min),
+                n_rounds=M, draft_k=K)
+        packed_h = np.asarray(packed)          # ONE transfer
+        want = any(s.task.n_probs > 0 for s in dec)
+        ids_h = np.asarray(ids) if want else None
+        probs_h = np.asarray(probs) if want else None
+        tokps_h = np.asarray(tokps) if want else None
+        tasks0 = [s.task for s in self.slots]
+        last_nem = {s.idx: 0 for s in dec}
+        n_tok = 0
+        for m in range(M):
+            alive = [s for s in dec
+                     if s.task is not None and s.task is tasks0[s.idx]]
+            if not alive:
+                break
+            toks_m = packed_h[m, :, :T]
+            nem_m = packed_h[m, :, T]
+            ndr_m = packed_h[m, :, T + 1]
+            for s in alive:
+                # synthesize the draft list: values [:acc] (all that the
+                # emit bookkeeping reads) equal the accepted verify tokens
+                s.drafts = [int(tk) for tk in
+                            toks_m[s.idx, :int(ndr_m[s.idx])]]
+                last_nem[s.idx] = int(nem_m[s.idx])
+                n_tok += int(nem_m[s.idx])
+            self._emit_verify(
+                alive, toks_m, nem_m,
+                ids_h[m] if ids_h is not None else None,
+                probs_h[m] if probs_h is not None else None,
+                tokps_h[m] if tokps_h is not None else None)
+        for s in dec:
+            # draft-KV coverage: everything before the last round's start
+            # is caught up; the next pass's catch-up refeeds that round's
+            # accepted tail (<= K tokens)
+            if s.task is not None and s.task is tasks0[s.idx]:
+                s.draft_pos = s.pos - last_nem[s.idx] + 1
+            s.drafts = []
+        self.metrics.on_decode(n_tok, (time.monotonic() - t0) * 1e3)
 
     def _decode_pass_fused_draft(self, dec: list) -> None:
         """Draft + verify with ONE device->host transfer per pass: the
@@ -1342,6 +1512,18 @@ class Engine:
                         and s.task.rate_bucket is None
                         and s.pos + 1 + self.ecfg.draft_max <= s.capacity
                         for s in dec)):
+            # M-round device chain when every slot has room for the whole
+            # chain's worst-case advance (near capacity: one-round fused
+            # pass, then the shift path at the exact unchained boundary)
+            per_round = 1 + self.ecfg.draft_max
+            max_bl = max(s.task.budget_left() for s in dec)
+            M = min(self.ecfg.spec_rounds,
+                    max(1, -(-max_bl // per_round)))
+            if (M > 1 and not self.cfg.mrope_sections
+                    and all(s.pos + M * per_round <= s.capacity
+                            for s in dec)):
+                self._decode_pass_spec_chain(dec, M)
+                return
             self._decode_pass_fused_draft(dec)
             return
         # room check: each slot needs space for 1 + its drafts; shift first

@@ -260,6 +260,92 @@ def test_draft_shift_keeps_acceptance(spec_setup):
         spec.stop()
 
 
+def test_spec_chain_matches_plain_and_one_round(spec_setup):
+    """The M-round device spec chain (_spec_chain: draft + verify +
+    accept bookkeeping on device, one sync per M rounds) must be
+    greedy-identical to plain decode AND byte-identical to the one-round
+    fused pass, including seeded non-greedy sampling and n_probs."""
+    cfg, params, tok = spec_setup
+    outs = {}
+    for rounds in (1, 3):
+        eng = Engine(cfg, params, tok,
+                     EngineConfig(n_slots=2, n_ctx=256, n_ubatch=32,
+                                  draft_max=4, draft_p_min=0.0,
+                                  spec_rounds=rounds),
+                     draft=(cfg, params))
+        eng.start()
+        try:
+            toks = tok.encode("the quick brown fox jumps")
+            f1 = _run(eng, toks, 20)
+            t2 = CompletionsTask(toks, SamplerParams(temp=0.9, seed=5,
+                                                     n_probs=2),
+                                 tokenizer=tok, max_tokens=13,
+                                 stream=False)
+            eng.submit(t2)
+            while True:
+                kind, payload = t2.result_q.get(timeout=120)
+                if kind == "final":
+                    f2 = payload
+                    break
+                if kind == "error":
+                    raise payload
+            outs[rounds] = (f1.generated, f2.generated,
+                            [tuple(p.top_ids) for p in f2.probs])
+            if rounds > 1:
+                # the chain path must actually have run: with rounds=3 a
+                # fresh request's first decode pass covers >1 round
+                assert f1.n_drafted > 0
+        finally:
+            eng.stop()
+    assert outs[1] == outs[3], outs
+
+    # greedy identity vs a no-draft engine
+    plain = Engine(cfg, params, tok,
+                   EngineConfig(n_slots=2, n_ctx=256, n_ubatch=32))
+    spec = Engine(cfg, params, tok,
+                  EngineConfig(n_slots=2, n_ctx=256, n_ubatch=32,
+                               draft_max=4, draft_p_min=0.0,
+                               spec_rounds=3),
+                  draft=(cfg, params))
+    plain.start()
+    spec.start()
+    try:
+        toks = tok.encode("the quick brown fox jumps")
+        f_plain = _run(plain, toks, 20)
+        f_spec = _run(spec, toks, 20)
+        assert f_spec.generated == f_plain.generated
+        # the model drafts for itself greedily -> every draft accepted
+        assert f_spec.n_draft_accepted == f_spec.n_drafted > 0
+    finally:
+        plain.stop()
+        spec.stop()
+
+
+def test_spec_chain_shift_boundary(spec_setup):
+    """Near capacity the spec chain must fall back so context shift fires
+    at the unchained boundary; output matches a plain shifted engine."""
+    cfg, params, tok = spec_setup
+    plain = Engine(cfg, params, tok,
+                   EngineConfig(n_slots=1, n_ctx=48, n_ubatch=16))
+    spec = Engine(cfg, params, tok,
+                  EngineConfig(n_slots=1, n_ctx=48, n_ubatch=16,
+                               draft_max=4, draft_p_min=0.0,
+                               spec_rounds=3),
+                  draft=(cfg, params))
+    plain.start()
+    spec.start()
+    try:
+        toks = tok.encode("a b c d e f")
+        n = 60
+        f_plain = _run(plain, toks, n)
+        f_spec = _run(spec, toks, n)
+        assert f_spec.generated == f_plain.generated
+        assert f_plain.n_shifted >= 1 and f_spec.n_shifted >= 1
+    finally:
+        plain.stop()
+        spec.stop()
+
+
 def test_fused_draft_pass_identity(spec_setup):
     """The single-transfer fused draft+verify pass (device-assembled
     verify inputs) must produce byte-identical output to the
@@ -281,6 +367,9 @@ def test_fused_draft_pass_identity(spec_setup):
         eng = Engine(cfg, params, tok,
                      EngineConfig(n_slots=2, n_ctx=256, n_ubatch=32,
                                   draft_max=4, draft_p_min=0.0,
+                                  # spec_rounds=1: exercise the one-round
+                                  # fused pass, not the M-round chain
+                                  spec_rounds=1,
                                   # draft_min=2 fails the fused gate ->
                                   # host-assembled two-sync path
                                   draft_min=2 if mode == "fallback" else 1),
