@@ -1788,16 +1788,21 @@ class Engine:
         if (not self.ecfg.pipeline_chain or self.control is not None
                 or self.rec or self.encdec):
             return
-        if self.ecfg.lookup_ngram_min > 0 and any(
-                s.task is not None
-                and getattr(s.task, "ngram", None) is not None
-                and self._ngram_may_draft(s.task, k_unemitted)
-                for s in dec):
-            # a slot may n-gram-draft once these tokens emit: leave the
-            # queue empty so the next pass re-checks for drafts (a
-            # speculated chain MUST be consumed by continuing slots, so
-            # it cannot be dropped in favour of a late-found draft)
-            return
+        if self.ecfg.lookup_ngram_min > 0:
+            # a slot with a CURRENT n-gram match (on the tokens synced so
+            # far — in-flight chains lag this by <= 2 chains) should
+            # draft next pass: leave the queue empty so the next pass
+            # re-checks (a speculated chain MUST be consumed by
+            # continuing slots, so it cannot be dropped for a late-found
+            # draft). No-match or acceptance-held slots keep pipelining.
+            for s in dec:
+                task = s.task
+                ng = getattr(task, "ngram", None) if task else None
+                if ng is None or not self._ngram_may_draft(task,
+                                                           k_unemitted):
+                    continue
+                if ng.draft(task.prompt_tokens + task.generated, 1):
+                    return
         pos_end = pos0
         while len(self._chain_q) < max(1, self.ecfg.pipeline_depth):
             if max(self._remaining(s) for s in dec) <= k_unemitted:
