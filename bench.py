@@ -398,11 +398,14 @@ def spec_bench(cfg, V):
                       "speedup": round(ngram["tok_s"] / base["tok_s"], 3)},
             "note": "synthetic high-agreement draft (target layers >= 4 "
                     "are ~pass-through; full weight bytes still stream). "
-                    "Each spec pass costs one ~26ms axon-tunnel round "
-                    "trip (vs ~us on a local chip) for ~36 tokens, while "
-                    "the no-draft baseline amortizes its sync over "
-                    "pipelined 16-token chains — the <1 speedup is "
-                    "tunnel-latency-bound, not a verify-path cost"}
+                    "Draft-model spec runs M device rounds per host sync "
+                    "(_spec_chain). n-gram drafting is host-in-the-loop "
+                    "(a drafted pass = 1 sync for <= draft_max+1 tokens) "
+                    "so at decode_chain=16 it is strictly dominated by "
+                    "pipelined chains and auto-disables — its number "
+                    "measures that the gate costs ~nothing vs baseline; "
+                    "acceptance-gated drafting engages when "
+                    "decode_chain <= draft_max+1 (e.g. local chips)"}
 
 
 def main():

@@ -49,6 +49,14 @@ from .task import (BaseTask, CompletionsTask, EmbeddingsTask, ImagesTask,
 DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
+def _pow2_floor(n: int) -> int:
+    """Largest power of two <= n (0 for n < 1) — chain-length buckets
+    near the context boundary keep the program-variant count bounded."""
+    if n < 1:
+        return 0
+    return 1 << (n.bit_length() - 1)
+
+
 @partial(jax.jit, static_argnames=("cfg",), donate_argnames=("sstate",))
 def _decode_verify_rows(params, cfg: ModelConfig, tokens, positions,
                         n_draft, kv, fwd_active, samp_active, sstate, arrs,
@@ -476,6 +484,13 @@ class Engine:
 
         S = self.ecfg.n_slots
         self.slot_ctx = max(16, self.ecfg.n_ctx // S)
+        if self.ecfg.lookup_ngram_min > 0 \
+                and self.ecfg.decode_chain > self.ecfg.draft_max + 1:
+            SRV_WRN("engine", "n-gram lookup drafting is dominated by "
+                    "chained decode (decode_chain=%d > draft_max+1=%d "
+                    "tokens per host sync) and will not engage; lower "
+                    "--decode-chain or raise --draft-max to use it",
+                    self.ecfg.decode_chain, self.ecfg.draft_max + 1)
         self.rec = bool(cfg is not None and getattr(cfg, "recurrent", False))
         # encoder-decoder family (t5): encoder runs once per prompt, the
         # decoder owns the KV cache; no prefix reuse / shift / drafting
@@ -1220,11 +1235,23 @@ class Engine:
             return ngram.draft(history, k)
         return []
 
+    def _ngram_dominated(self) -> bool:
+        """n-gram drafting is HOST-in-the-loop (drafts need the synced
+        history), so a drafted pass costs one host sync for at most
+        1 + draft_max tokens and cannot pipeline. When chained decode
+        moves more tokens per sync than a perfectly-accepted draft pass
+        ever could, drafting is strictly dominated — skip it (and the
+        probe passes) entirely. Deployments with cheap syncs run
+        decode_chain=1 and keep full n-gram drafting."""
+        return self.ecfg.decode_chain > self.ecfg.draft_max + 1
+
     def _ngram_gate(self, task) -> bool:
         """May this task n-gram-draft this pass? Moving-acceptance gating
         (VERDICT r3 #5): held tasks rejoin chained decode and re-probe
         with ONE drafted pass every lookup_probe_every tokens (the n-gram
         cache keeps learning from chain-emitted tokens meanwhile)."""
+        if self._ngram_dominated():
+            return False
         if self.ecfg.lookup_min_accept <= 0:
             return True
         if not hasattr(task, "spec_window"):
@@ -1496,12 +1523,15 @@ class Engine:
                      or not any(ngram_drafts.values())) \
                 and "layer_groups" not in self.params \
                 and all(getattr(s.task, "host_sampler", None) is None
-                        and s.task.rate_bucket is None
-                        and s.pos + K <= s.capacity for s in dec):
-            # (slots near capacity fall through to per-token passes so the
-            # context shift fires at exactly the unchained boundary)
-            self._decode_pass_chain(dec, K)
-            return
+                        and s.task.rate_bucket is None for s in dec):
+            # near capacity the chain SHRINKS (power-of-two buckets) so
+            # the tail stays chained right up to the boundary; the last
+            # <2 tokens take a per-token pass so the context shift fires
+            # at exactly the unchained boundary
+            K = min(K, _pow2_floor(min(s.capacity - s.pos for s in dec)))
+            if K > 1:
+                self._decode_pass_chain(dec, K)
+                return
         # fused draft+verify: one device->host transfer per pass (the
         # two-sync path pays ~52ms of tunnel round trips); falls back
         # whenever a slot needs host control or could context-shift
@@ -1788,7 +1818,7 @@ class Engine:
         if (not self.ecfg.pipeline_chain or self.control is not None
                 or self.rec or self.encdec):
             return
-        if self.ecfg.lookup_ngram_min > 0:
+        if self.ecfg.lookup_ngram_min > 0 and not self._ngram_dominated():
             # a slot with a CURRENT n-gram match (on the tokens synced so
             # far — in-flight chains lag this by <= 2 chains) should
             # draft next pass: leave the queue empty so the next pass
@@ -1808,7 +1838,9 @@ class Engine:
             if max(self._remaining(s) for s in dec) <= k_unemitted:
                 return      # every slot's budget is already covered
             K2 = self._chain_k(dec, off=k_unemitted)
-            if any(s.pos + k_unemitted + K2 > s.capacity for s in dec):
+            K2 = min(K2, _pow2_floor(
+                min(s.capacity - s.pos for s in dec) - k_unemitted))
+            if K2 < 2:
                 return
             pos1 = pos_end.copy()
             for s in dec:
