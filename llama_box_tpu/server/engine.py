@@ -916,8 +916,11 @@ class Engine:
             task.host_sampler = HostSampler(sp, sp.grammar, self.tokenizer)
             task.host_sampler.push_prompt(task.prompt_tokens)
 
-        # n-gram prompt-lookup drafting cache (httpserver.hpp:4752-4767)
-        if self.ecfg.lookup_ngram_min > 0 and not hasattr(task, "ngram"):
+        # n-gram prompt-lookup drafting cache (httpserver.hpp:4752-4767);
+        # not built when drafting is dominated by chained decode — the
+        # per-token cache updates would be pure overhead
+        if self.ecfg.lookup_ngram_min > 0 and not self._ngram_dominated() \
+                and not hasattr(task, "ngram"):
             from .ngram import NgramCache
             task.ngram = NgramCache(n_min=self.ecfg.lookup_ngram_min)
             task.ngram.update(task.prompt_tokens)
