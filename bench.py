@@ -469,27 +469,31 @@ def main():
     KCH = 16   # K-sweep 2026-08-19: 2020us/step vs 2068 (K=8), 2165 (K=32)
 
     def run(params):
-        from llama_box_tpu.models.loader import fuse_projections
-        params = fuse_projections(params, cfg)
-        kv = init_kv_cache(cfg, S, C, dtype)
+        from llama_box_tpu.models.loader import (deinterleave_rope,
+                                                 fuse_projections)
+        params, rcfg = deinterleave_rope(params, cfg)
+        params = fuse_projections(params, rcfg)
+        kv = init_kv_cache(rcfg, S, C, dtype)
         sstate = init_sampler_state(S, V)
         active = jnp.ones((S,), bool)
         tokens = jnp.asarray(rng.integers(0, V, (S,)), jnp.int32)
         pos = C // 2  # half-full KV, representative decode state
 
-        # ranged attention at the representative half-full fill level:
-        # the engine reads only the occupied region (256-bucketed), like
-        # the reference's graphs computing over n_kv cells. The flash
-        # decode kernel ranges per slot inside the kernel (attn_len=0).
+        # ranged attention, engine parity: each chain reads only the
+        # occupied region (256-bucketed per dispatch, like
+        # _decode_pass_chain's need = max(pos) + K), so attention traffic
+        # stays position-proportional at every chain length instead of
+        # paying the whole wrap-window's worst case. The flash decode
+        # kernel ranges per slot inside the kernel (attn_len=0).
         from llama_box_tpu.models.llama import flash_decode_active
-        AL = (0 if flash_decode_active(cfg, C)
-              else min(C, -(-(C // 2 + 16 * KCH) // 256) * 256))
+        flash = flash_decode_active(rcfg, C)
 
         def step(tokens, kv, sstate, p):
+            al = 0 if flash else min(C, -(-(p + KCH) // 256) * 256)
             pos0 = jnp.full((S,), p, jnp.int32)
             toks, _, _, _, kv, sstate = _decode_chain(
-                params, cfg, tokens, pos0, kv, sstate, arrs, active,
-                cos, sin, n_steps=KCH, attn_len=AL,
+                params, rcfg, tokens, pos0, kv, sstate, arrs, active,
+                cos, sin, n_steps=KCH, attn_len=al,
                 samp_extras=False)  # plain params: the serving fast path
             return toks[:, -1], kv, sstate
 

@@ -678,6 +678,71 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         return _layer_tail(x, lp, cfg, attn, lora_scales,
                            extra_residual=extra_residual), rows
 
+    if chain is not None and T == 1 and layer_idx is None \
+            and cfg.alibi_max_bias == 0.0 and cfg.swa_window == 0 \
+            and cfg.chunked_window == 0 and "sinks" not in lp \
+            and flash_meta is None:
+        # chained decode, merged einsum variant: the CURRENT row rides
+        # the chain block at index nc (onehot merge, exactly like the
+        # flash kernel's rows operand), so the step is two score blocks
+        # [cache | chain] instead of three — no separate in-chunk einsum
+        # or causal-mask build per layer. The chain-block masks are
+        # layer-invariant here and arrive precomputed from _run_stack
+        # (chain[5]), removing ~20us/step of per-layer iota/compare
+        # fusions at the bench shape.
+        ck, cv, cks, cvs, nc_t, *pre = chain
+        Kc = ck.shape[1]
+        if cks is not None:
+            ckf = ck.astype(adt) * cks.astype(adt)[..., None]
+            cvf0 = cv.astype(adt) * cvs.astype(adt)[..., None]
+        else:
+            ckf = ck.astype(adt)
+            cvf0 = cv.astype(adt)
+        onehot = (jnp.arange(Kc) == nc_t)[None, :, None, None]
+        kr = jnp.where(onehot, k.astype(adt)[:, :1], ckf)
+        vr = jnp.where(onehot, v.astype(adt)[:, :1], cvf0)
+        if k_scale is not None:
+            kf = k_cache.astype(adt) * k_scale.astype(adt)[..., None]
+            vf = v_cache.astype(adt) * v_scale.astype(adt)[..., None]
+        else:
+            kf = k_cache.astype(adt)
+            vf = v_cache.astype(adt)
+        scale = cfg.attn_scale or D ** -0.5
+        qf = q.astype(adt).reshape(B, T, Hkv, G, D)
+        sc = jnp.einsum("bthgd,bchd->bhgtc", qf, kf,
+                        preferred_element_type=jnp.float32) * scale
+        s3 = jnp.einsum("bthgd,bshd->bhgts", qf, kr,
+                        preferred_element_type=jnp.float32) * scale
+        if pre:
+            mask_c, m3 = pre[0]
+        else:
+            kpos = jnp.arange(C)[None, None, :]
+            mask_c = mask & (kpos < positions[:, :1, None] - nc_t)
+            ci = jnp.arange(Kc)[None, None, :]
+            kpos3 = positions[:, :, None] - (nc_t - ci)
+            m3 = (ci <= nc_t) & (kpos3 >= 0)
+        if cfg.attn_softcap > 0.0:
+            sc = cfg.attn_softcap * jnp.tanh(sc / cfg.attn_softcap)
+            s3 = cfg.attn_softcap * jnp.tanh(s3 / cfg.attn_softcap)
+        z = jnp.concatenate(
+            [jnp.where(mask_c[:, None, None, :, :], sc, NEG_INF),
+             jnp.where(m3[:, None, None, :, :], s3, NEG_INF)], axis=-1)
+        mx = z.max(axis=-1, keepdims=True)
+        p = jnp.exp(z - mx)
+        p = p / (p.sum(axis=-1, keepdims=True) + 1e-30)
+        Dv = vf.shape[-1]
+        attn = (jnp.einsum("bhgtc,bchd->bthgd",
+                           p[..., :kf.shape[1]].astype(adt), vf,
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum("bhgts,bshd->bthgd",
+                             p[..., kf.shape[1]:].astype(adt), vr,
+                             preferred_element_type=jnp.float32))
+        attn = attn.reshape(B, T, H * Dv)
+        if not tail:
+            return attn, rows
+        return _layer_tail(x, lp, cfg, attn, lora_scales,
+                           extra_residual=extra_residual), rows
+
     if chain is not None and T == 1 and layer_idx is not None:
         # chained decode through the single-query flash kernel
         # (ops/flash_decode): the cache is read block-by-block in its
@@ -687,7 +752,7 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         # attn_len bucketing). int8 caches dequantize in VMEM. The chain
         # rows ride the kernel's rows operand: rows 0..nc-1 plus the
         # current row at index nc, with nv = nc+1.
-        ck, cv, cks, cvs, nc_t = chain
+        ck, cv, cks, cvs, nc_t = chain[:5]
         Kc = ck.shape[1]
         if cks is not None:
             ckf = ck.astype(adt) * cks.astype(adt)[..., None]
@@ -777,7 +842,7 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
 
     s3 = m3 = cvf = None
     if chain is not None:
-        ck, cv, cks, cvs, _ = chain
+        ck, cv, cks, cvs = chain[:4]
         Kc = ck.shape[1]
         if cks is not None:
             ckf = ck.astype(adt) * cks.astype(adt)[..., None]
@@ -1120,18 +1185,36 @@ def _run_stack(params, cfg: ModelConfig, x, positions, kv_k, kv_v, mask,
     fullkv = (chain is not None and deferred_kv
               and flash_decode_active(cfg, kv_k.shape[2]))
 
+    # merged-chain einsum path: the chain-block masks depend only on
+    # positions/nc — build them ONCE per step instead of per layer
+    # (gates mirror _attn_deferred's merged-variant conditions)
+    chain_pre = None
+    if (chain is not None and deferred_kv and not fullkv
+            and x.shape[1] == 1 and cfg.alibi_max_bias == 0.0
+            and cfg.swa_window == 0 and cfg.chunked_window == 0
+            and mask.ndim == 3):
+        nc_t = chain[4]
+        Kc = chain[0].shape[2]
+        kpos = jnp.arange(kv_k.shape[2])[None, None, :]
+        mask_c = mask & (kpos < positions[:, :1, None] - nc_t)
+        ci = jnp.arange(Kc)[None, None, :]
+        kpos3 = positions[:, :, None] - (nc_t - ci)
+        m3 = (ci <= nc_t) & (kpos3 >= 0)
+        chain_pre = (mask_c, m3)
+
     def body(x, layer):
         if cvec is not None:
             *layer, cv = layer
         lchain = None
         li_x = None
         if chain is not None:
+            pre = (chain_pre,) if chain_pre is not None else ()
             if quant:
                 *layer, ck_l, cv_l, cks_l, cvs_l = layer
-                lchain = (ck_l, cv_l, cks_l, cvs_l, nc)
+                lchain = (ck_l, cv_l, cks_l, cvs_l, nc) + pre
             else:
                 *layer, ck_l, cv_l = layer
-                lchain = (ck_l, cv_l, None, None, nc)
+                lchain = (ck_l, cv_l, None, None, nc) + pre
         if fullkv:
             lp, loc, li_x = layer
             k_c, v_c, ks, vs = kv_k, kv_v, kv_ks, kv_vs

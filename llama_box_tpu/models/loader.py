@@ -612,6 +612,81 @@ def _cat_weights(ws):
         w8a8=w0.w8a8)
 
 
+def deinterleave_rope(params: dict, cfg: ModelConfig):
+    """Load-time rope-layout change: permute wq/wk OUTPUT columns from
+    ggml's adjacent-pair ('norm') order to half-split ('neox') order, so
+    the runtime rotation needs no pair deinterleave. The 'norm' path's
+    strided slices + stack/reshape thrash TPU tile layouts (profiled
+    ~97us/decode-step at the bench shape — ~5% of the whole step); after
+    this transform apply_rope takes the half-split path (two lane-aligned
+    muls + one concat). Attention is invariant: each output column is an
+    independent contraction, and q.k sums the same per-dim products (the
+    f32 accumulation order changes, so results are allclose, not
+    bitwise). The KV cache simply stores the permuted-k layout
+    consistently; context-shift re-rotation follows cfg.rope_mode.
+
+    Returns (params, cfg') with cfg'.rope_mode == 'neox', or the inputs
+    unchanged when the transform doesn't apply (already neox, MLA,
+    M-RoPE, per-layer groups, dynamic q/k LoRA, sharded tensors, or
+    layouts that don't match n_heads*head_dim).
+    """
+    import dataclasses
+
+    from ..ops.qmatmul import QTensor
+    lay = params.get("layers")
+    if (cfg.rope_mode != "norm" or cfg.mrope_sections
+            or cfg.kv_lora_rank or "layer_groups" in params
+            or not isinstance(lay, dict)
+            or "wq" not in lay or "wk" not in lay
+            or "lora_A_wq" in lay or "lora_A_wk" in lay):
+        return params, cfg
+    H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
+    rot = cfg.rope_dim or D
+    if rot % 2:
+        return params, cfg
+
+    def out_dim(w):
+        return w.qs.shape[-1] if isinstance(w, QTensor) else w.shape[-1]
+
+    if out_dim(lay["wq"]) != H * D or out_dim(lay["wk"]) != Hkv * D:
+        return params, cfg
+    if any(isinstance(lay[k], QTensor) and lay[k].sharded
+           for k in ("wq", "wk")):
+        return params, cfg
+
+    base = np.concatenate([np.arange(0, rot, 2), np.arange(1, rot, 2),
+                           np.arange(rot, D)])
+
+    def perm_cols(w, n_heads):
+        idx = jnp.asarray(np.concatenate(
+            [h * D + base for h in range(n_heads)]))
+
+        def take(a):
+            return None if a is None else jnp.take(a, idx, axis=-1)
+        if isinstance(w, QTensor):
+            return QTensor(take(w.qs), take(w.scales), take(w.mins),
+                           w.in_dim, w.group, w.packed4, w.w8a8)
+        return take(w)
+
+    lay = dict(lay)
+    lay["wq"] = perm_cols(lay["wq"], H)
+    lay["wk"] = perm_cols(lay["wk"], Hkv)
+    for key, n in (("bq", H), ("bk", Hkv)):
+        if key in lay:
+            lay[key] = perm_cols(lay[key], n)
+    for key in ("q_norm", "k_norm", "q_norm_b", "k_norm_b"):
+        if key in lay:
+            w = lay[key]
+            if w.shape[-1] == D:      # per-head norm, shared across heads
+                lay[key] = jnp.take(w, jnp.asarray(base), axis=-1)
+            else:                     # whole-row [H*D]
+                n = H if key[0] == "q" else Hkv
+                lay[key] = perm_cols(w, n)
+    out = dict(params)
+    out["layers"] = lay
+    return out, dataclasses.replace(cfg, rope_mode="neox")
+
+
 def fuse_projections(params: dict, cfg: ModelConfig) -> dict:
     """Fuse per-layer q/k/v and gate/up projections into single matmuls
     (wqkv / w_gateup). Decode at batch 4 is HBM-bound and XLA's emitter

@@ -622,9 +622,17 @@ class Engine:
         from ..models.bert import BERT_ARCHS
         if self.cfg.arch in BERT_ARCHS:
             return  # the BERT encoder forward uses the unfused keys
-        from ..models.loader import fuse_projections
+        from ..models.loader import deinterleave_rope, fuse_projections
+        if self.n_lora == 0:
+            # rope layout: adjacent-pair -> half-split (see loader);
+            # rope tables are layout-independent, so those built in
+            # __init__ stay valid
+            self.params, self.cfg = deinterleave_rope(self.params,
+                                                      self.cfg)
         self.params = fuse_projections(self.params, self.cfg)
         if self.draft_params is not None:
+            self.draft_params, self.draft_cfg = deinterleave_rope(
+                self.draft_params, self.draft_cfg)
             self.draft_params = fuse_projections(self.draft_params,
                                                  self.draft_cfg)
 

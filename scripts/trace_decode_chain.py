@@ -36,7 +36,8 @@ from llama_box_tpu.models.llama import (  # noqa: E402
 from llama_box_tpu.sampling import (  # noqa: E402
     SamplerParams, init_sampler_state, make_sampler_arrays)
 from llama_box_tpu.server.engine import _decode_chain  # noqa: E402
-from llama_box_tpu.models.loader import fuse_projections  # noqa: E402
+from llama_box_tpu.models.loader import (  # noqa: E402
+    deinterleave_rope, fuse_projections)
 
 L, H, HKV, D, FF, V = 22, 32, 4, 64, 5632, 32000
 S, C = 4, 1024
@@ -61,6 +62,8 @@ else:
                    "w_gate": r(L, E, FF), "w_up": r(L, E, FF),
                    "w_down": r(L, FF, E)},
     }
+if "--keep-norm-rope" not in sys.argv:
+    params, cfg = deinterleave_rope(params, cfg)
 params = fuse_projections(params, cfg)
 cos, sin = make_rope(cfg, C)
 arrs = make_sampler_arrays([SamplerParams(seed=1, temp=0.8)] * S)

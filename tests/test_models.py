@@ -1,6 +1,60 @@
-"""Model-level transforms (projection fusion)."""
+"""Model-level transforms (projection fusion, rope deinterleave)."""
 
 import numpy as np
+
+
+def test_deinterleave_rope_identity(tmp_path):
+    """deinterleave_rope (adjacent-pair -> half-split column permutation
+    of wq/wk + rope_mode flip) must produce numerically-equal logits:
+    each permuted output column is the same contraction, and q.k sums
+    the same per-dim products in a different order."""
+    import jax.numpy as jnp
+
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.models.loader import deinterleave_rope
+    from llama_box_tpu.models.llama import (forward, init_kv_cache,
+                                            make_rope)
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    rng = np.random.default_rng(1)
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    assert cfg.rope_mode == "norm"
+    p2, cfg2 = deinterleave_rope(params, cfg)
+    assert cfg2.rope_mode == "neox"
+    assert p2 is not params
+
+    S, C, T = 2, 32, 8
+    tokens = rng.integers(0, cfg.vocab_size, (S, T)).astype(np.int32)
+    positions = np.tile(np.arange(T, dtype=np.int32), (S, 1))
+    lens = np.full((S,), T, np.int32)
+    cos, sin = make_rope(cfg, C)
+    la, kva = forward(params, cfg, tokens, positions,
+                      init_kv_cache(cfg, S, C, jnp.float32), lens,
+                      cos, sin)
+    lb, kvb = forward(p2, cfg2, tokens, positions,
+                      init_kv_cache(cfg2, S, C, jnp.float32), lens,
+                      cos, sin)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=2e-5, atol=2e-5)
+
+    # decode continuation through the permuted KV cache stays consistent
+    tok2 = la[:, -1].argmax(-1).astype(jnp.int32)[:, None]
+    pos2 = np.full((S, 1), T, np.int32)
+    l2a, _ = forward(params, cfg, tok2, pos2, kva,
+                     np.ones((S,), np.int32), cos, sin)
+    l2b, _ = forward(p2, cfg2, tok2, pos2, kvb,
+                     np.ones((S,), np.int32), cos, sin)
+    np.testing.assert_allclose(np.asarray(l2a), np.asarray(l2b),
+                               rtol=2e-5, atol=2e-5)
+
+    # non-applicable configs pass through untouched
+    import dataclasses
+    p3, cfg3 = deinterleave_rope(params,
+                                 dataclasses.replace(cfg,
+                                                     rope_mode="neox"))
+    assert p3 is params and cfg3.rope_mode == "neox"
 
 def test_fused_projections_identity(tmp_path):
     """fuse_projections (wqkv / w_gateup) must be output-identical to the
