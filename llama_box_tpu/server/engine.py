@@ -189,8 +189,31 @@ def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
         new = jnp.where(active[s], upd.astype(leaf.dtype), cur)
         return jax.lax.dynamic_update_slice(leaf, new, idx)
 
+    import os
     k_new, v_new = kv.k, kv.v
     ks_new, vs_new = (kv.k_scale, kv.v_scale) if quant else (None, None)
+    if os.environ.get("LLAMA_BOX_TPU_CHAIN_SCATTER"):
+        # experiment: one gather-scatter over (L, S, K) indices instead
+        # of S per-slot DUS windows (position >= C sentinel drops)
+        li = jnp.arange(L)[:, None, None]
+        bi = jnp.arange(S)[None, :, None]
+        pj = jnp.where(active[:, None],
+                       pos0[:, None] + jnp.arange(Kc)[None, :], C)
+        pi = jnp.broadcast_to(pj[None], (L, S, Kc))
+
+        def wr(leaf, a):
+            return leaf.at[li, bi, pi].set(a.astype(leaf.dtype),
+                                           mode="drop")
+        k_new = wr(k_new, acc[0])
+        v_new = wr(v_new, acc[1])
+        if quant:
+            ks_new = wr(ks_new, acc[2])
+            vs_new = wr(vs_new, acc[3])
+        kv = (KVCache(k=k_new, v=v_new, k_scale=ks_new, v_scale=vs_new)
+              if quant else KVCache(k=k_new, v=v_new))
+        swap = lambda a: jnp.swapaxes(a, 0, 1)  # noqa: E731
+        return (swap(toks), swap(ids), swap(probs), swap(tokps), kv,
+                sstate)
     for s in range(S):
         k_new = write_slot(k_new, acc[0], s)
         v_new = write_slot(v_new, acc[1], s)
