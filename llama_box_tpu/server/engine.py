@@ -497,6 +497,14 @@ class Engine:
         # speculative decode chains in flight (oldest first, up to
         # ecfg.pipeline_depth) — see _speculate_chain
         self._chain_q: list[dict] = []
+        # transfer thread: blocks on each speculated chain's device->host
+        # copy (issued right after its dispatch, BEFORE any later
+        # dispatch — the transport serves in order) so the reconcile
+        # thread never sleeps inside np.asarray while it could be
+        # dispatching chain N+2. Results land in the chain record; only
+        # the reconcile thread mutates engine state.
+        self._xfer_q: queue.Queue = queue.Queue()
+        self._xfer_thread: threading.Thread | None = None
         # LLAMA_BOX_TPU_CHAIN_PROF=1: per-chain (pre-sync, sync, emit)
         # host-side seconds, dumped at stop() — serving-cycle breakdown
         import os
@@ -628,9 +636,27 @@ class Engine:
 
     def start(self) -> None:
         self.fuse_params()
+        self._xfer_thread = threading.Thread(target=self._xfer_loop,
+                                             daemon=True, name="xfer")
+        self._xfer_thread.start()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="reconcile")
         self._thread.start()
+
+    def _xfer_loop(self) -> None:
+        while True:
+            rec = self._xfer_q.get()
+            if rec is None:
+                return
+            try:
+                rec["toks_h"] = np.asarray(rec["toks"])
+                if rec.get("want_probs"):
+                    rec["ids_h"] = np.asarray(rec["ids"])
+                    rec["probs_h"] = np.asarray(rec["probs"])
+                    rec["tokps_h"] = np.asarray(rec["tokps"])
+            except Exception as exc:  # noqa: BLE001 — surfaced at consume
+                rec["err"] = exc
+            rec["ev"].set()
 
     def fuse_params(self) -> None:
         """Single-device decode-bandwidth optimization: fuse per-layer
@@ -663,6 +689,10 @@ class Engine:
         self._stop.set()
         if self._thread:
             self._thread.join(timeout=30)
+        if self._xfer_thread:
+            self._xfer_q.put(None)
+            self._xfer_thread.join(timeout=30)
+            self._xfer_thread = None
         if self._chain_prof:
             import sys
             n = len(self._chain_prof)
@@ -1821,6 +1851,17 @@ class Engine:
             self.kv, self.sstate, self.arrs, jnp.asarray(active),
             self.rope_cos, self.rope_sin, n_steps=K,
             mrope_delta=mrope_delta, attn_len=AL, **kw)
+        # issue this chain's device->host transfer BEFORE dispatching the
+        # next chains: the transport serves requests in order, so a
+        # transfer requested after a dispatch waits out that whole chain
+        want_probs0 = any(s.task.n_probs > 0 for s in dec)
+        try:
+            toks.copy_to_host_async()
+            if want_probs0:
+                for a in (ids, probs, tokps):
+                    a.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — backend without async copies
+            pass
         # pipelining: enqueue the next chains (token0 = device-resident
         # last sampled tokens) BEFORE the host sync below, so the device
         # works through the sync + detokenize/stop-scan window instead of
@@ -1895,12 +1936,25 @@ class Engine:
             tasks = [None] * len(self.slots)
             for s in dec:
                 tasks[s.idx] = s.task
-            self._chain_q.append({
+            rec = {
                 "toks": toks, "ids": ids2, "probs": probs2,
                 "tokps": tokps2, "pos0": pos1, "active": active.copy(),
                 "tasks": tasks, "k": K2, "mrope": mrope_np,
-                "t0": time.monotonic(),
-            })
+                "t0": time.monotonic(), "ev": threading.Event(),
+                "want_probs": any(s.task.n_probs > 0 for s in dec),
+            }
+            # issue the device->host copies NOW, before any later
+            # dispatch (in-order transport), and let the transfer
+            # thread block on them
+            try:
+                toks.copy_to_host_async()
+                if rec["want_probs"]:
+                    for a in (ids2, probs2, tokps2):
+                        a.copy_to_host_async()
+            except Exception:  # noqa: BLE001
+                pass
+            self._chain_q.append(rec)
+            self._xfer_q.put(rec)
             self._bump_ramps(dec)
             pos_end = pos1
             base_k = K2
@@ -1931,16 +1985,16 @@ class Engine:
         # includes it.
         ts0 = time.monotonic()
         want_probs = any(s.task.n_probs > 0 for s in covered)
-        # issue the device->host transfer BEFORE dispatching the next
-        # chain: the tunnel serves requests in order, so a transfer
-        # requested after a dispatch waits out that whole chain
-        try:
-            pend["toks"].copy_to_host_async()
-            if want_probs:
-                for key in ("ids", "probs", "tokps"):
-                    pend[key].copy_to_host_async()
-        except Exception:  # noqa: BLE001 — backend without async copies
-            pass
+        if "ev" not in pend:
+            # legacy record (no transfer thread): issue the copy BEFORE
+            # dispatching the next chain (in-order transport)
+            try:
+                pend["toks"].copy_to_host_async()
+                if want_probs:
+                    for key in ("ids", "probs", "tokps"):
+                        pend[key].copy_to_host_async()
+            except Exception:  # noqa: BLE001
+                pass
         if len(covered) == len(dec):
             act = np.zeros_like(pend["active"])
             for s in covered:
@@ -1952,10 +2006,23 @@ class Engine:
                                    pend["mrope"])
         tp0 = time.monotonic()
         self._chain_prof_spec = tp0 - ts0
-        toks_h = np.asarray(pend["toks"])
-        ids_h = np.asarray(pend["ids"]) if want_probs else None
-        probs_h = np.asarray(pend["probs"]) if want_probs else None
-        tokps_h = np.asarray(pend["tokps"]) if want_probs else None
+        if "ev" in pend:
+            pend["ev"].wait()
+            if "err" in pend:
+                raise pend["err"]
+            toks_h = pend["toks_h"]
+            ids_h = pend.get("ids_h") if want_probs else None
+            probs_h = pend.get("probs_h") if want_probs else None
+            tokps_h = pend.get("tokps_h") if want_probs else None
+            if want_probs and ids_h is None:  # fill-time want mismatch
+                ids_h = np.asarray(pend["ids"])
+                probs_h = np.asarray(pend["probs"])
+                tokps_h = np.asarray(pend["tokps"])
+        else:
+            toks_h = np.asarray(pend["toks"])
+            ids_h = np.asarray(pend["ids"]) if want_probs else None
+            probs_h = np.asarray(pend["probs"]) if want_probs else None
+            tokps_h = np.asarray(pend["tokps"]) if want_probs else None
         tp1 = time.monotonic()
         self._emit_chain(covered, K, toks_h, ids_h, probs_h, tokps_h, t0)
         if self._chain_prof is not None:

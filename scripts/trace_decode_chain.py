@@ -84,16 +84,20 @@ def step(tokens, kv, sstate, p):
     return toks[:, -1], kv, sstate
 
 
+import os
+
+ITERS = int(os.environ.get("TRACE_ITERS", 20))
 for i in range(6):
     tokens, kv, sstate = step(tokens, kv, sstate, pos + (i % 15) * K)
 np.asarray(tokens)
 t0 = time.perf_counter()
-for i in range(20):
+for i in range(ITERS):
     tokens, kv, sstate = step(tokens, kv, sstate, pos + ((6 + i) % 15) * K)
 np.asarray(tokens)
 dt = time.perf_counter() - t0
-print(f"# wall {dt * 1e3 / 20:.2f} ms/chain, {dt * 1e6 / 20 / K:.1f} "
-      f"us/step, {S * 20 * K / dt:.1f} tok/s", flush=True)
+print(f"# wall {dt * 1e3 / ITERS:.2f} ms/chain, "
+      f"{dt * 1e6 / ITERS / K:.1f} us/step, "
+      f"{S * ITERS * K / dt:.1f} tok/s", flush=True)
 
 tdir = f"/tmp/trace_K{K}_{MODE}"
 with jax.profiler.trace(tdir):
