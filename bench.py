@@ -133,10 +133,13 @@ def serve_bench(cfg, params, V, n_req: int = 4, prompt_len: int = 512,
     # ramp (default 4) keeps the first streamed tokens off the full
     # chain latency. Measured 2026-08-19: TTFT p50 68.2 / decode 1829
     # vs chain=32's 74.9 / 1879 — TTFT priority (VERDICT r2 #2).
+    import os
     eng = Engine(cfg, params, _BenchTokenizer(V),
                  EngineConfig(n_slots=n_req, n_ctx=1024 * n_req,
                               n_ubatch=512, prompt_cache=False,
-                              decode_chain=16))
+                              decode_chain=16,
+                              pipeline_depth=int(os.environ.get(
+                                  "LLAMA_BOX_TPU_BENCH_PDEPTH", 1))))
     eng.start()
     try:
         def submit_all():

@@ -20,6 +20,7 @@ _LN_ARCHS = {
     "olmo",   # non-parametric LN: loader synthesizes unit weights
     "rwkv6", "rwkv7",   # RWKV blocks use biased LayerNorm throughout
     "dbrx",   # LayerNorm without bias
+    "orion",  # biased LayerNorm + neox rope on a llama graph
 }
 # position-independent q/k (learned pos embd, ALiBi, or none); no rotation
 _NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2", "jamba",
@@ -42,7 +43,7 @@ _NEOX_ROPE_ARCHS = {
     "bamba", "granitehybrid", "gpt-oss", "exaone4", "dots1", "seed_oss",
     "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1", "lfm2",
     "qwen3next", "olmo", "chameleon", "gemma3n", "dbrx", "grok",
-    "openelm",
+    "openelm", "orion", "hunyuan-dense", "hunyuan-moe",
 }
 
 
@@ -97,6 +98,7 @@ class ModelConfig:
     attn_temp_scale: float = 0.0     # q *= 1+scale*log1p((pos+1)/floor)
     attn_temp_floor: float = 8192.0
     qk_l2_norm: bool = False         # weightless per-head L2 norm (llama4)
+    qk_norm_post_rope: bool = False  # per-head q/k norm AFTER rope (hunyuan)
     moe_weight_before_ffn: bool = False  # llama4: scale expert INPUT
     act_fn: str = "silu"   # FFN gate activation (gemma: gelu; relu2)
     embd_scale: float = 1.0  # embedding multiplier (gemma: sqrt(n_embd))
@@ -227,6 +229,7 @@ class ModelConfig:
                                   or 8192.0),
             qk_l2_norm=bool(kv("attention.use_kq_norm",
                                arch == "llama4")),
+            qk_norm_post_rope=arch in ("hunyuan-dense", "hunyuan-moe"),
             moe_weight_before_ffn=arch == "llama4",
             expert_weights_scale=float(kv("expert_weights_scale", 1.0)
                                        or 1.0),

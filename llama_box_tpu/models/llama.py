@@ -251,7 +251,7 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         q = q.reshape(B, T, H, D)
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, D)
-        if "q_norm" in lp:
+        if "q_norm" in lp and not cfg.qk_norm_post_rope:
             if "q_norm_b" in lp:   # chameleon per-head biased LayerNorm
                 q = _ln_per_head(q, lp["q_norm"], lp["q_norm_b"], H, D)
                 k = _ln_per_head(k, lp["k_norm"], lp["k_norm_b"], Hkv, D)
@@ -277,7 +277,7 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         q = q.reshape(B, T, H, D)
         k = k.reshape(B, T, Hkv, D)
         v = v.reshape(B, T, Hkv, D)
-        if "q_norm" in lp:
+        if "q_norm" in lp and not cfg.qk_norm_post_rope:
             if "q_norm_b" in lp:   # chameleon per-head biased LayerNorm
                 q = _ln_per_head(q, lp["q_norm"], lp["q_norm_b"], H, D)
                 k = _ln_per_head(k, lp["k_norm"], lp["k_norm_b"], Hkv, D)
@@ -311,6 +311,14 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         rp = None if rope_pre else positions
         q = apply_rope(q, rp, cos, sin, cfg.rope_mode)
         k = apply_rope(k, rp, cos, sin, cfg.rope_mode)
+    if cfg.qk_norm_post_rope and "q_norm" in lp:
+        # hunyuan: per-head q/k RMSNorm applied AFTER the rotation (HF
+        # HunYuanDenseV1Attention order). The cache stores the post-norm
+        # keys; context-shift re-rotation is approximate for this family
+        # (rotation and the weighted norm don't commute) exactly as the
+        # reference's K-shift is.
+        q = rms_norm(q, lp["q_norm"], cfg.rms_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_eps)
     if cfg.qk_l2_norm:  # llama4: weightless per-head L2 norm after rope
         q = q * jax.lax.rsqrt(
             jnp.sum(jnp.square(q.astype(jnp.float32)), -1,

@@ -2304,13 +2304,13 @@ def test_falcon_matches_transformers(tmp_path):
     _compare(hm, path, decode_check=True)
 
 
-@pytest.mark.parametrize("arch", ["baichuan"])
+@pytest.mark.parametrize("arch", ["baichuan", "xverse"])
 def test_llama_graph_arch_aliases(tmp_path, arch):
     """Arch strings the reference serves on a llama-identical graph:
-    baichuan-7b converts with the llama q/k permutation and runs the
-    standard rms+SwiGLU decoder (llama.cpp LLM_ARCH_BAICHUAN). A tiny HF
-    Llama exported under the arch name must produce identical logits +
-    engine greedy decode."""
+    baichuan-7b and xverse convert with the llama q/k permutation and run
+    the standard rms+SwiGLU decoder (llama.cpp LLM_ARCH_BAICHUAN /
+    LLM_ARCH_XVERSE). A tiny HF Llama exported under the arch name must
+    produce identical logits + engine greedy decode."""
     from transformers import LlamaConfig, LlamaForCausalLM
     vocab, _, _ = build_vocab()
     torch.manual_seed(1)
@@ -2337,6 +2337,141 @@ def test_llama_graph_arch_aliases(tmp_path, arch):
         w.add_tensor(o + "ffn_norm.weight",
                      _np(st, p + "post_attention_layernorm.weight"))
         _qkvo(w, st, p, o, permute_heads=H, hkv=HKV)
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_orion_matches_transformers(tmp_path):
+    """orion: biased LayerNorm + full neox rotary + gated SiLU on a
+    llama graph (llama.cpp LLM_ARCH_ORION; converts without the q/k
+    permutation). transformers ships no Orion class, but StableLm at
+    partial_rotary_factor=1.0 without qkv biases IS that block, so it
+    serves as the golden under the orion arch string."""
+    from transformers import StableLmConfig, StableLmForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = StableLmConfig(vocab_size=len(vocab), hidden_size=E,
+                        num_hidden_layers=L, num_attention_heads=H,
+                        num_key_value_heads=HKV, intermediate_size=FF,
+                        partial_rotary_factor=1.0, use_qkv_bias=False,
+                        layer_norm_eps=1e-5, use_cache=False,
+                        rope_theta=10000.0, tie_word_embeddings=False)
+    hm = StableLmForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "orion.gguf")
+    w, V = _gguf_header(path, "orion", HKV, D)
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output_norm.bias", _np(st, "model.norm.bias"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "attn_norm.bias",
+                     _np(st, p + "input_layernorm.bias"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.bias",
+                     _np(st, p + "post_attention_layernorm.bias"))
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_chatglm_matches_transformers(tmp_path):
+    """chatglm (chatglm3 / glm-4-9b generation, llama.cpp
+    LLM_ARCH_CHATGLM): glm4's interleaved partial rotary + fused gate|up
+    + qkv biases WITHOUT the glm4 sandwich norms. Goldened against HF's
+    GlmForCausalLM (the in-library port of that generation)."""
+    from transformers import GlmConfig, GlmForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = GlmConfig(vocab_size=len(vocab), hidden_size=E,
+                   num_hidden_layers=L, num_attention_heads=H,
+                   num_key_value_heads=HKV, head_dim=D,
+                   intermediate_size=FF, partial_rotary_factor=0.5,
+                   rms_norm_eps=1e-5, use_cache=False,
+                   rope_theta=10000.0, attention_bias=True,
+                   pad_token_id=0, eos_token_id=2,
+                   tie_word_embeddings=False)
+    hm = GlmForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "chatglm.gguf")
+    w, V = _gguf_header(path, "chatglm", HKV, D // 2,
+                        extra=[("attention.key_length", D),
+                               ("attention.layer_norm_rms_epsilon", 1e-5)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        _qkvo(w, st, p, o, bias=True)
+        w.add_tensor(o + "ffn_up.weight",
+                     _np(st, p + "mlp.gate_up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_hunyuan_dense_matches_transformers(tmp_path):
+    """hunyuan-dense (llama.cpp LLM_ARCH_HUNYUAN_DENSE): llama graph
+    with per-head q/k RMSNorm applied AFTER the (neox) rotation — the
+    cache stores post-norm keys like the HF reference."""
+    from transformers import (HunYuanDenseV1Config,
+                              HunYuanDenseV1ForCausalLM)
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = HunYuanDenseV1Config(vocab_size=len(vocab), hidden_size=E,
+                              num_hidden_layers=L, num_attention_heads=H,
+                              num_key_value_heads=HKV, head_dim=D,
+                              intermediate_size=FF, rms_norm_eps=1e-5,
+                              use_cache=False, rope_theta=10000.0,
+                              attention_bias=False,
+                              tie_word_embeddings=False)
+    hm = HunYuanDenseV1ForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "hunyuan.gguf")
+    w, V = _gguf_header(path, "hunyuan-dense", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "attn_q_norm.weight",
+                     _np(st, p + "self_attn.query_layernorm.weight"))
+        w.add_tensor(o + "attn_k_norm.weight",
+                     _np(st, p + "self_attn.key_layernorm.weight"))
+        _qkvo(w, st, p, o)
         w.add_tensor(o + "ffn_gate.weight",
                      _np(st, p + "mlp.gate_proj.weight"))
         w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
