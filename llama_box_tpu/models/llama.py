@@ -1676,7 +1676,7 @@ prefill_embed = partial(jax.jit, static_argnames=("cfg", "attn_len"),
 
 def prefill_batch_impl(params, cfg: ModelConfig, tokens, pos_base, n_valid,
                        kv: KVCache, rope_cos, rope_sin,
-                       attn_len: int = 0):
+                       attn_len: int = 0, contig_write: bool = False):
     """Batched prefill: one chunk per SLOT in a single fused program (the
     reference packs multiple prefilling tasks into one llama_decode).
 
@@ -1705,20 +1705,54 @@ def prefill_batch_impl(params, cfg: ModelConfig, tokens, pos_base, n_valid,
         rope_sin, view(kv.k_scale), view(kv.v_scale), deferred_kv=True,
         emit_rows=True, flash_meta=meta)
     L = kv.k.shape[0]
-    li = jnp.arange(L)[:, None, None]
-    bi = jnp.arange(S)[None, :, None]
-    pi = jnp.broadcast_to(positions[None], (L, S, T))
-    if kv.quantized:
-        kq, vq, ksr, vsr = rows
-        kv = KVCache(
-            k=kv.k.at[li, bi, pi].set(kq, mode="drop"),
-            v=kv.v.at[li, bi, pi].set(vq, mode="drop"),
-            k_scale=kv.k_scale.at[li, bi, pi].set(ksr, mode="drop"),
-            v_scale=kv.v_scale.at[li, bi, pi].set(vsr, mode="drop"))
+    if contig_write:
+        # per-slot contiguous window writes (the decode chain's write
+        # pattern): the gather-scatter alternative streams the WHOLE
+        # cache through a read+write per leaf — profiled 3.2 ms per k/v
+        # leaf (18% of the batched 4x512 prefill) at the serving shape.
+        # Caller guarantees max(pos_base) + T <= C; rows past n_valid
+        # (and non-prefilling slots, n_valid == 0) keep their current
+        # contents via the row mask.
+        cols = jnp.arange(T, dtype=jnp.int32)
+
+        def write_slot(leaf, rows_leaf, s):
+            start = jnp.clip(pos_base[s], 0, C - T)
+            idx = (jnp.int32(0), jnp.int32(s), start) \
+                + (jnp.int32(0),) * (leaf.ndim - 3)
+            cur = jax.lax.dynamic_slice(
+                leaf, idx, (L, 1, T) + leaf.shape[3:])
+            upd = jax.lax.dynamic_slice_in_dim(rows_leaf, s, 1, axis=1)
+            ok = (cols < n_valid[s]).reshape(
+                (1, 1, T) + (1,) * (leaf.ndim - 3))
+            new = jnp.where(ok, upd.astype(leaf.dtype), cur)
+            return jax.lax.dynamic_update_slice(leaf, new, idx)
+
+        leaves = [kv.k, kv.v]
+        rows_l = list(rows[:2])
+        if kv.quantized:
+            leaves += [kv.k_scale, kv.v_scale]
+            rows_l += [rows[2], rows[3]]
+        for s in range(S):
+            leaves = [write_slot(lf, rl, s)
+                      for lf, rl in zip(leaves, rows_l)]
+        kv = (KVCache(k=leaves[0], v=leaves[1], k_scale=leaves[2],
+                      v_scale=leaves[3]) if kv.quantized
+              else KVCache(k=leaves[0], v=leaves[1]))
     else:
-        kr, vr = rows
-        kv = KVCache(k=kv.k.at[li, bi, pi].set(kr, mode="drop"),
-                     v=kv.v.at[li, bi, pi].set(vr, mode="drop"))
+        li = jnp.arange(L)[:, None, None]
+        bi = jnp.arange(S)[None, :, None]
+        pi = jnp.broadcast_to(positions[None], (L, S, T))
+        if kv.quantized:
+            kq, vq, ksr, vsr = rows
+            kv = KVCache(
+                k=kv.k.at[li, bi, pi].set(kq, mode="drop"),
+                v=kv.v.at[li, bi, pi].set(vq, mode="drop"),
+                k_scale=kv.k_scale.at[li, bi, pi].set(ksr, mode="drop"),
+                v_scale=kv.v_scale.at[li, bi, pi].set(vsr, mode="drop"))
+        else:
+            kr, vr = rows
+            kv = KVCache(k=kv.k.at[li, bi, pi].set(kr, mode="drop"),
+                         v=kv.v.at[li, bi, pi].set(vr, mode="drop"))
     last = jnp.maximum(n_valid - 1, 0)
     x_last = jnp.take_along_axis(
         x, last[:, None, None].astype(jnp.int32).repeat(x.shape[-1], 2),
@@ -1727,7 +1761,9 @@ def prefill_batch_impl(params, cfg: ModelConfig, tokens, pos_base, n_valid,
     return logits, kv
 
 
-prefill_batch = partial(jax.jit, static_argnames=("cfg", "attn_len"),
+prefill_batch = partial(jax.jit,
+                        static_argnames=("cfg", "attn_len",
+                                         "contig_write"),
                         donate_argnames=("kv",))(prefill_batch_impl)
 
 

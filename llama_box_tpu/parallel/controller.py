@@ -324,7 +324,9 @@ def engine_ops(engine) -> dict[str, Callable]:
         logits, engine.kv = prefill_batch(
             engine.params, engine.cfg, jnp.asarray(a["tokens"]),
             jnp.asarray(a["pos_base"]), jnp.asarray(a["n_valid"]),
-            engine.kv, engine.rope_cos, engine.rope_sin)
+            engine.kv, engine.rope_cos, engine.rope_sin,
+            attn_len=int(s.get("attn_len", 0)),
+            contig_write=bool(s.get("contig", False)))
 
     def op_prefill_embed(a, s):
         bidir = None

@@ -1091,10 +1091,14 @@ class Engine:
                 jnp.asarray(pos_base), jnp.asarray(n_valid), self.kv,
                 self.rope_cos, self.rope_sin)
         else:
+            # contiguous per-slot window writes need every slot's window
+            # inside capacity (near-capacity chunks use gather-scatter)
+            contig = bool(np.all(pos_base + bucket <= self.slot_ctx))
             logits, self.kv = prefill_batch(
                 self.params, self.cfg, jnp.asarray(tokens),
                 jnp.asarray(pos_base), jnp.asarray(n_valid), self.kv,
-                self.rope_cos, self.rope_sin, attn_len=AL)
+                self.rope_cos, self.rope_sin, attn_len=AL,
+                contig_write=contig)
         done = []
         for s in slots:
             n = chunks[s.idx]

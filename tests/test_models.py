@@ -56,6 +56,52 @@ def test_deinterleave_rope_identity(tmp_path):
                                                      rope_mode="neox"))
     assert p3 is params and cfg3.rope_mode == "neox"
 
+def test_prefill_batch_contig_write_identity(tmp_path):
+    """prefill_batch's contiguous per-slot window write must leave the
+    LIVE cache region and logits identical to the gather-scatter path —
+    including partial rows (n_valid < bucket) and idle slots (n_valid=0,
+    whose prefix-cache contents must survive untouched)."""
+    import jax.numpy as jnp
+
+    from llama_box_tpu.models import load_model
+    from llama_box_tpu.models.llama import (init_kv_cache, make_rope,
+                                            prefill_batch_impl)
+    from .fixtures.make_tiny_model import write_tiny_model
+
+    rng = np.random.default_rng(2)
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    S, C, T = 4, 64, 16
+    cos, sin = make_rope(cfg, C)
+    kv0 = init_kv_cache(cfg, S, C, jnp.float32)
+    # slot 3 idle but holding prefix-cache rows that must survive
+    marker = jnp.asarray(rng.normal(size=kv0.k[:, 3, :8].shape)
+                         .astype(np.float32))
+    kv0 = kv0._replace(k=kv0.k.at[:, 3, :8].set(marker))
+    tokens = jnp.asarray(rng.integers(3, cfg.vocab_size, (S, T)),
+                         jnp.int32)
+    pos_base = jnp.asarray([0, 5, 0, 0], jnp.int32)
+    n_valid = jnp.asarray([T, 10, 7, 0], jnp.int32)
+
+    la, kva = prefill_batch_impl(params, cfg, tokens, pos_base, n_valid,
+                                 kv0, cos, sin, contig_write=False)
+    lb, kvb = prefill_batch_impl(params, cfg, tokens, pos_base, n_valid,
+                                 kv0, cos, sin, contig_write=True)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    # live regions per slot identical; idle slot fully identical
+    ends = [int(pos_base[s]) + int(n_valid[s]) for s in range(S)]
+    for s in range(S):
+        np.testing.assert_array_equal(
+            np.asarray(kva.k[:, s, :ends[s]]),
+            np.asarray(kvb.k[:, s, :ends[s]]))
+        np.testing.assert_array_equal(
+            np.asarray(kva.v[:, s, :ends[s]]),
+            np.asarray(kvb.v[:, s, :ends[s]]))
+    np.testing.assert_array_equal(np.asarray(kvb.k[:, 3, :8]),
+                                  np.asarray(marker))
+
+
 def test_fused_projections_identity(tmp_path):
     """fuse_projections (wqkv / w_gateup) must be output-identical to the
     unfused forward — dense and quantized residencies."""
