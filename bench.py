@@ -139,7 +139,7 @@ def serve_bench(cfg, params, V, n_req: int = 4, prompt_len: int = 512,
                               n_ubatch=512, prompt_cache=False,
                               decode_chain=16,
                               pipeline_depth=int(os.environ.get(
-                                  "LLAMA_BOX_TPU_BENCH_PDEPTH", 1))))
+                                  "LLAMA_BOX_TPU_BENCH_PDEPTH", 2))))
     eng.start()
     try:
         def submit_all():

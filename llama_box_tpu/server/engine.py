@@ -429,12 +429,13 @@ class EngineConfig:
     # detokenize/stop-scan work (False = strictly alternating)
     pipeline_chain: bool = True
     # how many speculative chains to keep in flight beyond the one being
-    # synced. Default 1: through the axon tunnel a host sync queues
-    # behind every already-dispatched chain, so depth 2 made each sync
-    # wait an extra chain (serving decode 1838 -> 1462 tok/s measured);
-    # the host-side dispatch cost is hidden with copy_to_host_async
-    # instead. Depth >1 kept for runtimes with out-of-band transfers.
-    pipeline_depth: int = 1
+    # synced. Each chain's device->host copy is issued immediately after
+    # its dispatch (in-order transport) and drained by the transfer
+    # thread, so extra in-flight chains no longer delay syncs. Measured
+    # (serving bench, 2026-08-20): depth 1 = 1868.6 tok/s (spread 1610-
+    # 1948), depth 2 = 1956.5 (spread <1%), depth 3 = 1773 with TTFT
+    # 119ms (in-flight chains delay the next burst's prefill) -> 2.
+    pipeline_depth: int = 2
     # adaptive first-chain length: a freshly prefilled slot forces the
     # joint chain down to this many steps (then x4 per chain until it
     # reaches decode_chain), so the first streamed tokens reach the host
