@@ -137,7 +137,8 @@ def serve_bench(cfg, params, V, n_req: int = 4, prompt_len: int = 512,
     eng = Engine(cfg, params, _BenchTokenizer(V),
                  EngineConfig(n_slots=n_req, n_ctx=1024 * n_req,
                               n_ubatch=512, prompt_cache=False,
-                              decode_chain=16,
+                              decode_chain=int(os.environ.get(
+                                  "LLAMA_BOX_TPU_BENCH_CHAIN", 16)),
                               pipeline_depth=int(os.environ.get(
                                   "LLAMA_BOX_TPU_BENCH_PDEPTH", 2))))
     eng.start()

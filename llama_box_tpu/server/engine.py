@@ -1612,15 +1612,16 @@ class Engine:
                         and s.pos + 1 + self.ecfg.draft_max <= s.capacity
                         for s in dec)):
             # M-round device chain when every slot has room for the whole
-            # chain's worst-case advance (near capacity: one-round fused
-            # pass, then the shift path at the exact unchained boundary)
+            # chain's worst-case advance. M is NOT shrunk to the token
+            # budget: burst-end overshoot costs a few discarded device
+            # rounds, while each distinct M (and the one-round fused
+            # tail) is a separate compiled program whose first-use
+            # compile dwarfs that. Near capacity M shrinks to what fits
+            # (>=2), then the one-round pass + the exact-boundary shift.
             per_round = 1 + self.ecfg.draft_max
-            max_bl = max(s.task.budget_left() for s in dec)
-            M = min(self.ecfg.spec_rounds,
-                    max(1, -(-max_bl // per_round)))
-            if (M > 1 and not self.cfg.mrope_sections
-                    and all(s.pos + M * per_round <= s.capacity
-                            for s in dec)):
+            room = min(s.capacity - s.pos for s in dec)
+            M = min(self.ecfg.spec_rounds, room // per_round)
+            if M > 1 and not self.cfg.mrope_sections:
                 self._decode_pass_spec_chain(dec, M)
                 return
             self._decode_pass_fused_draft(dec)

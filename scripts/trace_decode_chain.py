@@ -76,12 +76,30 @@ AL = (0 if flash_decode_active(cfg, C)
       else min(C, -(-(C // 2 + 16 * K) // 256) * 256))
 
 
-def step(tokens, kv, sstate, p):
-    pos0 = jnp.full((S,), p, jnp.int32)
-    toks, _, _, _, kv, sstate = _decode_chain(
-        params, cfg, tokens, pos0, kv, sstate, arrs, active, cos, sin,
-        n_steps=K, attn_len=AL, samp_extras=False)
-    return toks[:, -1], kv, sstate
+import os
+
+if os.environ.get("TRACE_AOT"):
+    # AOT-compile the exact program and dump its optimized HLO so trace
+    # op names map to source lines reliably (per-process numbering)
+    _pos0 = jnp.full((S,), pos, jnp.int32)
+    _comp = _decode_chain.lower(
+        params, cfg, tokens, _pos0, kv, sstate, arrs, active, cos, sin,
+        n_steps=K, attn_len=AL, samp_extras=False).compile()
+    open(f"/tmp/chain_hlo_live_K{K}_{MODE}.txt", "w").write(
+        _comp.as_text())
+
+    def step(tokens, kv, sstate, p):
+        pos0 = jnp.full((S,), p, jnp.int32)
+        toks, _, _, _, kv, sstate = _comp(
+            params, tokens, pos0, kv, sstate, arrs, active, cos, sin)
+        return toks[:, -1], kv, sstate
+else:
+    def step(tokens, kv, sstate, p):
+        pos0 = jnp.full((S,), p, jnp.int32)
+        toks, _, _, _, kv, sstate = _decode_chain(
+            params, cfg, tokens, pos0, kv, sstate, arrs, active, cos,
+            sin, n_steps=K, attn_len=AL, samp_extras=False)
+        return toks[:, -1], kv, sstate
 
 
 import os
