@@ -575,7 +575,7 @@ def main():
             qbytes = sum(x.size * x.dtype.itemsize
                          for x in jax.tree.leaves(qp8))
 
-    serving = None
+    serving = sustained = None
     vision = spec = None
     if on_tpu:
         import sys
@@ -584,6 +584,18 @@ def main():
             print(f"# serving: {serving}", file=sys.stderr, flush=True)
         except Exception as exc:  # noqa: BLE001 — serving bench is additive
             print(f"# serving bench failed: {exc!r}", file=sys.stderr,
+                  flush=True)
+        try:
+            # sustained window: 256-token generations halve the share of
+            # the per-burst drain (the final chain of a burst has nothing
+            # to overlap its sync with; steady-state cycles are
+            # sync-bound at ~the kernel-loop rate — chain_prof rows)
+            sustained = serve_bench(cfg, qp8 if tok_s_w8 else dense_params,
+                                    V, gen_len=256)
+            print(f"# serving_sustained: {sustained}", file=sys.stderr,
+                  flush=True)
+        except Exception as exc:  # noqa: BLE001
+            print(f"# sustained bench failed: {exc!r}", file=sys.stderr,
                   flush=True)
         try:
             vision = vision_bench(cfg, dense_params, V)
@@ -601,6 +613,8 @@ def main():
     pbytes = sum(x.size * x.dtype.itemsize
                  for x in jax.tree.leaves(dense_params))
     extra = {"serving": serving} if serving else {}
+    if sustained:
+        extra["serving_sustained"] = sustained
     if vision:
         extra["vision"] = vision     # BASELINE config 3 (TTFT)
     if spec:

@@ -160,11 +160,14 @@ def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
         logits = _output_logits(params, cfg, x[:, -1])            # [S,V]
         tok2, ids, probs, tokp, sstate = sample_impl(
             logits, sstate, arrs, active, extras=samp_extras)
-        # store this step's rows at chain index j (leaves [L,S,1,...])
+        # store this step's rows at chain index j (leaves [L,S,1,...]);
+        # a one-hot where-merge is a single fusable elementwise pass over
+        # the small accumulator, vs a dynamic-update-slice that writes
+        # L*S strided sub-blocks (measured 12us/step at the bench shape)
+        oh = (jnp.arange(Kc, dtype=jnp.int32) == j)
         acc = tuple(
-            jax.lax.dynamic_update_slice(
-                a, r.astype(a.dtype),
-                (0, 0, j) + (0,) * (a.ndim - 3))
+            jnp.where(oh.reshape((1, 1, Kc) + (1,) * (a.ndim - 3)),
+                      r.astype(a.dtype), a)
             for a, r in zip(acc, rows))
         return (tok2, acc, sstate), (tok2, ids, probs, tokp)
 
