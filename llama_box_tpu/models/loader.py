@@ -627,8 +627,10 @@ def deinterleave_rope(params: dict, cfg: ModelConfig):
 
     Returns (params, cfg') with cfg'.rope_mode == 'neox', or the inputs
     unchanged when the transform doesn't apply (already neox, MLA,
-    M-RoPE, per-layer groups, dynamic q/k LoRA, sharded tensors, or
-    layouts that don't match n_heads*head_dim).
+    M-RoPE, per-layer groups, dynamic q/k LoRA, sharded QTensors, or
+    layouts that don't match n_heads*head_dim). Mesh engines never
+    reach this (fuse_params returns before it); only sharded QTensor
+    leaves are explicitly checked here.
     """
     import dataclasses
 

@@ -49,6 +49,26 @@ from .task import (BaseTask, CompletionsTask, EmbeddingsTask, ImagesTask,
 DEFAULT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
 
+# experiment knob, read ONCE at import (it is baked into the traced
+# program — flipping it mid-process would silently not retrace)
+import os as _os
+
+_CHAIN_SCATTER = bool(_os.environ.get("LLAMA_BOX_TPU_CHAIN_SCATTER"))
+
+
+def _issue_copies(toks, ids, probs, tokps, want_probs: bool) -> None:
+    """Request device->host transfers NOW (in-order transport: a copy
+    issued before the next dispatch is served before that dispatch's
+    whole chain)."""
+    try:
+        toks.copy_to_host_async()
+        if want_probs:
+            for a in (ids, probs, tokps):
+                a.copy_to_host_async()
+    except Exception:  # noqa: BLE001 — backend without async copies
+        pass
+
+
 def _pow2_floor(n: int) -> int:
     """Largest power of two <= n (0 for n < 1) — chain-length buckets
     near the context boundary keep the program-variant count bounded."""
@@ -192,10 +212,9 @@ def _decode_chain(params, cfg: ModelConfig, token0, pos0, kv, sstate,
         new = jnp.where(active[s], upd.astype(leaf.dtype), cur)
         return jax.lax.dynamic_update_slice(leaf, new, idx)
 
-    import os
     k_new, v_new = kv.k, kv.v
     ks_new, vs_new = (kv.k_scale, kv.v_scale) if quant else (None, None)
-    if os.environ.get("LLAMA_BOX_TPU_CHAIN_SCATTER"):
+    if _CHAIN_SCATTER:
         # experiment: one gather-scatter over (L, S, K) indices instead
         # of S per-slot DUS windows (position >= C sentinel drops)
         li = jnp.arange(L)[:, None, None]
@@ -1469,8 +1488,8 @@ class Engine:
         probs_h = np.asarray(probs) if want else None
         tokps_h = np.asarray(tokps) if want else None
         tasks0 = [s.task for s in self.slots]
+        gen0 = {s.idx: len(s.task.generated) for s in dec}
         last_nem = {s.idx: 0 for s in dec}
-        n_tok = 0
         for m in range(M):
             alive = [s for s in dec
                      if s.task is not None and s.task is tasks0[s.idx]]
@@ -1485,7 +1504,6 @@ class Engine:
                 s.drafts = [int(tk) for tk in
                             toks_m[s.idx, :int(ndr_m[s.idx])]]
                 last_nem[s.idx] = int(nem_m[s.idx])
-                n_tok += int(nem_m[s.idx])
             self._emit_verify(
                 alive, toks_m, nem_m,
                 ids_h[m] if ids_h is not None else None,
@@ -1498,6 +1516,10 @@ class Engine:
             if s.task is not None and s.task is tasks0[s.idx]:
                 s.draft_pos = s.pos - last_nem[s.idx] + 1
             s.drafts = []
+        # count only tokens the host actually accepted (tasks0 keeps the
+        # released tasks' generated lists reachable)
+        n_tok = sum(len(tasks0[s.idx].generated) - gen0[s.idx]
+                    for s in dec)
         self.metrics.on_decode(n_tok, (time.monotonic() - t0) * 1e3)
 
     def _decode_pass_fused_draft(self, dec: list) -> None:
@@ -1863,14 +1885,8 @@ class Engine:
         # issue this chain's device->host transfer BEFORE dispatching the
         # next chains: the transport serves requests in order, so a
         # transfer requested after a dispatch waits out that whole chain
-        want_probs0 = any(s.task.n_probs > 0 for s in dec)
-        try:
-            toks.copy_to_host_async()
-            if want_probs0:
-                for a in (ids, probs, tokps):
-                    a.copy_to_host_async()
-        except Exception:  # noqa: BLE001 — backend without async copies
-            pass
+        _issue_copies(toks, ids, probs, tokps,
+                      any(s.task.n_probs > 0 for s in dec))
         # pipelining: enqueue the next chains (token0 = device-resident
         # last sampled tokens) BEFORE the host sync below, so the device
         # works through the sync + detokenize/stop-scan window instead of
@@ -1952,16 +1968,9 @@ class Engine:
                 "t0": time.monotonic(), "ev": threading.Event(),
                 "want_probs": any(s.task.n_probs > 0 for s in dec),
             }
-            # issue the device->host copies NOW, before any later
-            # dispatch (in-order transport), and let the transfer
-            # thread block on them
-            try:
-                toks.copy_to_host_async()
-                if rec["want_probs"]:
-                    for a in (ids2, probs2, tokps2):
-                        a.copy_to_host_async()
-            except Exception:  # noqa: BLE001
-                pass
+            # copies issued before any later dispatch; the transfer
+            # thread blocks on them
+            _issue_copies(toks, ids2, probs2, tokps2, rec["want_probs"])
             self._chain_q.append(rec)
             self._xfer_q.put(rec)
             self._bump_ramps(dec)
@@ -1995,15 +2004,9 @@ class Engine:
         ts0 = time.monotonic()
         want_probs = any(s.task.n_probs > 0 for s in covered)
         if "ev" not in pend:
-            # legacy record (no transfer thread): issue the copy BEFORE
-            # dispatching the next chain (in-order transport)
-            try:
-                pend["toks"].copy_to_host_async()
-                if want_probs:
-                    for key in ("ids", "probs", "tokps"):
-                        pend[key].copy_to_host_async()
-            except Exception:  # noqa: BLE001
-                pass
+            # legacy record (no transfer thread)
+            _issue_copies(pend["toks"], pend["ids"], pend["probs"],
+                          pend["tokps"], want_probs)
         if len(covered) == len(dec):
             act = np.zeros_like(pend["active"])
             for s in covered:

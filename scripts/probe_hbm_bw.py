@@ -27,13 +27,15 @@ def run(dtype, name):
 
     @jax.jit
     def mv(x, s):
-        # one full read of x; the tiny output feeds the next dispatch so
-        # dispatches serialize without host syncs
+        # one full read of x; the FULL dot output stays live (summing all
+        # of y — a sliced output would let XLA narrow the dot, the
+        # CLAUDE.md DCE microbench hazard); the scalar feeds the next
+        # dispatch so dispatches serialize without host syncs
         y = jax.lax.dot_general(
             x, ones, (((1,), (0,)), ((), ())),
             preferred_element_type=(jnp.int32 if dtype == jnp.int8
                                     else jnp.float32))
-        return y[::4096].sum() + s
+        return y.sum() + s
 
     s = mv(x, jnp.zeros((), jnp.int32 if dtype == jnp.int8
                         else jnp.float32))

@@ -89,6 +89,8 @@ if os.environ.get("TRACE_AOT"):
         _comp.as_text())
 
     def step(tokens, kv, sstate, p):
+        # p is a runtime argument of the compiled executable — positions
+        # walk exactly like the non-AOT mode
         pos0 = jnp.full((S,), p, jnp.int32)
         toks, _, _, _, kv, sstate = _comp(
             params, tokens, pos0, kv, sstate, arrs, active, cos, sin)
@@ -125,26 +127,9 @@ with jax.profiler.trace(tdir):
     np.asarray(tokens)
 
 # -- analyze ------------------------------------------------------------
-files = glob.glob(tdir + "/**/*.trace.json.gz", recursive=True)
-assert files, f"no trace under {tdir}"
-with gzip.open(sorted(files)[-1], "rt") as f:
-    tr = json.load(f)
-ev = tr["traceEvents"]
-# device-op events carry pid/tid of the TensorCore op track; aggregate by
-# name over the capture, then divide by the 4 captured chains
-by_name = defaultdict(lambda: [0.0, 0])
-pids = {e.get("pid"): e.get("args", {}).get("name", "")
-        for e in ev if e.get("ph") == "M" and e.get("name") == "process_name"}
-core_pids = {p for p, n in pids.items()
-             if "TensorCore" in n or "/device:" in n or "Chip" in n}
-for e in ev:
-    if e.get("ph") != "X" or e.get("pid") not in core_pids:
-        continue
-    name = e.get("name", "")
-    if not name or name.startswith("Steps"):
-        continue
-    by_name[name][0] += e.get("dur", 0.0)
-    by_name[name][1] += 1
+from _trace_util import load_device_ops  # noqa: E402
+
+by_name = load_device_ops(tdir)
 rows = sorted(by_name.items(), key=lambda kvp: -kvp[1][0])
 tot = sum(v[0] for _, v in rows)
 print(f"# total device us over capture: {tot:.0f} "

@@ -65,10 +65,7 @@ print(f"bq={bq} bc={bc}: {dt * 1e3:.2f} ms per batched 4x{T} prefill "
       f"({S * T / dt:.0f} tok/s)", flush=True)
 
 if os.environ.get("TUNE_PREFILL_TRACE"):
-    import glob
-    import gzip
-    import json as _json
-    from collections import defaultdict
+    from _trace_util import load_device_ops, print_table
     tdir = "/tmp/trace_prefill"
     with jax.profiler.trace(tdir):
         for _ in range(3):
@@ -76,22 +73,4 @@ if os.environ.get("TUNE_PREFILL_TRACE"):
                                        n_valid, kv, cos, sin, attn_len=AL,
                                        contig_write=CONTIG)
         np.asarray(logits[:1, :1])
-    files = glob.glob(tdir + "/**/*.trace.json.gz", recursive=True)
-    with gzip.open(sorted(files)[-1], "rt") as f:
-        tr = _json.load(f)
-    ev = tr["traceEvents"]
-    pids = {e.get("pid"): e.get("args", {}).get("name", "")
-            for e in ev
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    core = {p for p, n in pids.items()
-            if "TensorCore" in n or "/device:" in n or "Chip" in n}
-    agg = defaultdict(lambda: [0.0, 0])
-    for e in ev:
-        if e.get("ph") != "X" or e.get("pid") not in core:
-            continue
-        agg[e.get("name", "")][0] += e.get("dur", 0.0)
-        agg[e.get("name", "")][1] += 1
-    rows = sorted(agg.items(), key=lambda kv2: -kv2[1][0])
-    print(f"{'us/call':>10} {'count':>6}  name")
-    for name, (dur, cnt) in rows[:40]:
-        print(f"{dur / 3:10.1f} {cnt:6d}  {name[:100]}")
+    print_table(load_device_ops(tdir), divisor=3, n_rows=40)
