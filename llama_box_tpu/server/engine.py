@@ -319,6 +319,7 @@ def _draft_chain_greedy(params, cfg: ModelConfig, token0, pos0, kv,
 def _spec_chain(params, cfg: ModelConfig, dparams, dcfg: ModelConfig,
                 token0, pos0, kv, dkv, sstate, arrs, active,
                 cos, sin, dcos, dsin, p_min,
+                pcarry,
                 n_rounds: int, draft_k: int):
     """n_rounds speculative draft+verify rounds in ONE dispatch, with all
     accept/advance bookkeeping ON DEVICE — the reference's host-side draft
@@ -336,6 +337,13 @@ def _spec_chain(params, cfg: ModelConfig, dparams, dcfg: ModelConfig,
          + verify_impl + row scatter at absolute positions;
       4. token0' = toks[nem-1], pos0' = pos0 + nem (device-resident).
 
+    pcarry: (ptoks [S,T], pnem [S], ppos0 [S], pvalid [S]) — a PREVIOUS
+    dispatch's final round, whose accepted tail must enter the draft KV
+    before round 0 drafts (pipelined dispatches can't run the host-side
+    catch-up; pvalid=False rows make round 0's catch-up a masked no-op,
+    which is how the first dispatch of a burst runs after its host
+    catch-up).
+
     Greedy-identical to iterating the one-round fused pass: the math per
     round is the same; only where the bookkeeping lives changes. Stale KV
     rows from rejected drafts are overwritten by the next round's verify
@@ -344,6 +352,7 @@ def _spec_chain(params, cfg: ModelConfig, dparams, dcfg: ModelConfig,
 
     Returns (packed [M, S, T+2] int32: toks | n_emitted | n_draft,
              ids [M, S, T, NP], probs, tokps, token_next [S], pos_end [S],
+             carry_next = (toks, nem, pos0) of the final round,
              kv, dkv, sstate).
     """
     S = token0.shape[0]
@@ -353,7 +362,8 @@ def _spec_chain(params, cfg: ModelConfig, dparams, dcfg: ModelConfig,
     cols_t = jnp.arange(T, dtype=jnp.int32)[None, :]
     cols_k = jnp.arange(K, dtype=jnp.int32)[None, :]
     outs, ids_l, probs_l, tokps_l = [], [], [], []
-    prev = None                      # (toks [S,T], nem [S], pos0 [S])
+    ptoks0, pnem0, ppos00, pvalid = pcarry
+    prev = (ptoks0, jnp.where(pvalid, pnem0, 0), ppos00)
     tok_cur, pos_cur = token0, pos0
     for m in range(n_rounds):
         if prev is not None:
@@ -408,7 +418,8 @@ def _spec_chain(params, cfg: ModelConfig, dparams, dcfg: ModelConfig,
         tok_cur = jnp.where(active, tok_cur, token0)
         pos_cur = pos_cur + jnp.where(active, n_emitted, 0)
     return (jnp.stack(outs), jnp.stack(ids_l), jnp.stack(probs_l),
-            jnp.stack(tokps_l), tok_cur, pos_cur, kv, dkv, sstate)
+            jnp.stack(tokps_l), tok_cur, pos_cur, prev,
+            kv, dkv, sstate)
 
 
 @dataclasses.dataclass
@@ -520,6 +531,9 @@ class Engine:
         # speculative decode chains in flight (oldest first, up to
         # ecfg.pipeline_depth) — see _speculate_chain
         self._chain_q: list[dict] = []
+        # pipelined M-round spec passes in flight (_dispatch_spec_chain /
+        # _consume_spec_chain)
+        self._spec_q: list[dict] = []
         # transfer thread: blocks on each speculated chain's device->host
         # copy (issued right after its dispatch, BEFORE any later
         # dispatch — the transport serves in order) so the reconcile
@@ -1458,40 +1472,122 @@ class Engine:
 
     def _decode_pass_spec_chain(self, dec: list, M: int) -> None:
         """M draft+verify rounds in ONE dispatch + ONE host sync (see
-        _spec_chain). Tokens past a task's finish point are discarded
-        host-side, mirroring _decode_pass_chain's overshoot semantics."""
-        K = self.ecfg.draft_max
-        T = K + 1
+        _spec_chain), pipelined like plain chains: the next spec pass is
+        dispatched with the current pass's device-resident token0/pos/
+        catch-up carry before the current transfer is consumed, hiding
+        the per-pass dispatch latency. Tokens past a task's finish point
+        are discarded host-side (_decode_pass_chain's overshoot
+        semantics)."""
         S = len(self.slots)
         self._draft_catch_up(dec)
         self._refresh_arrs()
-        t0 = time.monotonic()
         token0 = np.zeros((S,), np.int32)
         pos0 = np.full((S,), self.slot_ctx, np.int32)
-        active = np.zeros((S,), bool)
         for s in dec:
             token0[s.idx] = s.next_token
             pos0[s.idx] = s.pos
+        self._dispatch_spec_chain(dec, M, jnp.asarray(token0),
+                                  jnp.asarray(pos0), None, pos0_h=pos0)
+        self._consume_spec_chain(dec)
+
+    def _dispatch_spec_chain(self, dec: list, M: int, token0, pos0,
+                             pcarry, pos0_h=None) -> None:
+        """Dispatch one M-round spec chain + issue its transfers; append
+        to the spec queue. token0/pos0 may be device-resident (pipelined
+        follow-ups); pos0_h is the host's known start positions (None for
+        speculative dispatches — filled in when the predecessor emits)."""
+        K = self.ecfg.draft_max
+        S = len(self.slots)
+        active = np.zeros((S,), bool)
+        for s in dec:
             active[s.idx] = True
-        packed, ids, probs, tokps, _tok_next, _pos_end, self.kv, \
+        if pcarry is None:
+            pcarry = (jnp.zeros((S, K + 1), jnp.int32),
+                      jnp.zeros((S,), jnp.int32),
+                      jnp.zeros((S,), jnp.int32),
+                      jnp.zeros((S,), bool))
+        packed, ids, probs, tokps, tok_next, pos_end, carry, self.kv, \
             self.draft_kv, self.sstate = _spec_chain(
                 self.params, self.cfg, self.draft_params, self.draft_cfg,
-                jnp.asarray(token0), jnp.asarray(pos0), self.kv,
-                self.draft_kv, self.sstate, self.arrs,
-                jnp.asarray(active), self.rope_cos, self.rope_sin,
-                self.draft_cos, self.draft_sin,
+                token0, pos0, self.kv, self.draft_kv, self.sstate,
+                self.arrs, jnp.asarray(active), self.rope_cos,
+                self.rope_sin, self.draft_cos, self.draft_sin,
                 jnp.float32(self.ecfg.draft_p_min),
-                n_rounds=M, draft_k=K)
-        packed_h = np.asarray(packed)          # ONE transfer
-        want = any(s.task.n_probs > 0 for s in dec)
-        ids_h = np.asarray(ids) if want else None
-        probs_h = np.asarray(probs) if want else None
-        tokps_h = np.asarray(tokps) if want else None
+                pcarry, n_rounds=M, draft_k=K)
+        tasks = [None] * S
+        for s in dec:
+            tasks[s.idx] = s.task
+        rec = {"toks": packed, "ids": ids, "probs": probs, "tokps": tokps,
+               "tok_next": tok_next, "pos_end": pos_end,
+               "carry": carry + (jnp.asarray(active),),
+               "tasks": tasks, "active": active, "M": M,
+               "pos0_h": pos0_h, "t0": time.monotonic(),
+               "ev": threading.Event(),
+               "want_probs": any(s.task.n_probs > 0 for s in dec)}
+        _issue_copies(packed, ids, probs, tokps, rec["want_probs"])
+        self._spec_q.append(rec)
+        self._xfer_q.put(rec)
+
+    def _fill_spec_queue(self, dec: list, pend: dict) -> None:
+        """Speculatively dispatch follow-up spec passes off the newest
+        in-flight pass's device outputs, up to pipeline_depth. pend is
+        the pass being consumed (popped but not yet emitted — its rounds
+        still count as in flight). Only while even FULL acceptance of
+        the in-flight rounds cannot cover every slot's budget (burst
+        tails stay unpipelined), and only while every covered position
+        stays within capacity (no shift can be needed mid-flight)."""
+        if not self.ecfg.pipeline_chain or self.control is not None:
+            return
+        per_round = 1 + self.ecfg.draft_max
+        while len(self._spec_q) < max(1, self.ecfg.pipeline_depth):
+            newest = self._spec_q[-1] if self._spec_q else pend
+            inflight = pend["M"] + sum(p["M"] for p in self._spec_q)
+            if max(self._remaining(s) for s in dec) \
+                    <= inflight * per_round:
+                return
+            M = self.ecfg.spec_rounds
+            if any(s.pos + (inflight + M) * per_round > s.capacity
+                   for s in dec):
+                return
+            self._dispatch_spec_chain(dec, M, newest["tok_next"],
+                                      newest["pos_end"],
+                                      newest["carry"][:4])
+
+    def _consume_spec_chain(self, dec: list) -> bool:
+        """Emit the OLDEST in-flight spec pass. Covered = same task at
+        the expected position (unknown-yet positions — speculative
+        dispatches — are resolved when their predecessor emits). Returns
+        False with the queue dropped when nothing is covered; the
+        device state of dropped work is rebuilt by re-admission
+        (reset_slot + prefill), exactly like dropped plain chains."""
+        pend = self._spec_q.pop(0)
+        K = self.ecfg.draft_max
+        T = K + 1
+        M = pend["M"]
+        covered = [s for s in dec
+                   if s.task is not None
+                   and pend["tasks"][s.idx] is s.task
+                   and (pend["pos0_h"] is None
+                        or s.pos == int(pend["pos0_h"][s.idx]))]
+        if not covered:
+            self._spec_q.clear()
+            return False
+        t0 = pend.get("t0", time.monotonic())
+        if len(covered) == len(dec):
+            self._fill_spec_queue(covered, pend)
+        pend["ev"].wait()
+        if "err" in pend:
+            raise pend["err"]
+        packed_h = pend["toks_h"]
+        want = pend["want_probs"]
+        ids_h = pend.get("ids_h") if want else None
+        probs_h = pend.get("probs_h") if want else None
+        tokps_h = pend.get("tokps_h") if want else None
         tasks0 = [s.task for s in self.slots]
-        gen0 = {s.idx: len(s.task.generated) for s in dec}
-        last_nem = {s.idx: 0 for s in dec}
+        gen0 = {s.idx: len(s.task.generated) for s in covered}
+        last_nem = {s.idx: 0 for s in covered}
         for m in range(M):
-            alive = [s for s in dec
+            alive = [s for s in covered
                      if s.task is not None and s.task is tasks0[s.idx]]
             if not alive:
                 break
@@ -1509,7 +1605,7 @@ class Engine:
                 ids_h[m] if ids_h is not None else None,
                 probs_h[m] if probs_h is not None else None,
                 tokps_h[m] if tokps_h is not None else None)
-        for s in dec:
+        for s in covered:
             # draft-KV coverage: everything before the last round's start
             # is caught up; the next pass's catch-up refeeds that round's
             # accepted tail (<= K tokens)
@@ -1519,8 +1615,17 @@ class Engine:
         # count only tokens the host actually accepted (tasks0 keeps the
         # released tasks' generated lists reachable)
         n_tok = sum(len(tasks0[s.idx].generated) - gen0[s.idx]
-                    for s in dec)
+                    for s in covered)
         self.metrics.on_decode(n_tok, (time.monotonic() - t0) * 1e3)
+        # the NEXT queued pass starts exactly where the emitted one
+        # ended — record it so its covered-check can compare
+        if self._spec_q and self._spec_q[0]["pos0_h"] is None:
+            nxt = np.full((len(self.slots),), -1, np.int64)
+            for s in covered:
+                if s.task is not None:
+                    nxt[s.idx] = s.pos
+            self._spec_q[0]["pos0_h"] = nxt
+        return True
 
     def _decode_pass_fused_draft(self, dec: list) -> None:
         """Draft + verify with ONE device->host transfer per pass: the
@@ -1599,6 +1704,9 @@ class Engine:
         # state already advanced through it) — use it, never re-dispatch
         if self._chain_q:
             if self._consume_pending_chain(dec):
+                return
+        if self._spec_q:
+            if self._consume_spec_chain(dec):
                 return
         # chained decode: K tokens per dispatch when no per-token host
         # control is needed this pass (drafts/grammar/rate buckets).

@@ -321,6 +321,49 @@ def test_spec_chain_matches_plain_and_one_round(spec_setup):
         spec.stop()
 
 
+def test_spec_chain_pipelined_identity(spec_setup):
+    """Pipelined spec passes (pass N+1 dispatched off pass N's
+    device-resident carry before N's transfer is consumed) must stay
+    greedy-identical to plain decode, and the fill path must actually
+    speculate (budget > in-flight rounds)."""
+    from llama_box_tpu.server import engine as em
+    cfg, params, tok = spec_setup
+    plain = Engine(cfg, params, tok,
+                   EngineConfig(n_slots=2, n_ctx=1024, n_ubatch=32))
+    spec = Engine(cfg, params, tok,
+                  EngineConfig(n_slots=2, n_ctx=1024, n_ubatch=32,
+                               draft_max=4, draft_p_min=0.0,
+                               spec_rounds=2, pipeline_depth=2),
+                  draft=(cfg, params))
+    speculated = []
+    orig = em.Engine._fill_spec_queue
+
+    def spy(self, dec, pend):
+        n0 = len(self._spec_q)
+        orig(self, dec, pend)
+        if len(self._spec_q) > n0:
+            speculated.append(len(self._spec_q) - n0)
+
+    em.Engine._fill_spec_queue = spy
+    plain.start()
+    spec.start()
+    try:
+        toks = tok.encode("the quick brown fox jumps")
+        f_plain = _run(plain, toks, 64)
+        f_spec = _run(spec, toks, 64)
+        assert f_spec.generated == f_plain.generated
+        assert f_spec.n_draft_accepted == f_spec.n_drafted > 0
+        assert speculated, "no spec pass was ever pipelined"
+        # back-to-back requests reuse the machinery cleanly
+        f2p = _run(plain, toks, 40)
+        f2s = _run(spec, toks, 40)
+        assert f2s.generated == f2p.generated
+    finally:
+        em.Engine._fill_spec_queue = orig
+        plain.stop()
+        spec.stop()
+
+
 def test_spec_chain_shift_boundary(spec_setup):
     """Near capacity the spec chain must fall back so context shift fires
     at the unchained boundary; output matches a plain shifted engine."""
