@@ -180,8 +180,14 @@ def serve_bench(cfg, params, V, n_req: int = 4, prompt_len: int = 512,
                 "decode_tok_s": round(n_gen / max(t_decode, 1e-9), 1),
                 "e2e_tok_s": round(n_gen / wall, 1),
             })
-        runs.sort(key=lambda r: r["decode_tok_s"])
-        return {**runs[1], "n_req": n_req, "prompt_len": prompt_len,
+        # per-metric medians (a single tunnel hiccup otherwise couples
+        # an outlier TTFT to the median-decode run); raw runs included
+        def med(key):
+            return sorted(r[key] for r in runs)[len(runs) // 2]
+        return {"ttft_ms_p50": med("ttft_ms_p50"),
+                "decode_tok_s": med("decode_tok_s"),
+                "e2e_tok_s": med("e2e_tok_s"),
+                "n_req": n_req, "prompt_len": prompt_len,
                 "gen_len": gen_len, "runs": runs}
     finally:
         eng.stop()
