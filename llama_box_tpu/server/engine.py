@@ -666,6 +666,10 @@ class Engine:
         self.lora_default: list[float] = []
         self._lora_rows = None           # np [S, n_lora] slot scale rows
         self.metrics = Metrics()
+        # last decode-accounting timestamp: pipelined passes' dispatch->
+        # consume windows overlap, so /metrics decode time is accounted
+        # over non-overlapping [max(t0, last), now) windows
+        self._decode_acct_ts = 0.0
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -1520,7 +1524,7 @@ class Engine:
         rec = {"toks": packed, "ids": ids, "probs": probs, "tokps": tokps,
                "tok_next": tok_next, "pos_end": pos_end,
                "carry": carry + (jnp.asarray(active),),
-               "tasks": tasks, "active": active, "M": M,
+               "tasks": tasks, "M": M,
                "pos0_h": pos0_h, "t0": time.monotonic(),
                "ev": threading.Event(),
                "want_probs": any(s.task.n_probs > 0 for s in dec)}
@@ -1616,7 +1620,7 @@ class Engine:
         # released tasks' generated lists reachable)
         n_tok = sum(len(tasks0[s.idx].generated) - gen0[s.idx]
                     for s in covered)
-        self.metrics.on_decode(n_tok, (time.monotonic() - t0) * 1e3)
+        self._acct_decode(n_tok, t0)
         # the NEXT queued pass starts exactly where the emitted one
         # ended — record it so its covered-check can compare
         if self._spec_q and self._spec_q[0]["pos0_h"] is None:
@@ -2182,7 +2186,15 @@ class Engine:
                 # the host kept only `consumed` — the slot's state no
                 # longer matches any token prefix
                 s.rec_dirty = True
-        self.metrics.on_decode(n_tok, (time.monotonic() - t0) * 1e3)
+        self._acct_decode(n_tok, t0)
+
+    def _acct_decode(self, n_tok: int, t0: float) -> None:
+        """Account decode tokens over a non-overlapping wall window
+        (pipelined passes dispatch before their predecessors consume)."""
+        now = time.monotonic()
+        self.metrics.on_decode(
+            n_tok, (now - max(t0, self._decode_acct_ts)) * 1e3)
+        self._decode_acct_ts = now
 
     def _accept_token(self, s: Slot, token: int, ids_row, probs_row,
                       tok_prob: float = 0.0) -> None:
