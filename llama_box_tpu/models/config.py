@@ -43,7 +43,7 @@ _NEOX_ROPE_ARCHS = {
     "bamba", "granitehybrid", "gpt-oss", "exaone4", "dots1", "seed_oss",
     "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1", "lfm2",
     "qwen3next", "olmo", "chameleon", "gemma3n", "dbrx", "grok",
-    "openelm", "orion", "hunyuan-dense", "hunyuan-moe",
+    "openelm", "orion", "hunyuan-dense", "hunyuan-moe", "glm4moe",
 }
 
 
@@ -213,7 +213,8 @@ class ModelConfig:
                                         arch in ("llama", "mixtral",
                                                  "qwen3moe", "qwen3next",
                                                  "gpt-oss", "dbrx",
-                                                 "granitemoe"))),
+                                                 "granitemoe",
+                                                 "hunyuan-moe"))),
             # cohere2 (command-r7b) / exaone4: every 4th layer is global,
             # full-context AND unroped (llama.cpp keys rope on is_swa)
             nope_layer_step=int(kv("attention.no_rope_layer_step",

@@ -2479,3 +2479,141 @@ def test_hunyuan_dense_matches_transformers(tmp_path):
                      _np(st, p + "mlp.down_proj.weight"))
     w.write()
     _compare(hm, path, decode_check=True)
+
+
+def test_hunyuan_moe_matches_transformers(tmp_path):
+    """hunyuan-moe (llama.cpp LLM_ARCH_HUNYUAN_MOE): the dense block's
+    post-rope per-head q/k norms + every-layer MoE with softmax-then-
+    top-k renormalized routing and an ungated always-on shared MLP."""
+    from transformers import HunYuanMoEV1Config, HunYuanMoEV1ForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, X, K = 2, 4, 2
+    hc = HunYuanMoEV1Config(vocab_size=len(vocab), hidden_size=E,
+                            num_hidden_layers=L, num_attention_heads=H,
+                            num_key_value_heads=HKV, head_dim=D,
+                            intermediate_size=FF, num_experts=X,
+                            moe_topk=K, rms_norm_eps=1e-5,
+                            use_cache=False, rope_theta=10000.0,
+                            attention_bias=False,
+                            tie_word_embeddings=False)
+    hm = HunYuanMoEV1ForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "hunyuan_moe.gguf")
+    w, V = _gguf_header(path, "hunyuan-moe", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("expert_count", X),
+                               ("expert_used_count", K)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "attn_q_norm.weight",
+                     _np(st, p + "self_attn.query_layernorm.weight"))
+        w.add_tensor(o + "attn_k_norm.weight",
+                     _np(st, p + "self_attn.key_layernorm.weight"))
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "ffn_gate_inp.weight",
+                     _np(st, p + "mlp.gate.wg.weight"))
+        for hfk, gg in (("gate_proj", "ffn_gate_exps"),
+                        ("up_proj", "ffn_up_exps"),
+                        ("down_proj", "ffn_down_exps")):
+            w.add_tensor(o + gg + ".weight", np.stack([
+                _np(st, p + f"mlp.experts.{j}.{hfk}.weight")
+                for j in range(X)]))
+        for hfk, gg in (("gate_proj", "ffn_gate_shexp"),
+                        ("up_proj", "ffn_up_shexp"),
+                        ("down_proj", "ffn_down_shexp")):
+            w.add_tensor(o + gg + ".weight",
+                         _np(st, p + f"mlp.shared_mlp.{hfk}.weight"))
+    w.write()
+    _compare(hm, path, atol=5e-4, decode_check=True)
+
+
+def test_glm4moe_matches_transformers(tmp_path):
+    """glm4moe (GLM-4.5, llama.cpp LLM_ARCH_GLM4_MOE): half-split
+    partial rotary + optional per-head q/k norms + deepseek3-style
+    routing (sigmoid scores, exp_probs_b selection bias, group-limited
+    top-k, weights from uncorrected scores, renorm + scale) with dense
+    first layer(s) and an always-on shared expert."""
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, X, K = 2, 8, 2
+    hc = Glm4MoeConfig(vocab_size=len(vocab), hidden_size=E,
+                       num_hidden_layers=L, num_attention_heads=H,
+                       num_key_value_heads=HKV, head_dim=D,
+                       intermediate_size=FF, moe_intermediate_size=FF // 2,
+                       n_routed_experts=X, num_experts_per_tok=K,
+                       n_shared_experts=1, n_group=4, topk_group=2,
+                       norm_topk_prob=True, routed_scaling_factor=2.5,
+                       first_k_dense_replace=1, use_qk_norm=True,
+                       partial_rotary_factor=0.5, rms_norm_eps=1e-5,
+                       use_cache=False, rope_theta=10000.0,
+                       attention_bias=False, pad_token_id=0,
+                       tie_word_embeddings=False)
+    hm = Glm4MoeForCausalLM(hc).eval()
+    st = hm.state_dict()
+    with torch.no_grad():   # zeros would not exercise biased selection
+        for i in range(1, L):
+            st[f"model.layers.{i}.mlp.gate.e_score_correction_bias"] \
+                .normal_(0.0, 0.5)
+
+    path = str(tmp_path / "glm4moe.gguf")
+    w, V = _gguf_header(path, "glm4moe", HKV, D // 2,
+                        extra=[("attention.key_length", D),
+                               ("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("expert_count", X),
+                               ("expert_used_count", K),
+                               ("expert_gating_func", 2),
+                               ("expert_weights_norm", True),
+                               ("expert_weights_scale", 2.5),
+                               ("expert_group_count", 4),
+                               ("expert_group_used_count", 2)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "attn_q_norm.weight",
+                     _np(st, p + "self_attn.q_norm.weight"))
+        w.add_tensor(o + "attn_k_norm.weight",
+                     _np(st, p + "self_attn.k_norm.weight"))
+        _qkvo(w, st, p, o)
+        if i == 0:
+            w.add_tensor(o + "ffn_gate.weight",
+                         _np(st, p + "mlp.gate_proj.weight"))
+            w.add_tensor(o + "ffn_up.weight",
+                         _np(st, p + "mlp.up_proj.weight"))
+            w.add_tensor(o + "ffn_down.weight",
+                         _np(st, p + "mlp.down_proj.weight"))
+        else:
+            w.add_tensor(o + "ffn_gate_inp.weight",
+                         _np(st, p + "mlp.gate.weight"))
+            w.add_tensor(o + "exp_probs_b.bias",
+                         _np(st, p + "mlp.gate.e_score_correction_bias"))
+            for hfk, gg in (("gate_proj", "ffn_gate_exps"),
+                            ("up_proj", "ffn_up_exps"),
+                            ("down_proj", "ffn_down_exps")):
+                w.add_tensor(o + gg + ".weight", np.stack([
+                    _np(st, p + f"mlp.experts.{j}.{hfk}.weight")
+                    for j in range(X)]))
+            for hfk, gg in (("gate_proj", "ffn_gate_shexp"),
+                            ("up_proj", "ffn_up_shexp"),
+                            ("down_proj", "ffn_down_shexp")):
+                w.add_tensor(o + gg + ".weight",
+                             _np(st, p + f"mlp.shared_experts.{hfk}.weight"))
+    w.write()
+    _compare(hm, path, atol=5e-4, decode_check=True)
