@@ -1,10 +1,16 @@
-"""Peak-achievable HBM bandwidth probe via int8/bf16 matvec streams.
+"""HBM bandwidth probe via int8/bf16 matvec streams — KNOWN SHAPE-BOUND.
 
 A matvec x @ ones reads the whole array once per dispatch with trivial
-MXU work — the classic memory-bound shape. Separate dispatches can't be
-CSE'd (a within-dispatch repeated sum WOULD be, which is why a naive
-"8 passes per dispatch" probe lies). Honest final host-transfer sync.
-"""
+MXU work. Separate dispatches can't be CSE'd (a within-dispatch
+repeated sum WOULD be, which is why a naive "8 passes per dispatch"
+probe lies). Honest final host-transfer sync.
+
+MEASURED 2026-08-20: int8 300 GB/s, bf16 442 GB/s — far below what the
+big matmul fusions sustain (~720 GB/s incl. compute), i.e. the N=1
+matvec emitter does not stream at full rate and this probe UNDERSTATES
+peak bandwidth. Treat the dense matmul fusions in the real decode
+program as the only trustworthy bandwidth reference on this stack
+(CLAUDE.md measurement hazards)."""
 
 import sys
 import time
