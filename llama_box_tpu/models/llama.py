@@ -706,9 +706,16 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         else:
             ckf = ck.astype(adt)
             cvf0 = cv.astype(adt)
-        onehot = (jnp.arange(Kc) == nc_t)[None, :, None, None]
-        kr = jnp.where(onehot, k.astype(adt)[:, :1], ckf)
-        vr = jnp.where(onehot, v.astype(adt)[:, :1], cvf0)
+        # merge the current row at index nc via a tiny window write: a
+        # [B,1,H,D] dynamic_update_slice beats the onehot where-merge,
+        # whose pred[Kc] compare+broadcast re-materialized per layer
+        # (~8us/step at the bench shape — XLA does not LICM it out of
+        # the scan body)
+        z0 = jnp.int32(0)
+        kr = jax.lax.dynamic_update_slice(
+            ckf, k.astype(adt)[:, :1], (z0, nc_t, z0, z0))
+        vr = jax.lax.dynamic_update_slice(
+            cvf0, v.astype(adt)[:, :1], (z0, nc_t, z0, z0))
         if k_scale is not None:
             kf = k_cache.astype(adt) * k_scale.astype(adt)[..., None]
             vf = v_cache.astype(adt) * v_scale.astype(adt)[..., None]
@@ -1132,26 +1139,31 @@ def _fuse_tail_ok(cfg: ModelConfig, lp, lora_scales, x) -> bool:
 
 
 def _apply_smalls(lp, cfg: ModelConfig):
-    """Rebuild a scanned layer dict from the bundled small tensors
-    (loader._bundle_smalls): two dynamic-slices per layer instead of six.
-    Byte-identical values/dtypes — outputs don't change."""
-    if "smalls_f32" not in lp:
+    """Rebuild a scanned layer dict from the single aligned-segment
+    bundle loader._bundle_smalls built: flatten the sliced
+    [W//128, 128] layer bundle back to [W] (a layout-preserving bitcast
+    — the scan's layer slice was a clean whole-tile read) and extract
+    each segment as a static slice at its 1024-aligned offset (a
+    tile-aligned view of the T(1024) vector). The original scale/norm
+    leaves this overwrites are dead and DCE'd out of the scan. Values
+    are byte-identical — outputs don't change."""
+    if "smalls_all" not in lp:
         return lp
     from ..ops.qmatmul import QTensor
-    lp = dict(lp)
-    sf = lp.pop("smalls_f32")
-    sn = lp.pop("smalls_norm")
-    E = cfg.n_embd
-    lp["attn_norm"] = sn[:E]
-    lp["ffn_norm"] = sn[E:]
-    off = 0
     from .loader import SMALLS_KEYS
+    lp = dict(lp)
+    sa = lp.pop("smalls_all").reshape(-1)
+    off = 0
     for key in SMALLS_KEYS:
         w = lp[key]
         n = w.out_dim
-        lp[key] = QTensor(w.qs, jax.lax.slice_in_dim(sf, off, off + n),
+        lp[key] = QTensor(w.qs, jax.lax.slice_in_dim(sa, off, off + n),
                           None, w.in_dim, w.group, w.packed4, w.w8a8)
-        off += n
+        off += n + (-n) % 1024
+    E = lp["attn_norm"].shape[-1]
+    for key in ("attn_norm", "ffn_norm"):
+        lp[key] = jax.lax.slice_in_dim(sa, off, off + E)
+        off += E + (-E) % 1024
     return lp
 
 

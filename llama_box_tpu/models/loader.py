@@ -731,13 +731,28 @@ SMALLS_KEYS = ("wqkv", "wo", "w_gateup", "w_down")
 
 
 def _bundle_smalls(layers: dict) -> None:
-    """Concatenate the per-layer SMALL tensors the decode layer reads —
-    the two norm weights and the four w8a8 per-column scale rows — into
-    two dtype-segregated bundles ([L, 2E] norms + [L, sum(out)] f32
-    scales). A lax.scan layer step then issues TWO parameter
-    dynamic-slices instead of six (~0.4-0.9us of fixed cost each at the
-    bench shape; the replaced leaves die by DCE). Values and dtypes are
-    byte-identical, so outputs don't change."""
+    """Bundle the per-layer SMALL tensors the decode layer reads — the
+    four w8a8 per-column scale rows and the two norm weights (widened to
+    f32, exact) — into ONE f32 stack of 1024-element-aligned segments,
+    reshaped to [L, W//128, 128].
+
+    Why this exact layout (all measured on-chip at the bench shape):
+    - a dynamic-slice over dim 0 of a flat [L, n] stack crosses TPU
+      (8, 128) tile sublanes — the slice relayouts 8x the bytes
+      (~1.4us/layer); with the trailing [.., 128] axis the layer slice
+      is a clean whole-tile read and the flatten back is a bitcast;
+    - six separate per-layer slice fusions still cost ~0.35us of fixed
+      VPU-stream overhead EACH (~45us/step total) — one bundle is one
+      slice, and the in-step segment extracts are static slices at
+      1024-aligned offsets of a T(1024) vector (tile-aligned views);
+    - norms ride the f32 bundle so their bf16->f32 convert fusions
+      (~7us/step x2) disappear; f32 widening is exact, and rms/ln
+      consume f32 anyway.
+
+    The original scale/norm leaves stay in place — models/llama.
+    _apply_smalls overwrites them from the bundle and the dead scan
+    slices are DCE'd. Values are byte-identical, so outputs don't
+    change."""
     from ..ops.qmatmul import QTensor
     if not all(k in layers for k in ("attn_norm", "ffn_norm")
                + SMALLS_KEYS):
@@ -748,8 +763,20 @@ def _bundle_smalls(layers: dict) -> None:
         return
     an, fn = layers["attn_norm"], layers["ffn_norm"]
     if isinstance(an, QTensor) or isinstance(fn, QTensor) \
-            or an.dtype != fn.dtype or an.ndim != 2:
+            or an.dtype != fn.dtype or an.ndim != 2 \
+            or an.shape != fn.shape:
         return
-    layers["smalls_norm"] = jnp.concatenate([an, fn], axis=-1)
-    layers["smalls_f32"] = jnp.concatenate([w.scales for w in ws],
-                                           axis=-1)
+    L = an.shape[0]
+    segs = []
+    for w in ws:
+        segs.append(w.scales)
+        pad = (-w.scales.shape[-1]) % 1024
+        if pad:
+            segs.append(jnp.zeros((L, pad), jnp.float32))
+    for g in (an, fn):
+        segs.append(g.astype(jnp.float32))
+        pad = (-g.shape[-1]) % 1024
+        if pad:
+            segs.append(jnp.zeros((L, pad), jnp.float32))
+    sa = jnp.concatenate(segs, axis=-1)
+    layers["smalls_all"] = sa.reshape(L, -1, 128)

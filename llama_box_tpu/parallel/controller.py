@@ -362,12 +362,19 @@ def engine_ops(engine) -> dict[str, Callable]:
             from ..server.engine import _decode_chain
             fn = _decode_chain
         md = a.get("mrope_delta")
+        kw = {}
+        if fn.__name__.endswith("_decode_chain") and not (rec or encdec):
+            # replay the host's static fast-path flags exactly: samp_kcap
+            # changes the seeded gumbel stream, so digest identity
+            # requires the same candidate-set size on every worker
+            kw = {"samp_extras": bool(s.get("samp_extras", True)),
+                  "samp_kcap": int(s.get("samp_kcap", 0))}
         out = fn(
             engine.params, engine.cfg, jnp.asarray(a["token0"]),
             jnp.asarray(a["pos0"]), engine.kv, engine.sstate, engine.arrs,
             jnp.asarray(a["active"]), engine.rope_cos, engine.rope_sin,
             n_steps=int(s["k"]), attn_len=int(s.get("attn_len", 0)),
-            mrope_delta=jnp.asarray(md) if md is not None else None)
+            mrope_delta=jnp.asarray(md) if md is not None else None, **kw)
         engine.kv, engine.sstate = out[4], out[5]
 
     def op_shift(a, s):

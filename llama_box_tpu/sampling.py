@@ -478,7 +478,7 @@ def _top_candidates(logits: jnp.ndarray, kcap: int):
 
 
 def sample_impl(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
-                active: jnp.ndarray, extras: bool = True
+                active: jnp.ndarray, extras: bool = True, kcap: int = 0
                 ) -> tuple[jnp.ndarray, jnp.ndarray,
                            jnp.ndarray, SamplerState]:
     """Sample one token per slot from [B, V] logits.
@@ -493,6 +493,13 @@ def sample_impl(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
     [B, N_PROBS] f32 — post-filter distribution for logprobs rendering,
     tok_prob [B] f32 — the sampled token's own reported probability,
     new state).
+
+    kcap (STATIC, 0 => N_CAND): candidate-set size. The caller may
+    shrink it when every slot has 0 < top_k <= kcap and n_probs == 0 —
+    the top-k filter truncates to a prefix and every later filter's
+    softmax runs over the survivors only, so the mask/probs math is
+    identical; only the gumbel draw shape (and thus the seeded stream)
+    and the greedy-row logprobs tail normalization differ.
     """
     B, V = logits.shape
     logits = logits.astype(jnp.float32)
@@ -500,7 +507,7 @@ def sample_impl(logits: jnp.ndarray, state: SamplerState, arrs: SamplerArrays,
         logits = _apply_bias(logits, arrs)
         logits = _apply_penalties(logits, state.counts, arrs)
 
-    kcap = min(N_CAND, V)
+    kcap = min(max(kcap, N_PROBS) if kcap else N_CAND, V)
     cvals, cidx = _top_candidates(logits, kcap)      # descending
 
     keys = jax.vmap(lambda s, st: jax.random.fold_in(jax.random.PRNGKey(s), st)

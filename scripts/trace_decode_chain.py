@@ -78,13 +78,18 @@ AL = (0 if flash_decode_active(cfg, C)
 
 import os
 
+FAST = not os.environ.get("TRACE_NO_FAST")
+# the engine's host-decided fast-path statics (_chain_fast_kw): plain
+# sampler w/ top_k=40 -> kcap 64; lockstep slots -> whole-batch KV write
+FKW = dict(samp_kcap=64) if FAST else {}
+
 if os.environ.get("TRACE_AOT"):
     # AOT-compile the exact program and dump its optimized HLO so trace
     # op names map to source lines reliably (per-process numbering)
     _pos0 = jnp.full((S,), pos, jnp.int32)
     _comp = _decode_chain.lower(
         params, cfg, tokens, _pos0, kv, sstate, arrs, active, cos, sin,
-        n_steps=K, attn_len=AL, samp_extras=False).compile()
+        n_steps=K, attn_len=AL, samp_extras=False, **FKW).compile()
     open(f"/tmp/chain_hlo_live_K{K}_{MODE}.txt", "w").write(
         _comp.as_text())
 
@@ -100,7 +105,7 @@ else:
         pos0 = jnp.full((S,), p, jnp.int32)
         toks, _, _, _, kv, sstate = _decode_chain(
             params, cfg, tokens, pos0, kv, sstate, arrs, active, cos,
-            sin, n_steps=K, attn_len=AL, samp_extras=False)
+            sin, n_steps=K, attn_len=AL, samp_extras=False, **FKW)
         return toks[:, -1], kv, sstate
 
 

@@ -696,3 +696,58 @@ def test_copy_kv_prefix_exactness():
     np.testing.assert_array_equal(np.asarray(out.k), want_k)
     np.testing.assert_array_equal(np.asarray(out.k_scale), want_ks)
     np.testing.assert_array_equal(np.asarray(out.v)[:, 1], v_h[:, 1])
+
+
+def test_post_prefill_speculation_and_tail_shrink(tmp_path):
+    """r5 serving-window changes: (a) the first ramped chain is
+    speculatively dispatched off the DEVICE-RESIDENT first tokens before
+    the prefill sync (_speculate_post_prefill) and (b) chain length
+    shrinks to the pow2 bucket of the remaining budget at burst tails
+    (_chain_k). Greedy output must stay identical to per-token decode,
+    and the speculation must actually fire."""
+    from llama_box_tpu.server import engine as eng_mod
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+    fired = {"n": 0}
+    orig = eng_mod.Engine._speculate_post_prefill
+
+    def spy(self, pend):
+        before = len(self._chain_q)
+        orig(self, pend)
+        fired["n"] += len(self._chain_q) > before
+
+    # odd budgets exercise the shrink ladder (ramp 4 -> 8 -> 4-overshoot)
+    prompts = [("a b c", 13), ("x y", 7)]
+
+    def go(chain, **kw):
+        eng = _chain_engine(path, chain, chain_ramp=4, **kw)
+        try:
+            tasks = []
+            for p, n in prompts:
+                t = CompletionsTask(eng.tokenizer.encode(p),
+                                    SamplerParams(temp=0.0),
+                                    tokenizer=eng.tokenizer, max_tokens=n,
+                                    stream=False)
+                eng.submit(t)
+                tasks.append(t)
+            outs = []
+            for t in tasks:
+                while True:
+                    kind, payload = t.result_q.get(timeout=120)
+                    if kind == "final":
+                        outs.append(payload.generated)
+                        break
+                    if kind == "error":
+                        raise payload
+            return outs
+        finally:
+            eng.stop()
+
+    eng_mod.Engine._speculate_post_prefill = spy
+    try:
+        piped = go(16, pipeline_depth=2)
+        assert fired["n"] > 0, "post-prefill speculation never engaged"
+    finally:
+        eng_mod.Engine._speculate_post_prefill = orig
+    assert go(1, pipeline_chain=False) == piped

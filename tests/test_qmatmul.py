@@ -187,8 +187,9 @@ def test_smalls_bundle_identity():
     rng = np.random.default_rng(0)
     params = make_q4_params(rng, L, E, H, HKV, D, FF, V, w8a8=True)
     fused = fuse_projections(params, cfg)
-    assert "smalls_f32" in fused["layers"]
-    assert "smalls_norm" in fused["layers"]
+    assert "smalls_all" in fused["layers"]
+    # one f32 bundle of 1024-aligned segments, [L, W//128, 128]
+    assert fused["layers"]["smalls_all"].shape[-1] == 128
     unbundled = dict(fused)
     unbundled["layers"] = {k: v for k, v in fused["layers"].items()
                            if not k.startswith("smalls_")}
