@@ -1171,6 +1171,12 @@ class Engine:
             tok, ids, probs, tokp, self.sstate = sample(
                 logits, self.sstate, self.arrs, jnp.asarray(active))
             pend.update(tok=tok, ids=ids, probs=probs, tokp=tokp)
+            # start the first-token device->host copies NOW: the
+            # transport serves requests in order, so a copy requested
+            # after the post-prefill speculative chain dispatch would
+            # wait out that whole chain — TTFT would eat its execution
+            _issue_copies(tok, ids, probs, tokp,
+                          any(s.task.n_probs > 0 for s in dev))
         return pend
 
     def _speculate_post_prefill(self, pend: dict) -> None:
