@@ -21,10 +21,11 @@ _LN_ARCHS = {
     "rwkv6", "rwkv7",   # RWKV blocks use biased LayerNorm throughout
     "dbrx",   # LayerNorm without bias
     "orion",  # biased LayerNorm + neox rope on a llama graph
+    "jais",   # biased LayerNorm, ALiBi, muP scales, SwiGLU
 }
 # position-independent q/k (learned pos embd, ALiBi, or none); no rotation
 _NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2", "jamba",
-                  "rwkv6", "rwkv7",
+                  "rwkv6", "rwkv7", "jais",
                   "nemotron_h"}   # hybrid attention layers are unroped
 _PARALLEL_ARCHS = {
     # x + attn(norm(x)) + ffn(norm(x)) parallel-residual blocks
@@ -296,13 +297,18 @@ class ModelConfig:
             logit_scale=float(kv("logit_scale",
                                  0.5773502691896257 if arch == "grok"
                                  else 1.0) or 1.0),
-            # gemma3n attends UNSCALED (HF Gemma3nTextAttention scaling=1.0)
+            # gemma3n attends UNSCALED (HF Gemma3nTextAttention
+            # scaling=1.0); jais muP scales scores by 1/d, not 1/sqrt(d)
+            # (HF JAISAttention scale_qk_dot_by_d)
             attn_scale=float(kv("attention.scale",
-                                1.0 if arch == "gemma3n" else 0.0) or 0.0),
+                                1.0 if arch == "gemma3n"
+                                else 1.0 / head_dim if arch == "jais"
+                                else 0.0) or 0.0),
             attn_clamp=float(kv("attention.clamp_kqv", 0.0) or 0.0),
             alibi_max_bias=float(
                 kv("attention.max_alibi_bias",
-                   8.0 if arch in ("bloom", "mpt") else 0.0) or 0.0),
+                   8.0 if arch in ("bloom", "mpt", "jais") else 0.0)
+                or 0.0),
             ssm_d_conv=int(kv("ssm.conv_kernel", 0) or 0),
             ssm_d_inner=int(kv("ssm.inner_size", 0) or 0),
             ssm_d_state=int(kv("ssm.state_size", 0) or 0),

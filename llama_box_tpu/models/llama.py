@@ -542,6 +542,10 @@ def _ffn_block(h, lp, cfg: ModelConfig, lora_scales, dtype):
         gate = mm(h, lp["w_gate"]) + _lora_delta(h, lp, "w_gate",
                                                  lora_scales)
         up = mm(h, lp["w_up"]) + _lora_delta(h, lp, "w_up", lora_scales)
+    if "b_gate" in lp:          # jais biased SwiGLU
+        gate = gate + lp["b_gate"]
+    if "b_up" in lp:
+        up = up + lp["b_up"]
     gate = gate.astype(jnp.float32)
     act = (_act(gate, cfg) * up.astype(jnp.float32)).astype(dtype)
     if "ffn_sub_norm" in lp:    # bitnet: norm before the down proj
@@ -1131,6 +1135,7 @@ def _fuse_tail_ok(cfg: ModelConfig, lp, lora_scales, x) -> bool:
             and _w8(lp.get("w_down"))
             and "ffn_norm" in lp and "ffn_norm_b" not in lp
             and "bo" not in lp and "b_down" not in lp
+            and "b_gate" not in lp and "b_up" not in lp
             and "attn_post_norm" not in lp and "ffn_post_norm" not in lp
             and "w_gate_inp" not in lp and "wq_gate" not in lp
             and "attn_sub_norm" not in lp and "ffn_sub_norm" not in lp

@@ -81,6 +81,7 @@ _LAYER_OPTIONAL = {
     "attn_post_norm_b": ("blk.{i}.post_attention_norm.bias", False),
     "ffn_post_norm_b": ("blk.{i}.post_ffw_norm.bias", False),
     "bo": ("blk.{i}.attn_output.bias", False),
+    "b_gate": ("blk.{i}.ffn_gate.bias", False),   # jais SwiGLU biases
     "b_up": ("blk.{i}.ffn_up.bias", False),
     "b_down": ("blk.{i}.ffn_down.bias", False),
     "bq": ("blk.{i}.attn_q.bias", False),

@@ -259,12 +259,17 @@ def _q8_kernel(x_ref, qs_ref, sc_ref, mn_ref, out_ref, acc_ref, *,
 
 def _choose_tiles(byte_rows: int, out_dim: int, group: int
                   ) -> tuple[int, int]:
-    """Largest in-tile <= 512 byte-rows that divides byte_rows and is a
-    multiple of `group`; out-tile 256/128 when the out dim allows.
-    LLAMA_BOX_TPU_Q4_BT / _Q4_OT override for tuning."""
+    """Largest in-tile <= 1024 byte-rows that divides byte_rows and is a
+    multiple of `group`; largest dividing out-tile <= 2048.
+    LLAMA_BOX_TPU_Q4_BT / _Q4_OT override for tuning. Defaults from the
+    r5 on-chip sweep at the bench shape (tok/s, K-chained decode):
+    bt512/ot256 1105 (old default), bt1024/ot512 1264, bt1024/ot1024
+    1290, bt1024/ot2048 1337 — fewer grid steps amortize the per-tile
+    unpack/dequant fixed cost; the kernel is VPU-unpack-bound, not
+    HBM-bound, so bigger tiles keep paying until VMEM pressure."""
     import os
-    bt_cap = int(os.environ.get("LLAMA_BOX_TPU_Q4_BT", 512))
-    ot_cap = int(os.environ.get("LLAMA_BOX_TPU_Q4_OT", 256))
+    bt_cap = int(os.environ.get("LLAMA_BOX_TPU_Q4_BT", 1024))
+    ot_cap = int(os.environ.get("LLAMA_BOX_TPU_Q4_OT", 2048))
     bt = min(byte_rows, bt_cap)
     while byte_rows % bt or bt % group:
         bt //= 2

@@ -2617,3 +2617,124 @@ def test_glm4moe_matches_transformers(tmp_path):
                              _np(st, p + f"mlp.shared_experts.{hfk}.weight"))
     w.write()
     _compare(hm, path, atol=5e-4, decode_check=True)
+
+
+def test_jais_matches_numpy_reference(tmp_path):
+    """jais (core42/inceptionai, GGUF arch 'jais'): GPT-2-style decoder
+    with biased LayerNorm, ALiBi positions (max bias 8, no rope), fused
+    biased attn_qkv, SwiGLU MLP (silu(c_fc) * c_fc2 -> ffn_gate/ffn_up
+    under llama.cpp naming), and the muP scales: embeddings *
+    embedding_scale, attention scores * 1/head_dim (scale_qk_dot_by_d),
+    logits * logit_scale (width_scale). No transformers class exists
+    (trust_remote_code upstream), so the golden is an independent numpy
+    implementation of the published architecture (HF
+    modeling_jais.py semantics; reference inherits llama.cpp
+    llm_build_jais)."""
+    vocab, _, _ = build_vocab()
+    rng = np.random.default_rng(11)
+    V = len(vocab)
+    EMB_SCALE, LOGIT_SCALE, ALIBI = 9.5, 0.27, 8.0
+
+    def r(*shape, scale=0.06):
+        return rng.normal(size=shape, scale=scale).astype(np.float32)
+
+    wts = {
+        "embd": r(V, E), "onw": 1 + r(E, scale=0.1), "onb": r(E),
+        "out": r(V, E),
+        "layers": [
+            {"anw": 1 + r(E, scale=0.1), "anb": r(E),
+             "qkv": r(3 * E, E), "bqkv": r(3 * E),
+             "wo": r(E, E), "bo": r(E),
+             "fnw": 1 + r(E, scale=0.1), "fnb": r(E),
+             "gate": r(FF, E), "bgate": r(FF),
+             "up": r(FF, E), "bup": r(FF),
+             "down": r(E, FF), "bdown": r(E)}
+            for _ in range(L)],
+    }
+
+    def ln(x, w, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-5) * w + b
+
+    def alibi_slopes(n_heads):
+        import math
+        n = 2 ** int(math.floor(math.log2(n_heads)))
+        m0 = 2.0 ** (-ALIBI / n)
+        m1 = 2.0 ** (-ALIBI / 2.0 / n)
+        return np.array([m0 ** (i + 1) if i < n else m1 ** (2 * (i - n) + 1)
+                         for i in range(n_heads)], np.float32)
+
+    def silu(x):
+        return x / (1 + np.exp(-x))
+
+    def ref(toks):
+        T = len(toks)
+        x = wts["embd"][toks] * EMB_SCALE
+        sl = alibi_slopes(H)
+        for lw in wts["layers"]:
+            h = ln(x, lw["anw"], lw["anb"])
+            qkv = h @ lw["qkv"].T + lw["bqkv"]
+            q = qkv[:, :E].reshape(T, H, D)
+            k = qkv[:, E:2 * E].reshape(T, H, D)
+            v = qkv[:, 2 * E:].reshape(T, H, D)
+            sc = np.einsum("qhd,khd->hqk", q, k) / D   # muP 1/d
+            dist = np.arange(T)[None, None, :] - np.arange(T)[None, :, None]
+            sc = sc + sl[:, None, None] * dist
+            mask = np.tril(np.ones((T, T), bool))
+            sc = np.where(mask[None], sc, -1e30)
+            p = np.exp(sc - sc.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            attn = np.einsum("hqk,khd->qhd", p, v).reshape(T, E)
+            x = x + attn @ lw["wo"].T + lw["bo"]
+            h = ln(x, lw["fnw"], lw["fnb"])
+            g = silu(h @ lw["gate"].T + lw["bgate"])
+            u = h @ lw["up"].T + lw["bup"]
+            x = x + (g * u) @ lw["down"].T + lw["bdown"]
+        x = ln(x, wts["onw"], wts["onb"])
+        return (x @ wts["out"].T) * LOGIT_SCALE
+
+    path = str(tmp_path / "jais.gguf")
+    w, _ = _gguf_header(path, "jais", H, D,
+                        extra=[("attention.max_alibi_bias", ALIBI),
+                               ("embedding_scale", EMB_SCALE),
+                               ("logit_scale", LOGIT_SCALE)])
+    w.add_tensor("token_embd.weight", wts["embd"])
+    w.add_tensor("output_norm.weight", wts["onw"])
+    w.add_tensor("output_norm.bias", wts["onb"])
+    w.add_tensor("output.weight", wts["out"])
+    for i, lw in enumerate(wts["layers"]):
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", lw["anw"])
+        w.add_tensor(o + "attn_norm.bias", lw["anb"])
+        w.add_tensor(o + "attn_qkv.weight", lw["qkv"])
+        w.add_tensor(o + "attn_qkv.bias", lw["bqkv"])
+        w.add_tensor(o + "attn_output.weight", lw["wo"])
+        w.add_tensor(o + "attn_output.bias", lw["bo"])
+        w.add_tensor(o + "ffn_norm.weight", lw["fnw"])
+        w.add_tensor(o + "ffn_norm.bias", lw["fnb"])
+        w.add_tensor(o + "ffn_gate.weight", lw["gate"])
+        w.add_tensor(o + "ffn_gate.bias", lw["bgate"])
+        w.add_tensor(o + "ffn_up.weight", lw["up"])
+        w.add_tensor(o + "ffn_up.bias", lw["bup"])
+        w.add_tensor(o + "ffn_down.weight", lw["down"])
+        w.add_tensor(o + "ffn_down.bias", lw["bdown"])
+    w.write()
+
+    cfg, params = load_model(path, dtype=jnp.float32)
+    assert cfg.norm_style == "ln" and cfg.rope_mode == "none"
+    assert cfg.alibi_max_bias == ALIBI
+    assert abs(cfg.attn_scale - 1.0 / D) < 1e-9
+    assert cfg.embd_scale == pytest.approx(EMB_SCALE)
+    assert cfg.logit_scale == pytest.approx(LOGIT_SCALE)
+    rng2 = np.random.default_rng(4)
+    T = 10
+    toks = rng2.integers(3, V, (T,)).astype(np.int32)
+    kv = init_kv_cache(cfg, 1, 64, jnp.float32)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = prefill_impl(params, cfg, jnp.asarray(toks), kv,
+                             jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                             cos, sin)
+    ref_logits = ref(toks)
+    np.testing.assert_allclose(np.asarray(logits), ref_logits[-1],
+                               atol=3e-3, rtol=5e-3)
