@@ -826,7 +826,21 @@ def main():
         except Exception as exc:  # noqa: BLE001 — additive
             print(f"# spec bench failed: {exc!r}", file=sys.stderr,
                   flush=True)
+    pbytes = sum(x.size * x.dtype.itemsize
+                 for x in jax.tree.leaves(dense_params))
+    if on_tpu:
+        import sys
         try:
+            # free the TinyLlama-shape residencies first: main still
+            # holds ~4GB (dense bf16 + q4k + w8a8) and the 8B build
+            # needs ~12.5GB peak — together they OOM the 16GB chip
+            import gc
+            del dense_params
+            if tok_s_w8:
+                del qp8
+            if tok_s_q4_packed:
+                del qparams
+            gc.collect()
             b8 = bench_8b(hbm_bw)
             print(f"# 8b_geometry: {b8}", file=sys.stderr, flush=True)
         except Exception as exc:  # noqa: BLE001 — additive
@@ -834,8 +848,6 @@ def main():
             print(f"# 8b bench failed: {exc!r}", file=sys.stderr,
                   flush=True)
 
-    pbytes = sum(x.size * x.dtype.itemsize
-                 for x in jax.tree.leaves(dense_params))
     extra = {"serving": serving} if serving else {}
     if sustained:
         extra["serving_sustained"] = sustained

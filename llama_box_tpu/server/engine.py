@@ -1193,7 +1193,8 @@ class Engine:
                 or self.cfg.mrope_sections or self._chain_q
                 or getattr(self, "_spec_q", None)
                 or self.draft_params is not None
-                or self.ecfg.lookup_ngram_min > 0
+                or (self.ecfg.lookup_ngram_min > 0
+                    and not self._ngram_dominated())
                 or "layer_groups" in self.params):
             return
         # every currently-decoding slot must ride a joint chain; slots
