@@ -364,14 +364,14 @@ def spec_bench(cfg, V):
     params_t = scaled_target(1e-4)
 
     def run(draft, ngram_min=0, n_tok=96, target=None, chain=16,
-            prompt=None):
+            prompt=None, draft_max=8):
         eng = Engine(cfg, jax.tree.map(lambda x: x,
                                        params_t if target is None
                                        else target),
                      _BenchTokenizer(V),
                      EngineConfig(n_slots=4, n_ctx=4096, n_ubatch=512,
                                   prompt_cache=False, decode_chain=chain,
-                                  draft_max=8,
+                                  draft_max=draft_max,
                                   # random weights give near-uniform
                                   # probs: draft on argmax agreement, not
                                   # the p_min confidence gate
@@ -453,9 +453,12 @@ def spec_bench(cfg, V):
     params_cyc = {**shared, "output": jnp.asarray(out_cyc, jnp.bfloat16),
                   "layers": lay_cyc}
     prompt_cyc = [int(t) for t in rng.integers(3, V, 48)] + [cyc[0]]
+    # draft_max=24: a drafted pass moves <= 25 tok/sync; pipelined
+    # chain-4 moves ~chain x depth = 8/sync, so an accepted draft must
+    # clearly win rather than sit at transport-weather parity
     base4 = run(None, chain=4, target=params_cyc, prompt=prompt_cyc)
     ngram4 = run(None, ngram_min=2, chain=4, target=params_cyc,
-                 prompt=prompt_cyc)
+                 prompt=prompt_cyc, draft_max=24)
     return {"baseline_tok_s": base["tok_s"],
             "draft": {**spec,
                       "speedup": round(spec["tok_s"] / base["tok_s"], 3)},
