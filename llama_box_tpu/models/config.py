@@ -22,6 +22,7 @@ _LN_ARCHS = {
     "dbrx",   # LayerNorm without bias
     "orion",  # biased LayerNorm + neox rope on a llama graph
     "jais",   # biased LayerNorm, ALiBi, muP scales, SwiGLU
+    "phimoe",  # biased LayerNorm + neox rope + sparsemixer MoE
 }
 # position-independent q/k (learned pos embd, ALiBi, or none); no rotation
 _NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2", "jamba",
@@ -35,7 +36,7 @@ _UNGATED_FFN_ARCHS = {
     # act(up) @ down, no gate projection
     "falcon", "gptneox", "phi2", "starcoder2", "nemotron",
     "gpt2", "bloom", "mpt", "starcoder", "gptj", "apertus",
-    "nemotron_h",
+    "nemotron_h", "arcee",
 }
 _NEOX_ROPE_ARCHS = {
     "qwen2", "qwen2moe", "qwen3", "qwen3moe", "falcon", "gemma", "gemma2",
@@ -45,6 +46,7 @@ _NEOX_ROPE_ARCHS = {
     "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1", "lfm2",
     "qwen3next", "olmo", "chameleon", "gemma3n", "dbrx", "grok",
     "openelm", "orion", "hunyuan-dense", "hunyuan-moe", "glm4moe",
+    "phimoe",
 }
 
 
@@ -82,7 +84,8 @@ class ModelConfig:
     expert_used_count: int = 0
     expert_weights_norm: bool = True  # renormalize top-k router probs
     expert_weights_scale: float = 1.0  # deepseek routed-output multiplier
-    expert_gating_func: int = 1        # 1 softmax, 2 sigmoid (deepseek3)
+    expert_gating_func: int = 1   # 1 softmax, 2 sigmoid, 3 sparsemixer
+    router_jitter_eps: float = 0.0     # phimoe sparsemixer mask width
     # deepseek3 noaux_tc group-limited routing (with exp_probs_b bias)
     expert_group_count: int = 1
     expert_group_used_count: int = 1
@@ -215,6 +218,7 @@ class ModelConfig:
                                                  "qwen3moe", "qwen3next",
                                                  "gpt-oss", "dbrx",
                                                  "granitemoe",
+                                                 "granitemoeshared",
                                                  "hunyuan-moe"))),
             # cohere2 (command-r7b) / exaone4: every 4th layer is global,
             # full-context AND unroped (llama.cpp keys rope on is_swa)
@@ -236,8 +240,12 @@ class ModelConfig:
             expert_weights_scale=float(kv("expert_weights_scale", 1.0)
                                        or 1.0),
             expert_gating_func=int(kv("expert_gating_func",
-                                       2 if arch == "llama4" else 1)
+                                       2 if arch == "llama4"
+                                       else 3 if arch == "phimoe" else 1)
                                    or 1),
+            router_jitter_eps=float(
+                kv("router_jitter", 0.01 if arch == "phimoe" else 0.0)
+                or 0.0),
             expert_group_count=int(kv("expert_group_count", 1) or 1),
             expert_group_used_count=int(
                 kv("expert_group_used_count", 1) or 1),
@@ -263,7 +271,7 @@ class ModelConfig:
                                            "mpt", "starcoder", "gptj",
                                            "grok"))
                     else "relu2" if arch in ("nemotron", "nemotron_h",
-                                             "bitnet")
+                                             "bitnet", "arcee")
                     else "swiglu_oai" if arch == "gpt-oss"
                     else "xielu" if arch == "apertus" else "silu"),
             # grok-1 scales the embedding by sqrt(n_embd) like gemma

@@ -948,6 +948,37 @@ def _moe_ffn(h, lp, cfg: ModelConfig):
         router = router + lp["b_gate_inp"]
     if cfg.router_softcap > 0.0:                     # grok tanh cap
         router = cfg.router_softcap * jnp.tanh(router / cfg.router_softcap)
+    if cfg.expert_gating_func == 3:
+        # phimoe sparsemixer at inference (HF modeling_phimoe.sparsemixer
+        # with training=False): pick the argmax of the remaining scores;
+        # its weight is the masked softmax of the ORIGINAL scores
+        # (experts whose relative gap to the current max exceeds
+        # 2*jitter_eps are dropped) gathered at that argmax. Two rounds,
+        # the second with the first pick set to -inf. Weights are NOT
+        # renormalized.
+        eps = cfg.router_jitter_eps
+        s = router.astype(jnp.float32)
+
+        def pick(masked):
+            thr = masked.max(-1, keepdims=True)
+            idx = masked.argmax(-1)
+            factor = jnp.maximum(jnp.abs(s), thr)
+            gates = jnp.where(((thr - s) / factor) > (2.0 * eps),
+                              -jnp.inf, masked)
+            gsm = jax.nn.softmax(gates, axis=-1)
+            return idx, jnp.take_along_axis(gsm, idx[..., None], -1)[..., 0]
+
+        i1, w1 = pick(s)
+        oh1 = jax.nn.one_hot(i1, X, dtype=bool)
+        i2, w2 = pick(jnp.where(oh1, -jnp.inf, s))
+        topi = jnp.stack([i1, i2], axis=-1)
+        topv = jnp.stack([w1, w2], axis=-1)
+        probs = s
+        route = jnp.zeros_like(s).at[
+            jnp.arange(s.shape[0])[:, None, None],
+            jnp.arange(s.shape[1])[None, :, None],
+            topi].add(topv)
+        return _moe_mix(h, lp, cfg, probs, route)
     if cfg.expert_gating_func == 2:                  # deepseek3 sigmoid
         probs = jax.nn.sigmoid(router.astype(jnp.float32))
     else:
@@ -981,7 +1012,12 @@ def _moe_ffn(h, lp, cfg: ModelConfig):
         jnp.arange(probs.shape[0])[:, None, None],
         jnp.arange(probs.shape[1])[None, :, None],
         topi].add(topv)
+    return _moe_mix(h, lp, cfg, probs, route)
 
+
+def _moe_mix(h, lp, cfg: ModelConfig, probs, route):
+    """Dense route-weighted expert mix + shared expert (split from
+    _moe_ffn so gating variants share it). route: [B, T, X] weights."""
     hf = h.astype(jnp.float32)
     if cfg.moe_weight_before_ffn:
         # llama4: the routing weight scales the expert INPUT (and FFN(0)=0

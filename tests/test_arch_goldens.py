@@ -2738,3 +2738,163 @@ def test_jais_matches_numpy_reference(tmp_path):
     ref_logits = ref(toks)
     np.testing.assert_allclose(np.asarray(logits), ref_logits[-1],
                                atol=3e-3, rtol=5e-3)
+
+
+def test_arcee_matches_transformers(tmp_path):
+    """arcee (AFM): llama backbone with an UNGATED relu^2 MLP
+    (down(relu(up(x))^2), no gate projection)."""
+    from transformers import ArceeConfig, ArceeForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV = 2
+    hc = ArceeConfig(vocab_size=len(vocab), hidden_size=E,
+                     num_hidden_layers=L, num_attention_heads=H,
+                     num_key_value_heads=HKV, intermediate_size=FF,
+                     rms_norm_eps=1e-5, use_cache=False,
+                     rope_theta=10000.0, tie_word_embeddings=False)
+    hm = ArceeForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "arcee.gguf")
+    w, V = _gguf_header(path, "arcee", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        _qkvo(w, st, p, o, permute_heads=H, hkv=HKV)
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    cfg, _ = load_model(path, dtype=jnp.float32)
+    assert not cfg.ffn_gated and cfg.act_fn == "relu2"
+    _compare(hm, path, decode_check=True)
+
+
+def test_granitemoeshared_matches_transformers(tmp_path):
+    """granitemoeshared (granite 4 preview): granitemoe multipliers +
+    MoE with a parallel always-on SHARED gated MLP added to the routed
+    output (HF shared_mlp.input_linear = fused gate|up)."""
+    from transformers import (GraniteMoeSharedConfig,
+                              GraniteMoeSharedForCausalLM)
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, X, K = 2, 4, 2
+    hc = GraniteMoeSharedConfig(vocab_size=len(vocab), hidden_size=E,
+                                num_hidden_layers=L, num_attention_heads=H,
+                                num_key_value_heads=HKV,
+                                intermediate_size=FF,
+                                shared_intermediate_size=FF,
+                                num_local_experts=X, num_experts_per_tok=K,
+                                rms_norm_eps=1e-5, use_cache=False,
+                                rope_theta=10000.0,
+                                embedding_multiplier=2.0,
+                                residual_multiplier=0.5,
+                                logits_scaling=4.0,
+                                attention_multiplier=0.125,
+                                tie_word_embeddings=False)
+    hm = GraniteMoeSharedForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "granitemoeshared.gguf")
+    w, V = _gguf_header(path, "granitemoeshared", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("embedding_scale", 2.0),
+                               ("residual_scale", 0.5),
+                               ("logit_scale", 1.0 / 4.0),
+                               ("attention.scale", 0.125),
+                               ("expert_count", X),
+                               ("expert_used_count", K)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        _qkvo(w, st, p, o, permute_heads=H, hkv=HKV)
+        w.add_tensor(o + "ffn_gate_inp.weight",
+                     _np(st, p + "block_sparse_moe.router.layer.weight"))
+        inp = _np(st, p + "block_sparse_moe.input_linear.weight")
+        w.add_tensor(o + "ffn_gate_exps.weight", inp[:, :FF])
+        w.add_tensor(o + "ffn_up_exps.weight", inp[:, FF:])
+        w.add_tensor(o + "ffn_down_exps.weight",
+                     _np(st, p + "block_sparse_moe.output_linear.weight"))
+        shr = _np(st, p + "shared_mlp.input_linear.weight")   # [2F, E]
+        w.add_tensor(o + "ffn_gate_shexp.weight", shr[:FF])
+        w.add_tensor(o + "ffn_up_shexp.weight", shr[FF:])
+        w.add_tensor(o + "ffn_down_shexp.weight",
+                     _np(st, p + "shared_mlp.output_linear.weight"))
+    w.write()
+    _compare(hm, path, decode_check=True)
+
+
+def test_phimoe_matches_transformers(tmp_path):
+    """phimoe (Phi-3.5-MoE): neox rotary, q/k/v/o and lm_head biases,
+    16->2 sparsemixer routing — at inference each round picks the argmax
+    of the remaining scores and weights it by the jitter-masked softmax
+    of the ORIGINAL scores (weights NOT renormalized)."""
+    from transformers import PhimoeConfig, PhimoeForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, X, K = 2, 8, 2
+    hc = PhimoeConfig(vocab_size=len(vocab), hidden_size=E,
+                      num_hidden_layers=L, num_attention_heads=H,
+                      num_key_value_heads=HKV, intermediate_size=FF,
+                      num_local_experts=X, num_experts_per_tok=K,
+                      rms_norm_eps=1e-5, use_cache=False,
+                      rope_theta=10000.0, attention_bias=True,
+                      lm_head_bias=True, router_jitter_noise=0.01,
+                      sliding_window=None, tie_word_embeddings=False)
+    hm = PhimoeForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "phimoe.gguf")
+    w, V = _gguf_header(path, "phimoe", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("expert_count", X),
+                               ("expert_used_count", K)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output_norm.bias", _np(st, "model.norm.bias"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    w.add_tensor("output.bias", _np(st, "lm_head.bias"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "attn_norm.bias",
+                     _np(st, p + "input_layernorm.bias"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.bias",
+                     _np(st, p + "post_attention_layernorm.bias"))
+        _qkvo(w, st, p, o, bias=True)     # neox: no permute
+        w.add_tensor(o + "attn_output.bias",
+                     _np(st, p + "self_attn.o_proj.bias"))
+        w.add_tensor(o + "ffn_gate_inp.weight",
+                     _np(st, p + "block_sparse_moe.gate.weight"))
+        gate = np.stack([_np(st, p + f"block_sparse_moe.experts.{x}."
+                             "w1.weight") for x in range(X)])
+        upw = np.stack([_np(st, p + f"block_sparse_moe.experts.{x}."
+                            "w3.weight") for x in range(X)])
+        down = np.stack([_np(st, p + f"block_sparse_moe.experts.{x}."
+                             "w2.weight") for x in range(X)])
+        w.add_tensor(o + "ffn_gate_exps.weight", gate)
+        w.add_tensor(o + "ffn_up_exps.weight", upw)
+        w.add_tensor(o + "ffn_down_exps.weight", down)
+    w.write()
+    cfg, _ = load_model(path, dtype=jnp.float32)
+    assert cfg.expert_gating_func == 3 and cfg.rope_mode == "neox"
+    _compare(hm, path, decode_check=True)
