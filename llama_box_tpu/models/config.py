@@ -41,6 +41,7 @@ _UNGATED_FFN_ARCHS = {
 _NEOX_ROPE_ARCHS = {
     "qwen2", "qwen2moe", "qwen3", "qwen3moe", "falcon", "gemma", "gemma2",
     "gemma3", "phi2", "phi3", "stablelm", "gptneox", "starcoder2", "olmo2",
+    "olmo3",
     "internlm2", "deepseek2", "minicpm3", "smollm3", "nemotron", "olmoe",
     "bamba", "granitehybrid", "gpt-oss", "exaone4", "dots1", "seed_oss",
     "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1", "lfm2",
@@ -257,11 +258,11 @@ class ModelConfig:
             # (llama.cpp hardcodes set_swa_pattern(2) for LLM_ARCH_OPENAI_MOE)
             swa_pattern=int(kv("attention.sliding_window_pattern",
                                {"gemma2": 2, "gemma3": 6, "gemma3n": 5,
-                                "gpt-oss": 2,
+                                "gpt-oss": 2, "olmo3": 4,
                                 "cohere2": 4, "exaone4": 4}.get(arch, 0))
                             or 0) if (arch.startswith("gemma")
                                       or arch in ("gpt-oss", "cohere2",
-                                                  "exaone4"))
+                                                  "exaone4", "olmo3"))
             else 0,
             # ungated-FFN families use GELU (falcon/gptneox/phi2/
             # starcoder2/gpt2/bloom/mpt); nemotron uses squared ReLU

@@ -2898,3 +2898,55 @@ def test_phimoe_matches_transformers(tmp_path):
     cfg, _ = load_model(path, dtype=jnp.float32)
     assert cfg.expert_gating_func == 3 and cfg.rope_mode == "neox"
     _compare(hm, path, decode_check=True)
+
+
+def test_olmo3_matches_transformers(tmp_path):
+    """olmo3: olmo2's post-norm-only blocks + whole-row q/k norms, with
+    the 3-sliding:1-full attention pattern (every 4th layer full
+    context; all layers roped — unlike cohere2/exaone4's unroped full
+    layers). Golden uses rope_scaling=None so sliding and full layers
+    share one rope table, exactly as exported."""
+    from transformers import Olmo3Config, Olmo3ForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    HKV, NL, SW = 4, 4, 8
+    hc = Olmo3Config(vocab_size=len(vocab), hidden_size=E,
+                     num_hidden_layers=NL, num_attention_heads=H,
+                     num_key_value_heads=HKV, intermediate_size=FF,
+                     rms_norm_eps=1e-5, use_cache=False,
+                     rope_theta=10000.0, rope_scaling=None,
+                     sliding_window=SW,
+                     layer_types=["sliding_attention"] * 3
+                     + ["full_attention"],
+                     tie_word_embeddings=False)
+    hm = Olmo3ForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "olmo3.gguf")
+    w, V = _gguf_header(path, "olmo3", HKV, D, n_layers=NL,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("attention.sliding_window", SW)])
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(NL):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "post_attention_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        w.add_tensor(o + "post_ffw_norm.weight",
+                     _np(st, p + "post_feedforward_layernorm.weight"))
+        w.add_tensor(o + "attn_q_norm.weight",
+                     _np(st, p + "self_attn.q_norm.weight"))
+        w.add_tensor(o + "attn_k_norm.weight",
+                     _np(st, p + "self_attn.k_norm.weight"))
+        _qkvo(w, st, p, o)
+        w.add_tensor(o + "ffn_gate.weight",
+                     _np(st, p + "mlp.gate_proj.weight"))
+        w.add_tensor(o + "ffn_up.weight", _np(st, p + "mlp.up_proj.weight"))
+        w.add_tensor(o + "ffn_down.weight",
+                     _np(st, p + "mlp.down_proj.weight"))
+    w.write()
+    cfg, _ = load_model(path, dtype=jnp.float32)
+    assert cfg.swa_window == SW and cfg.swa_pattern == 4
+    _compare(hm, path, decode_check=True)
