@@ -22,7 +22,8 @@ _tried = False
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
 _SRCS = [os.path.join(_NATIVE_DIR, "gguf_kernels.cpp"),
-         os.path.join(_NATIVE_DIR, "tokenizer_core.cpp")]
+         os.path.join(_NATIVE_DIR, "tokenizer_core.cpp"),
+         os.path.join(_NATIVE_DIR, "grammar_core.cpp")]
 _OUT = os.path.join(_NATIVE_DIR, "libgguf_kernels.so")
 
 

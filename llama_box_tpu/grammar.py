@@ -273,10 +273,103 @@ def _utf8_partial_range(tail: bytes, ln: int) -> tuple[int, int]:
     return max(lo, min_cp), min(hi, 0x10FFFF)
 
 
+class _NativeGramHandle:
+    """Owns a native grammar handle (shared across Grammar copies)."""
+
+    def __init__(self, lib, handle):
+        self.lib = lib
+        self.h = handle
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.lib.lbox_gram_free(self.h)
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+
+class _NativeState:
+    """Owns a native matcher-state handle."""
+
+    def __init__(self, lib, handle):
+        self.lib = lib
+        self.h = handle
+
+    def __del__(self):  # noqa: D105
+        try:
+            self.lib.lbox_gram_state_free(self.h)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+def _native_grammar_lib():
+    """The shared native library with the grammar core bound, or None.
+    (native/grammar_core.cpp — the reference's grammar engine is
+    llama.cpp C++; the Python matcher below stays the always-available
+    fallback and the exactness oracle.)"""
+    import ctypes
+    try:
+        from .gguf.native import get_lib
+        lib = get_lib()
+    except Exception:  # noqa: BLE001
+        return None
+    if lib is None or not hasattr(lib, "lbox_gram_new"):
+        return None
+    if not getattr(lib, "_gram_bound", False):
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.lbox_gram_new.restype = ctypes.c_void_p
+        lib.lbox_gram_new.argtypes = [i32p, ctypes.c_int64, ctypes.c_int32]
+        lib.lbox_gram_free.argtypes = [ctypes.c_void_p]
+        lib.lbox_gram_state_new.restype = ctypes.c_void_p
+        lib.lbox_gram_state_new.argtypes = [ctypes.c_void_p]
+        lib.lbox_gram_state_copy.restype = ctypes.c_void_p
+        lib.lbox_gram_state_copy.argtypes = [ctypes.c_void_p]
+        lib.lbox_gram_state_free.argtypes = [ctypes.c_void_p]
+        for fn in (lib.lbox_gram_accept_bytes, lib.lbox_gram_try_bytes):
+            fn.restype = ctypes.c_int
+            fn.argtypes = [ctypes.c_void_p, ctypes.c_void_p, u8p,
+                           ctypes.c_int64]
+        lib.lbox_gram_completed.restype = ctypes.c_int
+        lib.lbox_gram_completed.argtypes = [ctypes.c_void_p]
+        lib.lbox_gram_must_stop.restype = ctypes.c_int
+        lib.lbox_gram_must_stop.argtypes = [ctypes.c_void_p]
+        lib.lbox_gram_filter.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, u8p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, u8p]
+        lib._gram_bound = True
+    return lib
+
+
+def _serialize_rules(rules: dict, n_rules: int):
+    """Rules dict -> the int32 stream grammar_core.cpp parses."""
+    out = [n_rules]
+    for r in range(n_rules):
+        alts = rules[r]
+        out.append(len(alts))
+        for seq in alts:
+            out.append(len(seq))
+            for item in seq:
+                if item[0] == "ref":
+                    out += [0, item[1]]
+                else:
+                    _, ranges, neg = item
+                    out += [1, int(neg), len(ranges)]
+                    for lo, hi in ranges:
+                        out += [lo, hi]
+    import numpy as np
+    return np.asarray(out, np.int32)
+
+
 class Grammar:
     """Incremental pushdown matcher. State = set of stacks; each stack is a
     tuple of (rule_id, alt_idx, item_idx) frames, top = last, normalized so
-    the top frame's next item is a char matcher."""
+    the top frame's next item is a char matcher.
+
+    When the native core (native/grammar_core.cpp) is available the
+    byte-level API (accept_bytes / accepts_token / completed /
+    must_stop / filter_pieces) runs there — same semantics, ~100x less
+    per-candidate overhead on the constrained-sampling scan. Set
+    LLAMA_BOX_TPU_NO_NATIVE=1 to force the pure-Python matcher."""
 
     def __init__(self, gbnf: str | None = None, rules=None, root=None):
         if gbnf is not None:
@@ -287,6 +380,20 @@ class Grammar:
         for alt in range(1, len(self.rules[root])):
             self.stacks |= self._normalize(((root, alt, 0),))
         self._pending = b""  # partial UTF-8 from token boundaries
+        self._ng = self._nst = None
+        lib = _native_grammar_lib()
+        if lib is not None:
+            import ctypes
+
+            import numpy as np
+            buf = _serialize_rules(self.rules, len(self.rules))
+            h = lib.lbox_gram_new(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                buf.size, int(self.root))
+            if h:
+                self._ng = _NativeGramHandle(lib, h)
+                self._nst = _NativeState(
+                    lib, lib.lbox_gram_state_new(h))
 
     # -- state manipulation --------------------------------------------------
 
@@ -336,9 +443,17 @@ class Grammar:
         g.root = self.root
         g.stacks = self.stacks
         g._pending = self._pending
+        g._ng = self._ng
+        g._nst = None
+        if self._ng is not None and self._nst is not None:
+            g._nst = _NativeState(
+                self._ng.lib,
+                self._ng.lib.lbox_gram_state_copy(self._nst.h))
         return g
 
     def accept_cp(self, cp: int) -> bool:
+        if self._nst is not None:
+            return self.accept_bytes(chr(cp).encode("utf-8"))
         ns = self._advance(self.stacks, cp)
         if not ns:
             return False
@@ -349,6 +464,11 @@ class Grammar:
         """Advance over a token's bytes (UTF-8). Partial sequences at the end
         are held across calls and accepted only if SOME completion could
         match a pending char matcher (llama.cpp partial_utf8 semantics)."""
+        if self._nst is not None:
+            import ctypes
+            buf = (ctypes.c_uint8 * max(len(data), 1))(*data)
+            return bool(self._ng.lib.lbox_gram_accept_bytes(
+                self._ng.h, self._nst.h, buf, len(data)))
         buf = self._pending + data
         i, n = 0, len(buf)
         while i < n:
@@ -391,16 +511,46 @@ class Grammar:
 
     def accepts_token(self, piece: bytes) -> bool:
         """Tentative check: would this token's bytes be accepted?"""
+        if self._nst is not None:
+            import ctypes
+            buf = (ctypes.c_uint8 * max(len(piece), 1))(*piece)
+            return bool(self._ng.lib.lbox_gram_try_bytes(
+                self._ng.h, self._nst.h, buf, len(piece)))
         return self.copy().accept_bytes(piece)
+
+    def filter_pieces(self, pieces: list) -> list:
+        """Batched accepts_token over candidate byte strings — ONE
+        native crossing for the whole candidate list (the constrained
+        sampler's full-vocab fallback scan)."""
+        if self._nst is None:
+            return [self.accepts_token(p) for p in pieces]
+        import ctypes
+
+        import numpy as np
+        offs = np.zeros(len(pieces) + 1, np.int64)
+        for i, p in enumerate(pieces):
+            offs[i + 1] = offs[i] + len(p)
+        blob = b"".join(pieces)
+        buf = (ctypes.c_uint8 * max(len(blob), 1))(*blob)
+        out = (ctypes.c_uint8 * max(len(pieces), 1))()
+        self._ng.lib.lbox_gram_filter(
+            self._ng.h, self._nst.h, buf,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(pieces), out)
+        return [bool(out[i]) for i in range(len(pieces))]
 
     @property
     def completed(self) -> bool:
         """True if the grammar can stop here (some stack fully consumed)."""
+        if self._nst is not None:
+            return bool(self._ng.lib.lbox_gram_completed(self._nst.h))
         return any(not s for s in self.stacks)
 
     @property
     def must_stop(self) -> bool:
         """True if NO continuation is possible (only complete stacks left)."""
+        if self._nst is not None:
+            return bool(self._ng.lib.lbox_gram_must_stop(self._nst.h))
         return all(not s for s in self.stacks)
 
     def state_key(self) -> tuple:

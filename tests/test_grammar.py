@@ -173,3 +173,59 @@ def test_schema_string_escapes():
     g = Grammar(json_schema_to_grammar({"type": "string"}))
     assert matches_json(g, "hello \"quoted\" \n line")
     assert matches_json(g, "日本語")
+
+
+def test_native_grammar_matches_python():
+    """The native matcher (native/grammar_core.cpp) must agree with the
+    pure-Python pushdown on every operation: randomized byte streams
+    (incl. multi-byte UTF-8 split across token boundaries), tentative
+    accepts_token, completed/must_stop, copies, and the batched
+    filter_pieces."""
+    import numpy as np
+
+    from llama_box_tpu import grammar as gmod
+    from llama_box_tpu.grammar import Grammar
+
+    gbnfs = [
+        'root ::= "a" [b-d]+ "e"?',
+        'root ::= obj\nobj ::= "{" pair ("," pair)* "}"\n'
+        'pair ::= [a-z]+ ":" [0-9]+',
+        'root ::= ("x" | "yy" | zed)* "!"\nzed ::= "z" root',
+        'root ::= [^a-m]{2,4} "end"',
+        'root ::= "\\u00e9" [\\u00e0-\\u00ff]* "."',   # multi-byte chars
+    ]
+    if Grammar(gbnfs[0])._nst is None:
+        import pytest
+        pytest.skip("native grammar core unavailable")
+
+    orig = gmod._native_grammar_lib
+    rng = np.random.default_rng(0)
+    probes = [b"a", b"bc", b"e", b"!", b"x", b"z", b"end",
+              "é".encode(), "à.".encode(), b"{ab:12}", b"\xc3", b"\xa9",
+              b"\xff", b"no"]
+    try:
+        for gb in gbnfs:
+            gn = Grammar(gb)
+            gmod._native_grammar_lib = lambda: None
+            gp = Grammar(gb)
+            gmod._native_grammar_lib = orig
+            assert gn._nst is not None and gp._nst is None
+            for step in range(60):
+                assert gn.completed == gp.completed, (gb, step)
+                assert gn.must_stop == gp.must_stop, (gb, step)
+                assert gn.filter_pieces(probes) \
+                    == [gp.accepts_token(p) for p in probes], (gb, step)
+                piece = probes[int(rng.integers(len(probes)))]
+                ok_n = gn.accepts_token(piece)
+                ok_p = gp.accepts_token(piece)
+                assert ok_n == ok_p, (gb, step, piece)
+                if ok_n:
+                    # accept on COPIES so the originals only ever hold
+                    # valid-prefix state (accept_bytes may partially
+                    # advance on failure, by design on both paths)
+                    gn2, gp2 = gn.copy(), gp.copy()
+                    assert gn2.accept_bytes(piece)
+                    assert gp2.accept_bytes(piece)
+                    gn, gp = gn2, gp2
+    finally:
+        gmod._native_grammar_lib = orig
