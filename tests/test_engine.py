@@ -751,3 +751,72 @@ def test_post_prefill_speculation_and_tail_shrink(tmp_path):
     finally:
         eng_mod.Engine._speculate_post_prefill = orig
     assert go(1, pipeline_chain=False) == piped
+
+
+def test_engine_randomized_soak(tmp_path):
+    """Randomized mixed-workload soak through the real reconcile loop:
+    varied prompt lengths, greedy/sampled/grammar/n_probs tasks, a
+    mid-flight cancel, and budgets that cross chain boundaries — every
+    task must complete (or cancel) without engine errors, and greedy
+    tasks must be deterministic across the soak (prefix-cache +
+    pipelining must not leak state between tasks)."""
+    from llama_box_tpu.grammar import Grammar
+
+    path = str(tmp_path / "tiny.gguf")
+    write_tiny_model(path)
+    eng = _chain_engine(path, 4, pipeline_depth=2, chain_ramp=2)
+    rng = np.random.default_rng(0)
+    try:
+        # deterministic reference for one greedy prompt
+        ref_t = CompletionsTask(eng.tokenizer.encode("a b c"),
+                                SamplerParams(temp=0.0),
+                                tokenizer=eng.tokenizer, max_tokens=7,
+                                stream=False)
+        ref, _ = run_task(eng, ref_t)
+
+        prompts = ["a", "b c", "c d a b", "a c b", "d"]
+        tasks = []
+        for i in range(14):
+            p = prompts[int(rng.integers(len(prompts)))]
+            kind = i % 5
+            if kind == 0:
+                sp = SamplerParams(temp=0.0)
+            elif kind == 1:
+                sp = SamplerParams(temp=0.8, seed=i)
+            elif kind == 2:
+                sp = SamplerParams(temp=0.7, seed=i, penalty_repeat=1.2)
+            elif kind == 3:
+                sp = SamplerParams(temp=0.0,
+                                   grammar=Grammar('root ::= [a-d ]{1,24}'))
+            else:
+                sp = SamplerParams(temp=0.9, seed=i, top_k=3)
+            kw = dict(tokenizer=eng.tokenizer, stream=False,
+                      max_tokens=int(rng.integers(3, 15)))
+            if kind == 2:
+                kw["n_probs"] = 3
+            t = CompletionsTask(eng.tokenizer.encode(p), sp, **kw)
+            eng.submit(t)
+            tasks.append(t)
+        tasks[5].cancelled = True   # mid-flight cancel
+        done = 0
+        for t in tasks:
+            if t is tasks[5]:
+                continue
+            while True:
+                kind_, payload = t.result_q.get(timeout=180)
+                if kind_ == "final":
+                    assert 1 <= len(payload.generated)
+                    done += 1
+                    break
+                if kind_ == "error":
+                    raise payload
+        assert done == 13
+        # greedy determinism after the soak
+        t2 = CompletionsTask(eng.tokenizer.encode("a b c"),
+                             SamplerParams(temp=0.0),
+                             tokenizer=eng.tokenizer, max_tokens=7,
+                             stream=False)
+        again, _ = run_task(eng, t2)
+        assert again.generated == ref.generated
+    finally:
+        eng.stop()
