@@ -124,8 +124,6 @@ def serve_bench(cfg, params, V, n_req: int = 4, prompt_len: int = 512,
     reconcile loop (continuous batching, per-step host sync — the
     reference measures live per-request usage, httpserver.hpp:2313-2335).
     Returns {"ttft_ms_p50": ..., "decode_tok_s": ...}."""
-    import queue as _q
-
     from llama_box_tpu.sampling import SamplerParams
     from llama_box_tpu.server import CompletionsTask, Engine, EngineConfig
     rng = np.random.default_rng(7)
