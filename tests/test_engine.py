@@ -820,3 +820,37 @@ def test_engine_randomized_soak(tmp_path):
         assert again.generated == ref.generated
     finally:
         eng.stop()
+
+
+def test_chain_k_budget_shrink_unit():
+    """_chain_k contract (r5): K caps at the pow2 bucket of the largest
+    remaining budget minus in-flight steps; 1-3 token leftovers
+    overshoot a 4-chain instead of paying a per-token round trip."""
+    from llama_box_tpu.server.engine import Engine, EngineConfig
+
+    class _Task:
+        def __init__(self, mt, gen):
+            self.max_tokens = mt
+            self.generated = [0] * gen
+
+    class _Slot:
+        def __init__(self, mt, gen, ramp=0):
+            self.task = _Task(mt, gen)
+            self.chain_ramp = ramp
+
+    eng = Engine.__new__(Engine)
+    eng.ecfg = EngineConfig(decode_chain=16)
+
+    k = Engine._chain_k
+    assert k(eng, [_Slot(1000, 0)]) == 16          # plenty of budget
+    assert k(eng, [_Slot(100, 88)]) == 8           # rem 12 -> pow2 8
+    assert k(eng, [_Slot(100, 95)]) == 4           # rem 5 -> 4
+    assert k(eng, [_Slot(100, 98)]) == 4           # rem 2 -> overshoot 4
+    assert k(eng, [_Slot(100, 99)]) == 4           # rem 1 -> overshoot 4
+    assert k(eng, [_Slot(0, 50)]) == 16            # mt<=0 = unlimited
+    # max over slots governs; off subtracts in-flight steps
+    assert k(eng, [_Slot(100, 95), _Slot(1000, 0)]) == 16
+    assert k(eng, [_Slot(100, 80)], off=16) == 4   # rem 20-16=4
+    assert k(eng, [_Slot(100, 84)], off=16) == 1   # covered -> caller skips
+    # ramp still caps below the budget bucket
+    assert k(eng, [_Slot(1000, 0, ramp=4)]) == 4
