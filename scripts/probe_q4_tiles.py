@@ -12,19 +12,24 @@ import os
 import subprocess
 import sys
 
+# r5 sweep results (tok/s at the bench shape): bt512/ot256 1105 (old
+# default), bt512/ot512 1219, bt1024/ot256 1181, bt1024/ot512 1264,
+# bt1024/ot1024 1290, bt2048/ot512 1263, bt2048/ot1024 1298,
+# bt1024/ot2048 1337 (NEW DEFAULT), int8-unpacked 884 (2x HBM bytes
+# dominate). The kernel is VPU-unpack-bound, so fewer grid steps
+# amortize the per-tile fixed cost until VMEM pressure.
 VARIANTS = [
     # (label, env)
-    ("packed4 bt512 ot256 (default)", {"LLAMA_BOX_TPU_PACKED4": "1"}),
-    ("packed4 bt512 ot512", {"LLAMA_BOX_TPU_PACKED4": "1",
-                             "LLAMA_BOX_TPU_Q4_OT": "512"}),
-    ("packed4 bt1024 ot256", {"LLAMA_BOX_TPU_PACKED4": "1",
-                              "LLAMA_BOX_TPU_Q4_BT": "1024"}),
-    ("packed4 bt256 ot512", {"LLAMA_BOX_TPU_PACKED4": "1",
-                             "LLAMA_BOX_TPU_Q4_BT": "256",
-                             "LLAMA_BOX_TPU_Q4_OT": "512"}),
-    ("packed4 bt1024 ot512", {"LLAMA_BOX_TPU_PACKED4": "1",
-                              "LLAMA_BOX_TPU_Q4_BT": "1024",
-                              "LLAMA_BOX_TPU_Q4_OT": "512"}),
+    ("packed4 bt1024 ot2048 (default)", {"LLAMA_BOX_TPU_PACKED4": "1"}),
+    ("packed4 bt512 ot256 (r4 default)", {"LLAMA_BOX_TPU_PACKED4": "1",
+                                          "LLAMA_BOX_TPU_Q4_BT": "512",
+                                          "LLAMA_BOX_TPU_Q4_OT": "256"}),
+    ("packed4 bt1024 ot1024", {"LLAMA_BOX_TPU_PACKED4": "1",
+                               "LLAMA_BOX_TPU_Q4_BT": "1024",
+                               "LLAMA_BOX_TPU_Q4_OT": "1024"}),
+    ("packed4 bt2048 ot2048", {"LLAMA_BOX_TPU_PACKED4": "1",
+                               "LLAMA_BOX_TPU_Q4_BT": "2048",
+                               "LLAMA_BOX_TPU_Q4_OT": "2048"}),
     ("int8-unpacked group-quant", {"LLAMA_BOX_TPU_Q4_INT8": "1"}),
 ]
 
