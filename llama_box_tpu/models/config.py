@@ -47,7 +47,7 @@ _NEOX_ROPE_ARCHS = {
     "ernie4_5", "ernie4_5-moe", "apertus", "falcon-h1", "lfm2",
     "qwen3next", "olmo", "chameleon", "gemma3n", "dbrx", "grok",
     "openelm", "orion", "hunyuan-dense", "hunyuan-moe", "glm4moe",
-    "phimoe",
+    "phimoe", "jetmoe",
 }
 
 
@@ -220,6 +220,7 @@ class ModelConfig:
                                                  "gpt-oss", "dbrx",
                                                  "granitemoe",
                                                  "granitemoeshared",
+                                                 "jetmoe",
                                                  "hunyuan-moe"))),
             # cohere2 (command-r7b) / exaone4: every 4th layer is global,
             # full-context AND unroped (llama.cpp keys rope on is_swa)

@@ -216,12 +216,35 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
     H, Hkv, D = cfg.n_heads, cfg.n_kv_heads, cfg.head_dim
 
     h = _pre_norm(x, lp, "attn_norm", cfg)
+    moa_route = None
     if "wkv_a" in lp:
         # deepseek2 MLA: low-rank q/kv projections; rope dims stored FIRST
         # within each head so the plain rope/shift machinery applies
         q, k, v = _mla_qkv(h, lp, cfg)
         Hkv = H  # MLA expands to per-head K/V in this (non-compressed) cache
         D = cfg.head_dim
+    elif "wq_exps" in lp:
+        # jetmoe mixture-of-attention (MoA): query and output projections
+        # are top-k routed EXPERTS over one shared kv projection. Dense
+        # emulation: every expert's queries attend (per-head softmax is
+        # independent, so unselected experts' heads are exact too) and
+        # the routing weights select at the output mix in _layer_tail.
+        # Head layout: H = n_experts * Hkv, ordered [Hkv, X] so expert
+        # x's query head for kv head m rides GQA group slot x.
+        Xe = lp["wq_exps"].shape[0]
+        assert H == Xe * Hkv, "jetmoe: head_count must be X * head_count_kv"
+        rl = (h @ lp["attn_gate_inp"].astype(h.dtype)).astype(jnp.float32)
+        pr = jax.nn.softmax(rl, axis=-1)                         # [B,T,X]
+        topv, topi = jax.lax.top_k(pr, max(cfg.expert_used_count, 1))
+        topv = topv / (topv.sum(-1, keepdims=True) + 1e-9)
+        moa_route = jnp.zeros_like(pr).at[
+            jnp.arange(B)[:, None, None],
+            jnp.arange(T)[None, :, None], topi].add(topv)
+        q = jnp.einsum("bte,xeh->btxh", h, lp["wq_exps"].astype(h.dtype))
+        q = q.reshape(B, T, Xe, Hkv, D).transpose(0, 1, 3, 2, 4) \
+            .reshape(B, T, H, D)
+        k = mm(h, lp["wk"]).reshape(B, T, Hkv, D)
+        v = mm(h, lp["wv"]).reshape(B, T, Hkv, D)
     elif "wqkv" in lp:
         # load-time fused q/k/v projection (loader.fuse_projections):
         # one [E, (H+2*Hkv)*D] matmul; per-column contraction keeps the
@@ -346,7 +369,7 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
                               cfg, q, k, v, is_local, k_scale, v_scale,
                               lora_scales, flash_meta=flash_meta,
                               chain=chain, extra_residual=extra_residual,
-                              layer_idx=layer_idx)
+                              layer_idx=layer_idx, attn_route=moa_route)
 
     # non-deferred path (embeddings forward: cache == chunk, bidirectional
     # masks): scatter current K/V in, then attend the whole cache
@@ -412,7 +435,7 @@ def _attn_layer(x, lp, positions, k_cache, v_cache, mask, cfg: ModelConfig,
         .reshape(B, T, H * Dv)
 
     x = _layer_tail(x, lp, cfg, attn, lora_scales,
-                    extra_residual=extra_residual)
+                    extra_residual=extra_residual, attn_route=moa_route)
     return x, k_cache, v_cache, k_scale, v_scale
 
 
@@ -558,7 +581,7 @@ def _ffn_block(h, lp, cfg: ModelConfig, lora_scales, dtype):
 
 
 def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales,
-                extra_residual=None):
+                extra_residual=None, attn_route=None):
     """Shared post-attention tail: output proj (+post norm) + FFN/MoE.
     Sequential residual by default; parallel_residual archs
     (falcon/phi2/command-r) add attn and FFN of the SAME normed input.
@@ -586,8 +609,22 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales,
         # q_proj at conversion)
         hg = _pre_norm(x, lp, "attn_norm", cfg)
         ao = ao * jax.nn.sigmoid(mm(hg, lp["wq_gate"])).astype(x.dtype)
-    attn_out = (mm(ao, lp["wo"])
-                + _lora_delta(ao, lp, "wo", lora_scales)).astype(x.dtype)
+    if attn_route is not None:
+        # jetmoe MoA output side: heads laid out [Hkv, X]; each expert's
+        # slice projects through its own output matrix, weighted by the
+        # dense routing mask (0 for unselected experts)
+        B_, T_, HD = ao.shape
+        Xe = lp["wo_exps"].shape[0]
+        Dv = HD // (Xe * cfg.n_kv_heads)
+        a4 = ao.reshape(B_, T_, cfg.n_kv_heads, Xe, Dv) \
+               .transpose(0, 1, 3, 2, 4).reshape(B_, T_, Xe, -1)
+        attn_out = jnp.einsum(
+            "btxh,xhe->bte",
+            a4 * attn_route[..., None].astype(ao.dtype),
+            lp["wo_exps"].astype(ao.dtype)).astype(x.dtype)
+    else:
+        attn_out = (mm(ao, lp["wo"])
+                    + _lora_delta(ao, lp, "wo", lora_scales)).astype(x.dtype)
     if "bo" in lp:
         attn_out = attn_out + lp["bo"].astype(x.dtype)
     if "attn_post_norm" in lp:  # gemma2/3 sandwich, olmo2 post-norm
@@ -630,7 +667,7 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales,
 def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
                    is_local, k_scale, v_scale, lora_scales,
                    flash_meta=None, chain=None, extra_residual=None,
-                   tail=True, layer_idx=None):
+                   tail=True, layer_idx=None, attn_route=None):
     """Read-only-cache attention for the batched decode/verify step AND
     (via the flash kernel) batched prefill.
     Returns (x_out, rows) where rows are the new K/V entries (quantized
@@ -688,7 +725,8 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         if not tail:
             return attn, rows
         return _layer_tail(x, lp, cfg, attn, lora_scales,
-                           extra_residual=extra_residual), rows
+                           extra_residual=extra_residual,
+                           attn_route=attn_route), rows
 
     if chain is not None and T == 1 and layer_idx is None \
             and cfg.alibi_max_bias == 0.0 and cfg.swa_window == 0 \
@@ -760,7 +798,8 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         if not tail:
             return attn, rows
         return _layer_tail(x, lp, cfg, attn, lora_scales,
-                           extra_residual=extra_residual), rows
+                           extra_residual=extra_residual,
+                           attn_route=attn_route), rows
 
     if chain is not None and T == 1 and layer_idx is not None:
         # chained decode through the single-query flash kernel
@@ -807,7 +846,8 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
         if not tail:
             return attn, rows
         return _layer_tail(x, lp, cfg, attn, lora_scales,
-                           extra_residual=extra_residual), rows
+                           extra_residual=extra_residual,
+                           attn_route=attn_route), rows
 
     if k_scale is not None:
         kf = k_cache.astype(adt) * k_scale.astype(adt)[..., None]
@@ -926,7 +966,7 @@ def _attn_deferred(x, lp, positions, k_cache, v_cache, mask, cfg, q, k, v,
     if not tail:
         return attn, rows
     x = _layer_tail(x, lp, cfg, attn, lora_scales,
-                    extra_residual=extra_residual)
+                    extra_residual=extra_residual, attn_route=attn_route)
     return x, rows
 
 
@@ -1067,6 +1107,8 @@ def _moe_mix(h, lp, cfg: ModelConfig, probs, route):
             sy = sy * jax.nn.sigmoid(
                 hf @ lp["w_gate_inp_shexp"].astype(jnp.float32))
         y = y + sy
+    if "b_down" in lp:    # jetmoe: learned bias after the weighted sum
+        y = y + lp["b_down"].astype(jnp.float32)
     return y
 
 

@@ -122,6 +122,11 @@ _LAYER_OPTIONAL = {
     "b_gate_exps": ("blk.{i}.ffn_gate_exps.bias", False),
     "b_up_exps": ("blk.{i}.ffn_up_exps.bias", False),
     "b_down_exps": ("blk.{i}.ffn_down_exps.bias", False),
+    # jetmoe mixture-of-attention: q/output projections as experts over
+    # a shared kv projection; the router weight is stored [X, E]
+    "wq_exps": ("blk.{i}.attn_q_exps.weight", "3d"),
+    "wo_exps": ("blk.{i}.attn_output_exps.weight", "3d"),
+    "attn_gate_inp": ("blk.{i}.attn_gate_inp.weight", True),
     "w_gate_shexp": ("blk.{i}.ffn_gate_shexp.weight", True),
     "w_up_shexp": ("blk.{i}.ffn_up_shexp.weight", True),
     "w_down_shexp": ("blk.{i}.ffn_down_shexp.weight", True),

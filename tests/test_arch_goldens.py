@@ -2950,3 +2950,76 @@ def test_olmo3_matches_transformers(tmp_path):
     cfg, _ = load_model(path, dtype=jnp.float32)
     assert cfg.swa_window == SW and cfg.swa_pattern == 4
     _compare(hm, path, decode_check=True)
+
+
+def test_jetmoe_matches_transformers(tmp_path):
+    """jetmoe: BOTH the attention (MoA: query/output projections as
+    top-k routed experts over one shared kv projection, learned output
+    bias) and the FFN (fused gate|up experts + learned output bias) are
+    mixtures. Export convention (ours; documented): head_count =
+    n_experts * head_count_kv (the dense emulation computes every
+    expert's heads — per-head softmax is independent, so it is exact —
+    and the routing mask selects at the output mix); kv_proj splits to
+    attn_k/attn_v; the MoA/MoE biases ride attn_output.bias /
+    ffn_down.bias."""
+    from transformers import JetMoeConfig, JetMoeForCausalLM
+    vocab, _, _ = build_vocab()
+    torch.manual_seed(0)
+    KVH, X, K = 2, 4, 2
+    hc = JetMoeConfig(vocab_size=len(vocab), hidden_size=E,
+                      num_hidden_layers=L,
+                      num_key_value_heads=KVH,
+                      num_attention_heads=K * KVH,
+                      kv_channels=D, intermediate_size=FF,
+                      num_local_experts=X, num_experts_per_tok=K,
+                      rms_norm_eps=1e-5, use_cache=False,
+                      rope_theta=10000.0, activation_function="silu",
+                      tie_word_embeddings=False)
+    hm = JetMoeForCausalLM(hc).eval()
+    st = hm.state_dict()
+
+    path = str(tmp_path / "jetmoe.gguf")
+    w, V = _gguf_header(path, "jetmoe", KVH, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("expert_count", X),
+                               ("expert_used_count", K)])
+    # our convention: head_count = X * KVH (overrides the helper's H);
+    # head_dim = kv_channels, NOT n_embd / n_heads
+    w.add_kv("jetmoe.attention.head_count", X * KVH)
+    w.add_kv("jetmoe.attention.key_length", D)
+    w.add_tensor("token_embd.weight", _np(st, "model.embed_tokens.weight"))
+    w.add_tensor("output_norm.weight", _np(st, "model.norm.weight"))
+    w.add_tensor("output.weight", _np(st, "lm_head.weight"))
+    for i in range(L):
+        p = f"model.layers.{i}."
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight",
+                     _np(st, p + "input_layernorm.weight"))
+        w.add_tensor(o + "ffn_norm.weight",
+                     _np(st, p + "post_attention_layernorm.weight"))
+        moa = p + "self_attention."
+        w.add_tensor(o + "attn_q_exps.weight",
+                     _np(st, moa + "experts.input_linear.weight"))
+        w.add_tensor(o + "attn_output_exps.weight",
+                     _np(st, moa + "experts.output_linear.weight"))
+        w.add_tensor(o + "attn_gate_inp.weight",
+                     _np(st, moa + "experts.router.layer.weight"))
+        w.add_tensor(o + "attn_output.bias",
+                     _np(st, moa + "experts.bias"))
+        kv = _np(st, moa + "kv_proj.weight")          # [2*KVH*D, E]
+        w.add_tensor(o + "attn_k.weight", kv[:KVH * D])
+        w.add_tensor(o + "attn_v.weight", kv[KVH * D:])
+        moe = p + "mlp."
+        inp = _np(st, moe + "input_linear.weight")    # [X, 2F, E]
+        w.add_tensor(o + "ffn_gate_exps.weight", inp[:, :FF])
+        w.add_tensor(o + "ffn_up_exps.weight", inp[:, FF:])
+        w.add_tensor(o + "ffn_down_exps.weight",
+                     _np(st, moe + "output_linear.weight"))
+        w.add_tensor(o + "ffn_gate_inp.weight",
+                     _np(st, moe + "router.layer.weight"))
+        w.add_tensor(o + "ffn_down.bias", _np(st, moe + "bias"))
+    w.write()
+
+    cfg, _ = load_model(path, dtype=jnp.float32)
+    assert cfg.n_heads == X * KVH and cfg.rope_mode == "neox"
+    _compare(hm, path, decode_check=True)
