@@ -762,13 +762,36 @@ class HostSampler:
             mask = np.fromiter((self._token_allowed(int(t)) for t in cand),
                                bool, len(cand))
             if not mask.any():
-                # no candidate fits: fall back to scanning the full vocab
+                # no candidate fits: fall back to scanning the full
+                # vocab in logit order, in chunks through the batched
+                # native matcher (grammar.filter_pieces — one crossing
+                # per 512 candidates instead of one per token; the
+                # Python matcher path degrades to per-token trials)
                 order = np.argsort(-logits, kind="stable")
-                for t in order:
-                    if self._token_allowed(int(t)):
-                        token = int(t)
+                token = None
+                for base in range(0, len(order), 512):
+                    chunk = [int(t) for t in order[base:base + 512]]
+                    cached = [self._mask_cache.get(t) for t in chunk]
+                    todo = [t for t, c in zip(chunk, cached) if c is None]
+                    if todo:
+                        pieces = [b"" if (self.tok.is_eog(t)
+                                          or self.tok.is_control(t))
+                                  else self.tok.token_bytes(
+                                      t, render_special=True)
+                                  for t in todo]
+                        oks = self.grammar.filter_pieces(pieces)
+                        for t, pc, ok in zip(todo, pieces, oks):
+                            # eog/control keep _token_allowed semantics
+                            self._mask_cache[t] = (
+                                self.grammar.completed
+                                if self.tok.is_eog(t)
+                                else bool(pc) and ok)
+                    hit = next((t for t in chunk if self._mask_cache[t]),
+                               None)
+                    if hit is not None:
+                        token = hit
                         break
-                else:
+                if token is None:
                     token = self.tok.eos_id or 0
             else:
                 token = self._pick(cand, cvals, grammar_mask=mask)

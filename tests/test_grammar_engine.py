@@ -91,3 +91,31 @@ def test_http_response_format(setup):
         parse_grammar({"grammar": "root == broken"})
     with pytest.raises(RequestError):
         parse_grammar({"response_format": {"type": "yaml"}})
+
+
+def test_grammar_full_vocab_fallback(setup):
+    """When NO top-N_CAND candidate satisfies the grammar, the host
+    sampler scans the full vocab in logit order (r5: chunked through the
+    batched native matcher). Force it by biasing every candidate toward
+    tokens the grammar rejects and requiring a specific rare character."""
+    eng, tok = setup
+    # find a token whose text is exactly "z"-ish rare char present in the
+    # vocab; use tokenizer pieces to pick a target the grammar accepts
+    target = None
+    for t in range(tok.n_vocab):
+        try:
+            piece = tok.token_bytes(t, render_special=True)
+        except Exception:  # noqa: BLE001
+            continue
+        if piece == b"z":
+            target = t
+            break
+    if target is None:
+        pytest.skip("no single 'z' token in the tiny vocab")
+    g = Grammar('root ::= "z"+')
+    hs = HostSampler(SamplerParams(temp=0.0), g, tok)
+    V = tok.n_vocab
+    logits = np.linspace(5.0, 0.0, V).astype(np.float32)
+    logits[target] = -50.0     # push the only legal token to the bottom
+    token, _, _, _ = hs.sample(logits)
+    assert token == target
