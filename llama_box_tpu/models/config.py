@@ -27,6 +27,7 @@ _LN_ARCHS = {
 # position-independent q/k (learned pos embd, ALiBi, or none); no rotation
 _NO_ROPE_ARCHS = {"gpt2", "bloom", "mpt", "jina-bert-v2", "jamba",
                   "rwkv6", "rwkv7", "jais",
+                  "refact",   # smallcloudai: ALiBi positions, no rotation
                   "nemotron_h"}   # hybrid attention layers are unroped
 _PARALLEL_ARCHS = {
     # x + attn(norm(x)) + ffn(norm(x)) parallel-residual blocks
@@ -221,6 +222,10 @@ class ModelConfig:
                                                  "granitemoe",
                                                  "granitemoeshared",
                                                  "jetmoe",
+                                                 # arctic: build_moe_ffn
+                                                 # norm_w=true; bailingmoe
+                                                 # (Ling) norm_topk_prob
+                                                 "arctic", "bailingmoe",
                                                  "hunyuan-moe"))),
             # cohere2 (command-r7b) / exaone4: every 4th layer is global,
             # full-context AND unroped (llama.cpp keys rope on is_swa)
@@ -317,7 +322,8 @@ class ModelConfig:
             attn_clamp=float(kv("attention.clamp_kqv", 0.0) or 0.0),
             alibi_max_bias=float(
                 kv("attention.max_alibi_bias",
-                   8.0 if arch in ("bloom", "mpt", "jais") else 0.0)
+                   8.0 if arch in ("bloom", "mpt", "jais", "refact")
+                   else 0.0)
                 or 0.0),
             ssm_d_conv=int(kv("ssm.conv_kernel", 0) or 0),
             ssm_d_inner=int(kv("ssm.inner_size", 0) or 0),

@@ -653,6 +653,18 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales,
         return x + (attn_out + ffn_out) * rs
 
     x = x + attn_out * rs
+    if "ffn_norm_exps" in lp:
+        # arctic (snowflake): the dense FFN and the MoE run in PARALLEL
+        # off the attention residual, each with its own pre-norm
+        # (llama.cpp llm_build_arctic: ffn_out = ffn_inp +
+        # dense(ffn_norm(ffn_inp)); out = ffn_out +
+        # moe(ffn_norm_exps(ffn_inp)))
+        h = _pre_norm(x, lp, "ffn_norm", cfg)
+        lp_dense = {k_: v_ for k_, v_ in lp.items() if k_ != "w_gate_inp"}
+        dense = _ffn_block(h, lp_dense, cfg, lora_scales, x.dtype)
+        hm = _norm_any(x, lp["ffn_norm_exps"], None, cfg)
+        moe = _moe_ffn(hm, lp, cfg).astype(x.dtype)
+        return x + (dense + moe) * rs
     if not any(k_ in lp for k_ in ("w_up", "w_gate", "w_gate_inp",
                                    "w_gateup")):
         return x   # attention-only block (nemotron-h hybrid)

@@ -118,6 +118,10 @@ _LAYER_OPTIONAL = {
     "sinks": ("blk.{i}.attn_sinks.weight", False),
     # deepseek3: expert-score correction bias (selection only, not weights)
     "exp_probs_b": ("blk.{i}.exp_probs_b.bias", False),
+    # arctic (snowflake): the MoE branch's own pre-norm — the dense FFN
+    # and the MoE run in parallel off the attention residual, each with
+    # its own norm (llama.cpp LLM_TENSOR_FFN_NORM_EXPS)
+    "ffn_norm_exps": ("blk.{i}.ffn_norm_exps.weight", False),
     "b_gate_inp": ("blk.{i}.ffn_gate_inp.bias", False),
     "b_gate_exps": ("blk.{i}.ffn_gate_exps.bias", False),
     "b_up_exps": ("blk.{i}.ffn_up_exps.bias", False),

@@ -3023,3 +3023,343 @@ def test_jetmoe_matches_transformers(tmp_path):
     cfg, _ = load_model(path, dtype=jnp.float32)
     assert cfg.n_heads == X * KVH and cfg.rope_mode == "neox"
     _compare(hm, path, decode_check=True)
+
+
+def _rope_norm_np(x, pos, D_):
+    """llama.cpp 'norm' (adjacent-pair) rotation: GGUF-converted q/k are
+    permuted so pair (2i, 2i+1) rotates at base^(-i/half)."""
+    half = D_ // 2
+    inv = 1.0 / (10000.0 ** (np.arange(half) / half))
+    ang = np.outer(pos, inv)
+    c, s = np.cos(ang)[:, None, :], np.sin(ang)[:, None, :]
+    x0, x1 = x[..., 0::2], x[..., 1::2]
+    out = np.empty_like(x)
+    out[..., 0::2] = x0 * c - x1 * s
+    out[..., 1::2] = x0 * s + x1 * c
+    return out
+
+
+def _gqa_attn_np(h, lw, pos, Hn, HKV, D_, alibi_slopes=None, rope=True):
+    """Causal GQA attention on numpy weights {wq,wk,wv,wo}; pairwise rope
+    (llama.cpp 'norm' mode) unless rope=False (then optional ALiBi)."""
+    T = h.shape[0]
+    q = (h @ lw["wq"].T).reshape(T, Hn, D_)
+    k = (h @ lw["wk"].T).reshape(T, HKV, D_)
+    v = (h @ lw["wv"].T).reshape(T, HKV, D_)
+    if rope:
+        q, k = _rope_norm_np(q, pos, D_), _rope_norm_np(k, pos, D_)
+    G = Hn // HKV
+    kx, vx = np.repeat(k, G, axis=1), np.repeat(v, G, axis=1)
+    sc = np.einsum("qhd,khd->hqk", q, kx) / np.sqrt(D_)
+    if alibi_slopes is not None:
+        dist = np.arange(T)[None, None, :] - np.arange(T)[None, :, None]
+        sc = sc + alibi_slopes[:, None, None] * dist
+    mask = np.tril(np.ones((T, T), bool))
+    sc = np.where(mask[None], sc, -1e30)
+    p = np.exp(sc - sc.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    attn = np.einsum("hqk,khd->qhd", p, vx).reshape(T, Hn * D_)
+    return attn @ lw["wo"].T
+
+
+def _moe_np(h, router, gate, up, down, K_, renorm=True):
+    """softmax-over-all -> top-k -> (renorm) weighted silu expert mix."""
+    rl = h @ router.T
+    pr = np.exp(rl - rl.max(-1, keepdims=True))
+    pr /= pr.sum(-1, keepdims=True)
+    topi = np.argsort(-pr, axis=-1)[:, :K_]
+    y = np.zeros_like(h)
+    for t in range(h.shape[0]):
+        wsum = pr[t, topi[t]].sum() if renorm else 1.0
+        for j in topi[t]:
+            g = h[t] @ gate[j].T
+            u = h[t] @ up[j].T
+            y[t] += (pr[t, j] / wsum) * \
+                ((g / (1 + np.exp(-g)) * u) @ down[j].T)
+    return y
+
+
+def test_arctic_matches_numpy_reference(tmp_path):
+    """arctic (Snowflake): dense-MoE hybrid — every layer runs a dense
+    SwiGLU FFN (pre-normed by ffn_norm) AND a top-2 MoE (pre-normed by
+    its own ffn_norm_exps) in PARALLEL off the attention residual:
+    out = ffn_inp + dense(ffn_norm(ffn_inp)) + moe(ffn_norm_exps(
+    ffn_inp)). Routing is softmax-over-all then top-k with renormalized
+    weights (llama.cpp llm_build_arctic / build_moe_ffn norm_w=true);
+    q/k are permuted at conversion -> 'norm' rope. No transformers class
+    exists (trust_remote_code upstream), so the golden is an independent
+    numpy implementation of the published architecture."""
+    vocab, _, _ = build_vocab()
+    rng = np.random.default_rng(17)
+    HKV, X, K, FE = 2, 4, 2, 64
+    V = len(vocab)
+
+    def r(*shape, scale=0.06):
+        return rng.normal(size=shape, scale=scale).astype(np.float32)
+
+    wts = {
+        "embd": r(V, E), "onw": 1 + r(E, scale=0.1), "out": r(V, E),
+        "layers": [
+            {"anw": 1 + r(E, scale=0.1),
+             "wq": r(H * D, E), "wk": r(HKV * D, E), "wv": r(HKV * D, E),
+             "wo": r(E, H * D),
+             "fnw": 1 + r(E, scale=0.1),
+             "gate": r(FF, E), "up": r(FF, E), "down": r(E, FF),
+             "fnx": 1 + r(E, scale=0.1),
+             "router": r(X, E),
+             "gate_x": r(X, FE, E), "up_x": r(X, FE, E),
+             "down_x": r(X, E, FE)}
+            for _ in range(L)],
+    }
+
+    def rms(x, w):
+        return x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-5) * w
+
+    def silu(x):
+        return x / (1 + np.exp(-x))
+
+    def ref(toks):
+        T = len(toks)
+        pos = np.arange(T)
+        x = wts["embd"][toks]
+        for lw in wts["layers"]:
+            h = rms(x, lw["anw"])
+            x = x + _gqa_attn_np(h, lw, pos, H, HKV, D)
+            h = rms(x, lw["fnw"])
+            dense = (silu(h @ lw["gate"].T) * (h @ lw["up"].T)) \
+                @ lw["down"].T
+            hm = rms(x, lw["fnx"])
+            moe = _moe_np(hm, lw["router"], lw["gate_x"], lw["up_x"],
+                          lw["down_x"], K)
+            x = x + dense + moe
+        return rms(x, wts["onw"]) @ wts["out"].T
+
+    path = str(tmp_path / "arctic.gguf")
+    w, _ = _gguf_header(path, "arctic", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("expert_count", X),
+                               ("expert_used_count", K)])
+    w.add_tensor("token_embd.weight", wts["embd"])
+    w.add_tensor("output_norm.weight", wts["onw"])
+    w.add_tensor("output.weight", wts["out"])
+    for i, lw in enumerate(wts["layers"]):
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", lw["anw"])
+        w.add_tensor(o + "attn_q.weight", lw["wq"])
+        w.add_tensor(o + "attn_k.weight", lw["wk"])
+        w.add_tensor(o + "attn_v.weight", lw["wv"])
+        w.add_tensor(o + "attn_output.weight", lw["wo"])
+        w.add_tensor(o + "ffn_norm.weight", lw["fnw"])
+        w.add_tensor(o + "ffn_gate.weight", lw["gate"])
+        w.add_tensor(o + "ffn_up.weight", lw["up"])
+        w.add_tensor(o + "ffn_down.weight", lw["down"])
+        w.add_tensor(o + "ffn_norm_exps.weight", lw["fnx"])
+        w.add_tensor(o + "ffn_gate_inp.weight", lw["router"])
+        w.add_tensor(o + "ffn_gate_exps.weight", lw["gate_x"])
+        w.add_tensor(o + "ffn_up_exps.weight", lw["up_x"])
+        w.add_tensor(o + "ffn_down_exps.weight", lw["down_x"])
+    w.write()
+
+    cfg, params = load_model(path, dtype=jnp.float32)
+    assert cfg.rope_mode == "norm" and cfg.expert_weights_norm
+    rng2 = np.random.default_rng(5)
+    T = 10
+    toks = rng2.integers(3, V, (T,)).astype(np.int32)
+    kv = init_kv_cache(cfg, 1, 64, jnp.float32)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = prefill_impl(params, cfg, jnp.asarray(toks), kv,
+                             jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                             cos, sin)
+    np.testing.assert_allclose(np.asarray(logits), ref(toks)[-1],
+                               atol=3e-3, rtol=5e-3)
+
+
+def test_refact_matches_numpy_reference(tmp_path):
+    """refact (smallcloudai Refact-1.6B): RMS-normed decoder with
+    multi-query attention (n_head_kv=1), ALiBi positions (max bias 8, no
+    rope) and a SwiGLU FFN; no biases anywhere (llama.cpp
+    llm_build_refact). No transformers class exists (trust_remote_code
+    upstream), so the golden is an independent numpy implementation."""
+    vocab, _, _ = build_vocab()
+    rng = np.random.default_rng(23)
+    V = len(vocab)
+
+    def r(*shape, scale=0.06):
+        return rng.normal(size=shape, scale=scale).astype(np.float32)
+
+    wts = {
+        "embd": r(V, E), "onw": 1 + r(E, scale=0.1), "out": r(V, E),
+        "layers": [
+            {"anw": 1 + r(E, scale=0.1),
+             "wq": r(H * D, E), "wk": r(D, E), "wv": r(D, E),
+             "wo": r(E, H * D),
+             "fnw": 1 + r(E, scale=0.1),
+             "gate": r(FF, E), "up": r(FF, E), "down": r(E, FF)}
+            for _ in range(L)],
+    }
+
+    def rms(x, w):
+        return x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-5) * w
+
+    def alibi_slopes(n_heads, max_bias=8.0):
+        import math
+        n = 2 ** int(math.floor(math.log2(n_heads)))
+        m0 = 2.0 ** (-max_bias / n)
+        m1 = 2.0 ** (-max_bias / 2.0 / n)
+        return np.array([m0 ** (i + 1) if i < n
+                         else m1 ** (2 * (i - n) + 1)
+                         for i in range(n_heads)], np.float32)
+
+    def silu(x):
+        return x / (1 + np.exp(-x))
+
+    def ref(toks):
+        T = len(toks)
+        pos = np.arange(T)
+        x = wts["embd"][toks]
+        sl = alibi_slopes(H)
+        for lw in wts["layers"]:
+            h = rms(x, lw["anw"])
+            x = x + _gqa_attn_np(h, lw, pos, H, 1, D,
+                                 alibi_slopes=sl, rope=False)
+            h = rms(x, lw["fnw"])
+            x = x + (silu(h @ lw["gate"].T) * (h @ lw["up"].T)) \
+                @ lw["down"].T
+        return rms(x, wts["onw"]) @ wts["out"].T
+
+    path = str(tmp_path / "refact.gguf")
+    w, _ = _gguf_header(path, "refact", 1, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("attention.max_alibi_bias", 8.0)])
+    w.add_tensor("token_embd.weight", wts["embd"])
+    w.add_tensor("output_norm.weight", wts["onw"])
+    w.add_tensor("output.weight", wts["out"])
+    for i, lw in enumerate(wts["layers"]):
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", lw["anw"])
+        w.add_tensor(o + "attn_q.weight", lw["wq"])
+        w.add_tensor(o + "attn_k.weight", lw["wk"])
+        w.add_tensor(o + "attn_v.weight", lw["wv"])
+        w.add_tensor(o + "attn_output.weight", lw["wo"])
+        w.add_tensor(o + "ffn_norm.weight", lw["fnw"])
+        w.add_tensor(o + "ffn_gate.weight", lw["gate"])
+        w.add_tensor(o + "ffn_up.weight", lw["up"])
+        w.add_tensor(o + "ffn_down.weight", lw["down"])
+    w.write()
+
+    cfg, params = load_model(path, dtype=jnp.float32)
+    assert cfg.rope_mode == "none" and cfg.alibi_max_bias == 8.0
+    assert cfg.norm_style == "rms" and cfg.n_kv_heads == 1
+    rng2 = np.random.default_rng(6)
+    T = 10
+    toks = rng2.integers(3, V, (T,)).astype(np.int32)
+    kv = init_kv_cache(cfg, 1, 64, jnp.float32)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = prefill_impl(params, cfg, jnp.asarray(toks), kv,
+                             jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                             cos, sin)
+    np.testing.assert_allclose(np.asarray(logits), ref(toks)[-1],
+                               atol=3e-3, rtol=5e-3)
+
+
+def test_bailingmoe_matches_numpy_reference(tmp_path):
+    """bailingmoe (inclusionAI Ling): deepseek-lite-style MoE — leading
+    dense block(s), then MoE layers with softmax top-k routing
+    (renormalized, norm_topk_prob) plus an always-on shared expert added
+    to the routed output; GQA attention with llama-permuted q/k ('norm'
+    rope) (llama.cpp llm_build_bailingmoe). No transformers class exists
+    (trust_remote_code upstream), so the golden is an independent numpy
+    implementation. Also exercises the heterogeneous layer-group scan
+    (dense layer 0 + MoE layer 1)."""
+    vocab, _, _ = build_vocab()
+    rng = np.random.default_rng(29)
+    HKV, X, K, FE = 2, 4, 2, 64
+    V = len(vocab)
+
+    def r(*shape, scale=0.06):
+        return rng.normal(size=shape, scale=scale).astype(np.float32)
+
+    def attn_w():
+        return {"anw": 1 + r(E, scale=0.1),
+                "wq": r(H * D, E), "wk": r(HKV * D, E),
+                "wv": r(HKV * D, E), "wo": r(E, H * D),
+                "fnw": 1 + r(E, scale=0.1)}
+
+    l0 = dict(attn_w(), gate=r(FF, E), up=r(FF, E), down=r(E, FF))
+    l1 = dict(attn_w(), router=r(X, E),
+              gate_x=r(X, FE, E), up_x=r(X, FE, E), down_x=r(X, E, FE),
+              gate_sh=r(FE, E), up_sh=r(FE, E), down_sh=r(E, FE))
+    wts = {"embd": r(V, E), "onw": 1 + r(E, scale=0.1), "out": r(V, E),
+           "layers": [l0, l1]}
+
+    def rms(x, w):
+        return x / np.sqrt((x ** 2).mean(-1, keepdims=True) + 1e-5) * w
+
+    def silu(x):
+        return x / (1 + np.exp(-x))
+
+    def ref(toks):
+        T = len(toks)
+        pos = np.arange(T)
+        x = wts["embd"][toks]
+        for lw in wts["layers"]:
+            h = rms(x, lw["anw"])
+            x = x + _gqa_attn_np(h, lw, pos, H, HKV, D)
+            h = rms(x, lw["fnw"])
+            if "router" in lw:
+                y = _moe_np(h, lw["router"], lw["gate_x"], lw["up_x"],
+                            lw["down_x"], K)
+                y = y + (silu(h @ lw["gate_sh"].T) * (h @ lw["up_sh"].T)) \
+                    @ lw["down_sh"].T
+            else:
+                y = (silu(h @ lw["gate"].T) * (h @ lw["up"].T)) \
+                    @ lw["down"].T
+            x = x + y
+        return rms(x, wts["onw"]) @ wts["out"].T
+
+    path = str(tmp_path / "bailingmoe.gguf")
+    w, _ = _gguf_header(path, "bailingmoe", HKV, D,
+                        extra=[("attention.layer_norm_rms_epsilon", 1e-5),
+                               ("expert_count", X),
+                               ("expert_used_count", K),
+                               ("expert_weights_norm", True),
+                               ("expert_weights_scale", 1.0),
+                               ("leading_dense_block_count", 1),
+                               ("expert_shared_count", 1)])
+    w.add_tensor("token_embd.weight", wts["embd"])
+    w.add_tensor("output_norm.weight", wts["onw"])
+    w.add_tensor("output.weight", wts["out"])
+    for i, lw in enumerate(wts["layers"]):
+        o = f"blk.{i}."
+        w.add_tensor(o + "attn_norm.weight", lw["anw"])
+        w.add_tensor(o + "attn_q.weight", lw["wq"])
+        w.add_tensor(o + "attn_k.weight", lw["wk"])
+        w.add_tensor(o + "attn_v.weight", lw["wv"])
+        w.add_tensor(o + "attn_output.weight", lw["wo"])
+        w.add_tensor(o + "ffn_norm.weight", lw["fnw"])
+        if "router" in lw:
+            w.add_tensor(o + "ffn_gate_inp.weight", lw["router"])
+            w.add_tensor(o + "ffn_gate_exps.weight", lw["gate_x"])
+            w.add_tensor(o + "ffn_up_exps.weight", lw["up_x"])
+            w.add_tensor(o + "ffn_down_exps.weight", lw["down_x"])
+            w.add_tensor(o + "ffn_gate_shexp.weight", lw["gate_sh"])
+            w.add_tensor(o + "ffn_up_shexp.weight", lw["up_sh"])
+            w.add_tensor(o + "ffn_down_shexp.weight", lw["down_sh"])
+        else:
+            w.add_tensor(o + "ffn_gate.weight", lw["gate"])
+            w.add_tensor(o + "ffn_up.weight", lw["up"])
+            w.add_tensor(o + "ffn_down.weight", lw["down"])
+    w.write()
+
+    cfg, params = load_model(path, dtype=jnp.float32)
+    assert cfg.rope_mode == "norm" and cfg.expert_weights_norm
+    rng2 = np.random.default_rng(7)
+    T = 10
+    toks = rng2.integers(3, V, (T,)).astype(np.int32)
+    kv = init_kv_cache(cfg, 1, 64, jnp.float32)
+    cos, sin = make_rope(cfg, 64)
+    logits, _ = prefill_impl(params, cfg, jnp.asarray(toks), kv,
+                             jnp.int32(0), jnp.int32(0), jnp.int32(T),
+                             cos, sin)
+    np.testing.assert_allclose(np.asarray(logits), ref(toks)[-1],
+                               atol=3e-3, rtol=5e-3)
