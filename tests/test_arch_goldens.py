@@ -3079,6 +3079,35 @@ def _moe_np(h, router, gate, up, down, K_, renorm=True):
     return y
 
 
+def _numpy_greedy_check(ref, path, n_new=6, prompt_len=5):
+    """Engine greedy decode must match an argmax rollout of the numpy
+    reference (the ref is stateless full-attention, so each step re-runs
+    it on the extended sequence). Engine stops early on EOG tokens the
+    rollout keeps emitting — compare the generated prefix."""
+    with GGUFFile(path) as g:
+        tok = Tokenizer.from_gguf(g)
+    cfg, params = load_model(path, dtype=jnp.float32)
+    rng = np.random.default_rng(13)
+    toks = rng.integers(3, cfg.vocab_size,
+                        (prompt_len,)).astype(np.int32).tolist()
+    seq = list(toks)
+    expect = []
+    for _ in range(n_new):
+        nxt = int(np.argmax(ref(np.asarray(seq, np.int32))[-1]))
+        expect.append(nxt)
+        seq.append(nxt)
+    eng = Engine(cfg, params, tok, EngineConfig(n_slots=2, n_ctx=128))
+    eng.start()
+    try:
+        final, _ = run_task(eng, CompletionsTask(
+            toks, greedy(), tokenizer=tok, max_tokens=n_new, stream=False))
+    finally:
+        eng.stop()
+    got = final.generated[:n_new]
+    assert got == expect[:len(got)], (got, expect)
+    assert len(got) >= 3 or tok.is_eog(got[-1]), (got, expect)
+
+
 def test_arctic_matches_numpy_reference(tmp_path):
     """arctic (Snowflake): dense-MoE hybrid — every layer runs a dense
     SwiGLU FFN (pre-normed by ffn_norm) AND a top-2 MoE (pre-normed by
@@ -3172,6 +3201,7 @@ def test_arctic_matches_numpy_reference(tmp_path):
                              cos, sin)
     np.testing.assert_allclose(np.asarray(logits), ref(toks)[-1],
                                atol=3e-3, rtol=5e-3)
+    _numpy_greedy_check(ref, path)
 
 
 def test_refact_matches_numpy_reference(tmp_path):
@@ -3260,6 +3290,7 @@ def test_refact_matches_numpy_reference(tmp_path):
                              cos, sin)
     np.testing.assert_allclose(np.asarray(logits), ref(toks)[-1],
                                atol=3e-3, rtol=5e-3)
+    _numpy_greedy_check(ref, path)
 
 
 def test_bailingmoe_matches_numpy_reference(tmp_path):
@@ -3363,3 +3394,4 @@ def test_bailingmoe_matches_numpy_reference(tmp_path):
                              cos, sin)
     np.testing.assert_allclose(np.asarray(logits), ref(toks)[-1],
                                atol=3e-3, rtol=5e-3)
+    _numpy_greedy_check(ref, path)
