@@ -663,7 +663,10 @@ def _layer_tail(x, lp, cfg: ModelConfig, attn, lora_scales,
         lp_dense = {k_: v_ for k_, v_ in lp.items() if k_ != "w_gate_inp"}
         dense = _ffn_block(h, lp_dense, cfg, lora_scales, x.dtype)
         hm = _norm_any(x, lp["ffn_norm_exps"], None, cfg)
-        moe = _moe_ffn(hm, lp, cfg).astype(x.dtype)
+        # b_down belongs to the DENSE branch (it was applied above);
+        # _moe_mix would re-add it as a jetmoe-style post-sum bias
+        lp_moe = {k_: v_ for k_, v_ in lp.items() if k_ != "b_down"}
+        moe = _moe_ffn(hm, lp_moe, cfg).astype(x.dtype)
         return x + (dense + moe) * rs
     if not any(k_ in lp for k_ in ("w_up", "w_gate", "w_gate_inp",
                                    "w_gateup")):
